@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Time-bounded (interval) joins and the multi-stage funnel chain from
+  * SURVEY.md §2.4 (J1–J4, J7, P13), batch form on `events`. The streaming
+  * form of the same joins (watermarked stream–stream) lives in
+  * graft.streaming and is exercised by ScalaTest.
+  *
+  * Scale notes: each interval join is an equi join on `user_id` with the
+  * time bound as a post-join range predicate — Spark shuffles both sides
+  * by the equi key (hash join), so the range condition never degenerates
+  * into a cartesian product. State at streaming runtime is bounded by the
+  * same time bounds (reference funnel_jobs.sql:55-63: 5 s/10 s/60 s).
+  */
+object FunnelOps {
+
+  /** J1/J2/J4 — interval join: clicks within 30 min of a view by the same
+    * user (aggregation_jobs.sql:42-52), re-aggregated per user.
+    */
+  val j1IntervalJoin: QueryDef = QueryDef(
+    "j1_interval_join",
+    """WITH v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, count(*) AS n_pairs,
+      |       round(sum(epoch_ms(c_ts) - epoch_ms(v_ts)) / 1000.0, 3) AS total_lag_s
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |              AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE
+      |GROUP BY v.user_id""".stripMargin) { t =>
+    val ev = t.events
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    v.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(unix_millis(col("c_ts")) - unix_millis(col("v_ts"))) / 1000.0, 3)
+          .as("total_lag_s"))
+  }
+
+  /** J7/J3/P13 — 3-stage funnel chain with NULL-preserving left joins and
+    * join-null stage flags (v_event_enriched_full_funnel.sql:72-84;
+    * streaming twin funnel_jobs.sql:54-63): view →(≤30 min) click
+    * →(≤2 h) purchase, then per-user distinct stage conversion counts
+    * (reference counts 4 distincts at once, funnel_jobs.sql:32-35).
+    */
+  val j7FunnelChain: QueryDef = QueryDef(
+    "j7_funnel_chain",
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+      |           FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS c_ts
+      |           FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS p_ts
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT user_id,
+      |       count(DISTINCT view_id) AS n_views,
+      |       count(DISTINCT CASE WHEN click_id    IS NOT NULL THEN view_id END) AS n_clicked_views,
+      |       count(DISTINCT CASE WHEN purchase_id IS NOT NULL THEN view_id END) AS n_converted_views
+      |FROM v
+      |LEFT JOIN c ON user_id = c_user_id
+      |            AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE
+      |LEFT JOIN p ON user_id = p_user_id
+      |            AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOUR
+      |GROUP BY user_id""".stripMargin) { t =>
+    val ev = t.events
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    v.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"), "left")
+      .join(p,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"), "left")
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("view_id")).as("n_views"),
+        countDistinct(when(col("click_id").isNotNull, col("view_id"))).as("n_clicked_views"),
+        countDistinct(when(col("purchase_id").isNotNull, col("view_id"))).as("n_converted_views"))
+  }
+
+  /** A6/P11 — funnel leakage metrics (funnel_jobs.sql:69-106): stage-count
+    * differences and guarded conversion rates per day.
+    */
+  val a6FunnelLeakage: QueryDef = QueryDef(
+    "a6_funnel_leakage",
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         count(CASE WHEN event_type = 'view'     THEN 1 END) AS views,
+      |         count(CASE WHEN event_type = 'click'    THEN 1 END) AS clicks,
+      |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+      |  FROM events GROUP BY 1)
+      |SELECT day, views, clicks, purchases,
+      |       views - clicks    AS view_to_click_loss,
+      |       clicks - purchases AS click_to_purchase_loss,
+      |       CASE WHEN views  > 0 THEN round(CAST(clicks AS DOUBLE) / views, 4)  ELSE 0.0 END AS click_rate,
+      |       CASE WHEN clicks > 0 THEN round(CAST(purchases AS DOUBLE) / clicks, 4) ELSE 0.0 END AS purchase_rate
+      |FROM s""".stripMargin) { t =>
+    val s = t.events
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"))
+    s.select(
+      col("day"), col("views"), col("clicks"), col("purchases"),
+      (col("views") - col("clicks")).as("view_to_click_loss"),
+      (col("clicks") - col("purchases")).as("click_to_purchase_loss"),
+      when(col("views") > 0, round(col("clicks").cast("double") / col("views"), 4))
+        .otherwise(0.0).as("click_rate"),
+      when(col("clicks") > 0, round(col("purchases").cast("double") / col("clicks"), 4))
+        .otherwise(0.0).as("purchase_rate"))
+  }
+
+  val all: Seq[QueryDef] = Seq(j1IntervalJoin, j7FunnelChain, a6FunnelLeakage)
+}

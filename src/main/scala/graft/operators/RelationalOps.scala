@@ -1,0 +1,358 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Relational operators from SURVEY.md §2 (projections/filters P*, hash
+  * aggregations A*, joins J*, explodes U*, sort/limit O1, set op O2,
+  * incremental pass M3), instantiated on the driver testdata per
+  * FIXTURES.md §B.
+  *
+  * Scale notes (100 TB discipline):
+  *  - every filter/projection is declarative → Catalyst pushes it into the
+  *    parquet scan (verified via `.explain` — PushedFilters/ReadSchema);
+  *  - tiny dims (region 5 rows, nation 25) are `broadcast()` to avoid a
+  *    fact-side shuffle; `customer` is NOT broadcast (it scales with SF)
+  *    — AQE picks shuffled hash/sort-merge and can still convert at
+  *    runtime if a filtered side turns out small;
+  *  - aggregations rely on Catalyst's partial (map-side) aggregation;
+  *  - all money sums are rounded at the *end* so the partial-agg tree is
+  *    untouched.
+  */
+object RelationalOps {
+
+  /** A1/P12 + A8 — multi-metric hash aggregate (pricing summary, mirrors
+    * reference hourly re-aggregations, e.g. aggregation_jobs.sql:24-55).
+    */
+  val q1PricingSummary: QueryDef = QueryDef(
+    "a1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2)       AS sum_qty,
+      |       round(sum(l_extendedprice), 2)  AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 4)       AS avg_qty,
+      |       round(avg(l_discount), 4)       AS avg_disc,
+      |       count(*)                        AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { t =>
+    t.lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** P5/P6/P9 — predicate filter incl. SQL LIKE `_` wildcard + CASE
+    * reject-reason derivation (reference insert_jobs.sql:48-62,141-155).
+    */
+  val p5RejectFilter: QueryDef = QueryDef(
+    "p5_reject_filter",
+    """SELECT CASE WHEN o_totalprice <= 1000.0            THEN 'LOW_VALUE'
+      |            WHEN o_orderpriority LIKE '_-URGENT'   THEN 'URGENT'
+      |            WHEN o_orderstatus = 'F'               THEN 'FINISHED'
+      |            ELSE 'OTHER' END            AS reject_reason,
+      |       count(*)                         AS n,
+      |       round(sum(o_totalprice), 2)      AS total_price
+      |FROM orders
+      |WHERE o_totalprice > 0 AND o_orderpriority NOT LIKE '5%'
+      |GROUP BY 1""".stripMargin) { t =>
+    t.orders
+      .filter(col("o_totalprice") > 0 && !col("o_orderpriority").like("5%"))
+      .withColumn("reject_reason",
+        when(col("o_totalprice") <= 1000.0, "LOW_VALUE")
+          .when(col("o_orderpriority").like("_-URGENT"), "URGENT")
+          .when(col("o_orderstatus") === "F", "FINISHED")
+          .otherwise("OTHER"))
+      .groupBy(col("reject_reason"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total_price"))
+  }
+
+  /** P8 — static currency-normalization CASE (insert_jobs.sql:74-79),
+    * instantiated as an FX multiplier keyed on nation name.
+    */
+  val p8CurrencyCase: QueryDef = QueryDef(
+    "p8_currency_case",
+    """SELECT n_name,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice *
+      |         CASE WHEN n_name IN ('FRANCE','GERMANY') THEN 1.08
+      |              WHEN n_name = 'UNITED KINGDOM'      THEN 1.25
+      |              WHEN n_name = 'JAPAN'               THEN 0.0067
+      |              ELSE 1.0 END), 2) AS revenue_usd
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin) { t =>
+    val rate = when(col("n_name").isin("FRANCE", "GERMANY"), 1.08)
+      .when(col("n_name") === "UNITED KINGDOM", 1.25)
+      .when(col("n_name") === "JAPAN", 0.0067)
+      .otherwise(1.0)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice") * rate), 2).as("revenue_usd"))
+  }
+
+  /** J5/J7 — fact→dim star enrichment with left joins (the reference's
+    * enriched views, v_event_enriched_*.sql). region/nation broadcast;
+    * customer join is a shuffle (it scales with the fact table).
+    */
+  val j5DimEnrich: QueryDef = QueryDef(
+    "j5_dim_enrich",
+    """SELECT r_name, n_name,
+      |       count(*)                    AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |LEFT JOIN customer ON o_custkey   = c_custkey
+      |LEFT JOIN nation   ON c_nationkey = n_nationkey
+      |LEFT JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin) { t =>
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  /** J6 — multi-key equi join (reference geo dim joins on
+    * country_code+region_code, v_event_enriched_bid_requests.sql:40-43):
+    * per-(user, day) view-side and click-side aggregates joined on BOTH keys.
+    */
+  val j6MultikeyJoin: QueryDef = QueryDef(
+    "j6_multikey_join",
+    """WITH v AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_views
+      |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |     c AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_clicks
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT v.user_id, v.day, n_views, n_clicks
+      |FROM v JOIN c ON v.user_id = c.user_id AND v.day = c.day""".stripMargin) { t =>
+    val ev = t.events
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_views"))
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_clicks"))
+    v.join(c, Seq("user_id", "day"))
+      .select(col("user_id"), col("day"), col("n_views"), col("n_clicks"))
+  }
+
+  /** J9 — EXISTS correlated semi-join (materialize.sh:248-272 stale-row
+    * detection): orders having a lineitem shipped >90 days after order date.
+    */
+  val j9ExistsSemi: QueryDef = QueryDef(
+    "j9_exists_semi",
+    """SELECT o_orderstatus, count(*) AS n_late_orders,
+      |       round(sum(o_totalprice), 2) AS late_revenue
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderstatus""".stripMargin) { t =>
+    t.orders
+      .join(t.lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_late_orders"),
+        round(sum(col("o_totalprice")), 2).as("late_revenue"))
+  }
+
+  /** J10 — IN-subquery semi-join (materialize.sh:197-216 dimension-change
+    * row selection): orders of customers with negative balance.
+    */
+  val j10InSemi: QueryDef = QueryDef(
+    "j10_in_semi",
+    """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin) { t =>
+    t.orders
+      .join(t.customer.filter(col("c_acctbal") < 0).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  /** A2 — multiple exact COUNT(DISTINCT) in one aggregate (funnel counts,
+    * funnel_jobs.sql:32-35): distinct users per funnel stage per day.
+    */
+  val a2FunnelCounts: QueryDef = QueryDef(
+    "a2_funnel_counts",
+    """SELECT CAST(ts AS DATE) AS day,
+      |       count(DISTINCT CASE WHEN event_type = 'view'     THEN user_id END) AS d_view_users,
+      |       count(DISTINCT CASE WHEN event_type = 'click'    THEN user_id END) AS d_click_users,
+      |       count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS d_purchase_users,
+      |       count(DISTINCT user_id) AS d_users
+      |FROM events GROUP BY 1""".stripMargin) { t =>
+    t.events
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        countDistinct(when(col("event_type") === "view", col("user_id"))).as("d_view_users"),
+        countDistinct(when(col("event_type") === "click", col("user_id"))).as("d_click_users"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("d_purchase_users"),
+        countDistinct(col("user_id")).as("d_users"))
+  }
+
+  /** A3 — dedup-by-key via GROUP BY key + MAX(payload)
+    * (aggregation_jobs.sql:31-50 pre-join dedup).
+    */
+  val a3DedupGroupby: QueryDef = QueryDef(
+    "a3_dedup_groupby",
+    """SELECT user_id, event_type,
+      |       CAST(max(ts) AS TIMESTAMP) AS last_ts,
+      |       round(max(value), 2)       AS max_value,
+      |       count(*)                   AS n_rows
+      |FROM events GROUP BY 1, 2""".stripMargin) { t =>
+    t.events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("ts")).as("last_ts"),
+        round(max(col("value")), 2).as("max_value"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** A4 — conditional distinct count (aggregation_jobs.sql:177-199
+    * invalid-event counting): COUNT(DISTINCT CASE WHEN cond THEN id END).
+    */
+  val a4ConditionalDistinct: QueryDef = QueryDef(
+    "a4_conditional_distinct",
+    """SELECT event_type,
+      |       count(DISTINCT CASE WHEN value < 50.0 THEN user_id END) AS low_value_users,
+      |       count(DISTINCT user_id) AS all_users,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin) { t =>
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(when(col("value") < 50.0, col("user_id"))).as("low_value_users"),
+        countDistinct(col("user_id")).as("all_users"),
+        count(lit(1)).as("n"))
+  }
+
+  /** A5/O2/A6 — multi-source window spine: UNION(distinct) of per-stream
+    * hour buckets drives LEFT joins of per-stream aggregates, plus derived
+    * rate metrics (aggregation_jobs.sql:152-228, 87-151).
+    */
+  val a5UnionSpine: QueryDef = QueryDef(
+    "a5_union_spine",
+    """WITH v AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, count(*) AS n_views
+      |           FROM events WHERE event_type = 'view' GROUP BY 1),
+      |     c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, count(*) AS n_clicks
+      |           FROM events WHERE event_type = 'click' GROUP BY 1),
+      |     p AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, count(*) AS n_purchases
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |     spine AS (SELECT hour FROM v UNION SELECT hour FROM c UNION SELECT hour FROM p)
+      |SELECT s.hour,
+      |       coalesce(n_views, 0)     AS n_views,
+      |       coalesce(n_clicks, 0)    AS n_clicks,
+      |       coalesce(n_purchases, 0) AS n_purchases,
+      |       CASE WHEN coalesce(n_views, 0) > 0
+      |            THEN round(CAST(coalesce(n_clicks, 0) AS DOUBLE) / n_views, 4)
+      |            ELSE 0.0 END AS ctr
+      |FROM spine s
+      |LEFT JOIN v ON s.hour = v.hour
+      |LEFT JOIN c ON s.hour = c.hour
+      |LEFT JOIN p ON s.hour = p.hour""".stripMargin) { t =>
+    val ev = t.events
+    def hourly(tpe: String, alias: String) =
+      ev.filter(col("event_type") === tpe)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as(alias))
+    val v = hourly("view", "n_views")
+    val c = hourly("click", "n_clicks")
+    val p = hourly("purchase", "n_purchases")
+    val spine = v.select("hour").union(c.select("hour")).union(p.select("hour")).distinct()
+    spine
+      .join(v, Seq("hour"), "left")
+      .join(c, Seq("hour"), "left")
+      .join(p, Seq("hour"), "left")
+      .select(
+        col("hour"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        when(coalesce(col("n_views"), lit(0L)) > 0,
+          round(coalesce(col("n_clicks"), lit(0L)).cast("double") / col("n_views"), 4))
+          .otherwise(0.0).as("ctr"))
+  }
+
+  /** U1 — explode/UNNEST flatten (insert_jobs.sql:47 CROSS JOIN UNNEST):
+    * one row per word of part name, re-aggregated to word counts.
+    */
+  val u1Explode: QueryDef = QueryDef(
+    "u1_explode",
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word""".stripMargin) { t =>
+    t.part
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** U2 — nested ARRAY<STRUCT> build + double-flatten (insert_jobs.sql:198-199
+    * UNNEST(seatbid)→UNNEST(bid)): collect lineitems per order into an
+    * array of structs, explode back, project nested fields. The oracle is
+    * the identity projection — proving the round-trip is lossless.
+    */
+  val u2NestedExplode: QueryDef = QueryDef(
+    "u2_nested_explode",
+    """SELECT l_orderkey, l_linenumber, l_partkey,
+      |       round(l_quantity, 2) AS quantity
+      |FROM lineitem""".stripMargin) { t =>
+    t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_linenumber"), col("l_partkey"), col("l_quantity")))
+        .as("items"))
+      .select(col("l_orderkey"), explode(col("items")).as("it"))
+      .select(col("l_orderkey"), col("it.l_linenumber").as("l_linenumber"),
+        col("it.l_partkey").as("l_partkey"),
+        round(col("it.l_quantity"), 2).as("quantity"))
+  }
+
+  /** O1 — ORDER BY … LIMIT top-k (13 of the reference's 19 example
+    * queries, query-examples.sh): top-10 customers by revenue.
+    * Deterministic tie-break on the key. Spark plans this as TakeOrderedAndProject
+    * (per-partition top-k + merge — no global sort at scale).
+    */
+  val o1TopK: QueryDef = QueryDef(
+    "o1_topk",
+    """SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin) { t =>
+    t.orders
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(10)
+  }
+
+  /** M3 — incremental materialization append pass (materialize.sh:226-241):
+    * rows strictly above the stored watermark, bucketed by month.
+    */
+  val m3IncrementalAppend: QueryDef = QueryDef(
+    "m3_incremental_append",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |WHERE o_orderdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin) { t =>
+    t.orders
+      .filter(col("o_orderdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1PricingSummary, p5RejectFilter, p8CurrencyCase, j5DimEnrich,
+    j6MultikeyJoin, j9ExistsSemi, j10InSemi, a2FunnelCounts,
+    a3DedupGroupby, a4ConditionalDistinct, a5UnionSpine, u1Explode,
+    u2NestedExplode, o1TopK, m3IncrementalAppend)
+}

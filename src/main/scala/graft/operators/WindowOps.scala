@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window operators from SURVEY.md §2.6: sliding (W1) and tumbling
+  * (W2) event-time windows, and the ROW_NUMBER dedup pattern the reference
+  * designs for late/duplicate events (.design doc :1136-1139).
+  *
+  * The streaming (watermarked) forms live in graft.streaming; these batch
+  * twins are the oracle-checked semantics. Spark's `window()` aligns
+  * window starts to the epoch in multiples of the slide — the oracle
+  * reproduces that with integer epoch arithmetic, so the two agree
+  * exactly.
+  */
+object WindowOps {
+
+  /** W1 — sliding window, 1 h size / 15 min hop (reference HOP 5 min/1 min,
+    * aggregation_jobs.sql:60-81), per event type.
+    */
+  val w1SlidingWindow: QueryDef = QueryDef(
+    "w1_sliding_window",
+    """WITH hopped AS (
+      |  SELECT make_timestamp(((epoch_ms(ts) // 1000 // 900) * 900 - k * 900) * 1000000)
+      |           AS window_start,
+      |         event_type, value
+      |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+      |SELECT window_start,
+      |       window_start + INTERVAL 1 HOUR AS window_end,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM hopped
+      |GROUP BY 1, 2, 3""".stripMargin) { t =>
+    t.events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** W2 — tumbling 1 h window (design :744-779; implemented in the
+    * reference as FLOOR(ts TO HOUR) buckets, aggregation_jobs.sql:26).
+    */
+  val w2TumblingWindow: QueryDef = QueryDef(
+    "w2_tumbling_window",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       event_type, count(*) AS n,
+      |       round(sum(value), 2) AS total_value,
+      |       round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { t =>
+    t.events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"), col("avg_value"))
+  }
+
+  /** ROW_NUMBER dedup — keep the latest event per (user, type)
+    * (design :1136-1139: ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts
+    * DESC) = 1). Deterministic tie-break on event_id.
+    */
+  val wDedupRownum: QueryDef = QueryDef(
+    "w_dedup_rownum",
+    """SELECT event_id, user_id, event_type,
+      |       CAST(ts AS TIMESTAMP) AS ts, round(value, 2) AS value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin) { t =>
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), round(col("value"), 2).as("value"))
+  }
+
+  val all: Seq[QueryDef] = Seq(w1SlidingWindow, w2TumblingWindow, wDedupRownum)
+}

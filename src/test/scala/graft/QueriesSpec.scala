@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Smoke + semantic checks for every registered query at sf0.001.
+  * (Value-level correctness is the driver's DuckDB oracle gate; these
+  * tests guard schema wiring, non-emptiness, and key invariants.)
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("registry names are unique and every oracle has a query") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.registry) {
+    test(s"${q.name} runs and returns rows") {
+      val df = q.run(spark, sf)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("funnel counts are monotone: views >= clicked >= converted") {
+    import org.apache.spark.sql.functions._
+    val df = operators.FunnelOps.j7FunnelChain.run(spark, sf)
+    val bad = df.filter(col("n_views") < col("n_clicked_views") ||
+      col("n_clicked_views") < col("n_converted_views")).count()
+    assert(bad == 0)
+  }
+
+  test("guarded ratios are non-negative and zero when denominator is zero") {
+    import org.apache.spark.sql.functions._
+    val df = operators.FunnelOps.a6FunnelLeakage.run(spark, sf)
+    assert(df.filter(col("click_rate") < 0 || col("purchase_rate") < 0).count() == 0)
+    assert(df.filter(col("views") === 0 && col("click_rate") =!= 0.0).count() == 0)
+  }
+
+  test("row_number dedup yields one row per (user_id, event_type)") {
+    import org.apache.spark.sql.functions._
+    val df = operators.WindowOps.wDedupRownum.run(spark, sf)
+    val dups = df.groupBy(col("user_id"), col("event_type")).count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+}
