@@ -1,0 +1,174 @@
+package graft.functions
+
+import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import SharedHash.{h64, h64Sql}
+
+/** Deduplication operators for a large-scale training-data pipeline over
+  * the `documents` table: exact (hash group-by), MinHash+LSH banding,
+  * SimHash signatures, and n-gram Jaccard verification.
+  *
+  * Scale design (the 100 TB path):
+  *  - exact dedup is a single hash-shuffle on a 16-byte digest — the
+  *    shuffle carries (digest, doc_id) only, never the document text;
+  *  - MinHash signatures are a pure map; candidate generation shuffles on
+  *    (band, band_key) — the classic LSH band join. Pair count is bounded
+  *    by bucket sizes, not n²;
+  *  - n-gram Jaccard is the *verify* stage: at scale you run it on LSH
+  *    candidates only. Here it is blocked on (lang, source) so the oracle
+  *    stays simple while exercising the same blocked-join shape;
+  *  - SimHash is a pure map producing a 32-bit signature (near-dup =
+  *    small Hamming distance; banding over bit-slices would generate
+  *    candidates the same way as MinHash).
+  */
+object DedupOps {
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for minhash perms
+  private val K = 16          // minhash signature length
+  private val B = 4           // LSH bands
+  private val R = 4           // rows per band (K = B*R)
+
+  /** Exact dedup: group documents by content digest, keep the smallest
+    * doc_id as canonical. One shuffle over (digest, doc_id).
+    */
+  val dedupExact: QueryDef = QueryDef(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash,
+      |       min(doc_id) AS canonical_doc_id,
+      |       count(*)    AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)""".stripMargin) { t =>
+    t.documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Word 3-gram shingles as an array column (shared by minhash/jaccard). */
+  private def withShingles(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .withColumn("words", words)
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingles", array_distinct(transform(
+        sequence(lit(0), size(col("words")) - 3),
+        i => concat_ws(" ", get(col("words"), i), get(col("words"), i + 1),
+          get(col("words"), i + 2)))))
+  }
+
+  private val shinglesSql =
+    """SELECT doc_id, lang, source,
+      |  list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2])) AS shingles
+      |FROM documents WHERE len(string_split(text,' ')) >= 3""".stripMargin
+
+  /** MinHash + LSH candidate pairs: shingle → K permuted min-hashes →
+    * B bands of R → bucket self-join on (band, key). Emits distinct
+    * candidate (doc_a, doc_b) pairs.
+    */
+  val dedupMinhashLsh: QueryDef = QueryDef(
+    "dedup_minhash_lsh",
+    s"""WITH sh AS ($shinglesSql),
+       |hv AS (SELECT doc_id,
+       |         list_transform(shingles, s -> ${h64Sql("s")} % $P) AS hv FROM sh),
+       |sig AS (SELECT doc_id,
+       |         list_transform(generate_series(0, ${K - 1}),
+       |           k -> list_min(list_transform(hv,
+       |                  h -> ((2*k + 1) * h + k * 912367 + 341) % $P))) AS sig
+       |        FROM hv),
+       |bands AS (SELECT doc_id, b.k AS band,
+       |            array_to_string(list_transform(
+       |              list_slice(sig, b.k*$R + 1, b.k*$R + $R), x -> x::VARCHAR), '-') AS key
+       |          FROM sig, (SELECT unnest(generate_series(0, ${B - 1})) AS k) b)
+       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |FROM bands a JOIN bands c
+       |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id""".stripMargin) { t =>
+    val sh = withShingles(t.documents)
+    val sig = sh
+      .withColumn("hv", transform(col("shingles"), s => h64(s) % P))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(K - 1)),
+          k => array_min(transform(col("hv"),
+            h => ((lit(2L) * k + 1L) * h + k * lit(912367L) + 341L) % P))).as("sig"))
+    val bands = sig
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(B - 1)),
+        b => struct(b.as("band"),
+          concat_ws("-", transform(slice(col("sig"), b * lit(R) + 1, lit(R)),
+            v => v.cast("string"))).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val left = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val right = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    left.join(right, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash: 32-bit signature — bit j set iff the (+1/−1) majority vote
+    * of bit j across all word hashes is positive. Pure map + one
+    * aggregation; near-dup detection = Hamming distance on the result.
+    */
+  val dedupSimhash: QueryDef = QueryDef(
+    "dedup_simhash", {
+      val bitSums = (0 until 32)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(", ")
+      val bitsToLong = (0 until 32)
+        .map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, ${h64Sql("w")} AS h FROM w),
+         |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, $bitsToLong AS simhash FROM b""".stripMargin
+    }) { t =>
+    val hashed = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", h64(col("w")))
+    val bitAggs = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$j"))
+    val agg = hashed.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    agg.select(col("doc_id"),
+      (0 until 32).map(j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L): Column)
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** n-gram Jaccard near-dup: exact Jaccard over distinct 3-gram shingle
+    * sets for pairs blocked on (lang, source); emits pairs ≥ 0.5. At
+    * scale the blocking key is the LSH candidate set instead.
+    */
+  val dedupNgramJaccard: QueryDef = QueryDef(
+    "dedup_ngram_jaccard",
+    s"""WITH sh AS ($shinglesSql),
+       |e AS (SELECT doc_id, lang, source, len(shingles) AS n_sh,
+       |             unnest(shingles) AS shingle FROM sh)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       round(CAST(count(*) AS DOUBLE)
+       |             / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) AS jaccard
+       |FROM e a JOIN e b
+       |  ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
+       | AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING CAST(count(*) AS DOUBLE)
+       |       / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5""".stripMargin) { t =>
+    val e = withShingles(t.documents)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
+    val a = e.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("n_sh").as("a_n"), col("shingle"))
+    val b = e.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("n_sh").as("b_n"), col("shingle"))
+    a.join(b, Seq("shingle", "lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
+      .withColumn("jaccard_raw",
+        col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+      .filter(col("jaccard_raw") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard)
+}
