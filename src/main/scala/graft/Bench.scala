@@ -1,24 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line with per-query wall seconds. A query that throws
+  * is recorded with `"failed":true` and its elapsed time EXCLUDED from the
+  * total (a broken query must not "improve" the bench), and the process
+  * exits nonzero so the driver sees the failure.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.get(cpus)
+    // Deterministic order; warm the session once so the first measured
+    // query doesn't pay JVM/parquet-footer warm-up.
+    val defs = SparkEntry.registry.sortBy(_.name)
+    Tables(spark, sfDir).lineitem.count()
+    val results = defs.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            false
+        }
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val nFailed = results.count(!_._3)
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

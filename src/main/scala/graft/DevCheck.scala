@@ -5,12 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only scratch main for schema/plan checks. Not part of the contract. */
 object DevCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.get(8)
     spark.sparkContext.setLogLevel("ERROR")
     val t = Tables(spark, "/root/testdata/sf0.001")
     try {

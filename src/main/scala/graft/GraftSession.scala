@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place where the engine's SparkSession is configured, so every
+  * entry point (Verify, Bench, DevCheck, tests) agrees on semantics:
+  *
+  *  - UTC session time zone (oracle parity with DuckDB);
+  *  - `spark.sql.shuffle.partitions` sized to the executor core count,
+  *    not the 200 default — at cluster scale this becomes a per-job
+  *    estimate from input size, and AQE coalesces from there;
+  *  - AQE on (default in Spark 4) with skew-join handling, which is the
+  *    runtime guard for skewed funnel keys;
+  *  - `nanosAsLong` set ONCE here — `events.parquet` carries INT64
+  *    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects.
+  *    Setting it at construction (not inside a table getter) keeps the
+  *    session's read semantics constant for all readers.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Standard entry-point session: local[cpus], shuffle = cpus. */
+  def get(cpus: Int): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -12,16 +12,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long and rebuild a (µs) TimestampType
-    * column. Integer `div` — a double division would lose precision above
-    * 2^53 (epoch-nanos ≈ 1.7e18). The source values are µs-grain, so the
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), read as long via
+    * `spark.sql.legacy.parquet.nanosAsLong` (set once at session build —
+    * see [[GraftSession]]) and rebuilt as a (µs) TimestampType column.
+    * Integer `div` — a double division would lose precision above 2^53
+    * (epoch-nanos ≈ 1.7e18). The source values are µs-grain, so the
     * truncation is lossless vs the DuckDB oracle.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events: DataFrame =
     t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")

@@ -56,11 +56,12 @@ object DedupOps {
           get(col("words"), i + 2)))))
   }
 
+  // NB: no line may START with `||` — stripMargin would eat the first `|`.
   private val shinglesSql =
     """SELECT doc_id, lang, source,
       |  list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-      |         || ' ' || string_split(text,' ')[i+2])) AS shingles
+      |    i -> concat(string_split(text,' ')[i], ' ', string_split(text,' ')[i+1],
+      |                ' ', string_split(text,' ')[i+2]))) AS shingles
       |FROM documents WHERE len(string_split(text,' ')) >= 3""".stripMargin
 
   /** MinHash + LSH candidate pairs: shingle → K permuted min-hashes →

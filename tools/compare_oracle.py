@@ -16,8 +16,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(rows, ncols):
+    # Sort key must match the equality semantics below, which tolerate
+    # float-vs-int type differences (1.0 vs 1): normalize numeric cells to
+    # float for ordering so both sides sort identically.
+    def cell_key(x):
+        if x is None:
+            return (0, "", 0.0)
+        if isinstance(x, bool):
+            return (1, "", float(x))
+        if isinstance(x, (int, float)):
+            if isinstance(x, float) and math.isnan(x):
+                return (2, "", 0.0)
+            return (1, "", float(x))
+        return (3, str(x), 0.0)
+
     def key(r):
-        return tuple((x is None, str(x)) for x in r)
+        return tuple(cell_key(x) for x in r)
     return sorted([tuple(r) for r in rows], key=key)
 
 
