@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.functions.{DedupOps, TextOps}
+import graft.functions.{AnnOps, DedupOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   /** Full operator registry. Order is presentation only. */
   def registry: Seq[QueryDef] =
     RelationalOps.all ++ FunnelOps.all ++ WindowOps.all ++
-      DedupOps.all ++ TextOps.all
+      DedupOps.all ++ TextOps.all ++ AnnOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly funnel spine with guarded conversion rates — the reference's

@@ -48,6 +48,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.filter(col("views") === 0 && col("click_rate") =!= 0.0).count() == 0)
   }
 
+  test("ann: lsh top-1 never beats brute top-1; ranks contiguous from 1") {
+    import org.apache.spark.sql.functions._
+    val brute = functions.AnnOps.annBruteTopk.run(spark, sf)
+    val lsh = functions.AnnOps.annLshTopk.run(spark, sf)
+    val b1 = brute.filter(col("rnk") === 1)
+      .select(col("query_id"), col("cos_sim").as("b_sim"))
+    val l1 = lsh.filter(col("rnk") === 1)
+      .select(col("query_id"), col("cos_sim").as("l_sim"))
+    assert(b1.join(l1, "query_id").filter(col("l_sim") > col("b_sim")).count() == 0)
+    for (df <- Seq(brute, lsh)) {
+      val bad = df.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"))
+        .filter(col("n") =!= col("mx")).count()
+      assert(bad == 0, "ranks must be contiguous 1..n per query")
+    }
+  }
+
   test("row_number dedup yields one row per (user_id, event_type)") {
     import org.apache.spark.sql.functions._
     val df = operators.WindowOps.wDedupRownum.run(spark, sf)
