@@ -1,0 +1,127 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import graft.QueryDef
+import graft.tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Write-path operators (SURVEY.md §2.1 S4/S5/S10 + §2.8 M1): each query
+  * exercises the snapshot-log table format END TO END — create a table
+  * under a scratch warehouse, commit writes through it, read the result
+  * back — and returns data the DuckDB oracle reproduces from the source
+  * parquet alone. A wrong write path (lost rows, broken partition
+  * round-trip, upsert that doesn't replace) fails the hash compare.
+  *
+  * Each query wipes and rebuilds its own warehouse dir so runs are
+  * idempotent (Verify and Bench both call them).
+  */
+object StorageOps {
+
+  private def scratch(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** S4/S6 — day-partitioned append table: two appends (the reference's
+    * checkpointed commit cadence), then read back through the snapshot
+    * log. Oracle = the same selection straight from the source, so the
+    * round trip must preserve every row, type, and timestamp exactly.
+    * Partition pruning: the `p_ts_day` filter below prunes to one day's
+    * directories — at 100 TB this is the difference between reading one
+    * day and reading the table.
+    */
+  val s4PartitionedWrite: QueryDef = QueryDef(
+    "s4_partitioned_write",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase')""".stripMargin) { t =>
+    val wh = scratch("s4")
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("clicks_purchases", eventsSchema, Seq(DayTransform("ts")))))
+    val tbl = cat.table("clicks_purchases")
+    val src = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), round(col("value"), 2).as("value"))
+    tbl.append(src.filter(col("event_type") === "click"))
+    tbl.append(src.filter(col("event_type") === "purchase"))
+    cat.checkDrift() // S7: declared schema still matches the live files
+    tbl.readLogical()
+  }
+
+  /** S5 — keyed upsert: per-key aggregates for the first half-month are
+    * committed, then the second half-month's keys are upserted over
+    * them. Latest-wins per (user_id, event_type): the oracle reproduces
+    * it with a FULL JOIN + COALESCE picking the second batch.
+    */
+  val s5UpsertLatest: QueryDef = QueryDef(
+    "s5_upsert_latest",
+    """WITH a AS (SELECT user_id, event_type, count(*) AS n,
+      |                  round(sum(value), 2) AS total_value
+      |           FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      |           GROUP BY user_id, event_type),
+      |     b AS (SELECT user_id, event_type, count(*) AS n,
+      |                  round(sum(value), 2) AS total_value
+      |           FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+      |           GROUP BY user_id, event_type)
+      |SELECT user_id, event_type,
+      |       coalesce(b.n, a.n) AS n,
+      |       coalesce(b.total_value, a.total_value) AS total_value
+      |FROM a FULL JOIN b USING (user_id, event_type)""".stripMargin) { t =>
+    val wh = scratch("s5")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("user_type_metrics", schema, Nil, keys = Seq("user_id", "event_type"))))
+    val tbl = cat.table("user_type_metrics")
+    def half(cond: org.apache.spark.sql.Column): DataFrame =
+      t.events.filter(cond)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.upsert(half(col("ts") < cut))
+    tbl.upsert(half(col("ts") >= cut))
+    tbl.readLogical()
+  }
+
+  /** S10/M1 — snapshot metadata: an overwrite (CTAS) then an append,
+    * then query the `$snapshots` analog. The oracle derives the same
+    * (version, operation, row_count) history from the source counts, so
+    * the commit log's bookkeeping itself is value-checked.
+    */
+  val s10Snapshots: QueryDef = QueryDef(
+    "s10_snapshots",
+    """SELECT 1 AS version, 'overwrite' AS operation,
+      |       (SELECT count(*) FROM events) AS row_count
+      |UNION ALL
+      |SELECT 2, 'append',
+      |       (SELECT count(*) FROM events)
+      |         + (SELECT count(*) FROM events WHERE event_type = 'error')""".stripMargin) { t =>
+    val wh = scratch("s10")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("event_log", eventsSchema)))
+    val tbl = cat.table("event_log")
+    val src = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    tbl.overwrite(src)
+    tbl.append(src.filter(col("event_type") === "error"))
+    tbl.snapshots.select(col("version"), col("operation"), col("row_count"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s4PartitionedWrite, s5UpsertLatest, s10Snapshots)
+}

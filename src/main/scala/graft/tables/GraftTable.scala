@@ -1,0 +1,253 @@
+package graft.tables
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** One committed snapshot of a table. `files` is the FULL live file list
+  * (relative to the table's data dir), not a delta — so any snapshot is
+  * readable on its own (time travel, S10) and expiring old snapshots
+  * never breaks later ones. At 100 TB the file list would move into
+  * manifest files; the commit protocol itself is scale-independent
+  * (one small JSON per commit, written atomically via tmp+rename).
+  */
+final case class CommitMeta(
+    version: Int,
+    tsMs: Long,
+    op: String,
+    rowCount: Long,
+    files: Seq[String])
+
+/** A parquet-backed table with an explicit snapshot log — the engine's
+  * stand-in for the reference's Iceberg v2 tables (no Iceberg/Delta jars
+  * in this environment). Supported operations mirror the reference:
+  *
+  *  - `append`     — S4 partitioned append sink;
+  *  - `upsert`     — S5 keyed upsert (copy-on-write here; the 100 TB
+  *                   path is merge-on-read equality deletes / MERGE INTO,
+  *                   see hourly_impressions_by_geo.yml:17-21);
+  *  - `overwrite`  — M1 CTAS materialization;
+  *  - `compact`    — M7 small-file compaction (maintenance.sh:66-67);
+  *  - `expireSnapshots` / `removeOrphans` — M8 (maintenance.sh:72-79);
+  *  - `snapshots`  — S10 metadata table (query-examples.sh:91-95).
+  *
+  * Single-writer (the reference's jobs are too); commits are atomic via
+  * rename, readers always resolve the latest complete commit.
+  */
+final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String) {
+
+  private val tableDir = s"$root/${defn.name}"
+  private val dataDir = s"$tableDir/data"
+  private val commitsDir = s"$tableDir/_commits"
+  Files.createDirectories(Paths.get(dataDir))
+  Files.createDirectories(Paths.get(commitsDir))
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  /** Physical schema = logical schema + derived partition columns. */
+  private def partCols: Seq[String] = defn.partitions.map(_.name)
+
+  // ---- commit log ----
+
+  private def commitPath(v: Int) = Paths.get(s"$commitsDir/commit-$v.json")
+
+  def commits: Seq[CommitMeta] = {
+    val fs = Option(new File(commitsDir).listFiles()).getOrElse(Array.empty)
+    fs.filter(_.getName.matches("commit-\\d+\\.json"))
+      .map(f => mapper.readValue(f, classOf[CommitMeta]))
+      .sortBy(_.version).toSeq
+  }
+
+  def currentVersion: Int = commits.lastOption.map(_.version).getOrElse(0)
+
+  private def writeCommit(op: String, rowCount: Long, files: Seq[String]): CommitMeta = {
+    val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op, rowCount, files)
+    val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
+    Files.writeString(tmp, mapper.writeValueAsString(meta))
+    Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
+    meta
+  }
+
+  // ---- file bookkeeping ----
+
+  private def listDataFiles(): Set[String] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new File(dataDir))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => Paths.get(dataDir).relativize(f.toPath).toString).toSet
+  }
+
+  private def withPartitionCols(df: DataFrame): DataFrame =
+    defn.partitions.foldLeft(df)((d, p) => d.withColumn(p.name, p.expr))
+
+  /** Write `df`'s rows as NEW files under the data dir; return the
+    * relative paths added. Spark append mode never rewrites existing
+    * files, so concurrent snapshots stay valid.
+    */
+  private def writeFiles(df: DataFrame): Seq[String] = {
+    val before = listDataFiles()
+    val physical = withPartitionCols(df)
+    val writer = physical.write.mode("append")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
+    (listDataFiles() -- before).toSeq.sorted
+  }
+
+  // ---- reads ----
+
+  private def physicalSchema: StructType = {
+    val withParts = defn.partitions.foldLeft(
+      spark.createDataFrame(new java.util.ArrayList[Row](), defn.schema))(
+      (d, p) => d.withColumn(p.name, p.expr))
+    withParts.schema
+  }
+
+  /** Read a snapshot (default: latest). Returns the physical schema —
+    * logical columns plus derived `p_*` partition columns, so callers
+    * can filter on partition values and get directory-level pruning.
+    */
+  def read(version: Option[Int] = None): DataFrame = {
+    val cs = commits
+    val snap = version match {
+      case Some(v) => cs.find(_.version == v)
+        .getOrElse(throw new IllegalArgumentException(s"${defn.name}: no snapshot v$v"))
+      case None => cs.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
+    }
+    if (snap.files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), physicalSchema)
+    else
+      spark.read
+        .option("basePath", dataDir)
+        .schema(physicalSchema)
+        .parquet(snap.files.map(f => s"$dataDir/$f"): _*)
+  }
+
+  /** Logical read: latest snapshot without the derived partition cols. */
+  def readLogical(version: Option[Int] = None): DataFrame =
+    read(version).select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+
+  /** The schema the live files ACTUALLY carry (parquet footers, no
+    * declared-schema coercion), minus derived partition columns — what
+    * the drift check (S7) compares against the declaration.
+    */
+  def liveSchema: Option[StructType] =
+    commits.lastOption.filter(_.files.nonEmpty).map { snap =>
+      val actual = spark.read
+        .option("basePath", dataDir)
+        .parquet(snap.files.map(f => s"$dataDir/$f"): _*)
+        .schema
+      StructType(actual.fields.filterNot(f => partCols.contains(f.name)))
+    }
+
+  // ---- writes ----
+
+  /** S4 — partitioned append. */
+  def append(df: DataFrame): CommitMeta = {
+    val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
+    val live = commits.lastOption.map(_.files).getOrElse(Nil) ++ added
+    writeCommit("append", readFiles(live).count(), live)
+  }
+
+  /** M1 — full overwrite (CTAS materialization). */
+  def overwrite(df: DataFrame): CommitMeta = {
+    val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
+    writeCommit("overwrite", readFiles(added).count(), added)
+  }
+
+  /** S5 — keyed upsert: rows in `batch` replace live rows with the same
+    * identifier-key tuple (latest wins), everything else is carried
+    * over. Copy-on-write: the surviving+new rows are written as fresh
+    * files and the commit swaps the live set atomically.
+    */
+  def upsert(batch: DataFrame): CommitMeta = {
+    require(defn.isUpsert, s"${defn.name} has no identifier keys")
+    val cols = defn.schema.fieldNames.map(batch.col)
+    val b = batch.select(cols: _*)
+    val survivors = readLogical().join(b, defn.keys, "left_anti")
+    val merged = survivors.unionByName(b)
+    val added = writeFiles(merged)
+    writeCommit("upsert", readFiles(added).count(), added)
+  }
+
+  /** Targeted delete+re-insert for the materializer repair passes
+    * (M4–M6): drop live rows matching `condition`, append `replacement`.
+    */
+  def replaceWhere(condition: org.apache.spark.sql.Column, replacement: DataFrame): CommitMeta = {
+    val keep = read().filter(!condition || condition.isNull)
+      .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
+    val added = writeFiles(merged)
+    writeCommit("replace", readFiles(added).count(), added)
+  }
+
+  private def readFiles(files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), physicalSchema)
+    else spark.read.option("basePath", dataDir).schema(physicalSchema)
+      .parquet(files.map(f => s"$dataDir/$f"): _*)
+
+  // ---- maintenance ----
+
+  /** M7 — compaction: rewrite the live set into ~targetBytes files
+    * (reference threshold 128 MB, maintenance.sh:66-67). Partition
+    * layout is preserved; small per-partition files merge because the
+    * rewrite repartitions by partition value before writing.
+    */
+  def compact(targetBytes: Long = 128L * 1024 * 1024): CommitMeta = {
+    val live = commits.lastOption.map(_.files).getOrElse(Nil)
+    val totalBytes = live.map(f => new File(s"$dataDir/$f").length()).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = readLogical()
+    val compacted =
+      if (partCols.nonEmpty)
+        withPartitionCols(df)
+          .repartition(nFiles, partCols.map(org.apache.spark.sql.functions.col): _*)
+          .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    val added = writeFiles(compacted)
+    writeCommit("compact", readFiles(added).count(), added)
+  }
+
+  /** M8a — expire snapshots older than `olderThanMs`, always keeping the
+    * latest (reference: expire_snapshots(retention_threshold => '7d')).
+    */
+  def expireSnapshots(olderThanMs: Long): Int = {
+    val cs = commits
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val expired = cs.dropRight(1).filter(_.tsMs < cutoff)
+    expired.foreach(c => Files.deleteIfExists(commitPath(c.version)))
+    expired.size
+  }
+
+  /** M8b — delete data files referenced by no remaining snapshot. */
+  def removeOrphans(): Int = {
+    val referenced = commits.flatMap(_.files).toSet
+    val orphans = listDataFiles() -- referenced
+    orphans.foreach(f => Files.deleteIfExists(Paths.get(s"$dataDir/$f")))
+    // prune now-empty partition dirs
+    def sweep(dir: File): Unit = {
+      Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach(sweep)
+      if (dir.getPath != dataDir && Option(dir.listFiles()).exists(_.isEmpty)) dir.delete()
+    }
+    sweep(new File(dataDir))
+    orphans.size
+  }
+
+  /** S10 — the `$snapshots` metadata table. */
+  def snapshots: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false)))
+    val rows = commits.map(c => Row(
+      c.version, new java.sql.Timestamp(c.tsMs), c.op, c.rowCount, c.files.size))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}

