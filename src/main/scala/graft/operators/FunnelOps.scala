@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Time-bounded (interval) joins and the multi-stage funnel chain from
   * SURVEY.md §2.4 (J1–J4, J7, P13), batch form on `events`. The streaming
-  * form of the same joins (watermarked stream–stream) lives in
-  * graft.streaming and is exercised by ScalaTest.
+  * forms are graft.streaming.EventStreams.intervalJoinPairs /
+  * leftIntervalJoinPairs (J1/J2) and graft.streaming.FunnelState (J3);
+  * StreamingSpec asserts each equals its batch twin here row for row.
   *
   * Scale notes: each interval join is an equi join on `user_id` with the
   * time bound as a post-join range predicate — Spark shuffles both sides

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * (W2) event-time windows, and the ROW_NUMBER dedup pattern the reference
   * designs for late/duplicate events (.design doc :1136-1139).
   *
-  * The streaming (watermarked) forms live in graft.streaming; these batch
+  * The streaming (watermarked) forms are
+  * graft.streaming.EventStreams.tumblingHourly / sliding / dedup,
+  * asserted equal to these batch twins by StreamingSpec; these batch
   * twins are the oracle-checked semantics. Spark's `window()` aligns
   * window starts to the epoch in multiples of the slide — the oracle
   * reproduces that with integer epoch arithmetic, so the two agree

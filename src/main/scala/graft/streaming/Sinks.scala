@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.tables.GraftTable
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming sinks into the snapshot-log table layer.
+  *
+  *  - [[hourlyUpsert]] — S5/A7: update-mode aggregation committed per
+  *    micro-batch as a keyed upsert (the reference's continuously-revised
+  *    Iceberg upsert tables, hourly_impressions_by_geo.yml:17-21);
+  *  - [[multiSinkFanout]] — X1: ONE streaming query feeding several
+  *    append tables from one cached micro-batch — the analog of Flink's
+  *    EXECUTE STATEMENT SET fusing shared source reads
+  *    (insert_jobs.sql:11-235, SqlRunner.java:22-25). The alternative
+  *    (N independent queries) reads the source N times; at 100 TB the
+  *    single cached pass is the difference that matters.
+  */
+object Sinks {
+
+  /** Continuous hourly aggregation → keyed upsert table. The table MUST
+    * be keyed by (window_start, event_type); every micro-batch re-emits
+    * revised rows for windows still inside the watermark, and the upsert
+    * replaces them latest-wins — exactly the reference's
+    * "continuously revise per-key rows" comment (aggregation_jobs.sql:20-23).
+    */
+  def hourlyUpsert(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+    EventStreams.tumblingHourly(events)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) table.upsert(batch)
+        ()
+      }
+      .start()
+
+  /** Streaming dedup → append table (A3 + S4 composed). */
+  def dedupAppend(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+    EventStreams.dedup(events)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) table.append(batch)
+        ()
+      }
+      .start()
+
+  /** X1 — statement-set analog: one query, one cached batch, three
+    * sinks (clean / rejected / per-batch quality counts), mirroring the
+    * reference's ingestion job fanning bid requests into clean,
+    * enriched, and dq_rejected tables from a single source read.
+    */
+  def multiSinkFanout(
+      events: DataFrame,
+      clean: GraftTable,
+      rejected: GraftTable,
+      quality: GraftTable,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.persist()
+        try {
+          val isReject = col("value") < 0 || col("user_id") < 0
+          clean.append(batch.filter(!isReject))
+          rejected.append(
+            batch.filter(isReject).withColumn("reject_reason",
+              when(col("user_id") < 0, "TEST_USER").otherwise("NEGATIVE_VALUE")))
+          quality.upsert(
+            batch.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n_total"),
+                count(when(isReject, 1)).as("n_rejected"))
+              .withColumn("batch_id", lit(batchId)))
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+}

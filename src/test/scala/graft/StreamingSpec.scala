@@ -1,0 +1,256 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+import java.util.Comparator
+
+import graft.streaming.{EventStreams, Sinks}
+import graft.tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming semantics vs the oracle-checked batch twins: identical rows
+  * fed through the Structured Streaming forms must produce the batch
+  * answers; the watermark must drop a too-late event; the upsert sink
+  * must revise keyed rows across micro-batches; the multi-sink fan-out
+  * must feed all sinks consistently from one pass.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ckpt(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_ckpt", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    p.toString
+  }
+
+  private def wh(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_wh", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private def at(minutes: Long) = new Timestamp(t0.getTime + minutes * 60000L)
+
+  /** Deterministic little event log: 3 hours of views/clicks/purchases. */
+  private def mkEvents(): Seq[Ev] = {
+    val evs = for {
+      u <- 1L to 5L
+      k <- 0L until 12L
+    } yield {
+      val base = u * 7 + k * 13
+      val typ = (base % 3) match {
+        case 0 => "view"
+        case 1 => "click"
+        case _ => "purchase"
+      }
+      Ev(u * 1000 + k, at(base % 170), u, typ, (base % 17).toDouble / 2.0)
+    }
+    evs
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, hint: String): Unit = {
+    val extraA = a.exceptAll(b).count()
+    val extraB = b.exceptAll(a).count()
+    assert(extraA == 0 && extraB == 0,
+      s"$hint: ${extraA} rows only in streaming, ${extraB} only in batch")
+  }
+
+  test("streaming hourly upsert equals batch tumbling agg; late event dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents().sortBy(_.ts.getTime)
+    val (first, second) = events.splitAt(events.size / 2)
+    val lateEvent = Ev(99999L, Timestamp.valueOf("2023-12-25 00:00:00"), 9L, "view", 1.0)
+
+    val schema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType),
+      StructField("avg_value", DoubleType)))
+    val table = new GraftTable(spark,
+      TableDef("hourly_metrics", schema, keys = Seq("window_start", "event_type")),
+      wh("hourly"))
+
+    val src = MemoryStream[Ev]
+    val q = Sinks.hourlyUpsert(src.toDF(), table, ckpt("hourly"))
+    src.addData(first)
+    q.processAllAvailable()
+    // second half + one event 7 days late: watermark (max ts − 30 s) has
+    // long passed its window → the streaming side must DROP it
+    src.addData(second :+ lateEvent)
+    q.processAllAvailable()
+    q.stop()
+
+    val batchTwin = spark.createDataset(events).toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"), col("avg_value"))
+    assertSameRows(table.readLogical(), batchTwin, "hourly upsert")
+  }
+
+  test("dropDuplicatesWithinWatermark removes in- and cross-batch duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents().sortBy(_.ts.getTime)
+    val tail = events.takeRight(5) // ts within watermark horizon at stream end
+    val src = MemoryStream[Ev]
+    val out = EventStreams.dedup(src.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", ckpt("dedup")).start()
+    src.addData(events ++ events.take(10)) // in-batch duplicates
+    out.processAllAvailable()
+    src.addData(tail)                      // cross-batch duplicates of recent rows
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("dedup_out")
+    assert(got.count() == events.size.toLong)
+    assert(got.select("event_id").distinct().count() == events.size.toLong)
+  }
+
+  test("stream-stream interval join pairs equal the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents()
+    val views = events.filter(_.event_type == "view")
+    val clicks = events.filter(_.event_type == "click")
+    val vs = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    val out = EventStreams.intervalJoinPairs(vs.toDF(), cs.toDF())
+      .writeStream.format("memory").queryName("join_out").outputMode("append")
+      .option("checkpointLocation", ckpt("join")).start()
+    vs.addData(views)
+    cs.addData(clicks)
+    out.processAllAvailable()
+    out.stop()
+
+    val vb = spark.createDataset(views).toDF()
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val cb = spark.createDataset(clicks).toDF()
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val batchTwin = vb.join(cb,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("click_id"), col("v_ts"), col("c_ts"))
+    assertSameRows(spark.table("join_out"), batchTwin, "interval join")
+  }
+
+  test("left interval join emits matches and watermark-proven NULL rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents()
+    val views = events.filter(_.event_type == "view")
+    val clicks = events.filter(_.event_type == "click")
+    def flush(u: Long) = Ev(-1L, at(100000), u, "view", 0.0)
+
+    val vs = MemoryStream[Ev]; val cs = MemoryStream[Ev]
+    val out = EventStreams.leftIntervalJoinPairs(vs.toDF(), cs.toDF())
+      .writeStream.format("memory").queryName("ljoin_out").outputMode("append")
+      .option("checkpointLocation", ckpt("ljoin")).start()
+    vs.addData(views :+ flush(-1L))
+    cs.addData(clicks :+ flush(-2L))
+    out.processAllAvailable()
+    // second tick lets the advanced watermark evict + emit NULL rows
+    vs.addData(flush(-3L)); cs.addData(flush(-4L))
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("ljoin_out").filter(col("user_id") >= 0)
+
+    val vb = spark.createDataset(views).toDF()
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val cb = spark.createDataset(clicks).toDF()
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val batchTwin = vb.join(cb,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 30 minutes"), "left")
+      .select(col("user_id"), col("view_id"), col("click_id"), col("v_ts"), col("c_ts"))
+    assertSameRows(got, batchTwin, "left interval join")
+  }
+
+  test("flatMapGroupsWithState funnel chain equals the batch chained left joins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents()
+    def part(t: String) = events.filter(_.event_type == t)
+    def flush(id: Long) = Ev(id, at(100000 + id), -1L, "view", 0.0)
+
+    val src = MemoryStream[Ev]
+    val out = graft.streaming.FunnelState.funnelChain(src.toDF())
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append")
+      .option("checkpointLocation", ckpt("funnel")).start()
+    src.addData(events :+ flush(1))
+    out.processAllAvailable()
+    src.addData(flush(2)) // watermark from flush(1) now fires the timeouts
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("funnel_out").filter(col("user_id") >= 0)
+
+    def b(t: String, idCol: String, tsCol: String, userCol: String) =
+      spark.createDataset(part(t)).toDF()
+        .select(col("user_id").as(userCol), col("event_id").as(idCol), col("ts").as(tsCol))
+    val batchTwin = b("view", "view_id", "v_ts", "user_id")
+      .join(b("click", "click_id", "c_ts", "c_user_id"),
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 30 minutes"), "left")
+      .join(b("purchase", "purchase_id", "p_ts", "p_user_id"),
+        col("c_user_id") === col("p_user_id") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 2 hours"), "left")
+      .select(col("user_id"), col("view_id"), col("click_id"), col("purchase_id"),
+        col("v_ts"), col("c_ts"), col("p_ts"))
+    assertSameRows(got, batchTwin, "funnel chain")
+  }
+
+  test("multi-sink fan-out feeds clean/rejected/quality consistently from one pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = mkEvents()
+    val bad = Seq(
+      Ev(777L, at(10), -3L, "view", 1.0),   // test user
+      Ev(778L, at(11), 4L, "click", -5.0))  // negative value
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val rejSchema = StructType(evSchema.fields :+ StructField("reject_reason", StringType))
+    val qSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("n_total", LongType),
+      StructField("n_rejected", LongType), StructField("batch_id", LongType)))
+    val root = wh("fanout")
+    val clean = new GraftTable(spark, TableDef("clean", evSchema, Seq(DayTransform("ts"))), root)
+    val rejected = new GraftTable(spark, TableDef("rejected", rejSchema), root)
+    val quality = new GraftTable(spark,
+      TableDef("quality", qSchema, keys = Seq("event_type")), root)
+
+    val src = MemoryStream[Ev]
+    val q = Sinks.multiSinkFanout(src.toDF(), clean, rejected, quality, ckpt("fanout"))
+    src.addData(good ++ bad)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(clean.readLogical().count() == good.size.toLong)
+    assert(rejected.readLogical().count() == 2)
+    assert(rejected.readLogical().filter(col("reject_reason") === "TEST_USER").count() == 1)
+    val qrows = quality.readLogical()
+    assert(qrows.agg(sum("n_total")).head.getLong(0) == (good.size + bad.size).toLong)
+    assert(qrows.agg(sum("n_rejected")).head.getLong(0) == 2L)
+  }
+}
