@@ -15,7 +15,8 @@ object SparkEntry {
   /** Full operator registry. Order is presentation only. */
   def registry: Seq[QueryDef] =
     RelationalOps.all ++ FunnelOps.all ++ WindowOps.all ++
-      DedupOps.all ++ TextOps.all ++ AnnOps.all ++ StorageOps.all
+      DedupOps.all ++ TextOps.all ++ AnnOps.all ++ StorageOps.all ++
+      Scd2Ops.all ++ MaterializeOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly funnel spine with guarded conversion rates — the reference's

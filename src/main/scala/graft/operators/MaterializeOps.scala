@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import graft.QueryDef
+import graft.materialize.{MatView, Materializer}
+import graft.tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** M1–M4 driven end to end through the oracle: an hourly aggregate view
+  * is materialized INCREMENTALLY — first run on an incomplete prefix of
+  * the facts (with a deterministic subset withheld as "late arrivals"),
+  * second run after the stragglers and the new tail land — and the final
+  * mat table must hash-match DuckDB's single-shot full recompute. A
+  * wrong watermark bound, a lookback repair that misses drifted windows,
+  * or a double-counting append all fail the compare.
+  */
+object MaterializeOps {
+
+  private def scratch(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private val matSchema = StructType(Seq(
+    StructField("window_start", TimestampType),
+    StructField("event_type", StringType),
+    StructField("n", LongType),
+    StructField("total_value", DoubleType)))
+
+  private def hourlyView: MatView = MatView(
+    name = "hourly_events",
+    tsCol = "window_start",
+    keyCols = Seq("window_start", "event_type"),
+    compute = facts => facts
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value")))
+
+  /** M1+M2+M3+M4 — two-pass incremental materialization == full recompute. */
+  val m4IncrementalMatview: QueryDef = QueryDef(
+    "m4_incremental_matview",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       event_type, count(*) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { t =>
+    val wh = scratch("m4")
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("events_src", eventsSchema),
+      TableDef("mat_hourly", matSchema, keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("events_src")
+    val mzr = new Materializer(t.spark, src, hourlyView,
+      cat.table("mat_hourly"), cat.table("materialization_watermarks"))
+
+    val ev = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    // "late" stragglers: a deterministic slice of mid-January events that
+    // only arrives after the first materialization run
+    val late = col("ts") >= lit("2024-01-14").cast("timestamp") &&
+      col("ts") < lit("2024-01-17").cast("timestamp") && col("event_id") % 7 === 0
+
+    src.append(ev.filter(col("ts") < cutoff && !late))
+    mzr.run() // first run → full CTAS + watermark
+    src.append(ev.filter(col("ts") >= cutoff || late))
+    mzr.run(lookback = "10 days") // repair the drifted windows + append the tail
+    cat.table("mat_hourly").readLogical()
+  }
+
+  val all: Seq[QueryDef] = Seq(m4IncrementalMatview)
+}

@@ -186,6 +186,20 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     writeCommit("replace", readFiles(added).count(), added)
   }
 
+  /** Keyed delete+re-insert: drop live rows whose `keyCols` tuple appears
+    * in `staleKeys`, append `replacement`. The deletion is an anti-join
+    * (distributed — no driver-side key collection), so it scales to
+    * arbitrarily many stale keys; this is the engine's MERGE primitive
+    * for the materializer repair passes (M5/M6).
+    */
+  def replaceKeys(staleKeys: DataFrame, keyCols: Seq[String], replacement: DataFrame): CommitMeta = {
+    val keep = readLogical()
+      .join(staleKeys.select(keyCols.map(staleKeys.col): _*).distinct(), keyCols, "left_anti")
+    val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
+    val added = writeFiles(merged)
+    writeCommit("replace", readFiles(added).count(), added)
+  }
+
   private def readFiles(files: Seq[String]): DataFrame =
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), physicalSchema)
     else spark.read.option("basePath", dataDir).schema(physicalSchema)

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+import java.util.Comparator
+
+import graft.materialize.{MatView, Materializer}
+import graft.tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The materializer's convergence property: after any sequence of
+  * batches — in-order, late-within-lookback, late-beyond-lookback, and
+  * dimension changes — the incremental mat table must equal a full
+  * recompute of the view over all facts (materialize.sh's contract).
+  */
+class MaterializeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def wh(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_mat_wh", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def ev(id: Long, day: Int, hour: Int, user: Long, typ: String, v: Double) =
+    (id, Timestamp.valueOf(f"2024-02-$day%02d $hour%02d:00:00"), user, typ, v)
+
+  private def toDf(rows: Seq[(Long, Timestamp, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private def assertConverged(mat: GraftTable, full: DataFrame, hint: String): Unit = {
+    val got = mat.readLogical()
+    val a = got.exceptAll(full).count(); val b = full.exceptAll(got).count()
+    assert(a == 0 && b == 0, s"$hint: $a rows only in mat, $b only in full recompute")
+  }
+
+  test("incremental == full after in-order, late-within-lookback, and stale batches") {
+    val root = wh("conv")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mat = cat.table("mat")
+    val mzr = new Materializer(spark, src, view, mat, cat.table("materialization_watermarks"))
+    def full = view.compute(src.readLogical())
+
+    // batch 1: days 1–2 in order → full CTAS
+    src.append(toDf((1L to 40L).map(i =>
+      ev(i, 1 + (i % 2).toInt, (i % 24).toInt, i % 5, if (i % 3 == 0) "click" else "view", i.toDouble))))
+    mzr.run()
+    assertConverged(mat, full, "after full materialization")
+
+    // batch 2: day 3 tail + stragglers inside day 2 (within 48 h lookback)
+    src.append(toDf(
+      (41L to 60L).map(i => ev(i, 3, (i % 24).toInt, i % 5, "view", i.toDouble)) ++
+      Seq(ev(61, 2, 5, 1, "click", 7.5), ev(62, 2, 23, 2, "view", 1.0))))
+    mzr.run(lookback = "48 hours")
+    assertConverged(mat, full, "after late-within-lookback batch")
+
+    // batch 3: day 4 tail + a straggler in day 1 — BEYOND the 48 h
+    // lookback from the new watermark, so only the stale-repair pass
+    // (M6) with a wide detection window can converge it
+    src.append(toDf(
+      (70L to 80L).map(i => ev(i, 4, (i % 24).toInt, i % 5, "view", i.toDouble)) ++
+      Seq(ev(81, 1, 2, 3, "click", 9.0))))
+    mzr.run(lookback = "48 hours")
+    val gotBefore = mat.readLogical()
+    assert(gotBefore.exceptAll(full).count() + full.exceptAll(gotBefore).count() > 0,
+      "the beyond-lookback straggler must NOT yet be absorbed (else the test is vacuous)")
+    mzr.run(lookback = "48 hours", staleDetectionWindow = Some("30 days"))
+    assertConverged(mat, full, "after stale-repair pass")
+  }
+
+  test("dimension repair re-enriches rows whose dim key changed (M5)") {
+    val root = wh("dim")
+    // mutable dim the view closure reads — simulates an SCD2 dim getting
+    // a new current version between materializer runs
+    var dim: DataFrame = null
+    def setDim(tiers: Map[Long, String]): Unit = {
+      import spark.implicits._
+      dim = tiers.toSeq.toDF("user_id", "tier")
+    }
+    setDim((0L to 4L).map(u => u -> "basic").toMap)
+
+    val matSchema = StructType(Seq(
+      StructField("day", TimestampType),
+      StructField("user_id", LongType),
+      StructField("tier", StringType),
+      StructField("n", LongType)))
+    val view = MatView("daily_user", "day", Seq("day", "user_id"),
+      facts => facts
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"), col("tier"))
+        .agg(count(lit(1)).as("n")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, keys = Seq("day", "user_id")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mat = cat.table("mat")
+    val mzr = new Materializer(spark, src, view, mat, cat.table("materialization_watermarks"))
+
+    src.append(toDf((1L to 30L).map(i =>
+      ev(i, 1 + (i % 3).toInt, (i % 24).toInt, i % 5, "view", 1.0))))
+    mzr.run()
+
+    // dim change: users 0 and 2 become premium; later events arrive too
+    setDim(Map(0L -> "premium", 2L -> "premium", 1L -> "basic", 3L -> "basic", 4L -> "basic"))
+    src.append(toDf((31L to 40L).map(i => ev(i, 5, (i % 24).toInt, i % 5, "view", 1.0))))
+    import spark.implicits._
+    val changedKeys = Seq(0L, 2L).toDF("user_id")
+    mzr.run(changedDimKeys = Some(changedKeys))
+    assertConverged(mat, view.compute(src.readLogical()), "after dimension repair")
+    assert(mat.readLogical()
+      .filter(col("user_id").isin(0L, 2L) && col("tier") =!= "premium").count() == 0)
+  }
+}
