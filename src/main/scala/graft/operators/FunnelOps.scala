@@ -77,20 +77,65 @@ object FunnelOps {
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
-    v.join(c,
-        col("user_id") === col("c_user_id") &&
-          col("c_ts") >= col("v_ts") &&
-          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"), "left")
-      .join(p,
-        col("user_id") === col("p_user_id") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"), "left")
+    funnelCountsSemi(v, c, p)
+  }
+
+  private def clickCond =
+    col("user_id") === col("c_user_id") &&
+      col("c_ts") >= col("v_ts") &&
+      col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES")
+
+  private def purchaseCond =
+    col("c_user_id") === col("p_user_id") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS")
+
+  /** Skew-safe funnel counts: the naive chained LEFT joins materialize
+    * views × clicks × purchases per user before the distinct-agg
+    * collapses them — a power user with V·C·P in-window events is the
+    * row explosion that kills the query at 100×. The distinct counts
+    * only need EXISTENCE per stage, so each stage is a left-semi join
+    * (emits each left row at most once, no product):
+    *   clicked views     = v ⋉ c          (click within 30 min)
+    *   converting clicks = c ⋉ p          (purchase within 2 h)
+    *   converted views   = v ⋉ (c ⋉ p)    (via a converting click)
+    * then three per-user aggregates merged on user_id. Identical output
+    * to [[funnelCountsNaive]] (SkewSpec proves it on skewed data).
+    */
+  private[graft] def funnelCountsSemi(
+      v: org.apache.spark.sql.DataFrame,
+      c: org.apache.spark.sql.DataFrame,
+      p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val clickedViews = v.join(c, clickCond, "left_semi")
+    val convertingClicks = c.join(p, purchaseCond, "left_semi")
+    val convertedViews = v.join(convertingClicks, clickCond, "left_semi")
+    val nv = v.groupBy(col("user_id"))
+      .agg(countDistinct(col("view_id")).as("n_views"))
+    val nc = clickedViews.groupBy(col("user_id"))
+      .agg(countDistinct(col("view_id")).as("n_clicked_views"))
+    val np = convertedViews.groupBy(col("user_id"))
+      .agg(countDistinct(col("view_id")).as("n_converted_views"))
+    nv.join(nc, Seq("user_id"), "left")
+      .join(np, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_views"),
+        coalesce(col("n_clicked_views"), lit(0L)).as("n_clicked_views"),
+        coalesce(col("n_converted_views"), lit(0L)).as("n_converted_views"))
+  }
+
+  /** The reference-literal chained-join form (row-level fanout), kept
+    * for the equivalence test — not used by any registered query.
+    */
+  private[graft] def funnelCountsNaive(
+      v: org.apache.spark.sql.DataFrame,
+      c: org.apache.spark.sql.DataFrame,
+      p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v.join(c, clickCond, "left")
+      .join(p, purchaseCond, "left")
       .groupBy(col("user_id"))
       .agg(
         countDistinct(col("view_id")).as("n_views"),
         countDistinct(when(col("click_id").isNotNull, col("view_id"))).as("n_clicked_views"),
         countDistinct(when(col("purchase_id").isNotNull, col("view_id"))).as("n_converted_views"))
-  }
 
   /** A6/P11 — funnel leakage metrics (funnel_jobs.sql:69-106): stage-count
     * differences and guarded conversion rates per day.
