@@ -137,6 +137,69 @@ object FunnelOps {
         countDistinct(when(col("click_id").isNotNull, col("view_id"))).as("n_clicked_views"),
         countDistinct(when(col("purchase_id").isNotNull, col("view_id"))).as("n_converted_views"))
 
+  /** J3 — the FULL 4-stage funnel (reference chains
+    * requests→responses→impressions→clicks, funnel_jobs.sql:54-63; on
+    * the driver testdata the stages are signup →(≤7 d) view →(≤30 min)
+    * click →(≤2 h) purchase). Same skew-safe shape as j7: existence per
+    * stage via left-semi joins, never a chained-outer-join product.
+    * The OpenRTB instantiation on generated nested data is
+    * graft.rtb.RtbIngest.funnelHourly (RtbSpec checks it against the
+    * generator's ground truth).
+    */
+  val j3Funnel4Stage: QueryDef = QueryDef(
+    "j3_funnel_4stage",
+    """WITH s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts
+      |           FROM events WHERE event_type = 'signup'),
+      |     v AS (SELECT user_id AS v_user_id, event_id AS view_id, ts AS v_ts
+      |           FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS c_ts
+      |           FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS p_ts
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT user_id,
+      |       count(DISTINCT signup_id) AS n_signups,
+      |       count(DISTINCT CASE WHEN view_id     IS NOT NULL THEN signup_id END) AS n_viewed,
+      |       count(DISTINCT CASE WHEN click_id    IS NOT NULL THEN signup_id END) AS n_clicked,
+      |       count(DISTINCT CASE WHEN purchase_id IS NOT NULL THEN signup_id END) AS n_converted
+      |FROM s
+      |LEFT JOIN v ON user_id = v_user_id
+      |            AND v_ts >= s_ts AND v_ts <= s_ts + INTERVAL 7 DAY
+      |LEFT JOIN c ON v_user_id = c_user_id
+      |            AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE
+      |LEFT JOIN p ON c_user_id = p_user_id
+      |            AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOUR
+      |GROUP BY user_id""".stripMargin) { t =>
+    val ev = t.events
+    def stage(typ: String, user: String, id: String, ts: String) =
+      ev.filter(col("event_type") === typ)
+        .select(col("user_id").as(user), col("event_id").as(id), col("ts").as(ts))
+    val s = stage("signup", "user_id", "signup_id", "s_ts")
+    val v = stage("view", "user_id", "view_id", "v_ts")
+    val c = stage("click", "c_user_id", "click_id", "c_ts")
+    val p = stage("purchase", "p_user_id", "purchase_id", "p_ts")
+    val clickedViews = v.join(c, clickCond, "left_semi")
+    val convertedViews = v.join(c.join(p, purchaseCond, "left_semi"), clickCond, "left_semi")
+    def vSide(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id").as("v_user_id"), col("v_ts"))
+    val signupCond =
+      col("user_id") === col("v_user_id") &&
+        col("v_ts") >= col("s_ts") &&
+        col("v_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS")
+    val viewed = s.join(vSide(v), signupCond, "left_semi")
+    val clicked = s.join(vSide(clickedViews), signupCond, "left_semi")
+    val converted = s.join(vSide(convertedViews), signupCond, "left_semi")
+    def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.groupBy(col("user_id")).agg(countDistinct(col("signup_id")).as(name))
+    cnt(s, "n_signups")
+      .join(cnt(viewed, "n_viewed"), Seq("user_id"), "left")
+      .join(cnt(clicked, "n_clicked"), Seq("user_id"), "left")
+      .join(cnt(converted, "n_converted"), Seq("user_id"), "left")
+      .select(col("user_id"), col("n_signups"),
+        coalesce(col("n_viewed"), lit(0L)).as("n_viewed"),
+        coalesce(col("n_clicked"), lit(0L)).as("n_clicked"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"))
+  }
+
   /** A6/P11 — funnel leakage metrics (funnel_jobs.sql:69-106): stage-count
     * differences and guarded conversion rates per day.
     */
@@ -170,5 +233,6 @@ object FunnelOps {
         .otherwise(0.0).as("purchase_rate"))
   }
 
-  val all: Seq[QueryDef] = Seq(j1IntervalJoin, j7FunnelChain, a6FunnelLeakage)
+  val all: Seq[QueryDef] =
+    Seq(j1IntervalJoin, j7FunnelChain, j3Funnel4Stage, a6FunnelLeakage)
 }
