@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.functions.{AnnOps, DedupOps, TextOps}
+import graft.functions.{AnnOps, DedupOps, MultimodalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     RelationalOps.all ++ FunnelOps.all ++ WindowOps.all ++
       DedupOps.all ++ TextOps.all ++ AnnOps.all ++ StorageOps.all ++
-      Scd2Ops.all ++ MaterializeOps.all
+      Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly funnel spine with guarded conversion rates — the reference's
