@@ -64,13 +64,11 @@ object DedupOps {
       |                ' ', string_split(text,' ')[i+2]))) AS shingles
       |FROM documents WHERE len(string_split(text,' ')) >= 3""".stripMargin
 
-  /** MinHash + LSH candidate pairs: shingle → K permuted min-hashes →
-    * B bands of R → bucket self-join on (band, key). Emits distinct
-    * candidate (doc_a, doc_b) pairs.
+  /** Shared CTE chain for the oracle: shingles → hashes → K-minima
+    * signature → banded keys → distinct candidate pairs.
     */
-  val dedupMinhashLsh: QueryDef = QueryDef(
-    "dedup_minhash_lsh",
-    s"""WITH sh AS ($shinglesSql),
+  private val lshCandSql =
+    s"""sh AS ($shinglesSql),
        |hv AS (SELECT doc_id,
        |         list_transform(shingles, s -> ${h64Sql("s")} % $P) AS hv FROM sh),
        |sig AS (SELECT doc_id,
@@ -81,17 +79,27 @@ object DedupOps {
        |bands AS (SELECT doc_id, b.k AS band,
        |            array_to_string(list_transform(
        |              list_slice(sig, b.k*$R + 1, b.k*$R + $R), x -> x::VARCHAR), '-') AS key
-       |          FROM sig, (SELECT unnest(generate_series(0, ${B - 1})) AS k) b)
-       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-       |FROM bands a JOIN bands c
-       |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id""".stripMargin) { t =>
-    val sh = withShingles(t.documents)
-    val sig = sh
+       |          FROM sig, (SELECT unnest(generate_series(0, ${B - 1})) AS k) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |         FROM bands a JOIN bands c
+       |           ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)""".stripMargin
+
+  /** Candidate pairs from banded minhash signatures of a shingled
+    * DataFrame. The K minima are folded in ONE pass over the hash array
+    * (`aggregate` with an array accumulator): a per-permutation
+    * `array_min(transform(hv, …))` looks equivalent, but after Catalyst
+    * collapses the hv projection into the lambda the md5 chain would be
+    * re-evaluated once PER PERMUTATION — K× the hashing cost.
+    */
+  private[functions] def lshCandidates(shingled: DataFrame): DataFrame = {
+    val sig = shingled
       .withColumn("hv", transform(col("shingles"), s => h64(s) % P))
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(K - 1)),
-          k => array_min(transform(col("hv"),
-            h => ((lit(2L) * k + 1L) * h + k * lit(912367L) + 341L) % P))).as("sig"))
+        aggregate(col("hv"),
+          array_repeat(lit(P), K),
+          (acc, h) => transform(sequence(lit(0), lit(K - 1)),
+            k => least(element_at(acc, k + 1),
+              ((lit(2L) * k + 1L) * h + k * lit(912367L) + 341L) % P))).as("sig"))
     val bands = sig
       .select(col("doc_id"), explode(transform(sequence(lit(0), lit(B - 1)),
         b => struct(b.as("band"),
@@ -104,6 +112,17 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  /** MinHash + LSH candidate pairs: shingle → K permuted min-hashes →
+    * B bands of R → bucket self-join on (band, key). Emits distinct
+    * candidate (doc_a, doc_b) pairs.
+    */
+  val dedupMinhashLsh: QueryDef = QueryDef(
+    "dedup_minhash_lsh",
+    s"""WITH $lshCandSql
+       |SELECT doc_a, doc_b FROM cand""".stripMargin) { t =>
+    lshCandidates(withShingles(t.documents))
   }
 
   /** SimHash: 32-bit signature — bit j set iff the (+1/−1) majority vote
@@ -135,37 +154,33 @@ object DedupOps {
         .reduce(_ + _).as("simhash"))
   }
 
-  /** n-gram Jaccard near-dup: exact Jaccard over distinct 3-gram shingle
-    * sets for pairs blocked on (lang, source); emits pairs ≥ 0.5. At
-    * scale the blocking key is the LSH candidate set instead.
+  /** n-gram Jaccard verify stage — exact Jaccard computed ONLY for the
+    * LSH candidate pairs (the scale-correct pipeline: banding generates
+    * candidates, Jaccard verifies them; cost is O(candidates), never
+    * all-pairs). Each pair's sets compare via `array_intersect` on the
+    * two shingle arrays — no shingle-level explode/join at all.
     */
   val dedupNgramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
-    s"""WITH sh AS ($shinglesSql),
-       |e AS (SELECT doc_id, lang, source, len(shingles) AS n_sh,
-       |             unnest(shingles) AS shingle FROM sh)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       round(CAST(count(*) AS DOUBLE)
-       |             / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) AS jaccard
-       |FROM e a JOIN e b
-       |  ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
-       | AND a.doc_id < b.doc_id
-       |GROUP BY a.doc_id, b.doc_id
-       |HAVING CAST(count(*) AS DOUBLE)
-       |       / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.5""".stripMargin) { t =>
-    val e = withShingles(t.documents)
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
-    val a = e.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-      col("n_sh").as("a_n"), col("shingle"))
-    val b = e.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
-      col("n_sh").as("b_n"), col("shingle"))
-    a.join(b, Seq("shingle", "lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"), first(col("a_n")).as("a_n"), first(col("b_n")).as("b_n"))
+    s"""WITH $lshCandSql,
+       |j AS (SELECT doc_a, doc_b,
+       |             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |             len(sa.shingles) AS na, len(sb.shingles) AS nb
+       |      FROM cand
+       |      JOIN sh sa ON sa.doc_id = cand.doc_a
+       |      JOIN sh sb ON sb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+       |FROM j
+       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin) { t =>
+    val sh = withShingles(t.documents).select(col("doc_id"), col("shingles"))
+    val cand = lshCandidates(sh)
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard_raw",
-        col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard_raw") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
