@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     RelationalOps.all ++ FunnelOps.all ++ WindowOps.all ++
       DedupOps.all ++ TextOps.all ++ AnnOps.all ++ StorageOps.all ++
-      Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all
+      Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all ++
+      RunnerOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly funnel spine with guarded conversion rates — the reference's

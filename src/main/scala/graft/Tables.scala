@@ -22,6 +22,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame =
     t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
 
+  /** Lookup by table name (SQL-runner/temp-view registration). */
+  def byName(name: String): DataFrame = name match {
+    case "events" => events
+    case other    => t(other)
+  }
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")

@@ -147,11 +147,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   // ---- writes ----
 
-  /** S4 — partitioned append. */
+  /** S4 — partitioned append. Row count = previous count + count of the
+    * NEW files only — an append commit must never re-scan the table.
+    */
   def append(df: DataFrame): CommitMeta = {
     val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
-    val live = commits.lastOption.map(_.files).getOrElse(Nil) ++ added
-    writeCommit("append", readFiles(live).count(), live)
+    val prev = commits.lastOption
+    val live = prev.map(_.files).getOrElse(Nil) ++ added
+    val total = prev.map(_.rowCount).getOrElse(0L) + readFiles(added).count()
+    writeCommit("append", total, live)
   }
 
   /** M1 — full overwrite (CTAS materialization). */

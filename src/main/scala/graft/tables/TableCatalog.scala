@@ -57,4 +57,15 @@ final class TableCatalog(spark: SparkSession, val root: String, defs: Seq[TableD
     val problems = names.flatMap(driftReport)
     require(problems.isEmpty, s"schema drift detected:\n${problems.mkString("\n")}")
   }
+
+  /** M9 — purge: delete one table's data and commit log entirely
+    * (the reference's clear-data reset, scripts/clear-data.sh).
+    */
+  def purge(name: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val p = Paths.get(root, defn(name).name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale properties that don't show up in
+  * row-level correctness: filters and projections must reach the parquet
+  * scan, small dims must broadcast, and no registered query may plan a
+  * cartesian product.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no registered query plans a CartesianProduct") {
+    for (q <- SparkEntry.registry) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val plan = planOf("p5_reject_filter")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert("PushedFilters: \\[[^\\]]*IsNotNull".r.findFirstIn(plan).isDefined,
+      s"expected pushed filters in scan:\n$plan")
+  }
+
+  test("column pruning: top-k scan reads only the projected columns") {
+    val plan = planOf("o1_topk")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty, plan)
+    // lineitem has 11 columns; the query needs a handful
+    assert(readSchemas.forall(_.split(",").length <= 6),
+      s"scan reads more columns than the query needs: $readSchemas")
+  }
+
+  test("SCD2 dim enrichment broadcasts the dim side") {
+    val plan = planOf("j5_scd2_current")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("o1_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("one-pass spine uses a single scan (partial+final agg, no join)") {
+    val plan = planOf("a5_spine_onepass")
+    assert(!plan.contains("Join"), s"one-pass spine must not join:\n$plan")
+    val nScans = "Scan parquet".r.findAllIn(plan).size
+    assert(nScans == 1, s"expected 1 scan, got $nScans:\n$plan")
+  }
+}

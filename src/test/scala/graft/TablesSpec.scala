@@ -104,6 +104,16 @@ class TablesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat2.checkDrift())
   }
 
+  test("purge deletes a table's data and log (M9)") {
+    val root = freshRoot("t8")
+    val cat = new TableCatalog(spark, root, Seq(TableDef("t8", schema)))
+    cat.table("t8").append(df(0 until 5, "a", 1.0))
+    assert(cat.table("t8").currentVersion == 1)
+    cat.purge("t8")
+    assert(cat.table("t8").currentVersion == 0)
+    assert(cat.table("t8").readLogical().count() == 0)
+  }
+
   test("snapshots table records version, operation, and row counts") {
     val t = new GraftTable(spark, TableDef("t7", schema), freshRoot("t7"))
     t.append(df(0 until 10, "a", 1.0))
