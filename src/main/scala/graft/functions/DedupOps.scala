@@ -125,24 +125,25 @@ object DedupOps {
     lshCandidates(withShingles(t.documents))
   }
 
-  /** SimHash: 32-bit signature — bit j set iff the (+1/−1) majority vote
-    * of bit j across all word hashes is positive. Pure map + one
-    * aggregation; near-dup detection = Hamming distance on the result.
+  /** SimHash signature CTE shared by the signature and pair queries. */
+  private val simhashSigSql: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val bitsToLong = (0 until 32)
+      .map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, ${h64Sql("w")} AS h FROM w),
+       |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $bitsToLong AS simhash FROM b)""".stripMargin
+  }
+
+  /** (doc_id, simhash) signatures — bit j set iff the (+1/−1) majority
+    * vote of bit j across all word hashes is positive.
     */
-  val dedupSimhash: QueryDef = QueryDef(
-    "dedup_simhash", {
-      val bitSums = (0 until 32)
-        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-        .mkString(", ")
-      val bitsToLong = (0 until 32)
-        .map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
-        .mkString(" + ")
-      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |h AS (SELECT doc_id, ${h64Sql("w")} AS h FROM w),
-         |b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-         |SELECT doc_id, $bitsToLong AS simhash FROM b""".stripMargin
-    }) { t =>
-    val hashed = t.documents
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", h64(col("w")))
     val bitAggs = (0 until 32).map(j =>
@@ -152,6 +153,48 @@ object DedupOps {
       (0 until 32).map(j =>
         when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L): Column)
         .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash: pure map + one aggregation; near-dup detection = Hamming
+    * distance on the result (see [[dedupSimhashPairs]]).
+    */
+  val dedupSimhash: QueryDef = QueryDef(
+    "dedup_simhash",
+    s"""WITH $simhashSigSql
+       |SELECT doc_id, simhash FROM sim""".stripMargin) { t =>
+    simhashSigs(t.documents)
+  }
+
+  /** SimHash near-dup pairs via Hamming BANDING: the 32-bit signature
+    * splits into four 8-bit bands; any pair within Hamming distance 3
+    * must agree on ≥1 band (pigeonhole), so candidates come from a
+    * bucket join on (band, band_byte) — never an all-pairs scan — and
+    * the exact `bit_count(xor)` check verifies them.
+    */
+  val dedupSimhashPairs: QueryDef = QueryDef(
+    "dedup_simhash_pairs",
+    s"""WITH $simhashSigSql,
+       |bands AS (SELECT doc_id, simhash, k, (simhash >> (8*k)) & 255 AS key
+       |          FROM sim, (SELECT unnest(generate_series(0, 3)) AS k) t),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |                bit_count(xor(a.simhash, c.simhash)) AS hamming
+       |         FROM bands a JOIN bands c
+       |           ON a.k = c.k AND a.key = c.key AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""".stripMargin) { t =>
+    val sig = simhashSigs(t.documents)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("key", expr("shiftright(simhash, k * 8) & 255"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("k"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("k"), col("key"))
+    a.join(b, Seq("k", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
   }
 
   /** n-gram Jaccard verify stage — exact Jaccard computed ONLY for the
@@ -186,5 +229,6 @@ object DedupOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupNgramJaccard)
+    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
+      dedupNgramJaccard)
 }
