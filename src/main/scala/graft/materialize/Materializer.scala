@@ -46,7 +46,25 @@ final class Materializer(
 
   private def ts: Column = col(view.tsCol)
 
-  private def viewDf: DataFrame = view.compute(source.readLogical())
+  /** The freshly computed view over ALL source facts. Cached for the
+    * duration of one `run()` — the repair passes each slice it, and
+    * recomputing the aggregation per pass would multiply the source
+    * scans (the dominant cost at scale).
+    */
+  private var cachedView: Option[DataFrame] = None
+
+  private def viewDf: DataFrame =
+    cachedView.getOrElse(view.compute(source.readLogical()))
+
+  private def withCachedView[A](body: => A): A = {
+    val v = view.compute(source.readLogical()).cache()
+    cachedView = Some(v)
+    try body
+    finally {
+      cachedView = None
+      v.unpersist()
+    }
+  }
 
   // ---- M2: watermark bookkeeping ----
 
@@ -131,12 +149,13 @@ final class Materializer(
       staleDetectionWindow: Option[String] = None): Unit =
     readWatermark() match {
       case None => fullMaterialize()
-      case Some(wm) =>
+      case Some(wm) => withCachedView {
         lookbackRepair(wm, lookback)
         changedDimKeys.foreach(dimensionRepair(wm, _))
         appendNew(wm)
         staleDetectionWindow.foreach(staleRepair(wm, _))
         advanceWatermark()
+      }
     }
 }
 

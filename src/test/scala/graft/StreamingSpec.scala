@@ -219,6 +219,47 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(got, batchTwin, "funnel chain")
   }
 
+  test("file-stream source: parquet files landing in a dir drive the hourly upsert") {
+    import spark.implicits._
+    val events = mkEvents().sortBy(_.ts.getTime)
+    val (first, second) = events.splitAt(events.size / 2)
+    val srcDir = wh("filesrc") + "/incoming"
+    java.nio.file.Files.createDirectories(Paths.get(srcDir))
+
+    val schema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType),
+      StructField("avg_value", DoubleType)))
+    val table = new GraftTable(spark,
+      TableDef("hourly_fs", schema, keys = Seq("window_start", "event_type")),
+      wh("filesrc_wh"))
+
+    // S1: a real file-based streaming source (the env has no Kafka jars;
+    // files landing in a directory are the offline stand-in)
+    val evSchema = spark.createDataset(events).schema
+    val stream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = Sinks.hourlyUpsert(stream, table, ckpt("filesrc"))
+
+    spark.createDataset(first).coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    spark.createDataset(second).coalesce(1).write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val batchTwin = spark.createDataset(events).toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"), col("avg_value"))
+    assertSameRows(table.readLogical(), batchTwin, "file-stream hourly upsert")
+  }
+
   test("multi-sink fan-out feeds clean/rejected/quality consistently from one pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
