@@ -91,18 +91,18 @@ final class Materializer(
   }
 
   /** M4 — recompute the trailing window and replace it iff drifted.
-    * The count comparison mirrors the reference's skip logic
-    * (materialize.sh:131-135): an unchanged window costs one count, not
-    * a rewrite.
+    * Drift = ANY full-row difference between the fresh recompute and the
+    * materialized slice, in either direction — a late event that changes
+    * an aggregate value for an existing key counts, not just new/removed
+    * keys. Mirrors the reference's skip logic (materialize.sh:131-135):
+    * an unchanged window costs one comparison job, not a rewrite.
     */
   def lookbackRepair(wm: Timestamp, lookback: String): Unit = {
     val windowCond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $lookback") && ts <= lit(wm)
     val fresh = viewDf.filter(windowCond)
     val current = mat.readLogical().filter(windowCond)
-    val freshKeyed = fresh.groupBy(view.keyCols.map(col): _*).count()
-    val curKeyed = current.groupBy(view.keyCols.map(col): _*).count()
-    val drifted = freshKeyed.exceptAll(curKeyed).count() + curKeyed.exceptAll(freshKeyed).count()
-    if (drifted > 0) mat.replaceWhere(windowCond, fresh)
+    val drifted = !fresh.exceptAll(current).union(current.exceptAll(fresh)).isEmpty
+    if (drifted) mat.replaceWhere(windowCond, fresh)
   }
 
   /** M5 — re-enrich rows whose dimension key gained a new version after

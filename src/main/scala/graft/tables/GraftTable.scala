@@ -154,14 +154,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
     val prev = commits.lastOption
     val live = prev.map(_.files).getOrElse(Nil) ++ added
-    val total = prev.map(_.rowCount).getOrElse(0L) + readFiles(added).count()
+    val total = prev.map(_.rowCount).getOrElse(0L) + footerRowCount(added)
     writeCommit("append", total, live)
   }
 
   /** M1 — full overwrite (CTAS materialization). */
   def overwrite(df: DataFrame): CommitMeta = {
     val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
-    writeCommit("overwrite", readFiles(added).count(), added)
+    writeCommit("overwrite", footerRowCount(added), added)
   }
 
   /** S5 — keyed upsert: rows in `batch` replace live rows with the same
@@ -176,7 +176,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val survivors = readLogical().join(b, defn.keys, "left_anti")
     val merged = survivors.unionByName(b)
     val added = writeFiles(merged)
-    writeCommit("upsert", readFiles(added).count(), added)
+    writeCommit("upsert", footerRowCount(added), added)
   }
 
   /** Targeted delete+re-insert for the materializer repair passes
@@ -187,7 +187,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
     val added = writeFiles(merged)
-    writeCommit("replace", readFiles(added).count(), added)
+    writeCommit("replace", footerRowCount(added), added)
   }
 
   /** Keyed delete+re-insert: drop live rows whose `keyCols` tuple appears
@@ -201,13 +201,23 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .join(staleKeys.select(keyCols.map(staleKeys.col): _*).distinct(), keyCols, "left_anti")
     val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
     val added = writeFiles(merged)
-    writeCommit("replace", readFiles(added).count(), added)
+    writeCommit("replace", footerRowCount(added), added)
   }
 
-  private def readFiles(files: Seq[String]): DataFrame =
-    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), physicalSchema)
-    else spark.read.option("basePath", dataDir).schema(physicalSchema)
-      .parquet(files.map(f => s"$dataDir/$f"): _*)
+  /** Row count of freshly written files from the parquet footers — a
+    * metadata read, never a data scan. This is what keeps a commit O(1)
+    * in table size: Iceberg records the same per-file counts in its
+    * manifests from write metrics rather than re-reading the data.
+    */
+  private def footerRowCount(files: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(s"$dataDir/$f"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   // ---- maintenance ----
 
@@ -228,7 +238,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nFiles)
     val added = writeFiles(compacted)
-    writeCommit("compact", readFiles(added).count(), added)
+    writeCommit("compact", footerRowCount(added), added)
   }
 
   /** M8a — expire snapshots older than `olderThanMs`, always keeping the

@@ -97,6 +97,42 @@ class MaterializeSpec extends AnyFunSuite {
     assertConverged(mat, full, "after stale-repair pass")
   }
 
+  test("lookback repair detects value-only drift (same keys, changed aggregate)") {
+    val root = wh("valdrift")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mat = cat.table("mat")
+    val mzr = new Materializer(spark, src, view, mat, cat.table("materialization_watermarks"))
+
+    // one event per (hour, type) key on day 1
+    src.append(toDf(Seq(ev(1, 1, 10, 1, "view", 1.0), ev(2, 1, 11, 2, "click", 2.0))))
+    mzr.run()
+
+    // the straggler lands in an EXISTING (hour, type) key — no new key
+    // appears, only n/total_value change; a key-presence drift check
+    // would skip the repair and leave n=1 materialized
+    src.append(toDf(Seq(ev(3, 1, 10, 3, "view", 5.0))))
+    mzr.run(lookback = "48 hours")
+    assertConverged(mat, view.compute(src.readLogical()), "after value-only drift")
+    val row = mat.readLogical()
+      .filter(col("event_type") === "view").select("n", "total_value").collect().head
+    assert(row.getLong(0) == 2 && row.getDouble(1) == 6.0)
+  }
+
   test("dimension repair re-enriches rows whose dim key changed (M5)") {
     val root = wh("dim")
     // mutable dim the view closure reads — simulates an SCD2 dim getting
