@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSession
   *    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects.
   *    Setting it at construction (not inside a table getter) keeps the
   *    session's read semantics constant for all readers.
+  *
+  * Timestamp OUTPUT format stays the session default (INT96) so ad-hoc
+  * result dumps (Verify) read back naive, matching the DuckDB oracle;
+  * GraftTable.writeFiles opts into INT64 TIMESTAMP(MICROS) per-write
+  * because the table layer needs usable footer min/max for file-level
+  * range pruning and metadata watermark reads (INT96 has no ordered
+  * stats).
   */
 object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

@@ -2,9 +2,11 @@ package graft.materialize
 
 import java.sql.Timestamp
 
-import graft.tables.GraftTable
+import graft.tables.{GraftTable, RangePrune}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.util.{DateTimeUtils, IntervalUtils}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A materializable view: a deterministic transform of the source facts
   * with an event-time column (drives the watermark) and an identifier
@@ -46,6 +48,19 @@ final class Materializer(
 
   private def ts: Column = col(view.tsCol)
 
+  /** Per-pass wall-clock prints, enabled by GRAFT_TIMING=1 — the local
+    * stand-in for per-job metrics a cluster deployment reads off the
+    * Spark UI/event log.
+    */
+  private def timed[A](label: String)(body: => A): A =
+    if (!sys.env.contains("GRAFT_TIMING")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"TIMING ${view.name}/$label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** The freshly computed view over ALL source facts. Cached for the
     * duration of one `run()` — the repair passes each slice it, and
     * recomputing the aggregation per pass would multiply the source
@@ -74,12 +89,29 @@ final class Materializer(
       .collect().headOption.map(_.getAs[Timestamp]("watermark_ts"))
 
   private def advanceWatermark(): Unit = {
-    val mx = mat.readLogical().agg(max(ts)).collect().head
-    if (!mx.isNullAt(0)) {
+    // metadata-only when possible: max(ts) from the mat table's parquet
+    // footer stats, never a table scan (falls back to one if stats are
+    // unusable, e.g. ts is a partition column absent from data files)
+    val mx: Option[Timestamp] = mat.columnMaxMicros(view.tsCol)
+      .map(DateTimeUtils.toJavaTimestamp)
+      .orElse {
+        val r = mat.readLogical().agg(max(ts)).collect().head
+        if (r.isNullAt(0)) None else Some(r.getAs[Timestamp](0))
+      }
+    mx.foreach { m =>
       import scala.jdk.CollectionConverters._
-      val row = org.apache.spark.sql.Row(view.name, mx.getAs[Timestamp](0))
+      val row = org.apache.spark.sql.Row(view.name, m)
       watermarks.upsert(spark.createDataFrame(Seq(row).asJava, watermarks.defn.schema))
     }
+  }
+
+  /** Upper bound on an interval string's length in µs (months counted
+    * as 31 days) — used only to widen the file-pruning range, so an
+    * over-estimate is safe and an under-estimate impossible.
+    */
+  private def intervalCeilMicros(interval: String): Long = {
+    val iv = IntervalUtils.stringToInterval(UTF8String.fromString(interval))
+    (iv.months.toLong * 31 + iv.days) * 86400000000L + iv.microseconds
   }
 
   // ---- the passes ----
@@ -90,19 +122,40 @@ final class Materializer(
     advanceWatermark()
   }
 
+  /** Order-independent multiset fingerprint of a DataFrame: row count,
+    * bitwise XOR, and wraparound-free decimal SUM of per-row xxhash64.
+    * Two fingerprints differ ⇒ the multisets differ (up to 64-bit hash
+    * collision, negligible for non-adversarial data); equality is the
+    * cheap "no drift, skip the rewrite" fast path. One scan per side,
+    * partial aggregation, single-row result — no shuffle of data rows,
+    * unlike an exceptAll compare, which shuffles the whole slice twice.
+    */
+  private def fingerprint(df: DataFrame): org.apache.spark.sql.Row = {
+    val h = xxhash64(df.columns.sorted.map(col): _*)
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+        sum(col("h").cast("decimal(38,0)")).as("s"))
+      .collect().head
+  }
+
   /** M4 — recompute the trailing window and replace it iff drifted.
     * Drift = ANY full-row difference between the fresh recompute and the
     * materialized slice, in either direction — a late event that changes
     * an aggregate value for an existing key counts, not just new/removed
     * keys. Mirrors the reference's skip logic (materialize.sh:131-135):
-    * an unchanged window costs one comparison job, not a rewrite.
+    * an unchanged window costs one fingerprint comparison, not a rewrite.
     */
   def lookbackRepair(wm: Timestamp, lookback: String): Unit = {
     val windowCond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $lookback") && ts <= lit(wm)
     val fresh = viewDf.filter(windowCond)
     val current = mat.readLogical().filter(windowCond)
-    val drifted = !fresh.exceptAll(current).union(current.exceptAll(fresh)).isEmpty
-    if (drifted) mat.replaceWhere(windowCond, fresh)
+    val drifted = timed("lookback/driftCheck")(
+      fingerprint(fresh) != fingerprint(current))
+    if (drifted) {
+      val wmMicros = DateTimeUtils.fromJavaTimestamp(wm)
+      val prune = RangePrune(view.tsCol, wmMicros - intervalCeilMicros(lookback), wmMicros)
+      timed("lookback/replaceWhere")(mat.replaceWhere(windowCond, fresh, Some(prune)))
+    }
   }
 
   /** M5 — re-enrich rows whose dimension key gained a new version after
@@ -133,10 +186,22 @@ final class Materializer(
     val cond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $detectionWindow")
     val fresh = viewDf.filter(cond)
     val current = mat.readLogical().filter(cond)
+    // fingerprint fast path: a clean detection window (the common case
+    // for steady-state runs) costs two scans, never an exceptAll shuffle
+    if (fingerprint(fresh) == fingerprint(current)) return
     val staleKeys = fresh.exceptAll(current).select(view.keyCols.map(col): _*)
     if (!staleKeys.isEmpty) {
       val replacement = fresh.join(staleKeys.distinct(), view.keyCols, "left_semi")
-      mat.replaceKeys(staleKeys, view.keyCols, replacement)
+      // file pruning is sound only when the key tuple pins the row's
+      // timestamp — then a stale key can only match rows inside the
+      // detection window the key itself came from
+      val prune =
+        if (view.keyCols.contains(view.tsCol))
+          Some(RangePrune(view.tsCol,
+            DateTimeUtils.fromJavaTimestamp(wm) - intervalCeilMicros(detectionWindow),
+            Long.MaxValue))
+        else None
+      mat.replaceKeys(staleKeys, view.keyCols, replacement, prune)
     }
   }
 
@@ -148,13 +213,13 @@ final class Materializer(
       changedDimKeys: Option[DataFrame] = None,
       staleDetectionWindow: Option[String] = None): Unit =
     readWatermark() match {
-      case None => fullMaterialize()
+      case None => timed("fullMaterialize")(fullMaterialize())
       case Some(wm) => withCachedView {
-        lookbackRepair(wm, lookback)
-        changedDimKeys.foreach(dimensionRepair(wm, _))
-        appendNew(wm)
-        staleDetectionWindow.foreach(staleRepair(wm, _))
-        advanceWatermark()
+        timed("lookbackRepair")(lookbackRepair(wm, lookback))
+        changedDimKeys.foreach(k => timed("dimensionRepair")(dimensionRepair(wm, k)))
+        timed("appendNew")(appendNew(wm))
+        staleDetectionWindow.foreach(w => timed("staleRepair")(staleRepair(wm, w)))
+        timed("advanceWatermark")(advanceWatermark())
       }
     }
 }

@@ -59,9 +59,13 @@ object MaterializeOps {
       |       round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin) { t =>
     val wh = scratch("m4")
+    // day-partitioning the mat table (reference tables are day-partitioned,
+    // bid_requests.yml:44-48) clusters files on window_start, so the M4
+    // repair's footer-stats pruning rewrites only the drifted days
     val cat = new TableCatalog(t.spark, wh, Seq(
       TableDef("events_src", eventsSchema),
-      TableDef("mat_hourly", matSchema, keys = Seq("window_start", "event_type")),
+      TableDef("mat_hourly", matSchema, partitions = Seq(DayTransform("window_start")),
+        keys = Seq("window_start", "event_type")),
       Materializer.watermarkTableDef))
     val src = cat.table("events_src")
     val mzr = new Materializer(t.spark, src, hourlyView,

@@ -23,6 +23,17 @@ final case class CommitMeta(
     rowCount: Long,
     files: Seq[String])
 
+/** Conservative file-pruning hint for replace commits: every row the
+  * delete-condition can match is guaranteed to lie within
+  * `[loMicros, hiMicros]` of `column` (µs since epoch, as parquet stores
+  * TIMESTAMP(MICROS)). Live files whose footer min/max don't intersect
+  * the range are carried into the new commit by name — zero read, zero
+  * rewrite — which is what turns a repair commit from O(table) into
+  * O(affected window), the same skipping Iceberg does from manifest
+  * column bounds.
+  */
+final case class RangePrune(column: String, loMicros: Long, hiMicros: Long)
+
 /** A parquet-backed table with an explicit snapshot log — the engine's
   * stand-in for the reference's Iceberg v2 tables (no Iceberg/Delta jars
   * in this environment). Supported operations mirror the reference:
@@ -90,12 +101,36 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   /** Write `df`'s rows as NEW files under the data dir; return the
     * relative paths added. Spark append mode never rewrites existing
     * files, so concurrent snapshots stay valid.
+    *
+    * Timestamps go out as INT64 TIMESTAMP(MICROS): the table layer
+    * depends on ordered footer min/max for range pruning and metadata
+    * watermark reads, and legacy INT96 stats are unusable. Scoped to
+    * this write (set/restore; the table is single-writer) so result
+    * dumps elsewhere in the session keep the default format.
     */
   private def writeFiles(df: DataFrame): Seq[String] = {
     val before = listDataFiles()
-    val physical = withPartitionCols(df)
-    val writer = physical.write.mode("append")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
+    val clustered = withPartitionCols(df)
+    // hash-distribute on the partition values before a partitioned write
+    // (Iceberg write.distribution-mode=hash): without it every task
+    // writes a sliver into every partition dir it touches — T×P small
+    // files per commit. One task per partition value is the accepted
+    // tradeoff; a 100 TB deployment adds a within-partition split at the
+    // advisory partition size on top.
+    val physical =
+      if (partCols.nonEmpty)
+        clustered.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      else clustered
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try {
+      val writer = physical.write.mode("append")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     (listDataFiles() -- before).toSeq.sorted
   }
 
@@ -181,28 +216,119 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   /** Targeted delete+re-insert for the materializer repair passes
     * (M4–M6): drop live rows matching `condition`, append `replacement`.
+    * With a [[RangePrune]] hint, files provably outside the repair range
+    * survive into the new commit untouched; only overlapping files are
+    * read, row-filtered, and rewritten.
     */
-  def replaceWhere(condition: org.apache.spark.sql.Column, replacement: DataFrame): CommitMeta = {
-    val keep = read().filter(!condition || condition.isNull)
+  def replaceWhere(
+      condition: org.apache.spark.sql.Column,
+      replacement: DataFrame,
+      prune: Option[RangePrune] = None): CommitMeta = {
+    val (untouched, toRewrite) = classifyLiveFiles(prune)
+    val keep = readFilesAs(toRewrite).filter(!condition || condition.isNull)
       .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
     val added = writeFiles(merged)
-    writeCommit("replace", footerRowCount(added), added)
+    writeCommit("replace", footerRowCount(untouched) + footerRowCount(added), untouched ++ added)
   }
 
   /** Keyed delete+re-insert: drop live rows whose `keyCols` tuple appears
     * in `staleKeys`, append `replacement`. The deletion is an anti-join
     * (distributed — no driver-side key collection), so it scales to
     * arbitrarily many stale keys; this is the engine's MERGE primitive
-    * for the materializer repair passes (M5/M6).
+    * for the materializer repair passes (M5/M6). `prune` is only safe
+    * when every row a stale key can match lies inside the range (e.g.
+    * the key tuple includes the timestamp column) — the caller asserts
+    * that by passing it.
     */
-  def replaceKeys(staleKeys: DataFrame, keyCols: Seq[String], replacement: DataFrame): CommitMeta = {
-    val keep = readLogical()
+  def replaceKeys(
+      staleKeys: DataFrame,
+      keyCols: Seq[String],
+      replacement: DataFrame,
+      prune: Option[RangePrune] = None): CommitMeta = {
+    val (untouched, toRewrite) = classifyLiveFiles(prune)
+    val keep = readFilesAs(toRewrite)
+      .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       .join(staleKeys.select(keyCols.map(staleKeys.col): _*).distinct(), keyCols, "left_anti")
     val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
     val added = writeFiles(merged)
-    writeCommit("replace", footerRowCount(added), added)
+    writeCommit("replace", footerRowCount(untouched) + footerRowCount(added), untouched ++ added)
   }
+
+  /** Split the live file set into (provably-outside-range → carry over,
+    * possibly-overlapping → rewrite). No hint, or any file with unusable
+    * stats, degrades to rewriting everything — never to wrong results.
+    */
+  private def classifyLiveFiles(prune: Option[RangePrune]): (Seq[String], Seq[String]) = {
+    val live = commits.lastOption.map(_.files).getOrElse(Nil)
+    prune match {
+      case None => (Nil, live)
+      case Some(p) =>
+        val bounds = live.map(f => f -> fileBoundsMicros(f, p.column))
+        if (bounds.exists(_._2.isEmpty)) (Nil, live)
+        else {
+          val (out, in) = bounds.partition {
+            case (_, Some((lo, hi))) => hi < p.loMicros || lo > p.hiMicros
+            case _ => false
+          }
+          (out.map(_._1), in.map(_._1))
+        }
+    }
+  }
+
+  /** Footer min/max of an INT64 column (µs for TIMESTAMP) across a
+    * file's row groups. None ⇒ stats unusable (column missing — e.g. a
+    * partition column not stored in the data file — or not INT64, or
+    * not recorded); callers must treat None as "may contain anything".
+    * A file whose every value is null gets the empty range
+    * (MaxValue, MinValue), which intersects nothing.
+    */
+  private def fileBoundsMicros(file: String, colName: String): Option[(Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(s"$dataDir/$file"), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var usable = true
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+          case Some(c) =>
+            val s = c.getStatistics
+            if (s == null) usable = false
+            else if (s.hasNonNullValue) (s.genericGetMin, s.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                lo = math.min(lo, mn)
+                hi = math.max(hi, mx)
+              case _ => usable = false
+            }
+            else if (!(s.isNumNullsSet && s.getNumNulls == b.getRowCount)) usable = false
+          case None => usable = false
+        }
+      }
+      if (usable) Some((lo, hi)) else None
+    } finally r.close()
+  }
+
+  /** Footer max of an INT64/timestamp column over the live snapshot — a
+    * metadata-only watermark read. None ⇒ stats unusable on some file or
+    * no non-null value anywhere; callers fall back to a data scan.
+    */
+  def columnMaxMicros(colName: String): Option[Long] = {
+    val live = commits.lastOption.map(_.files).getOrElse(Nil)
+    val bounds = live.map(f => fileBoundsMicros(f, colName))
+    if (bounds.exists(_.isEmpty)) None
+    else bounds.flatten.map(_._2).filter(_ != Long.MinValue) match {
+      case Nil => None
+      case maxes => Some(maxes.max)
+    }
+  }
+
+  private def readFilesAs(files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), physicalSchema)
+    else spark.read.option("basePath", dataDir).schema(physicalSchema)
+      .parquet(files.map(f => s"$dataDir/$f"): _*)
 
   /** Row count of freshly written files from the parquet footers — a
     * metadata read, never a data scan. This is what keeps a commit O(1)

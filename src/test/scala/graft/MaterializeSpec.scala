@@ -133,6 +133,47 @@ class MaterializeSpec extends AnyFunSuite {
     assert(row.getLong(0) == 2 && row.getDouble(1) == 6.0)
   }
 
+  test("repair on a day-partitioned mat table carries old-day files by name") {
+    val root = wh("prune")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, partitions = Seq(DayTransform("window_start")),
+        keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mat = cat.table("mat")
+    val mzr = new Materializer(spark, src, view, mat, cat.table("materialization_watermarks"))
+
+    // days 1 and 20 → first run materializes both as separate day files
+    src.append(toDf(Seq(
+      ev(1, 1, 10, 1, "view", 1.0), ev(2, 1, 11, 2, "click", 2.0),
+      ev(3, 20, 9, 3, "view", 3.0))))
+    mzr.run()
+    val day1Files = mat.commits.last.files.filter(_.contains("2024-02-01")).toSet
+    assert(day1Files.nonEmpty, "expected day-partitioned files for 2024-02-01")
+
+    // straggler inside day 20 (within lookback) + day 21 tail: the
+    // lookback repair must rewrite only day-20 files; day-1 files are
+    // provably outside [wm−48h, wm] by footer stats and survive by name
+    src.append(toDf(Seq(ev(4, 20, 9, 4, "view", 4.0), ev(5, 21, 8, 5, "view", 5.0))))
+    mzr.run(lookback = "48 hours")
+    val live = mat.commits.last.files.toSet
+    assert(day1Files.subsetOf(live),
+      "day-1 files must survive the day-20 repair commit untouched")
+    assertConverged(mat, view.compute(src.readLogical()), "after pruned repair")
+  }
+
   test("dimension repair re-enriches rows whose dim key changed (M5)") {
     val root = wh("dim")
     // mutable dim the view closure reads — simulates an SCD2 dim getting

@@ -63,6 +63,34 @@ class TablesSpec extends AnyFunSuite {
     assert(out.filter(col("grp") === "r").count() == 3)
   }
 
+  test("range-pruned replaceWhere leaves out-of-range files untouched by name") {
+    val tsSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def tsDf(day: Int, n: Int) = {
+      import spark.implicits._
+      (0 until n).map(i => (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 0${i % 9}:00:00"), day.toDouble))
+        .toDF("ts", "v")
+    }
+    val t = new GraftTable(spark, TableDef("t9", tsSchema), freshRoot("t9"))
+    t.append(tsDf(1, 9)) // old files, far outside the repair range
+    t.append(tsDf(20, 9))
+    val oldFiles = t.commits.head.files.toSet
+    val micros = (d: String) => java.sql.Timestamp.valueOf(d).getTime * 1000L
+    val cond = col("ts") >= lit("2024-01-19").cast("timestamp")
+    t.replaceWhere(cond, tsDf(21, 4),
+      Some(RangePrune("ts", micros("2024-01-19 00:00:00"), Long.MaxValue)))
+    val live = t.commits.last.files.toSet
+    assert(oldFiles.subsetOf(live), "day-1 files must be carried over, not rewritten")
+    val out = t.readLogical()
+    assert(out.count() == 13)
+    assert(out.filter(col("v") === 1.0).count() == 9)
+    assert(out.filter(col("v") === 20.0).count() == 0)
+    assert(t.commits.last.rowCount == 13)
+    // footer watermark agrees with a scan
+    assert(t.columnMaxMicros("ts").contains(micros("2024-01-21 03:00:00")))
+  }
+
   test("compaction shrinks file count, preserves rows, and partition layout") {
     val t = new GraftTable(spark,
       TableDef("t4", schema, Seq(IdentityTransform("grp"))), freshRoot("t4"))
