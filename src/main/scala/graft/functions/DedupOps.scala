@@ -228,7 +228,39 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
+  /** Embedding-cosine near-dup pairs: candidates come from a hyperplane-
+    * LSH bucket self-join over the `embeddings` table (same planes as
+    * [[AnnOps]]), then exact cosine ≥ τ verifies each candidate. The
+    * join is hash-partitioned on the bucket key, never all-pairs; at
+    * 100 TB the plane count grows with log N so per-bucket occupancy —
+    * and with it the within-bucket pair count — stays bounded. τ = 0.4
+    * suits the synthetic near-orthogonal vectors (max pairwise cosine
+    * ≈ 0.48); real embedded text uses 0.9+.
+    */
+  val dedupEmbeddingCosine: QueryDef = QueryDef(
+    "dedup_embedding_cosine",
+    s"""WITH e AS (SELECT vec_id, embedding, nrm, ${AnnOps.sqlBucket("embedding")} AS bucket
+       |           FROM (${AnnOps.sqlNorms})),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |             ${AnnOps.sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(sim, 6) AS cos_sim
+       |FROM p WHERE sim >= 0.4""".stripMargin) { t =>
+    val e = t.embeddings
+      .withColumn("nrm", sqrt(AnnOps.dot(col("embedding"), col("embedding"))))
+      .withColumn("bucket", AnnOps.bucketCol(col("embedding")))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", AnnOps.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cos_sim"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
-      dedupNgramJaccard)
+      dedupNgramJaccard, dedupEmbeddingCosine)
 }
