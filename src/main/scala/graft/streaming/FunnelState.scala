@@ -71,10 +71,31 @@ object FunnelState {
     }
   }
 
-  private def step(
+  /** One row per finalized view — the aggregation-friendly shape: the
+    * hourly rollup after it needs only counts of flags, never a
+    * streaming-unsupported DISTINCT over the combination rows.
+    */
+  case class ViewSummary(
+      user_id: Long,
+      view_id: Long,
+      v_ts: Timestamp,
+      clicked: Boolean,
+      purchased: Boolean,
+      n_clicks: Long,
+      n_purchases: Long)
+
+  private def summarize(userId: Long, vid: Long, vts: Long, buf: Buf): ViewSummary = {
+    val rows = emitFor(userId, vid, vts, buf)
+    val clicks = rows.flatMap(_.click_id).distinct
+    val purchases = rows.flatMap(_.purchase_id).distinct
+    ViewSummary(userId, vid, new Timestamp(vts), clicks.nonEmpty, purchases.nonEmpty,
+      clicks.size.toLong, purchases.size.toLong)
+  }
+
+  private def stepWith[T](emit: (Long, Long, Long, Buf) => Seq[T])(
       userId: Long,
       events: Iterator[FunnelEvent],
-      state: GroupState[Buf]): Iterator[FunnelRow] = {
+      state: GroupState[Buf]): Iterator[T] = {
     val prev = state.getOption.getOrElse(Buf(Nil, Nil, Nil))
     val evs = events.toSeq
     def of(t: String) = evs.filter(_.event_type == t).map(e => (e.event_id, e.ts.getTime))
@@ -86,21 +107,28 @@ object FunnelState {
 
     // finalize views whose whole match horizon is behind the watermark
     val (done, pending) = buf.views.partition { case (_, vts) => vts + HorizonMs < wm }
-    val out = done.sortBy(_._2).flatMap { case (vid, vts) => emitFor(userId, vid, vts, buf) }
+    val out = done.sortBy(_._2).flatMap { case (vid, vts) => emit(userId, vid, vts, buf) }
 
-    // evict clicks/purchases no pending or future view can ever match
+    // evict clicks/purchases no pending or future view can ever match.
+    // The keep horizon is the FULL funnel horizon, not the purchase
+    // window: a click at C serves views as old as V = C, and that view
+    // only finalizes at V + horizon = C + horizon (same bound for a
+    // purchase at P via a click at C = P matching a view at V = P).
+    // Evicting at C + purchase-window — 30 min earlier — silently
+    // drops matches for views finalizing near the end of their horizon
+    // when the watermark advances in steps smaller than the horizon.
     val keep = Buf(
       pending,
-      buf.clicks.filter { case (_, cts) => cts + PurchaseWindowMs >= wm },
-      buf.purchases.filter { case (_, pts) => pts + PurchaseWindowMs >= wm })
+      buf.clicks.filter { case (_, cts) => cts + HorizonMs >= wm },
+      buf.purchases.filter { case (_, pts) => pts + HorizonMs >= wm })
     if (keep.views.isEmpty && keep.clicks.isEmpty && keep.purchases.isEmpty) {
       state.remove()
     } else {
       state.update(keep)
       // wake this group when its earliest obligation matures (W4 TTL)
       val next = (keep.views.map(_._2 + HorizonMs) ++
-        keep.clicks.map(_._2 + PurchaseWindowMs) ++
-        keep.purchases.map(_._2 + PurchaseWindowMs)).min
+        keep.clicks.map(_._2 + HorizonMs) ++
+        keep.purchases.map(_._2 + HorizonMs)).min
       state.setTimeoutTimestamp(math.max(next, wm) + 1)
     }
     out.iterator
@@ -115,7 +143,62 @@ object FunnelState {
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)(
-        Encoders.product[Buf], Encoders.product[FunnelRow])
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        stepWith(emitFor))(Encoders.product[Buf], Encoders.product[FunnelRow])
   }
+
+  /** Per-view funnel summaries — same stateful operator, one row per
+    * finalized view.
+    */
+  def funnelViewSummary(events: DataFrame): Dataset[ViewSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", EventStreams.WatermarkDelay)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        stepWith((u, v, t, b) => Seq(summarize(u, v, t, b))))(
+        Encoders.product[Buf], Encoders.product[ViewSummary])
+  }
+
+  /** Disorder tolerance of the rollup stream. Summaries land in rough
+    * v_ts order (finalization follows the upstream watermark), so the
+    * rollup's watermark only has to absorb cross-user finalization skew
+    * -- about one upstream micro-batch of watermark advance -- never the
+    * 2.5 h funnel horizon.
+    */
+  val RollupDelay = "30 minutes"
+
+  /** Hourly funnel rollup -- the reference's post-join hourly grouping
+    * (funnel_jobs.sql:66-99). `summaries` is a STREAMING DataFrame of
+    * [[ViewSummary]] rows read back from the summary TABLE, not the
+    * in-query output of [[funnelViewSummary]]: chaining a window
+    * aggregation directly onto flatMapGroupsWithState deadlocks -- the
+    * global watermark is the min over all watermark nodes, and a
+    * mid-query watermark on v_ts sees no rows until the global watermark
+    * advances, which therefore never does. The reference hit the same
+    * wall and chains through storage (one Flink job per stage, Iceberg
+    * tables between, funnel_jobs.sql vs aggregation_jobs.sql); so does
+    * this engine: [[Sinks.funnelSummaryAppend]] lands summaries,
+    * [[Sinks.funnelRollupFromTable]] tails them as a file stream with a
+    * fresh per-query watermark. Windows finalize when that watermark
+    * passes window end, so emitted rows are final and the sink is a
+    * plain append.
+    */
+  def funnelHourly(summaries: DataFrame): DataFrame =
+    summaries
+      .withWatermark("v_ts", RollupDelay)
+      .groupBy(window(col("v_ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_views"),
+        count(when(col("clicked"), 1)).as("n_clicked_views"),
+        count(when(col("purchased"), 1)).as("n_converted_views"),
+        sum(col("n_clicks")).as("n_clicks"),
+        sum(col("n_purchases")).as("n_purchases"))
+      .select(col("window.start").as("window_start"),
+        col("n_views"), col("n_clicked_views"), col("n_converted_views"),
+        col("n_clicks"), col("n_purchases"),
+        round(col("n_converted_views") / col("n_views"), 4).as("conversion_rate"))
 }

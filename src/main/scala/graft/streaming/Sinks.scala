@@ -36,6 +36,48 @@ object Sinks {
       }
       .start()
 
+  /** Funnel stage 1: per-view summaries → append table. Summary rows
+    * are final when emitted (the funnel state only finalizes a view once
+    * the watermark proves its match set complete), so append semantics
+    * are exact.
+    */
+  def funnelSummaryAppend(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+    FunnelState.funnelViewSummary(events).toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) table.append(batch)
+        ()
+      }
+      .start()
+
+  /** Funnel stage 2: tail the summary table as a file stream and roll it
+    * up hourly (funnel_jobs.sql:66-99) into a FINAL row per window —
+    * jobs chained through storage exactly as the reference chains its
+    * Flink jobs through Iceberg tables (see [[FunnelState.funnelHourly]]
+    * for why in-query chaining can't work). Append — not upsert —
+    * because the rollup watermark guarantees a window is complete when
+    * emitted.
+    */
+  def funnelRollupFromTable(
+      summaryTable: GraftTable,
+      rollupTable: GraftTable,
+      checkpoint: String): StreamingQuery = {
+    val summaries = summaryTable.spark.readStream
+      .schema(summaryTable.defn.schema)
+      .parquet(summaryTable.dataPath)
+    FunnelState.funnelHourly(summaries)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) rollupTable.append(batch)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming dedup → append table (A3 + S4 composed). */
   def dedupAppend(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
     EventStreams.dedup(events)

@@ -60,6 +60,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
+  /** Directory the data files live under — the mount point for a file
+    * STREAM tailing this table (Spark's file source lists new files per
+    * micro-batch, so a downstream job consumes appends continuously; the
+    * reference's jobs chain through Iceberg tables the same way). A
+    * tailing reader sees files slightly before the commit json lands —
+    * acceptable for append-only flows, which is the only shape the
+    * streaming sinks write.
+    */
+  def dataPath: String = dataDir
+
   /** Physical schema = logical schema + derived partition columns. */
   private def partCols: Seq[String] = defn.partitions.map(_.name)
 

@@ -219,6 +219,77 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(got, batchTwin, "funnel chain")
   }
 
+  test("storage-chained funnel rollup (two queries via tables) equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents()
+    def part(t: String) = events.filter(_.event_type == t)
+    // sentinels tick the source watermark forward 25 min at a time; the
+    // resulting sentinel summaries are what advance the ROLLUP query's
+    // own v_ts watermark past the real window ends (≤ at(180))
+    def flush(k: Long) = Ev(-100 - k, at(200 + 25 * k), -1L, "view", 0.0)
+
+    val summarySchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("view_id", LongType),
+      StructField("v_ts", TimestampType), StructField("clicked", BooleanType),
+      StructField("purchased", BooleanType), StructField("n_clicks", LongType),
+      StructField("n_purchases", LongType)))
+    val rollupSchema = StructType(Seq(
+      StructField("window_start", TimestampType), StructField("n_views", LongType),
+      StructField("n_clicked_views", LongType), StructField("n_converted_views", LongType),
+      StructField("n_clicks", LongType), StructField("n_purchases", LongType),
+      StructField("conversion_rate", DoubleType)))
+    val summaryTable = new GraftTable(spark,
+      TableDef("funnel_summaries", summarySchema), wh("funnel_sum"))
+    val rollupTable = new GraftTable(spark,
+      TableDef("funnel_hourly", rollupSchema), wh("funnel_roll"))
+
+    val src = MemoryStream[Ev]
+    val q1 = Sinks.funnelSummaryAppend(src.toDF(), summaryTable, ckpt("fsum"))
+    val q2 = Sinks.funnelRollupFromTable(summaryTable, rollupTable, ckpt("froll"))
+    src.addData(events)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    for (k <- 0L to 9L) {
+      src.addData(flush(k))
+      q1.processAllAvailable(); q2.processAllAvailable()
+    }
+    q1.stop(); q2.stop()
+    // sentinel summaries land in windows from 03:00 on that are not all
+    // closed by the final watermark; compare the fully-final real range
+    val got = rollupTable.readLogical()
+      .filter(col("window_start") < lit(at(180)))
+
+    def b(t: String, idCol: String, tsCol: String, userCol: String) =
+      spark.createDataset(part(t)).toDF()
+        .select(col("user_id").as(userCol), col("event_id").as(idCol), col("ts").as(tsCol))
+    val perView = b("view", "view_id", "v_ts", "user_id")
+      .join(b("click", "click_id", "c_ts", "c_user_id"),
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 30 minutes"), "left")
+      .join(b("purchase", "purchase_id", "p_ts", "p_user_id"),
+        col("c_user_id") === col("p_user_id") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 2 hours"), "left")
+      .groupBy(col("user_id"), col("view_id"), col("v_ts"))
+      .agg(countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+    val batchTwin = perView
+      .groupBy(window(col("v_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_views"),
+        count(when(col("n_clicks") > 0, 1)).as("n_clicked_views"),
+        count(when(col("n_purchases") > 0, 1)).as("n_converted_views"),
+        sum(col("n_clicks")).as("n_clicks"),
+        sum(col("n_purchases")).as("n_purchases"))
+      .select(col("window.start").as("window_start"),
+        col("n_views"), col("n_clicked_views"), col("n_converted_views"),
+        col("n_clicks"), col("n_purchases"),
+        round(col("n_converted_views") / col("n_views"), 4).as("conversion_rate"))
+      .filter(col("window_start") < lit(at(180)))
+    assert(got.count() > 0, "rollup emitted no finalized windows")
+    assertSameRows(got, batchTwin, "hourly funnel rollup")
+  }
+
   test("file-stream source: parquet files landing in a dir drive the hourly upsert") {
     import spark.implicits._
     val events = mkEvents().sortBy(_.ts.getTime)
