@@ -147,15 +147,17 @@ final class Materializer(
     */
   def lookbackRepair(wm: Timestamp, lookback: String): Unit = {
     val windowCond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $lookback") && ts <= lit(wm)
+    val wmMicros = DateTimeUtils.fromJavaTimestamp(wm)
+    val loMicros = wmMicros - intervalCeilMicros(lookback)
     val fresh = viewDf.filter(windowCond)
-    val current = mat.readLogical().filter(windowCond)
+    // file-pruned read: the fingerprint and any rewrite only ever touch
+    // files overlapping the lookback window
+    val current = mat.readRangeLogical(view.tsCol, loMicros, wmMicros).filter(windowCond)
     val drifted = timed("lookback/driftCheck")(
       fingerprint(fresh) != fingerprint(current))
-    if (drifted) {
-      val wmMicros = DateTimeUtils.fromJavaTimestamp(wm)
-      val prune = RangePrune(view.tsCol, wmMicros - intervalCeilMicros(lookback), wmMicros)
-      timed("lookback/replaceWhere")(mat.replaceWhere(windowCond, fresh, Some(prune)))
-    }
+    if (drifted)
+      timed("lookback/replaceWhere")(mat.replaceWhere(windowCond, fresh,
+        Some(RangePrune(view.tsCol, loMicros, wmMicros))))
   }
 
   /** M5 — re-enrich rows whose dimension key gained a new version after
@@ -184,8 +186,9 @@ final class Materializer(
     */
   def staleRepair(wm: Timestamp, detectionWindow: String): Unit = {
     val cond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $detectionWindow")
+    val loMicros = DateTimeUtils.fromJavaTimestamp(wm) - intervalCeilMicros(detectionWindow)
     val fresh = viewDf.filter(cond)
-    val current = mat.readLogical().filter(cond)
+    val current = mat.readRangeLogical(view.tsCol, loMicros, Long.MaxValue).filter(cond)
     // fingerprint fast path: a clean detection window (the common case
     // for steady-state runs) costs two scans, never an exceptAll shuffle
     if (fingerprint(fresh) == fingerprint(current)) return
@@ -197,9 +200,7 @@ final class Materializer(
       // detection window the key itself came from
       val prune =
         if (view.keyCols.contains(view.tsCol))
-          Some(RangePrune(view.tsCol,
-            DateTimeUtils.fromJavaTimestamp(wm) - intervalCeilMicros(detectionWindow),
-            Long.MaxValue))
+          Some(RangePrune(view.tsCol, loMicros, Long.MaxValue))
         else None
       mat.replaceKeys(staleKeys, view.keyCols, replacement, prune)
     }

@@ -335,6 +335,18 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     }
   }
 
+  /** Range-pruned logical read: only live files whose footer bounds
+    * intersect `[loMicros, hiMicros]` of `colName` are opened (plus any
+    * with unusable stats). Callers still apply their exact row filter —
+    * this prunes FILES the way the replace path does, so a bounded
+    * repair window reads O(window), not O(table).
+    */
+  def readRangeLogical(colName: String, loMicros: Long, hiMicros: Long): DataFrame = {
+    val (_, overlapping) = classifyLiveFiles(Some(RangePrune(colName, loMicros, hiMicros)))
+    readFilesAs(overlapping)
+      .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   private def readFilesAs(files: Seq[String]): DataFrame =
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), physicalSchema)
     else spark.read.option("basePath", dataDir).schema(physicalSchema)
