@@ -49,13 +49,13 @@ object FunnelState {
       clicks: Seq[(Long, Long)],
       purchases: Seq[(Long, Long)])
 
-  private val ClickWindowMs = 30L * 60 * 1000
-  private val PurchaseWindowMs = 2L * 3600 * 1000
+  private[streaming] val ClickWindowMs = 30L * 60 * 1000
+  private[streaming] val PurchaseWindowMs = 2L * 3600 * 1000
 
   /** A view's funnel output is final once this horizon passes. */
-  private val HorizonMs = ClickWindowMs + PurchaseWindowMs
+  private[streaming] val HorizonMs = ClickWindowMs + PurchaseWindowMs
 
-  private def emitFor(userId: Long, vid: Long, vts: Long, buf: Buf): Seq[FunnelRow] = {
+  private[streaming] def emitFor(userId: Long, vid: Long, vts: Long, buf: Buf): Seq[FunnelRow] = {
     val mcs = buf.clicks.filter { case (_, cts) => cts >= vts && cts <= vts + ClickWindowMs }
     if (mcs.isEmpty)
       Seq(FunnelRow(userId, vid, None, None, new Timestamp(vts), None, None))
@@ -84,7 +84,7 @@ object FunnelState {
       n_clicks: Long,
       n_purchases: Long)
 
-  private def summarize(userId: Long, vid: Long, vts: Long, buf: Buf): ViewSummary = {
+  private[streaming] def summarize(userId: Long, vid: Long, vts: Long, buf: Buf): ViewSummary = {
     val rows = emitFor(userId, vid, vts, buf)
     val clicks = rows.flatMap(_.click_id).distinct
     val purchases = rows.flatMap(_.purchase_id).distinct

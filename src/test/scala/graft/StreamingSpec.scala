@@ -258,9 +258,17 @@ class StreamingSpec extends AnyFunSuite {
     // closed by the final watermark; compare the fully-final real range
     val got = rollupTable.readLogical()
       .filter(col("window_start") < lit(at(180)))
+    assert(got.count() > 0, "rollup emitted no finalized windows")
+    assertSameRows(got, hourlyBatchTwin(events), "hourly funnel rollup")
+  }
 
+  /** The batch answer the streaming hourly funnel rollups must match,
+    * restricted to the fully-final real window range (< at(180)).
+    */
+  private def hourlyBatchTwin(events: Seq[Ev]): DataFrame = {
+    import spark.implicits._
     def b(t: String, idCol: String, tsCol: String, userCol: String) =
-      spark.createDataset(part(t)).toDF()
+      spark.createDataset(events.filter(_.event_type == t)).toDF()
         .select(col("user_id").as(userCol), col("event_id").as(idCol), col("ts").as(tsCol))
     val perView = b("view", "view_id", "v_ts", "user_id")
       .join(b("click", "click_id", "c_ts", "c_user_id"),
@@ -274,7 +282,7 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(col("user_id"), col("view_id"), col("v_ts"))
       .agg(countDistinct(col("click_id")).as("n_clicks"),
         countDistinct(col("purchase_id")).as("n_purchases"))
-    val batchTwin = perView
+    perView
       .groupBy(window(col("v_ts"), "1 hour"))
       .agg(count(lit(1)).as("n_views"),
         count(when(col("n_clicks") > 0, 1)).as("n_clicked_views"),
@@ -286,8 +294,30 @@ class StreamingSpec extends AnyFunSuite {
         col("n_clicks"), col("n_purchases"),
         round(col("n_converted_views") / col("n_views"), 4).as("conversion_rate"))
       .filter(col("window_start") < lit(at(180)))
-    assert(got.count() > 0, "rollup emitted no finalized windows")
-    assertSameRows(got, batchTwin, "hourly funnel rollup")
+  }
+
+  test("transformWithState funnel summaries equal the flatMapGroupsWithState form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents()
+    def flush(k: Long) = Ev(-100 - k, at(200 + 25 * k), -1L, "view", 0.0)
+
+    def run(name: String)(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val src = MemoryStream[Ev]
+      val q = graft.streaming.FunnelTws.withRocksDb(spark) {
+        mk(src.toDF()).writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt(name)).start()
+      }
+      src.addData(events)
+      q.processAllAvailable()
+      for (k <- 0L to 9L) { src.addData(flush(k)); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).filter(col("user_id") >= 0)
+    }
+    val tws = run("tws_sum")(e => graft.streaming.FunnelTws.funnelViewSummary(e).toDF())
+    val fmgws = run("fmgws_sum")(e => graft.streaming.FunnelState.funnelViewSummary(e).toDF())
+    assert(tws.count() > 0, "transformWithState emitted no summaries")
+    assertSameRows(tws, fmgws, "state-v2 vs FMGWS funnel summaries")
   }
 
   test("file-stream source: parquet files landing in a dir drive the hourly upsert") {
