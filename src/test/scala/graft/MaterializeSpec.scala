@@ -133,6 +133,52 @@ class MaterializeSpec extends AnyFunSuite {
     assert(row.getLong(0) == 2 && row.getDouble(1) == 6.0)
   }
 
+  for (seed <- Seq(7L, 99L)) {
+    test(s"randomized arrival order converges to the full recompute (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val root = wh(s"rand$seed")
+      val matSchema = StructType(Seq(
+        StructField("window_start", TimestampType),
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("total_value", DoubleType)))
+      val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+        facts => facts
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("n"), col("total_value")))
+      val cat = new TableCatalog(spark, root, Seq(
+        TableDef("src", eventsSchema),
+        TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
+        Materializer.watermarkTableDef))
+      val src = cat.table("src")
+      val mat = cat.table("mat")
+      val mzr = new Materializer(spark, src, view, mat, cat.table("materialization_watermarks"))
+
+      // random facts over 8 days; arrival batch = rough time order with
+      // random stragglers landing 1–2 batches late
+      val facts = (1L to 150L).map { i =>
+        ev(i, 1 + rnd.nextInt(8), rnd.nextInt(24), rnd.nextInt(5).toLong,
+          if (rnd.nextBoolean()) "view" else "click", rnd.nextInt(100) / 10.0)
+      }
+      val nBatches = 4
+      val byTime = facts.sortBy(_._2.getTime).zipWithIndex.map { case (f, idx) =>
+        val natural = idx * nBatches / facts.size
+        val batch = math.min(nBatches - 1, natural + (if (rnd.nextInt(10) == 0) 1 + rnd.nextInt(2) else 0))
+        (f, batch)
+      }
+      for (b <- 0 until nBatches) {
+        val rows = byTime.filter(_._2 == b).map(_._1)
+        if (rows.nonEmpty) src.append(toDf(rows))
+        // wide lookback + stale window guarantee convergence no matter
+        // how late a straggler lands
+        mzr.run(lookback = "72 hours", staleDetectionWindow = Some("30 days"))
+      }
+      assertConverged(mat, view.compute(src.readLogical()), s"seed $seed final")
+    }
+  }
+
   test("repair on a day-partitioned mat table carries old-day files by name") {
     val root = wh("prune")
     val matSchema = StructType(Seq(
