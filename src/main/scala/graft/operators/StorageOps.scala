@@ -123,5 +123,46 @@ object StorageOps {
     tbl.snapshots.select(col("version"), col("operation"), col("row_count"))
   }
 
-  val all: Seq[QueryDef] = Seq(s4PartitionedWrite, s5UpsertLatest, s10Snapshots)
+  /** S5 (merge-on-read form) — same upserts, same oracle as
+    * [[s5UpsertLatest]], but each upsert commits ONLY its batch
+    * (O(batch), the 100 TB streaming-upsert path) and the read resolves
+    * latest-wins by commit sequence. Hash-matching the COW oracle proves
+    * the two strategies are observably identical.
+    */
+  val s5UpsertMor: QueryDef = QueryDef(
+    "s5_upsert_mor",
+    """WITH a AS (SELECT user_id, event_type, count(*) AS n,
+      |                  round(sum(value), 2) AS total_value
+      |           FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      |           GROUP BY user_id, event_type),
+      |     b AS (SELECT user_id, event_type, count(*) AS n,
+      |                  round(sum(value), 2) AS total_value
+      |           FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+      |           GROUP BY user_id, event_type)
+      |SELECT user_id, event_type,
+      |       coalesce(b.n, a.n) AS n,
+      |       coalesce(b.total_value, a.total_value) AS total_value
+      |FROM a FULL JOIN b USING (user_id, event_type)""".stripMargin) { t =>
+    val wh = scratch("s5mor")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("user_type_metrics_mor", schema, Nil,
+        keys = Seq("user_id", "event_type"), mergeOnRead = true)))
+    val tbl = cat.table("user_type_metrics_mor")
+    def half(cond: org.apache.spark.sql.Column): DataFrame =
+      t.events.filter(cond)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.upsert(half(col("ts") < cut))
+    tbl.upsert(half(col("ts") >= cut))
+    tbl.readLogical()
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots)
 }

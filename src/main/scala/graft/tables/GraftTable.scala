@@ -173,9 +173,44 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         .parquet(snap.files.map(f => s"$dataDir/$f"): _*)
   }
 
-  /** Logical read: latest snapshot without the derived partition cols. */
-  def readLogical(version: Option[Int] = None): DataFrame =
-    read(version).select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  /** Logical read: latest snapshot without the derived partition cols.
+    * For merge-on-read tables whose live files span several upsert
+    * commits, resolves latest-wins per key by commit sequence: each
+    * file carries the version that first added it, and only rows from
+    * a key's newest sequence survive (ALL of them — a batch with
+    * duplicate keys keeps its duplicates, matching copy-on-write). One
+    * hash-shuffle on the keys; files from a single sequence (fresh
+    * table, or just compacted) skip the merge entirely.
+    */
+  def readLogical(version: Option[Int] = None): DataFrame = {
+    val logicalCols = defn.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    if (!defn.mergeOnRead) read(version).select(logicalCols: _*)
+    else {
+      val cs = commits
+      val snap = version match {
+        case Some(v) => cs.find(_.version == v)
+          .getOrElse(throw new IllegalArgumentException(s"${defn.name}: no snapshot v$v"))
+        case None => cs.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
+      }
+      val firstSeen: Map[String, Int] =
+        cs.flatMap(c => c.files.map(_ -> c.version)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      val groups = snap.files.groupBy(firstSeen).toSeq.sortBy(_._1)
+      if (groups.size <= 1) read(version).select(logicalCols: _*)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, lit, max}
+        val union = groups.map { case (seq, files) =>
+          readFilesAs(files).select(logicalCols: _*).withColumn("__seq", lit(seq))
+        }.reduce(_.unionByName(_))
+        val newest = max(col("__seq")).over(
+          Window.partitionBy(defn.keys.map(col): _*))
+        union.withColumn("__newest", newest)
+          .filter(col("__seq") === col("__newest"))
+          .select(logicalCols: _*)
+      }
+    }
+  }
 
   /** The schema the live files ACTUALLY carry (parquet footers, no
     * declared-schema coercion), minus derived partition columns — what
@@ -211,17 +246,37 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   /** S5 — keyed upsert: rows in `batch` replace live rows with the same
     * identifier-key tuple (latest wins), everything else is carried
-    * over. Copy-on-write: the surviving+new rows are written as fresh
-    * files and the commit swaps the live set atomically.
+    * over. Two strategies, per `TableDef.mergeOnRead`:
+    *
+    *  - **copy-on-write** (default): surviving+new rows are written as
+    *    fresh files and the commit swaps the live set atomically. Write
+    *    cost O(table), reads free — right for tables revised rarely.
+    *  - **merge-on-read**: ONLY the batch is written; superseded rows
+    *    stay in older files and [[readLogical]] resolves latest-wins by
+    *    commit sequence. Write cost O(batch) — the only strategy that
+    *    survives a continuously-revising streaming upsert at 100 TB
+    *    (Iceberg v2's upsert mode is the same trade; its equality
+    *    deletes are this sequence rule in file form). Reads pay a
+    *    key-shuffle until [[compact]] materializes the merge, so
+    *    compaction cadence bounds read cost. Commit rowCount records
+    *    PHYSICAL rows (logical count would force the merge at commit).
     */
   def upsert(batch: DataFrame): CommitMeta = {
     require(defn.isUpsert, s"${defn.name} has no identifier keys")
     val cols = defn.schema.fieldNames.map(batch.col)
     val b = batch.select(cols: _*)
-    val survivors = readLogical().join(b, defn.keys, "left_anti")
-    val merged = survivors.unionByName(b)
-    val added = writeFiles(merged)
-    writeCommit("upsert", footerRowCount(added), added)
+    if (defn.mergeOnRead) {
+      val added = writeFiles(b)
+      val prev = commits.lastOption
+      val live = prev.map(_.files).getOrElse(Nil) ++ added
+      val total = prev.map(_.rowCount).getOrElse(0L) + footerRowCount(added)
+      writeCommit("upsert-mor", total, live)
+    } else {
+      val survivors = readLogical().join(b, defn.keys, "left_anti")
+      val merged = survivors.unionByName(b)
+      val added = writeFiles(merged)
+      writeCommit("upsert", footerRowCount(added), added)
+    }
   }
 
   /** Targeted delete+re-insert for the materializer repair passes
@@ -391,11 +446,26 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   /** M8a — expire snapshots older than `olderThanMs`, always keeping the
     * latest (reference: expire_snapshots(retention_threshold => '7d')).
+    * For merge-on-read tables, a commit that is the first-seen version
+    * of a still-live file is ALSO kept: the latest-wins merge orders
+    * files by that version, and losing it would collapse sequence
+    * groups and resurface superseded rows (Iceberg's analog: snapshots
+    * whose delete files are still referenced can't expire — compact
+    * first, then expire).
     */
   def expireSnapshots(olderThanMs: Long): Int = {
     val cs = commits
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val expired = cs.dropRight(1).filter(_.tsMs < cutoff)
+    val needed: Set[Int] =
+      if (!defn.mergeOnRead) Set.empty
+      else {
+        val live = cs.lastOption.map(_.files).getOrElse(Nil)
+        val firstSeen = cs.flatMap(c => c.files.map(_ -> c.version)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+        live.map(firstSeen).toSet
+      }
+    val expired = cs.dropRight(1)
+      .filter(c => c.tsMs < cutoff && !needed.contains(c.version))
     expired.foreach(c => Files.deleteIfExists(commitPath(c.version)))
     expired.size
   }

@@ -53,8 +53,11 @@ final case class TableDef(
     name: String,
     schema: StructType,
     partitions: Seq[PartitionTransform] = Nil,
-    keys: Seq[String] = Nil) {
+    keys: Seq[String] = Nil,
+    mergeOnRead: Boolean = false) {
   require(keys.forall(k => schema.fieldNames.contains(k)),
     s"table $name: identifier keys must be schema columns")
+  require(!mergeOnRead || keys.nonEmpty,
+    s"table $name: mergeOnRead requires identifier keys")
   def isUpsert: Boolean = keys.nonEmpty
 }

@@ -53,6 +53,36 @@ class TablesSpec extends AnyFunSuite {
     assert(out.filter(col("id") >= 5 && col("grp") === "b").count() == 10)
   }
 
+  test("merge-on-read upsert commits only the batch; read + compact resolve latest-wins") {
+    val cow = new GraftTable(spark,
+      TableDef("mc", schema, keys = Seq("id")), freshRoot("morc"))
+    val mor = new GraftTable(spark,
+      TableDef("mm", schema, keys = Seq("id"), mergeOnRead = true), freshRoot("morm"))
+    val batches = Seq(df(0 until 10, "a", 1.0), df(5 until 15, "b", 2.0), df(0 until 3, "c", 3.0))
+    batches.foreach(cow.upsert)
+    var filesBefore = Set.empty[String]
+    batches.foreach { b =>
+      mor.upsert(b)
+      val now = mor.commits.last.files.toSet
+      assert(filesBefore.subsetOf(now), "a MOR upsert must never rewrite existing files")
+      filesBefore = now
+    }
+    def sorted(t: GraftTable) = t.readLogical().orderBy("id").collect().toSeq
+    assert(sorted(mor) == sorted(cow), "MOR read must equal the COW result")
+    // time travel still merges correctly at an intermediate version
+    assert(mor.readLogical(Some(2)).count() == 15)
+    // compaction materializes the merge: fewer live files, same rows,
+    // and subsequent reads skip the merge (single sequence group)
+    mor.compact()
+    assert(sorted(mor) == sorted(cow), "post-compact MOR read must equal COW")
+    assert(mor.commits.last.files.size < filesBefore.size)
+    // expiry keeps sequence-ordering commits only when still needed:
+    // after compact nothing old is needed, so history can fully expire
+    mor.expireSnapshots(olderThanMs = -1000)
+    assert(mor.removeOrphans() > 0)
+    assert(sorted(mor) == sorted(cow), "post-expiry MOR read must equal COW")
+  }
+
   test("replaceWhere drops matching rows and inserts the replacement") {
     val t = new GraftTable(spark, TableDef("t3", schema), freshRoot("t3"))
     t.append(df(0 until 10, "a", 1.0))
