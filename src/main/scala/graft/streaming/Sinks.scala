@@ -24,6 +24,11 @@ object Sinks {
     * revised rows for windows still inside the watermark, and the upsert
     * replaces them latest-wins — exactly the reference's
     * "continuously revise per-key rows" comment (aggregation_jobs.sql:20-23).
+    * Declare the table `mergeOnRead = true` for the 100 TB path: a
+    * copy-on-write upsert rewrites the whole table EVERY micro-batch,
+    * merge-on-read commits only the revised rows (compact on a
+    * maintenance cadence). Both strategies are latest-wins-identical —
+    * TablesSpec and the s5 oracle pair prove it.
     */
   def hourlyUpsert(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
     EventStreams.tumblingHourly(events)

@@ -81,16 +81,24 @@ class StreamingSpec extends AnyFunSuite {
     val table = new GraftTable(spark,
       TableDef("hourly_metrics", schema, keys = Seq("window_start", "event_type")),
       wh("hourly"))
+    // same stream into a merge-on-read twin — the 100 TB upsert-sink
+    // path, where each micro-batch commits O(batch) instead of
+    // rewriting the table
+    val morTable = new GraftTable(spark,
+      TableDef("hourly_metrics_mor", schema, keys = Seq("window_start", "event_type"),
+        mergeOnRead = true),
+      wh("hourly_mor"))
 
     val src = MemoryStream[Ev]
     val q = Sinks.hourlyUpsert(src.toDF(), table, ckpt("hourly"))
+    val qMor = Sinks.hourlyUpsert(src.toDF(), morTable, ckpt("hourly_mor"))
     src.addData(first)
-    q.processAllAvailable()
+    q.processAllAvailable(); qMor.processAllAvailable()
     // second half + one event 7 days late: watermark (max ts − 30 s) has
     // long passed its window → the streaming side must DROP it
     src.addData(second :+ lateEvent)
-    q.processAllAvailable()
-    q.stop()
+    q.processAllAvailable(); qMor.processAllAvailable()
+    q.stop(); qMor.stop()
 
     val batchTwin = spark.createDataset(events).toDF()
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -100,6 +108,7 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"), col("avg_value"))
     assertSameRows(table.readLogical(), batchTwin, "hourly upsert")
+    assertSameRows(morTable.readLogical(), batchTwin, "hourly upsert (merge-on-read)")
   }
 
   test("dropDuplicatesWithinWatermark removes in- and cross-batch duplicates") {
