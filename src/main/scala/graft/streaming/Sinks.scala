@@ -19,6 +19,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object Sinks {
 
+  /** Run `commit` only if `batchId` hasn't already landed in `table`
+    * for this sink. Spark retries a failed micro-batch under the SAME
+    * batchId, and foreachBatch offers at-least-once delivery — without
+    * this guard a crash between the table commit and the checkpoint
+    * write would replay the batch and double-append it. The watermark
+    * lives beside the table's commit log (the same idempotence scheme
+    * Iceberg's sink uses via snapshot summary properties), making every
+    * sink below exactly-once end to end.
+    */
+  private[graft] def exactlyOnce(
+      table: GraftTable, sinkId: String, batchId: Long)(commit: => Unit): Unit =
+    if (batchId > table.lastCommittedBatch(sinkId)) {
+      commit
+      table.markCommittedBatch(sinkId, batchId)
+    }
+
   /** Continuous hourly aggregation → keyed upsert table. The table MUST
     * be keyed by (window_start, event_type); every micro-batch re-emits
     * revised rows for windows still inside the watermark, and the upsert
@@ -35,8 +51,10 @@ object Sinks {
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) table.upsert(batch)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        exactlyOnce(table, "hourlyUpsert", batchId) {
+          if (!batch.isEmpty) table.upsert(batch)
+        }
         ()
       }
       .start()
@@ -51,8 +69,10 @@ object Sinks {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) table.append(batch)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        exactlyOnce(table, "funnelSummaryAppend", batchId) {
+          if (!batch.isEmpty) table.append(batch)
+        }
         ()
       }
       .start()
@@ -76,8 +96,10 @@ object Sinks {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) rollupTable.append(batch)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        exactlyOnce(rollupTable, "funnelRollupFromTable", batchId) {
+          if (!batch.isEmpty) rollupTable.append(batch)
+        }
         ()
       }
       .start()
@@ -89,8 +111,10 @@ object Sinks {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) table.append(batch)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        exactlyOnce(table, "dedupAppend", batchId) {
+          if (!batch.isEmpty) table.append(batch)
+        }
         ()
       }
       .start()
@@ -113,15 +137,24 @@ object Sinks {
         batch.persist()
         try {
           val isReject = col("value") < 0 || col("user_id") < 0
-          clean.append(batch.filter(!isReject))
-          rejected.append(
-            batch.filter(isReject).withColumn("reject_reason",
-              when(col("user_id") < 0, "TEST_USER").otherwise("NEGATIVE_VALUE")))
-          quality.upsert(
-            batch.groupBy(col("event_type"))
-              .agg(count(lit(1)).as("n_total"),
-                count(when(isReject, 1)).as("n_rejected"))
-              .withColumn("batch_id", lit(batchId)))
+          // one guard PER table: a crash mid-fan-out may leave some
+          // sinks committed and others not; the replay fills only the
+          // gaps instead of double-appending the finished ones
+          exactlyOnce(clean, "fanout", batchId) {
+            clean.append(batch.filter(!isReject))
+          }
+          exactlyOnce(rejected, "fanout", batchId) {
+            rejected.append(
+              batch.filter(isReject).withColumn("reject_reason",
+                when(col("user_id") < 0, "TEST_USER").otherwise("NEGATIVE_VALUE")))
+          }
+          exactlyOnce(quality, "fanout", batchId) {
+            quality.upsert(
+              batch.groupBy(col("event_type"))
+                .agg(count(lit(1)).as("n_total"),
+                  count(when(isReject, 1)).as("n_rejected"))
+                .withColumn("batch_id", lit(batchId)))
+          }
         } finally batch.unpersist()
         ()
       }

@@ -422,6 +422,31 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     }.sum
   }
 
+  // ---- streaming sink bookkeeping ----
+
+  /** Last micro-batch id committed into this table by `sinkId`, or -1.
+    * Spark retries a failed micro-batch under the SAME batchId, so a
+    * foreachBatch sink must deduplicate on it (the Structured Streaming
+    * contract; Iceberg's sink stores the same watermark in snapshot
+    * properties). Persisted beside the commit log, swapped atomically.
+    */
+  private def streamState: Map[String, Long] = {
+    val p = Paths.get(s"$commitsDir/stream-state.json")
+    if (!Files.exists(p)) Map.empty
+    else mapper.readValue(p.toFile, classOf[Map[String, Any]])
+      .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
+  }
+
+  def lastCommittedBatch(sinkId: String): Long =
+    streamState.getOrElse(sinkId, -1L)
+
+  def markCommittedBatch(sinkId: String, batchId: Long): Unit = {
+    val p = Paths.get(s"$commitsDir/stream-state.json")
+    val tmp = Paths.get(s"$commitsDir/.tmp-stream-state.json")
+    Files.writeString(tmp, mapper.writeValueAsString(streamState + (sinkId -> batchId)))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   // ---- maintenance ----
 
   /** M7 — compaction: rewrite the live set into ~targetBytes files

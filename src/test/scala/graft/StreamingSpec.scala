@@ -329,6 +329,30 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(tws, fmgws, "state-v2 vs FMGWS funnel summaries")
   }
 
+  test("sink replay of the same micro-batch id commits exactly once") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType),
+      StructField("avg_value", DoubleType)))
+    val table = new GraftTable(spark,
+      TableDef("eo", schema, keys = Seq("window_start", "event_type")), wh("eo"))
+    val batch = Seq((at(0), "view", 3L, 1.5, 0.5)).toDF(schema.fieldNames: _*)
+
+    // Spark retries a failed micro-batch under the SAME id — the guard
+    // must make the second delivery a no-op, and the next id commit
+    Sinks.exactlyOnce(table, "t", 0L)(table.upsert(batch))
+    val v1 = table.currentVersion
+    Sinks.exactlyOnce(table, "t", 0L)(table.upsert(batch))
+    assert(table.currentVersion == v1, "replayed batchId must not commit again")
+    Sinks.exactlyOnce(table, "t", 1L)(table.upsert(batch))
+    assert(table.currentVersion == v1 + 1)
+    assert(table.lastCommittedBatch("t") == 1L)
+    assert(table.lastCommittedBatch("other") == -1L)
+  }
+
   test("file-stream source: parquet files landing in a dir drive the hourly upsert") {
     import spark.implicits._
     val events = mkEvents().sortBy(_.ts.getTime)
