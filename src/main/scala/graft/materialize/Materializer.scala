@@ -233,7 +233,12 @@ object Materializer {
     StructField("view_name", StringType),
     StructField("watermark_ts", TimestampType)))
 
+  /** Merge-on-read: advancing a watermark writes ONE row and a commit —
+    * no read, anti-join, or rewrite of the bookkeeping table inside the
+    * materializer's hot loop. Reads merge a handful of one-row files
+    * until compaction.
+    */
   def watermarkTableDef: graft.tables.TableDef =
     graft.tables.TableDef("materialization_watermarks", watermarkSchema,
-      keys = Seq("view_name"))
+      keys = Seq("view_name"), mergeOnRead = true)
 }

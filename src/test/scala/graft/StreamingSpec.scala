@@ -394,6 +394,52 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(table.readLogical(), batchTwin, "file-stream hourly upsert")
   }
 
+  test("query restart from checkpoint resumes without loss or duplication") {
+    import spark.implicits._
+    val events = mkEvents().sortBy(_.ts.getTime)
+    val (first, second) = events.splitAt(events.size / 2)
+    val srcDir = wh("restart") + "/incoming"
+    java.nio.file.Files.createDirectories(Paths.get(srcDir))
+    val schema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType),
+      StructField("avg_value", DoubleType)))
+    val table = new GraftTable(spark,
+      TableDef("hourly_restart", schema, keys = Seq("window_start", "event_type"),
+        mergeOnRead = true),
+      wh("restart_wh"))
+    val evSchema = spark.createDataset(events).schema
+    def start() = Sinks.hourlyUpsert(
+      spark.readStream.schema(evSchema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+      table, Paths.get(sys.props("java.io.tmpdir"), "graft_ckpt", "restart").toString)
+
+    val ck = Paths.get(sys.props("java.io.tmpdir"), "graft_ckpt", "restart")
+    if (Files.exists(ck))
+      Files.walk(ck).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+    // run 1: first half, then STOP — simulating a crash/redeploy
+    val q1 = start()
+    spark.createDataset(first).coalesce(1).write.mode("append").parquet(srcDir)
+    q1.processAllAvailable()
+    q1.stop()
+    // run 2: same checkpoint picks up from the logged offsets
+    spark.createDataset(second).coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val batchTwin = spark.createDataset(events).toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"), col("avg_value"))
+    assertSameRows(table.readLogical(), batchTwin, "restart recovery")
+  }
+
   test("multi-sink fan-out feeds clean/rejected/quality consistently from one pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
