@@ -449,16 +449,29 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   // ---- maintenance ----
 
-  /** M7 — compaction: rewrite the live set into ~targetBytes files
-    * (reference threshold 128 MB, maintenance.sh:66-67). Partition
-    * layout is preserved; small per-partition files merge because the
-    * rewrite repartitions by partition value before writing.
+  /** M7 — binpack compaction: files already near `targetBytes` carry
+    * into the new commit BY NAME; only under-sized files are read,
+    * merged, and rewritten (reference threshold 128 MB,
+    * maintenance.sh:66-67; Iceberg's rewrite_data_files binpack makes
+    * the same split). At 100 TB this is what keeps a maintenance pass
+    * O(small files), not O(table). Partition layout is preserved —
+    * the rewrite repartitions by partition value before writing.
+    *
+    * Exception: merge-on-read tables compact EVERYTHING — compaction
+    * doubles as the merge materializer there, and carrying a file by
+    * name would leave it on an older sequence than the rewrite,
+    * manufacturing a bogus latest-wins ordering.
     */
   def compact(targetBytes: Long = 128L * 1024 * 1024): CommitMeta = {
     val live = commits.lastOption.map(_.files).getOrElse(Nil)
-    val totalBytes = live.map(f => new File(s"$dataDir/$f").length()).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = readLogical()
+    val (keep, small) =
+      if (defn.mergeOnRead) (Nil, live)
+      else live.partition(f => new File(s"$dataDir/$f").length() >= targetBytes * 9 / 10)
+    val smallBytes = small.map(f => new File(s"$dataDir/$f").length()).sum
+    val nFiles = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+    val df =
+      if (defn.mergeOnRead) readLogical() // resolves latest-wins
+      else readFilesAs(small).select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     val compacted =
       if (partCols.nonEmpty)
         withPartitionCols(df)
@@ -466,7 +479,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nFiles)
     val added = writeFiles(compacted)
-    writeCommit("compact", footerRowCount(added), added)
+    writeCommit("compact", footerRowCount(keep) + footerRowCount(added), keep ++ added)
   }
 
   /** M8a — expire snapshots older than `olderThanMs`, always keeping the

@@ -134,6 +134,24 @@ class TablesSpec extends AnyFunSuite {
     assert(t.read().filter(col("p_grp") === "g0").count() == 30)
   }
 
+  test("binpack compaction carries right-sized files by name, merges the rest") {
+    val t = new GraftTable(spark, TableDef("t10", schema), freshRoot("t10"))
+    t.append(df(0 until 5000, "big", 1.0)) // one larger file
+    for (i <- 0 until 4) t.append(df(10000 + i * 10 until 10000 + (i + 1) * 10, "small", 2.0))
+    val live = t.commits.last.files
+    // pick a threshold between the big file and the small ones so the
+    // big file is "right-sized" and must be carried over untouched
+    val bigFile = t.commits.head.files.head
+    val bigLen = new java.io.File(
+      Paths.get(sys.props("java.io.tmpdir"), "graft_test_wh", "t10", "t10", "data", bigFile).toString).length()
+    t.compact(targetBytes = bigLen)
+    val after = t.commits.last.files
+    assert(after.contains(bigFile), "right-sized file must survive by name")
+    assert(after.size < live.size, "small files must merge")
+    assert(t.readLogical().count() == 5040)
+    assert(t.commits.last.rowCount == 5040)
+  }
+
   test("expireSnapshots + removeOrphans delete old commits and unreferenced files") {
     val t = new GraftTable(spark, TableDef("t5", schema, keys = Seq("id")), freshRoot("t5"))
     t.upsert(df(0 until 10, "a", 1.0))
