@@ -49,6 +49,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("embedding near-dup pair join is keyed on the LSH bucket, never nested-loop") {
+    val plan = planOf("dedup_embedding_cosine")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pair generation must be a keyed join on the bucket:\n$plan")
+    assert(plan.contains("bucket"), plan)
+  }
+
   test("one-pass spine uses a single scan (partial+final agg, no join)") {
     val plan = planOf("a5_spine_onepass")
     assert(!plan.contains("Join"), s"one-pass spine must not join:\n$plan")
