@@ -86,5 +86,42 @@ object MaterializeOps {
     cat.table("mat_hourly").readLogical()
   }
 
-  val all: Seq[QueryDef] = Seq(m4IncrementalMatview)
+  /** M6 — stale-row repair through the oracle: the second batch's
+    * stragglers land ~2 weeks BEHIND the advanced watermark, far outside
+    * the 48 h lookback, so only the stale-repair pass (wide detection
+    * window, key-level delete+re-insert) can converge the mat table to
+    * DuckDB's single-shot recompute. A lookback-only materializer fails
+    * this hash compare.
+    */
+  val m6StaleRepair: QueryDef = QueryDef(
+    "m6_stale_repair_matview",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       event_type, count(*) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { t =>
+    val wh = scratch("m6")
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("events_src", eventsSchema),
+      TableDef("mat_hourly", matSchema, partitions = Seq(DayTransform("window_start")),
+        keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("events_src")
+    val mzr = new Materializer(t.spark, src, hourlyView,
+      cat.table("mat_hourly"), cat.table("materialization_watermarks"))
+
+    val ev = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val cutoff = lit("2024-01-25").cast("timestamp")
+    // stragglers from the FIRST third of the month — beyond any lookback
+    // from the post-cutoff watermark
+    val late = col("ts") < lit("2024-01-10").cast("timestamp") && col("event_id") % 5 === 0
+
+    src.append(ev.filter(col("ts") < cutoff && !late))
+    mzr.run()
+    src.append(ev.filter(col("ts") >= cutoff || late))
+    mzr.run(lookback = "48 hours", staleDetectionWindow = Some("40 days"))
+    cat.table("mat_hourly").readLogical()
+  }
+
+  val all: Seq[QueryDef] = Seq(m4IncrementalMatview, m6StaleRepair)
 }
