@@ -123,5 +123,69 @@ object MaterializeOps {
     cat.table("mat_hourly").readLogical()
   }
 
-  val all: Seq[QueryDef] = Seq(m4IncrementalMatview, m6StaleRepair)
+  /** M5 — dimension repair through the oracle: the per-user view is
+    * enriched from a deterministic user dim; between the two runs every
+    * third user's segment SHIFTS (an SCD2 version landing), and the
+    * second run is told exactly the changed keys. The oracle recomputes
+    * with the FINAL dim, so a materializer that fails to re-enrich the
+    * changed users' historical rows fails the hash compare.
+    */
+  val m5DimRepair: QueryDef = QueryDef(
+    "m5_dim_repair_matview",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       user_id,
+      |       CASE WHEN user_id % 3 = 0 THEN 'SHIFTED'
+      |            ELSE concat('SEG', CAST(user_id % 4 AS VARCHAR)) END AS segment,
+      |       count(*) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin) { t =>
+    val wh = scratch("m5")
+    val enrichedSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("user_id", LongType),
+      StructField("segment", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    // the dim "version" the view closure reads — flipped between runs,
+    // simulating an SCD2 version landing in the dim table
+    var shifted = false
+    val view = MatView(
+      name = "hourly_enriched",
+      tsCol = "window_start",
+      keyCols = Seq("window_start", "user_id"),
+      compute = facts => {
+        val dim = facts.select(col("user_id")).distinct()
+          .withColumn("segment",
+            when(lit(shifted) && col("user_id") % 3 === 0, lit("SHIFTED"))
+              .otherwise(concat(lit("SEG"), (col("user_id") % 4).cast("string"))))
+        facts.join(broadcast(dim), Seq("user_id"))
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"), col("segment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+          .select(col("window.start").as("window_start"),
+            col("user_id"), col("segment"), col("n"), col("total_value"))
+      })
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("events_src", eventsSchema),
+      TableDef("mat_enriched", enrichedSchema,
+        partitions = Seq(DayTransform("window_start")),
+        keys = Seq("window_start", "user_id")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("events_src")
+    val mzr = new Materializer(t.spark, src, view,
+      cat.table("mat_enriched"), cat.table("materialization_watermarks"))
+
+    val ev = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    src.append(ev.filter(col("ts") < cutoff))
+    mzr.run() // materialized with the PRE-shift dim
+    shifted = true // the dim version lands
+    src.append(ev.filter(col("ts") >= cutoff))
+    val changedKeys = src.readLogical().select(col("user_id"))
+      .filter(col("user_id") % 3 === 0).distinct()
+    mzr.run(changedDimKeys = Some(changedKeys))
+    cat.table("mat_enriched").readLogical()
+  }
+
+  val all: Seq[QueryDef] = Seq(m4IncrementalMatview, m5DimRepair, m6StaleRepair)
 }
