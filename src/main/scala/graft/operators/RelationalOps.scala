@@ -30,8 +30,10 @@ object RelationalOps {
       |       round(sum(l_quantity), 2)       AS sum_qty,
       |       round(sum(l_extendedprice), 2)  AS sum_base_price,
       |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |       round(avg(l_quantity), 4)       AS avg_qty,
-      |       round(avg(l_discount), 4)       AS avg_disc,
+      |       CAST((CAST(round(round(sum(l_quantity), 2) * 100) AS BIGINT) * 200 + count(*))
+      |            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_qty,
+      |       CAST((CAST(round(round(sum(l_discount), 2) * 100) AS BIGINT) * 200 + count(*))
+      |            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_disc,
       |       count(*)                        AS n_rows
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin) { t =>
@@ -42,8 +44,8 @@ object RelationalOps {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        expr("CAST((CAST(round(round(sum(l_quantity), 2) * 100) AS BIGINT) * 200 + count(*)) DIV (2 * count(*)) AS DOUBLE) / 10000").as("avg_qty"),
+        expr("CAST((CAST(round(round(sum(l_discount), 2) * 100) AS BIGINT) * 200 + count(*)) DIV (2 * count(*)) AS DOUBLE) / 10000").as("avg_disc"),
         count(lit(1)).as("n_rows"))
   }
 

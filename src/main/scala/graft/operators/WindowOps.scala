@@ -50,13 +50,22 @@ object WindowOps {
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
       |       event_type, count(*) AS n,
       |       round(sum(value), 2) AS total_value,
-      |       round(avg(value), 4) AS avg_value
+      |       CAST((CAST(round(round(sum(value), 2) * 100) AS BIGINT) * 200 + count(*))
+      |            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin) { t =>
+    // avg derives from the ROUNDED total via INTEGER arithmetic: engines
+    // sum doubles in different orders, so a raw avg() can land on a
+    // rounding boundary, and even round(total/n, 4) ties exactly at the
+    // half-step (seen at sf0.1: 1512.12/32 = 47.25375 — Spark HALF_UPs
+    // the decimal string, DuckDB floors the double multiply). Half-up
+    // division of the agreed cents total in BIGINT is identical
+    // everywhere: (cents*200 + n) div (2n) / 1e4.
     t.events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("total_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        round(sum(col("value")), 2).as("total_value"))
+      .withColumn("avg_value",
+        expr("CAST((CAST(round(total_value * 100) AS BIGINT) * 200 + n) DIV (2 * n) AS DOUBLE) / 10000"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"), col("avg_value"))
   }

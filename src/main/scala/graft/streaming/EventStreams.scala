@@ -49,8 +49,9 @@ object EventStreams {
     withWatermark(events)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("total_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        round(sum(col("value")), 2).as("total_value"))
+      .withColumn("avg_value",
+        expr("CAST((CAST(round(total_value * 100) AS BIGINT) * 200 + n) DIV (2 * n) AS DOUBLE) / 10000"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"), col("avg_value"))
 
