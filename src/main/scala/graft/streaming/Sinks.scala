@@ -23,17 +23,19 @@ object Sinks {
     * for this sink. Spark retries a failed micro-batch under the SAME
     * batchId, and foreachBatch offers at-least-once delivery — without
     * this guard a crash between the table commit and the checkpoint
-    * write would replay the batch and double-append it. The watermark
-    * lives beside the table's commit log (the same idempotence scheme
-    * Iceberg's sink uses via snapshot summary properties), making every
-    * sink below exactly-once end to end.
+    * write would replay the batch and double-append it. The batch id is
+    * embedded in the table commit's own atomic tmp+rename json
+    * ([[GraftTable.withSinkMark]]) — the same scheme Iceberg's sink uses
+    * via snapshot summary properties — so there is no window where data
+    * is committed but the mark is not: every sink below is exactly-once
+    * end to end. `commit` must make at most ONE table commit (each one
+    * embeds the mark, so a second commit in the same body would not be
+    * replay-protected independently); every sink below commits once.
     */
   private[graft] def exactlyOnce(
       table: GraftTable, sinkId: String, batchId: Long)(commit: => Unit): Unit =
-    if (batchId > table.lastCommittedBatch(sinkId)) {
-      commit
-      table.markCommittedBatch(sinkId, batchId)
-    }
+    if (batchId > table.lastCommittedBatch(sinkId))
+      table.withSinkMark(sinkId, batchId)(commit)
 
   /** Continuous hourly aggregation → keyed upsert table. The table MUST
     * be keyed by (window_start, event_type); every micro-batch re-emits

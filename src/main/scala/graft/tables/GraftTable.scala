@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -21,7 +22,13 @@ final case class CommitMeta(
     tsMs: Long,
     op: String,
     rowCount: Long,
-    files: Seq[String])
+    files: Seq[String],
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    sinkBatches: Map[String, Long] = Map.empty) {
+  /** Jackson leaves a missing field null on old commit jsons. */
+  def sinkBatchesOrEmpty: Map[String, Long] =
+    Option(sinkBatches).getOrElse(Map.empty)
+}
 
 /** Conservative file-pruning hint for replace commits: every row the
   * delete-condition can match is guaranteed to lie within
@@ -87,7 +94,12 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   def currentVersion: Int = commits.lastOption.map(_.version).getOrElse(0)
 
   private def writeCommit(op: String, rowCount: Long, files: Seq[String]): CommitMeta = {
-    val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op, rowCount, files)
+    // every commit carries the full per-sink batch watermark forward, so
+    // the LATEST commit is always authoritative and expiring old
+    // snapshots never loses a sink's mark
+    val prev = commits.lastOption.map(_.sinkBatchesOrEmpty).getOrElse(Map.empty)
+    val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op, rowCount, files,
+      prev ++ pendingSinkMark)
     val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
     Files.writeString(tmp, mapper.writeValueAsString(meta))
     Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
@@ -424,11 +436,36 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   // ---- streaming sink bookkeeping ----
 
+  /** Sink mark the NEXT commit must persist, set by [[withSinkMark]].
+    * Single-writer table ⇒ a plain var is enough.
+    */
+  private var pendingSinkMark: Map[String, Long] = Map.empty
+
+  /** Run `body` (zero or more table commits for micro-batch `batchId` of
+    * `sinkId`) such that the batch watermark lands ATOMICALLY with the
+    * data: every commit `body` makes embeds (sinkId → batchId) in its
+    * own tmp+rename CommitMeta, exactly as Iceberg's sink stores the
+    * batch id in snapshot summary properties. There is no window where
+    * the data is committed but the mark is not — a crash anywhere leaves
+    * either (no data, no mark) or (data, mark), and the Spark retry of
+    * the same batchId is skipped or replayed correspondingly. If `body`
+    * commits nothing (empty batch), the mark goes to the side file
+    * instead — nothing was appended, so a replay is harmless either way.
+    */
+  def withSinkMark(sinkId: String, batchId: Long)(body: => Unit): Unit = {
+    val v0 = currentVersion
+    pendingSinkMark = Map(sinkId -> batchId)
+    try body
+    finally pendingSinkMark = Map.empty
+    if (currentVersion == v0) markCommittedBatch(sinkId, batchId)
+  }
+
   /** Last micro-batch id committed into this table by `sinkId`, or -1.
     * Spark retries a failed micro-batch under the SAME batchId, so a
     * foreachBatch sink must deduplicate on it (the Structured Streaming
-    * contract; Iceberg's sink stores the same watermark in snapshot
-    * properties). Persisted beside the commit log, swapped atomically.
+    * contract). Authoritative source is the latest commit's embedded
+    * `sinkBatches`; the side file only covers batches that committed no
+    * data (and pre-upgrade tables).
     */
   private def streamState: Map[String, Long] = {
     val p = Paths.get(s"$commitsDir/stream-state.json")
@@ -437,10 +474,17 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
   }
 
-  def lastCommittedBatch(sinkId: String): Long =
-    streamState.getOrElse(sinkId, -1L)
+  def lastCommittedBatch(sinkId: String): Long = {
+    val inCommit = commits.lastOption
+      .flatMap(_.sinkBatchesOrEmpty.get(sinkId)).getOrElse(-1L)
+    math.max(inCommit, streamState.getOrElse(sinkId, -1L))
+  }
 
-  def markCommittedBatch(sinkId: String, batchId: Long): Unit = {
+  /** Side-file mark for batches that committed no data. NOT atomic with
+    * any commit — only [[withSinkMark]] may rely on it, and only for the
+    * empty-batch case.
+    */
+  private def markCommittedBatch(sinkId: String, batchId: Long): Unit = {
     val p = Paths.get(s"$commitsDir/stream-state.json")
     val tmp = Paths.get(s"$commitsDir/.tmp-stream-state.json")
     Files.writeString(tmp, mapper.writeValueAsString(streamState + (sinkId -> batchId)))

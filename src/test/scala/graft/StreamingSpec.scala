@@ -354,6 +354,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.lastCommittedBatch("other") == -1L)
   }
 
+  test("sink batch mark is atomic with the table commit (no replay window)") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType),
+      StructField("avg_value", DoubleType)))
+    val whDir = wh("eo_atomic")
+    val table = new GraftTable(spark,
+      TableDef("eo_atomic", schema, keys = Seq("window_start", "event_type")), whDir)
+    val batch = Seq((at(0), "view", 3L, 1.5, 0.5)).toDF(schema.fieldNames: _*)
+
+    // the mark must live INSIDE the commit json, not a side file: a crash
+    // immediately after the commit rename must still see the batch as done
+    Sinks.exactlyOnce(table, "t", 0L)(table.append(batch))
+    val sideFile = Paths.get(s"$whDir/eo_atomic/_commits/stream-state.json")
+    assert(!Files.exists(sideFile),
+      "data-bearing batch must not depend on the non-atomic side file")
+    assert(table.lastCommittedBatch("t") == 0L)
+
+    // crash AFTER the commit landed but before foreachBatch returned:
+    // Spark replays the same batchId; the embedded mark must skip it
+    val boom = intercept[RuntimeException] {
+      Sinks.exactlyOnce(table, "t", 1L) { table.append(batch); throw new RuntimeException("crash") }
+    }
+    assert(boom.getMessage == "crash")
+    val v1 = table.currentVersion
+    Sinks.exactlyOnce(table, "t", 1L)(table.append(batch)) // the retry
+    assert(table.currentVersion == v1, "retry of a committed batch must be a no-op")
+    assert(table.read().count() == 2, "each batch's rows appended exactly once")
+
+    // empty batch: no commit to embed in — side-file mark is fine (a
+    // replay would re-commit nothing)
+    Sinks.exactlyOnce(table, "t", 2L) { () }
+    assert(table.lastCommittedBatch("t") == 2L)
+
+    // maintenance must not lose the mark: compaction + expiry rewrite /
+    // drop commits, the carried-forward map keeps the watermark
+    table.compact(targetBytes = 1024 * 1024)
+    table.expireSnapshots(olderThanMs = -1000L)
+    assert(table.lastCommittedBatch("t") == 2L)
+  }
+
   test("file-stream source: parquet files landing in a dir drive the hourly upsert") {
     import spark.implicits._
     val events = mkEvents().sortBy(_.ts.getTime)
