@@ -183,6 +183,13 @@ final class Materializer(
   /** M6 — stale-row repair: inside the detection window, any key whose
     * freshly computed row differs from the materialized row (a late
     * downstream event flipped a funnel flag) is deleted and re-inserted.
+    * The diff is symmetric: keys that changed or appeared come from
+    * `fresh \ current`, keys whose materialized row is no longer
+    * derivable at all (a phantom — e.g. its source facts were repaired
+    * away) come from `current \ fresh`. A phantom key has no replacement
+    * row, so the delete side of [[GraftTable.replaceKeys]] removes it —
+    * one-directional detection would leave it in place forever, every
+    * later run re-flagging the same fingerprint drift without converging.
     */
   def staleRepair(wm: Timestamp, detectionWindow: String): Unit = {
     val cond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $detectionWindow")
@@ -192,7 +199,9 @@ final class Materializer(
     // fingerprint fast path: a clean detection window (the common case
     // for steady-state runs) costs two scans, never an exceptAll shuffle
     if (fingerprint(fresh) == fingerprint(current)) return
-    val staleKeys = fresh.exceptAll(current).select(view.keyCols.map(col): _*)
+    val keyCols = view.keyCols.map(col)
+    val staleKeys = fresh.exceptAll(current).select(keyCols: _*)
+      .union(current.exceptAll(fresh).select(keyCols: _*))
     if (!staleKeys.isEmpty) {
       val replacement = fresh.join(staleKeys.distinct(), view.keyCols, "left_semi")
       // file pruning is sound only when the key tuple pins the row's

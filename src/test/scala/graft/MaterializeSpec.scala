@@ -220,6 +220,51 @@ class MaterializeSpec extends AnyFunSuite {
     assertConverged(mat, view.compute(src.readLogical()), "after pruned repair")
   }
 
+  test("stale repair deletes phantom rows no longer derivable from the source") {
+    val root = wh("phantom")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mat = cat.table("mat")
+    val mzr = new Materializer(spark, src, view, mat, cat.table("materialization_watermarks"))
+    def full = view.compute(src.readLogical())
+
+    src.append(toDf((1L to 20L).map(i =>
+      ev(i, 1, (i % 24).toInt, i % 5, if (i % 3 == 0) "click" else "view", i.toDouble))))
+    mzr.run()
+
+    // inject a phantom: a materialized key with NO source facts behind it
+    // (the analog of source rows repaired away after materialization) —
+    // `fresh \ current` is empty for it, only `current \ fresh` sees it.
+    // Placed BEYOND the 48 h lookback so only the stale pass can see it
+    // (the lookback pass's replaceWhere would absorb a nearer one).
+    import spark.implicits._
+    mat.append(Seq((Timestamp.valueOf("2024-01-20 12:00:00"), "purchase", 99L, 9.9))
+      .toDF(matSchema.fieldNames: _*))
+    val before = mat.readLogical()
+    assert(before.exceptAll(full).count() == 1, "phantom must be visible pre-repair")
+
+    mzr.run(staleDetectionWindow = Some("30 days"))
+    assertConverged(mat, full, "after phantom stale-repair")
+    // and the fix must CONVERGE: a second run finds no drift (no commit)
+    val v = mat.currentVersion
+    mzr.run(staleDetectionWindow = Some("30 days"))
+    assert(mat.currentVersion == v, "second stale-repair run must be a no-op")
+  }
+
   test("dimension repair re-enriches rows whose dim key changed (M5)") {
     val root = wh("dim")
     // mutable dim the view closure reads — simulates an SCD2 dim getting
