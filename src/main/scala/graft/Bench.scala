@@ -12,8 +12,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.get(cpus)
     // Deterministic order; warm the session once so the first measured
-    // query doesn't pay JVM/parquet-footer warm-up.
+    // query doesn't pay JVM/parquet-footer warm-up. SPARK_GRAFT_ONLY
+    // (regex) narrows the run for local A/B — per-query timing in one
+    // JVM is the only comparison that beats the ±15% between-run noise.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val defs = SparkEntry.registry.sortBy(_.name)
+      .filter(q => only.forall(_.findFirstIn(q.name).isDefined))
     Tables(spark, sfDir).lineitem.count()
     val results = defs.map { q =>
       val t0 = System.nanoTime()

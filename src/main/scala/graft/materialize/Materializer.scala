@@ -174,11 +174,13 @@ final class Materializer(
     mat.replaceKeys(changedKeys, fkCols, fresh)
   }
 
-  /** M3 — append view rows strictly after the watermark. */
-  def appendNew(wm: Timestamp): Unit = {
-    val fresh = viewDf.filter(ts > lit(wm))
-    if (!fresh.isEmpty) mat.append(fresh)
-  }
+  /** M3 — append view rows strictly after the watermark. No emptiness
+    * pre-check: that would evaluate the slice once to decide and again to
+    * write; [[GraftTable.append]] skips the commit itself when the write
+    * produced no files.
+    */
+  def appendNew(wm: Timestamp): Unit =
+    mat.append(viewDf.filter(ts > lit(wm)))
 
   /** M6 — stale-row repair: inside the detection window, any key whose
     * freshly computed row differs from the materialized row (a late
@@ -197,13 +199,24 @@ final class Materializer(
     val fresh = viewDf.filter(cond)
     val current = mat.readRangeLogical(view.tsCol, loMicros, Long.MaxValue).filter(cond)
     // fingerprint fast path: a clean detection window (the common case
-    // for steady-state runs) costs two scans, never an exceptAll shuffle
+    // for steady-state runs) costs two scans, never a row shuffle
     if (fingerprint(fresh) == fingerprint(current)) return
-    val keyCols = view.keyCols.map(col)
-    val staleKeys = fresh.exceptAll(current).select(keyCols: _*)
-      .union(current.exceptAll(fresh).select(keyCols: _*))
-    if (!staleKeys.isEmpty) {
-      val replacement = fresh.join(staleKeys.distinct(), view.keyCols, "left_semi")
+    // symmetric multiset diff in ONE shuffle: tag each side ±1, group by
+    // the full row — any row whose per-side counts differ marks its key
+    // stale. Two exceptAll calls would shuffle both sides twice for the
+    // same answer. Fingerprints differ ⇒ the diff is non-empty, so no
+    // emptiness pre-check; persisted because both the replacement
+    // semi-join and replaceKeys' anti-join consume it.
+    val rowCols = fresh.columns.map(col)
+    val staleKeys = fresh.withColumn("__side", lit(1L))
+      .unionByName(current.withColumn("__side", lit(-1L)))
+      .groupBy(rowCols: _*)
+      .agg(sum(col("__side")).as("__d"))
+      .filter(col("__d") =!= 0)
+      .select(view.keyCols.map(col): _*).distinct()
+      .persist()
+    try {
+      val replacement = fresh.join(staleKeys, view.keyCols, "left_semi")
       // file pruning is sound only when the key tuple pins the row's
       // timestamp — then a stale key can only match rows inside the
       // detection window the key itself came from
@@ -212,7 +225,7 @@ final class Materializer(
           Some(RangePrune(view.tsCol, loMicros, Long.MaxValue))
         else None
       mat.replaceKeys(staleKeys, view.keyCols, replacement, prune)
-    }
+    } finally staleKeys.unpersist()
   }
 
   /** The full protocol: CTAS on first run, else repair+append passes,

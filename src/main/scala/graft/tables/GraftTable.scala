@@ -241,13 +241,25 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   /** S4 — partitioned append. Row count = previous count + count of the
     * NEW files only — an append commit must never re-scan the table.
+    * Appending zero rows to a non-empty table writes no files and no
+    * commit (callers then skip the did-I-have-rows pre-check, which
+    * would evaluate the input twice).
     */
   def append(df: DataFrame): CommitMeta = {
     val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
     val prev = commits.lastOption
-    val live = prev.map(_.files).getOrElse(Nil) ++ added
-    val total = prev.map(_.rowCount).getOrElse(0L) + footerRowCount(added)
-    writeCommit("append", total, live)
+    val addedRows = footerRowCount(added)
+    prev match {
+      case Some(p) if addedRows == 0 =>
+        // a zero-row write leaves at most one schema-only file behind
+        // (Spark writes it when the plan collapses to an empty relation)
+        added.foreach(f => Files.deleteIfExists(Paths.get(s"$dataDir/$f")))
+        p
+      case _ =>
+        val live = prev.map(_.files).getOrElse(Nil) ++ added
+        val total = prev.map(_.rowCount).getOrElse(0L) + addedRows
+        writeCommit("append", total, live)
+    }
   }
 
   /** M1 — full overwrite (CTAS materialization). */
