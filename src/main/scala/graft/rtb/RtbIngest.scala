@@ -128,6 +128,18 @@ object RtbIngest {
     val c = clicks.dropDuplicates("click_id")
       .select(col("click_id"), col("impression_id").as("c_impression_id"),
         parseTs(col("event_timestamp")).as("c_ts"))
+    funnelHourlyFromStages(r, b, i, c)
+  }
+
+  /** The funnel over already-normalized, already-deduplicated stage
+    * frames — shared by [[funnelHourly]] (raw nested events) and the
+    * serving path over ingested tables ([[graft.streaming.Jobs]]).
+    * Expected columns: r(request_id, r_ts), b(response_id, b_request_id,
+    * b_ts), i(impression_id, i_request_id, i_ts),
+    * c(click_id, c_impression_id, c_ts).
+    */
+  def funnelHourlyFromStages(
+      r: DataFrame, b: DataFrame, i: DataFrame, c: DataFrame): DataFrame = {
     val chained = r
       .join(b, col("request_id") === col("b_request_id") &&
         col("b_ts") >= col("r_ts") && col("b_ts") <= col("r_ts") + expr("INTERVAL 5 SECONDS"),

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import graft.gen.RtbGenerator
+import graft.model.OpenRtb._
+import graft.rtb.RtbIngest
+import graft.streaming.Jobs
+import graft.tables.TableCatalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end topology test — the reference's full deployment
+  * (generator → topics → ingestion job → tables → serving views) run
+  * through [[Jobs]]: seeded generator events stream in two arrival
+  * chunks through the ingestion statement-set into day-partitioned
+  * tables, and the serving views over those tables must equal both the
+  * batch recompute over the raw events AND the generator's own ground
+  * truth. Any loss, duplication, mis-flatten, or mis-join anywhere in
+  * the chain breaks an equality.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def fresh(base: String, name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), base, name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, hint: String): Unit = {
+    val extraA = a.exceptAll(b).count()
+    val extraB = b.exceptAll(a).count()
+    assert(extraA == 0 && extraB == 0,
+      s"$hint: $extraA rows only in left, $extraB only in right")
+  }
+
+  test("generator → streaming ingestion → tables → serving == batch == truth") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // duplicates + every fault class ON so the dedup/reject paths carry
+    val funnel = RtbGenerator.generate(
+      seed = 20260812L, nRequests = 1200,
+      startMs = 1704103200000L, // 2024-01-01 10:00:00 UTC
+      spanMs = 2 * 3600 * 1000L,
+      rates = RtbGenerator.Rates(
+        dupRequest = 0.04, dupResponse = 0.04, dupImpression = 0.04, dupClick = 0.04))
+
+    val cat = new TableCatalog(spark, fresh("graft_pipeline_wh", "e2e"),
+      Jobs.ingestionTableDefs(spark))
+    val ckpt = fresh("graft_pipeline_ckpt", "e2e")
+
+    val rS = MemoryStream[BidRequest]
+    val bS = MemoryStream[BidResponse]
+    val iS = MemoryStream[ImpressionEvent]
+    val cS = MemoryStream[ClickEvent]
+    val pipe = Jobs.ingestion(rS.toDF(), bS.toDF(), iS.toDF(), cS.toDF(), cat, ckpt)
+
+    // two arrival chunks — each source commits ≥2 micro-batches, so the
+    // exactly-once guards and append commit chain are exercised
+    def feed[T](s: MemoryStream[T], xs: Seq[T], firstHalf: Boolean): Unit = {
+      val (a, b) = xs.splitAt(xs.size / 2)
+      s.addData(if (firstHalf) a else b)
+    }
+    for (first <- Seq(true, false)) {
+      feed(rS, funnel.requests, first)
+      feed(bS, funnel.responses, first)
+      feed(iS, funnel.impressions, first)
+      feed(cS, funnel.clicks, first)
+      pipe.processAllAvailable()
+    }
+    pipe.stop()
+    cat.checkDrift() // S7 on every ingested table
+
+    // ingested tables == batch recompute over the raw events
+    val rawReq = spark.createDataset(funnel.requests).toDF()
+    val rawResp = spark.createDataset(funnel.responses).toDF()
+    val rawImp = spark.createDataset(funnel.impressions).toDF()
+    val rawClk = spark.createDataset(funnel.clicks).toDF()
+    val flatBatch = RtbIngest.flattenRequests(rawReq)
+    assertSameRows(cat.table(Jobs.cleanTable).readLogical(),
+      RtbIngest.cleanRequests(flatBatch), "clean_requests")
+    assertSameRows(cat.table(Jobs.rejectedTable).readLogical(),
+      RtbIngest.rejectedRequests(flatBatch), "rejected_requests")
+    assertSameRows(cat.table(Jobs.bidsTable).readLogical(),
+      RtbIngest.flattenBids(rawResp), "bids")
+
+    // serving funnel over stored tables == batch funnel over raw events
+    val served = Jobs.servingFunnelHourly(cat)
+    val batchFunnel = RtbIngest.funnelHourly(rawReq, rawResp, rawImp, rawClk)
+    assertSameRows(served, batchFunnel, "serving funnel vs batch funnel")
+
+    // ... == the generator's own bookkeeping (stage latencies are within
+    // the join windows by construction, so nothing may fall out)
+    val tot = served.agg(
+      sum("n_requests"), sum("n_responses"), sum("n_impressions"), sum("n_clicks"))
+      .collect().head
+    assert(tot.getLong(0) == funnel.truth.requests, "funnel n_requests vs truth")
+    assert(tot.getLong(1) == funnel.truth.responses, "funnel n_responses vs truth")
+    assert(tot.getLong(2) == funnel.truth.impressions, "funnel n_impressions vs truth")
+    assert(tot.getLong(3) == funnel.truth.clicks, "funnel n_clicks vs truth")
+
+    // serving metrics (J8 pre-agg guard): totals vs truth — duplicate
+    // impressions/clicks injected by the generator must all collapse
+    val metrics = Jobs.servingMetricsByBidder(cat)
+    val mTot = metrics.agg(sum("n_impressions"), sum("n_clicks")).collect().head
+    assert(mTot.getLong(0) == funnel.truth.impressions, "metrics n_impressions vs truth")
+    assert(mTot.getLong(1) == funnel.truth.clicks, "metrics n_clicks vs truth")
+
+    // the injected rejects all landed in rejected_requests with the
+    // right precedence-ordered reasons
+    val rej = cat.table(Jobs.rejectedTable).readLogical()
+    assert(rej.filter(col("reject_reason") === "TEST_PUBLISHER")
+      .select(countDistinct(col("request_id"))).collect().head.getLong(0)
+      == funnel.truth.testPublisherRequests, "TEST_PUBLISHER rejects vs truth")
+  }
+}
