@@ -146,6 +146,124 @@ object Jobs {
         _.withColumn("event_ts", RtbIngest.parseTs(col("event_timestamp"))))))
   }
 
+  val pairsTable = "impression_request_pairs"
+  val geoTable = "hourly_impressions_by_geo"
+
+  /** Tables of the aggregation job (S6). The pairs table is the
+    * storage link between its two queries; the geo table is the keyed
+    * upsert serving table (hourly_impressions_by_geo.yml:17-21).
+    */
+  def aggregationTableDefs(spark: SparkSession): Seq[TableDef] = {
+    import org.apache.spark.sql.types._
+    val pairsSchema = StructType(Seq(
+      StructField("impression_id", StringType),
+      StructField("request_id", StringType),
+      StructField("country", StringType),
+      StructField("win_price", DoubleType),
+      StructField("event_ts", TimestampType)))
+    val geoSchema = StructType(Seq(
+      StructField("hour", TimestampType),
+      StructField("country", StringType),
+      StructField("n_impressions", LongType),
+      StructField("total_win_cents", LongType)))
+    Seq(
+      TableDef(pairsTable, pairsSchema),
+      TableDef(geoTable, geoSchema, keys = Seq("hour", "country")))
+  }
+
+  /** The aggregation job (aggregation_jobs.sql:19-55) over the INGESTED
+    * tables: per-stream dedup within the watermark (A3, :31-50), a
+    * stream-stream interval join back to the request's geo (J1, :42-52),
+    * and a continuously-revised hourly upsert (A7/S5, :19-26). Spark
+    * rejects an event-time aggregation directly downstream of a
+    * stream-stream join in one query (two event-time columns — the same
+    * wall the reference hit in Flink, hence its FLOOR+upsert comment),
+    * so the job is TWO queries chained through the pairs table, exactly
+    * how the reference chains its Flink jobs through Iceberg:
+    *
+    *   clean_requests ─┐ (tail)     dedup ⋈ interval ┌→ pairs (append)
+    *   impressions   ──┘                              └→ tail → hourly agg
+    *                                                       → geo upsert
+    *
+    * State stays bounded by the watermark + join bounds (W4): a request
+    * is droppable once the impression-side watermark passes its
+    * event time + the join window.
+    */
+  def aggregationGeo(cat: TableCatalog, checkpointRoot: String): IngestionPipeline = {
+    val clean = cat.table(cleanTable)
+    val imps = cat.table(impressionsTable)
+    val pairs = cat.table(pairsTable)
+    val geo = cat.table(geoTable)
+    val spark = clean.spark
+
+    // tail a stored table as a file stream (recursive lookup: partition
+    // dirs hold the files; every logical column lives in the data files)
+    def tail(t: GraftTable): DataFrame = spark.readStream
+      .schema(t.defn.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(t.dataPath)
+
+    val r = tail(clean)
+      .select(col("request_id"), col("device_geo_country").as("country"), col("event_ts"))
+      .withWatermark("event_ts", "30 seconds")
+      .dropDuplicatesWithinWatermark("request_id") // per-imp rows + injected dups
+      .alias("r")
+    val i = tail(imps)
+      .select(col("impression_id"), col("request_id"), col("win_price"), col("event_ts"))
+      .withWatermark("event_ts", "30 seconds")
+      .dropDuplicatesWithinWatermark("impression_id")
+      .alias("i")
+    // request→impression latency ≤ 5 s (response) + 10 s (win) by the
+    // funnel's construction; the two-sided bound lets BOTH states evict
+    val joined = i.join(r,
+      expr("""i.request_id = r.request_id AND
+             |r.event_ts BETWEEN i.event_ts - INTERVAL 15 SECONDS AND i.event_ts""".stripMargin))
+      .select(col("i.impression_id"), col("i.request_id"), col("r.country"),
+        col("i.win_price"), col("i.event_ts"))
+
+    val pairsQ = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/pairs")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Sinks.exactlyOnce(pairs, "agg", batchId)(pairs.append(batch))
+        ()
+      }
+      .start()
+
+    // cent-exact win spend: win prices are cent-denominated, so the sum
+    // is order-independent as a long (a double sum's rounding would not be)
+    val aggQ = tail(pairs)
+      .withWatermark("event_ts", "30 seconds")
+      // window() grouping, not a derived date_trunc column — the
+      // streaming agg's state schema only resolves the blessed window
+      // construct (a derived grouping column dies with
+      // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in update mode)
+      .groupBy(window(col("event_ts"), "1 hour"), col("country"))
+      .agg(count(lit(1)).as("n_impressions"),
+        sum(round(col("win_price") * 100).cast("long")).as("total_win_cents"))
+      .select(col("window.start").as("hour"), col("country"),
+        col("n_impressions"), col("total_win_cents"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$checkpointRoot/geo")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // detach from the streaming plan before the upsert: the COW
+        // upsert joins the batch against the table AND unions it, and
+        // the doubly-referenced micro-batch agg plan trips AQE exchange
+        // reuse (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND binding the partial
+        // agg output); an RDD boundary gives the reused subtree stable
+        // attributes
+        val stable = spark.createDataFrame(batch.rdd, batch.schema)
+        Sinks.exactlyOnce(geo, "agg", batchId) {
+          if (!stable.isEmpty) geo.upsert(stable)
+        }
+        ()
+      }
+      .start()
+
+    IngestionPipeline(Seq(pairsQ, aggQ))
+  }
+
   /** J3/A2/A3/P10/P11 over the STORED tables — the reference's serving
     * funnel view. Requests = clean ∪ rejected (the raw table analog);
     * every stage dedups on its event id before the chained joins.

@@ -53,7 +53,7 @@ class PipelineSpec extends AnyFunSuite {
         dupRequest = 0.04, dupResponse = 0.04, dupImpression = 0.04, dupClick = 0.04))
 
     val cat = new TableCatalog(spark, fresh("graft_pipeline_wh", "e2e"),
-      Jobs.ingestionTableDefs(spark))
+      Jobs.ingestionTableDefs(spark) ++ Jobs.aggregationTableDefs(spark))
     val ckpt = fresh("graft_pipeline_ckpt", "e2e")
 
     val rS = MemoryStream[BidRequest]
@@ -61,6 +61,9 @@ class PipelineSpec extends AnyFunSuite {
     val iS = MemoryStream[ImpressionEvent]
     val cS = MemoryStream[ClickEvent]
     val pipe = Jobs.ingestion(rS.toDF(), bS.toDF(), iS.toDF(), cS.toDF(), cat, ckpt)
+    // the aggregation job runs CONCURRENTLY, tailing the tables the
+    // ingestion job appends — the reference's job-chained topology
+    val aggPipe = Jobs.aggregationGeo(cat, ckpt)
 
     // two arrival chunks — each source commits ≥2 micro-batches, so the
     // exactly-once guards and append commit chain are exercised
@@ -74,8 +77,10 @@ class PipelineSpec extends AnyFunSuite {
       feed(iS, funnel.impressions, first)
       feed(cS, funnel.clicks, first)
       pipe.processAllAvailable()
+      aggPipe.processAllAvailable()
     }
     pipe.stop()
+    aggPipe.stop()
     cat.checkDrift() // S7 on every ingested table
 
     // ingested tables == batch recompute over the raw events
@@ -112,6 +117,29 @@ class PipelineSpec extends AnyFunSuite {
     val mTot = metrics.agg(sum("n_impressions"), sum("n_clicks")).collect().head
     assert(mTot.getLong(0) == funnel.truth.impressions, "metrics n_impressions vs truth")
     assert(mTot.getLong(1) == funnel.truth.clicks, "metrics n_clicks vs truth")
+
+    // the aggregation job's continuously-revised geo table == the batch
+    // twin (dedup → interval join → hourly agg) over the raw events
+    val rB = RtbIngest.cleanRequests(flatBatch)
+      .select(col("request_id"), col("device_geo_country").as("country"), col("event_ts"))
+      .dropDuplicates("request_id").alias("r")
+    val iB = rawImp
+      .withColumn("event_ts", RtbIngest.parseTs(col("event_timestamp")))
+      .dropDuplicates("impression_id").alias("i")
+    val geoBatch = iB.join(rB,
+      expr("""i.request_id = r.request_id AND
+             |r.event_ts BETWEEN i.event_ts - INTERVAL 15 SECONDS AND i.event_ts""".stripMargin))
+      .select(date_trunc("hour", col("i.event_ts")).as("hour"), col("r.country"),
+        round(col("i.win_price") * 100).cast("long").as("win_cents"))
+      .groupBy(col("hour"), col("country"))
+      .agg(count(lit(1)).as("n_impressions"),
+        sum(col("win_cents")).as("total_win_cents"))
+      // materialized: exceptAll between this plan (explode→join→agg) and
+      // the table scan trips a Catalyst attribute-dedup bug
+      // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND binding the Generate)
+      .localCheckpoint()
+    assertSameRows(cat.table(Jobs.geoTable).readLogical(), geoBatch,
+      "hourly_impressions_by_geo vs batch twin")
 
     // the injected rejects all landed in rejected_requests with the
     // right precedence-ordered reasons
