@@ -518,6 +518,17 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * name would leave it on an older sequence than the rewrite,
     * manufacturing a bogus latest-wins ordering.
     */
+  /** True iff a compaction at `targetBytes` would actually rewrite
+    * something: ≥2 under-sized live files (or ANY multi-file live set on
+    * a merge-on-read table, where compaction is also the merge
+    * materializer). A maintenance sweep uses this to skip clean tables.
+    */
+  def needsCompaction(targetBytes: Long = 128L * 1024 * 1024): Boolean = {
+    val live = commits.lastOption.map(_.files).getOrElse(Nil)
+    if (defn.mergeOnRead) live.size > 1
+    else live.count(f => new File(s"$dataDir/$f").length() < targetBytes * 9 / 10) > 1
+  }
+
   def compact(targetBytes: Long = 128L * 1024 * 1024): CommitMeta = {
     val live = commits.lastOption.map(_.files).getOrElse(Nil)
     val (keep, small) =

@@ -58,6 +58,24 @@ final class TableCatalog(spark: SparkSession, val root: String, defs: Seq[TableD
     require(problems.isEmpty, s"schema drift detected:\n${problems.mkString("\n")}")
   }
 
+  /** M7+M8 — the maintenance sweep over every table in the catalog, the
+    * analog of the reference's cron'd maintenance.sh:60-79 (Trino
+    * `optimize` at the 128 MB threshold, then 7-day snapshot expiry and
+    * orphan cleanup, per table). Compaction runs only when a table
+    * actually has under-sized live files — an already-compact table
+    * costs one directory listing, no commit, no rewrite.
+    * Returns (table → files reclaimed) for observability.
+    */
+  def maintain(
+      targetBytes: Long = 128L * 1024 * 1024,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Map[String, Int] =
+    names.map { name =>
+      val t = table(name)
+      if (t.needsCompaction(targetBytes)) t.compact(targetBytes)
+      t.expireSnapshots(retentionMs)
+      name -> t.removeOrphans()
+    }.toMap
+
   /** M9 — purge: delete one table's data and commit log entirely
     * (the reference's clear-data reset, scripts/clear-data.sh).
     */

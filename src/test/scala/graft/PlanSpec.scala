@@ -56,6 +56,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("bucket"), plan)
   }
 
+  test("multi-probe ANN joins candidates on the bucket key, probe side broadcast") {
+    val plan = planOf("ann_lsh_multiprobe")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate generation must be a keyed bucket join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the exploded probe set is tiny and must broadcast:\n$plan")
+  }
+
   test("one-pass spine uses a single scan (partial+final agg, no join)") {
     val plan = planOf("a5_spine_onepass")
     assert(!plan.contains("Join"), s"one-pass spine must not join:\n$plan")

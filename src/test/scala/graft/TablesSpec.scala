@@ -164,6 +164,36 @@ class TablesSpec extends AnyFunSuite {
     assert(t.readLogical().filter(col("grp") === "b").count() == 10)
   }
 
+  test("catalog maintenance sweep compacts, expires, and reclaims across tables") {
+    val root = freshRoot("maint")
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("facts", schema),
+      TableDef("kv", schema, keys = Seq("id"), mergeOnRead = true)))
+    val facts = cat.table("facts")
+    val kv = cat.table("kv")
+    for (i <- 0 until 5) facts.append(df(i * 10 until (i + 1) * 10, "a", 1.0))
+    for (i <- 0 until 4) kv.upsert(df(0 until 10, "b", i.toDouble))
+
+    assert(facts.needsCompaction() && kv.needsCompaction())
+    val factRows = facts.readLogical().count()
+    val kvBefore = kv.readLogical().collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+
+    val reclaimed = cat.maintain(retentionMs = -1000L) // expire everything but latest
+    assert(facts.commits.last.files.size < 5, "facts small files must merge")
+    assert(facts.readLogical().count() == factRows)
+    assert(kv.commits.last.files.size == 1, "MOR compaction materializes the merge")
+    assert(kv.readLogical().collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      == kvBefore, "latest-wins rows must survive maintenance")
+    assert(facts.commits.size == 1 && kv.commits.size == 1, "old snapshots expired")
+    assert(reclaimed.values.sum > 0, "orphaned pre-compaction files reclaimed")
+
+    // second sweep is a no-op: nothing to compact, nothing to reclaim
+    val v = (facts.currentVersion, kv.currentVersion)
+    assert(!facts.needsCompaction() && !kv.needsCompaction())
+    assert(cat.maintain(retentionMs = -1000L).values.sum == 0)
+    assert((facts.currentVersion, kv.currentVersion) == v)
+  }
+
   test("drift check passes on a clean table and fails on schema drift") {
     val root = freshRoot("t6")
     val cat = new TableCatalog(spark, root, Seq(TableDef("t6", schema)))
