@@ -110,11 +110,21 @@ object DedupOps {
           concat_ws("-", transform(slice(col("sig"), b * lit(R) + 1, lit(R)),
             v => v.cast("string"))).as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val left = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val right = bands.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-    left.join(right, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // bucket-LOCAL pair expansion instead of a bucket self-join: the
+    // self-join recomputes the whole shingle→md5→signature pipeline on
+    // BOTH sides (no exchange to reuse — the sides shuffle under
+    // different aliases), where this shape runs it once and shuffles
+    // (band, key, doc_id) exactly once. Per-bucket pair count is
+    // identical (occupancy-bounded — the LSH contract; a capped bucket
+    // size is the standard skew guard either way), but a bucket's pairs
+    // now materialize in one task, so the cap matters at 100 TB.
+    bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b2 => struct(a.as("doc_a"), b2.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
