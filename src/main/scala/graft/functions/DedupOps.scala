@@ -199,6 +199,14 @@ object DedupOps {
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("key", expr("shiftright(simhash, k * 8) & 255"))
+    // deliberately a SELF-JOIN, not the bucket-local pair expansion
+    // lshCandidates uses: simhash band keys are 8-bit (4×256 buckets
+    // total), so buckets are large and collecting one into a single row
+    // concentrates the quadratic pair expansion in one task — measured
+    // 2× SLOWER (10.6 s vs 4.8 s at sf0.1) than the join, which spreads
+    // within-bucket pairs across tasks. Pick the shape by key
+    // cardinality: fine keys (minhash band strings) → bucket-local;
+    // coarse keys (byte bands) → self-join.
     val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
       col("k"), col("key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
