@@ -71,6 +71,53 @@ object MultimodalOps {
     }
   }
 
+  /** Resize (stub): the codec resample is a deterministic stride-sample
+    * of the payload to `w*h` bytes; the REAL parts are the metadata
+    * rewrite (width/height must follow the new payload) and the
+    * partition-batched pure-map execution — swap the byte loop for a
+    * bilinear resample and nothing around it changes.
+    */
+  def resize(assets: Dataset[MediaAsset], w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[MediaAsset] = {
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val out = new Array[Byte](w * h)
+        val n = a.payload.length
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (n == 0) 0 else a.payload((i.toLong * n / out.length).toInt)
+          i += 1
+        }
+        a.copy(width = w, height = h, payload = out)
+      }
+    }
+  }
+
+  final case class VideoFrames(
+      asset_id: Long,
+      n_frames: Int,
+      frames: Seq[Array[Byte]])
+
+  /** Frame sampling (stub): treat the payload as fixed-size frame blocks
+    * and keep every `everyK`-th — the array-of-binary schema, the
+    * per-partition batch shape, and the downstream `explode(frames)` are
+    * the real plumbing a video pipeline needs; the block split stands in
+    * for the container demux.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], frameBytes: Int, everyK: Int)(
+      implicit spark: SparkSession): Dataset[VideoFrames] = {
+    import spark.implicits._
+    require(frameBytes > 0 && everyK > 0)
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val frames = a.payload.grouped(frameBytes).zipWithIndex
+          .collect { case (f, i) if i % everyK == 0 => f }.toSeq
+        VideoFrames(a.asset_id, frames.size, frames)
+      }
+    }
+  }
+
   /** Binary-column plumbing, oracle-checked: text encoded to a binary
     * payload, then byte length + an engine-portable digest computed ON
     * the binary value (Spark side; DuckDB's md5 only takes VARCHAR, but

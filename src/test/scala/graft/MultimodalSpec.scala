@@ -48,4 +48,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"feature extraction must not shuffle:\n$plan")
   }
+
+  test("resize rewrites payload and metadata consistently") {
+    import spark.implicits._
+    val ds = spark.createDataset(mkAssets(20)).repartition(3)
+    val resized = MultimodalOps.resize(ds, w = 16, h = 8).collect().sortBy(_.asset_id)
+    assert(resized.length == 20)
+    assert(resized.forall(a => a.width == 16 && a.height == 8 && a.payload.length == 16 * 8))
+    // deterministic: same input → same bytes
+    val again = MultimodalOps.resize(ds, 16, 8).collect().sortBy(_.asset_id)
+    assert(resized.zip(again).forall { case (a, b) =>
+      java.util.Arrays.equals(a.payload, b.payload)
+    })
+  }
+
+  test("frame sampling produces array-of-binary rows that explode downstream") {
+    import spark.implicits._
+    val assets = mkAssets(12)
+    val ds = spark.createDataset(assets)
+    val sampled = MultimodalOps.sampleFrames(ds, frameBytes = 32, everyK = 2)
+    val got = sampled.collect().sortBy(_.asset_id)
+    assert(got.forall { v =>
+      val total = (assets(v.asset_id.toInt).payload.length + 31) / 32
+      v.n_frames == (total + 1) / 2 && v.frames.size == v.n_frames
+    })
+    // the array<binary> column must survive explode + aggregation
+    val exploded = sampled.toDF()
+      .select(col("asset_id"), explode(col("frames")).as("frame"))
+      .groupBy(col("asset_id")).agg(count(lit(1)).as("n"),
+        sum(octet_length(col("frame"))).as("bytes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.forall(v => exploded(v.asset_id)._1 == v.n_frames &&
+      exploded(v.asset_id)._2 == v.frames.map(_.length.toLong).sum))
+  }
 }
