@@ -164,6 +164,31 @@ class TablesSpec extends AnyFunSuite {
     assert(t.readLogical().filter(col("grp") === "b").count() == 10)
   }
 
+  for (seed <- Seq(11L, 42L)) {
+    test(s"randomized upserts: merge-on-read == copy-on-write under compact/expire (seed $seed)") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val root = freshRoot(s"morprop$seed")
+      val cow = new GraftTable(spark, TableDef("cow", schema, keys = Seq("id")), root)
+      val mor = new GraftTable(spark,
+        TableDef("mor", schema, keys = Seq("id"), mergeOnRead = true), root)
+      def snap(t: GraftTable) = t.readLogical().collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+      for (step <- 0 until 12) {
+        // duplicate keys within a batch are legal (both strategies keep them)
+        val batch = Seq.fill(1 + rnd.nextInt(20))(
+          (rnd.nextInt(40).toLong, s"g${rnd.nextInt(3)}", rnd.nextInt(1000) / 10.0))
+          .toDF("id", "grp", "v")
+        cow.upsert(batch)
+        mor.upsert(batch)
+        // maintenance at random points must never change the logical view
+        if (rnd.nextInt(4) == 0) mor.compact()
+        if (rnd.nextInt(5) == 0) mor.expireSnapshots(olderThanMs = -1000L)
+        assert(snap(mor) == snap(cow), s"seed $seed diverged at step $step")
+      }
+    }
+  }
+
   test("catalog maintenance sweep compacts, expires, and reclaims across tables") {
     val root = freshRoot("maint")
     val cat = new TableCatalog(spark, root, Seq(
