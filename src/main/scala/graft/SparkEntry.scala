@@ -17,7 +17,7 @@ object SparkEntry {
     RelationalOps.all ++ FunnelOps.all ++ WindowOps.all ++
       DedupOps.all ++ TextOps.all ++ AnnOps.all ++ StorageOps.all ++
       Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all ++
-      RunnerOps.all
+      RunnerOps.all ++ RtbOracleOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly funnel spine with guarded conversion rates — the reference's

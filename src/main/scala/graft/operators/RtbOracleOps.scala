@@ -1,0 +1,156 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import graft.QueryDef
+import graft.gen.RtbGenerator
+import graft.rtb.RtbIngest
+import org.apache.spark.sql.functions._
+
+/** The nested OpenRTB pipeline pushed through the DuckDB oracle gate —
+  * not a testdata analog: each query GENERATES the seeded funnel
+  * (S9, deterministic), writes the raw NESTED events as parquet to a
+  * fixed scratch path, recomputes in Spark from the written files, and
+  * the oracle SQL recomputes the same result in DuckDB via
+  * `read_parquet` on the very same files (struct bracket access +
+  * UNNEST replicate the nested projections). This value-checks the real
+  * P1–P7/P9 enrichment and the real J3 funnel on real nested data, both
+  * engines reading identical bytes.
+  *
+  * Deliberately excluded from the projections: `content_cat` (a LIST
+  * cell — the gate hashes scalar cells) and `imp_bidfloor_usd`
+  * (`round(x, 4)` half-tie divergence between engines — P8 is
+  * oracle-checked on exact cents in `p8_currency_case`), and the funnel
+  * rate columns (same `round` tie risk; the counts are exact and the
+  * rates are oracle-checked via a2/a6).
+  */
+object RtbOracleOps {
+
+  // literal path shared with the oracle SQL — must be identical text on
+  // both engines, so no tmpdir indirection
+  private val root = "/tmp/graft_rtb_oracle"
+
+  private def rewrite(dir: String): String = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    dir
+  }
+
+  private val Seed = 987654321L
+  private val N = 1500
+  private val StartMs = 1704103200000L // 2024-01-01 10:00:00 UTC
+  private val SpanMs = 3L * 3600 * 1000
+
+  private val tsSql = "strptime(substr(event_timestamp, 1, 26), '%Y-%m-%dT%H:%M:%S.%f')"
+
+  /** P1–P7/P9 + U1 on REAL nested rows, engine-parity-checked. */
+  val rtbIngestEnrich: QueryDef = QueryDef(
+    "rtb_ingest_enrich",
+    s"""WITH x AS (
+       |  SELECT id, unnest(imp) AS imp_t, site, app, cur, device, regs, "at",
+       |         event_timestamp
+       |  FROM read_parquet('$root/requests/*.parquet')
+       |),
+       |flat AS (
+       |  SELECT id AS request_id,
+       |         imp_t['id'] AS imp_id,
+       |         imp_t['banner']['w'] AS banner_w,
+       |         imp_t['banner']['h'] AS banner_h,
+       |         imp_t['bidfloor'] AS imp_bidfloor,
+       |         coalesce(site['id'], app['id']) AS property_id,
+       |         coalesce(site['domain'], app['bundle']) AS property_domain,
+       |         coalesce(site['publisher']['id'], app['publisher']['id']) AS publisher_id,
+       |         cur[1] AS currency,
+       |         device['ip'] AS device_ip,
+       |         device['geo']['country'] AS device_geo_country,
+       |         device['geo']['region'] AS device_geo_region,
+       |         device['devicetype'] AS devicetype,
+       |         device['os'] AS device_os,
+       |         app IS NOT NULL AS is_app,
+       |         regs['ext']['gdpr'] = 1 AS is_gdpr,
+       |         regs['coppa'] = 1 AS is_coppa,
+       |         "at" AS auction_type,
+       |         $tsSql AS event_ts
+       |  FROM x
+       |)
+       |SELECT *,
+       |       CASE WHEN devicetype IN (3, 6, 7) THEN 'CTV'
+       |            WHEN devicetype IN (1, 4) AND is_app THEN 'Mobile App'
+       |            WHEN devicetype IN (1, 4) AND NOT is_app THEN 'Mobile Web'
+       |            WHEN devicetype = 2 THEN 'Desktop'
+       |            ELSE 'Unknown' END AS device_category,
+       |       publisher_id <= 0 AS is_test_traffic,
+       |       (device_ip LIKE '10.%' OR device_ip LIKE '192.168.%'
+       |        OR device_ip LIKE '172.16.%' OR device_ip LIKE '172.2_.%'
+       |        OR device_ip LIKE '172.3_.%') AS is_private_ip,
+       |       CASE WHEN publisher_id <= 0 THEN 'TEST_PUBLISHER'
+       |            WHEN device_ip LIKE '10.%' OR device_ip LIKE '192.168.%'
+       |              OR device_ip LIKE '172.16.%' OR device_ip LIKE '172.2_.%'
+       |              OR device_ip LIKE '172.3_.%' THEN 'PRIVATE_IP'
+       |            WHEN imp_bidfloor <= 0 THEN 'NON_POSITIVE_BIDFLOOR'
+       |            ELSE NULL END AS reject_reason
+       |FROM flat""".stripMargin) { t =>
+    val funnel = RtbGenerator.generate(Seed, N, StartMs, SpanMs,
+      RtbGenerator.Rates(dupRequest = 0.03))
+    import t.spark.implicits._
+    val dir = rewrite(s"$root/requests")
+    t.spark.createDataset(funnel.requests).write.mode("overwrite").parquet(dir)
+    RtbIngest.flattenRequests(t.spark.read.parquet(dir))
+      .drop("content_cat", "imp_bidfloor_usd")
+  }
+
+  /** J3 (real 4-stage form) + A2/A3/P10 on generated nested events:
+    * dedup each stream by event id, chain the interval left joins, count
+    * the four funnel stages per request hour. Both engines read the same
+    * written files; the counts must match exactly.
+    */
+  val rtbFunnelHourly: QueryDef = QueryDef(
+    "rtb_funnel_hourly",
+    s"""WITH r AS (SELECT DISTINCT id AS request_id, $tsSql AS r_ts
+       |           FROM read_parquet('$root/funnel/requests/*.parquet')),
+       |b AS (SELECT DISTINCT id AS response_id, ext['request_id'] AS b_request_id,
+       |             $tsSql AS b_ts
+       |      FROM read_parquet('$root/funnel/responses/*.parquet')),
+       |i AS (SELECT DISTINCT impression_id, request_id AS i_request_id, $tsSql AS i_ts
+       |      FROM read_parquet('$root/funnel/impressions/*.parquet')),
+       |c AS (SELECT DISTINCT click_id, impression_id AS c_impression_id, $tsSql AS c_ts
+       |      FROM read_parquet('$root/funnel/clicks/*.parquet')),
+       |chained AS (
+       |  SELECT r.request_id, b.response_id, i.impression_id, c.click_id, r.r_ts
+       |  FROM r
+       |  LEFT JOIN b ON b.b_request_id = r.request_id
+       |             AND b.b_ts >= r.r_ts AND b.b_ts <= r.r_ts + INTERVAL 5 SECOND
+       |  LEFT JOIN i ON i.i_request_id = r.request_id
+       |             AND i.i_ts >= b.b_ts AND i.i_ts <= b.b_ts + INTERVAL 10 SECOND
+       |  LEFT JOIN c ON c.c_impression_id = i.impression_id
+       |             AND c.c_ts >= i.i_ts AND c.c_ts <= i.i_ts + INTERVAL 60 SECOND
+       |)
+       |SELECT date_trunc('hour', r_ts) AS hour,
+       |       count(DISTINCT request_id) AS n_requests,
+       |       count(DISTINCT response_id) AS n_responses,
+       |       count(DISTINCT impression_id) AS n_impressions,
+       |       count(DISTINCT click_id) AS n_clicks
+       |FROM chained GROUP BY 1""".stripMargin) { t =>
+    val funnel = RtbGenerator.generate(Seed, N, StartMs, SpanMs,
+      RtbGenerator.Rates(dupRequest = 0.03, dupResponse = 0.03,
+        dupImpression = 0.03, dupClick = 0.03))
+    import t.spark.implicits._
+    val dir = rewrite(s"$root/funnel")
+    t.spark.createDataset(funnel.requests).write.mode("overwrite").parquet(s"$dir/requests")
+    t.spark.createDataset(funnel.responses).write.mode("overwrite").parquet(s"$dir/responses")
+    t.spark.createDataset(funnel.impressions).write.mode("overwrite").parquet(s"$dir/impressions")
+    t.spark.createDataset(funnel.clicks).write.mode("overwrite").parquet(s"$dir/clicks")
+    RtbIngest.funnelHourly(
+      t.spark.read.parquet(s"$dir/requests"),
+      t.spark.read.parquet(s"$dir/responses"),
+      t.spark.read.parquet(s"$dir/impressions"),
+      t.spark.read.parquet(s"$dir/clicks"))
+      .select(col("hour"), col("n_requests"), col("n_responses"),
+        col("n_impressions"), col("n_clicks"))
+  }
+
+  val all: Seq[QueryDef] = Seq(rtbIngestEnrich, rtbFunnelHourly)
+}
