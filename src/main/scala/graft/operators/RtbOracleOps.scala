@@ -102,6 +102,36 @@ object RtbOracleOps {
       .drop("content_cat", "imp_bidfloor_usd")
   }
 
+  /** U2 (real double-explode) + P3 on generated nested responses: one
+    * row per bid across every seat of every response, engine-parity-
+    * checked via two-level UNNEST in DuckDB.
+    */
+  val rtbFlattenBids: QueryDef = QueryDef(
+    "rtb_flatten_bids",
+    s"""WITH s AS (
+       |  SELECT id AS response_id, ext['request_id'] AS request_id, cur AS currency,
+       |         $tsSql AS event_ts, unnest(seatbid) AS sb
+       |  FROM read_parquet('$root/responses/*.parquet')
+       |),
+       |b AS (
+       |  SELECT response_id, request_id, currency, event_ts,
+       |         sb['seat'] AS bidder_id, unnest(sb['bid']) AS b
+       |  FROM s
+       |)
+       |SELECT response_id, request_id, currency, event_ts, bidder_id,
+       |       b['id'] AS bid_id, b['impid'] AS imp_id, b['price'] AS bid_price,
+       |       b['crid'] AS creative_id, b['adomain'][1] AS ad_domain,
+       |       b['dealid'] AS deal_id, b['campaign_id'] AS campaign_id,
+       |       b['advertiser_id'] AS advertiser_id
+       |FROM b""".stripMargin) { t =>
+    val funnel = RtbGenerator.generate(Seed, N, StartMs, SpanMs,
+      RtbGenerator.Rates(dupResponse = 0.03))
+    import t.spark.implicits._
+    val dir = rewrite(s"$root/responses")
+    t.spark.createDataset(funnel.responses).write.mode("overwrite").parquet(dir)
+    RtbIngest.flattenBids(t.spark.read.parquet(dir))
+  }
+
   /** J3 (real 4-stage form) + A2/A3/P10 on generated nested events:
     * dedup each stream by event id, chain the interval left joins, count
     * the four funnel stages per request hour. Both engines read the same
@@ -152,5 +182,5 @@ object RtbOracleOps {
         col("n_impressions"), col("n_clicks"))
   }
 
-  val all: Seq[QueryDef] = Seq(rtbIngestEnrich, rtbFunnelHourly)
+  val all: Seq[QueryDef] = Seq(rtbIngestEnrich, rtbFlattenBids, rtbFunnelHourly)
 }
