@@ -6,7 +6,7 @@ import java.util.Comparator
 import graft.gen.RtbGenerator
 import graft.model.OpenRtb._
 import graft.rtb.RtbIngest
-import graft.streaming.Jobs
+import graft.streaming.{Jobs, RtbFunnel}
 import graft.tables.TableCatalog
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -38,6 +38,71 @@ class PipelineSpec extends AnyFunSuite {
     val extraB = b.exceptAll(a).count()
     assert(extraA == 0 && extraB == 0,
       s"$hint: $extraA rows only in left, $extraB only in right")
+  }
+
+  test("streaming OpenRTB funnel (flatMapGroupsWithState) == batch funnel counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val start = 1704103200000L // 2024-01-01 10:00:00 UTC
+    val funnel = RtbGenerator.generate(
+      seed = 555L, nRequests = 600, startMs = start, spanMs = 30 * 60 * 1000L,
+      rates = RtbGenerator.Rates(
+        dupRequest = 0.05, dupResponse = 0.05, dupImpression = 0.05, dupClick = 0.05))
+
+    val rS = MemoryStream[BidRequest]
+    val bS = MemoryStream[BidResponse]
+    val iS = MemoryStream[ImpressionEvent]
+    val cS = MemoryStream[ClickEvent]
+    val q = RtbFunnel.funnelSummaries(
+      RtbFunnel.stageEvents(rS.toDF(), bS.toDF(), iS.toDF(), cS.toDF()))
+      .toDF()
+      .writeStream.format("memory").queryName("rtb_funnel_stream")
+      .outputMode("append")
+      .option("checkpointLocation", fresh("graft_pipeline_ckpt", "rtbfunnel"))
+      .start()
+
+    def half[T](xs: Seq[T], first: Boolean) = {
+      val (a, b) = xs.splitAt(xs.size / 2); if (first) a else b
+    }
+    for (first <- Seq(true, false)) {
+      rS.addData(half(funnel.requests, first))
+      bS.addData(half(funnel.responses, first))
+      iS.addData(half(funnel.impressions, first))
+      cS.addData(half(funnel.clicks, first))
+      q.processAllAvailable()
+    }
+    // two far-future flush funnels push the watermark past every real
+    // request's 75 s horizon (timeouts fire the batch AFTER the advance)
+    for (k <- 0 until 2) {
+      rS.addData(RtbGenerator.generate(900L + k, 3,
+        start + (4 + k) * 3600 * 1000L, 1000L).requests)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val cutoff = new java.sql.Timestamp(start + 3600 * 1000L * 2)
+    val streamed = spark.table("rtb_funnel_stream")
+      .filter(col("r_ts") < lit(cutoff))
+      .groupBy(date_trunc("hour", col("r_ts")).as("hour"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum(col("n_responses")).as("n_responses"),
+        sum(col("n_impressions")).as("n_impressions"),
+        sum(col("n_clicks")).as("n_clicks"))
+    val batch = RtbIngest.funnelHourly(
+      spark.createDataset(funnel.requests).toDF(),
+      spark.createDataset(funnel.responses).toDF(),
+      spark.createDataset(funnel.impressions).toDF(),
+      spark.createDataset(funnel.clicks).toDF())
+      .select(col("hour"), col("n_requests"), col("n_responses"),
+        col("n_impressions"), col("n_clicks"))
+    assertSameRows(streamed, batch, "streaming OpenRTB funnel vs batch")
+    // and against the generator's own truth
+    val tot = streamed.agg(sum("n_requests"), sum("n_responses"),
+      sum("n_impressions"), sum("n_clicks")).collect().head
+    assert(tot.getLong(0) == funnel.truth.requests)
+    assert(tot.getLong(1) == funnel.truth.responses)
+    assert(tot.getLong(2) == funnel.truth.impressions)
+    assert(tot.getLong(3) == funnel.truth.clicks)
   }
 
   test("generator → streaming ingestion → tables → serving == batch == truth") {
