@@ -264,6 +264,84 @@ object Jobs {
     IngestionPipeline(Seq(pairsQ, aggQ))
   }
 
+  val funnelSummaryTable = "funnel_request_summaries"
+  val funnelRollupTable = "hourly_funnel_metrics"
+
+  /** Tables of the funnel job (S6): final per-request summaries, then
+    * the hourly rollup — both plain appends (rows are final when
+    * emitted).
+    */
+  def funnelTableDefs(spark: SparkSession): Seq[TableDef] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val rollupSchema = StructType(Seq(
+      StructField("hour", TimestampType),
+      StructField("n_requests", LongType),
+      StructField("n_responses", LongType),
+      StructField("n_impressions", LongType),
+      StructField("n_clicks", LongType)))
+    Seq(
+      TableDef(funnelSummaryTable,
+        spark.emptyDataset[RtbFunnel.RequestFunnelSummary].schema),
+      TableDef(funnelRollupTable, rollupSchema))
+  }
+
+  /** The funnel job (funnel_jobs.sql:54-99) on the real OpenRTB model:
+    * the 4-stage stateful funnel emits one FINAL summary per request
+    * ([[RtbFunnel]]), lands it in the summary table, and a second query
+    * tails that table for the hourly rollup — chained through storage
+    * because a window aggregation cannot sit directly on a
+    * flatMapGroupsWithState operator (min-of-watermarks deadlock; the
+    * reference chains its Flink jobs through Iceberg for the same
+    * reason, see [[FunnelState.funnelHourly]]).
+    */
+  def funnel(
+      requests: DataFrame,
+      responses: DataFrame,
+      impressions: DataFrame,
+      clicks: DataFrame,
+      cat: TableCatalog,
+      checkpointRoot: String): IngestionPipeline = {
+    val summary = cat.table(funnelSummaryTable)
+    val rollup = cat.table(funnelRollupTable)
+    val spark = summary.spark
+
+    val summaryQ = RtbFunnel.funnelSummaries(
+      RtbFunnel.stageEvents(requests, responses, impressions, clicks))
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/funnel_summary")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Sinks.exactlyOnce(summary, "funnel", batchId)(summary.append(batch))
+        ()
+      }
+      .start()
+
+    val rollupQ = spark.readStream
+      .schema(summary.defn.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(summary.dataPath)
+      .withWatermark("r_ts", FunnelState.RollupDelay)
+      .groupBy(window(col("r_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum(col("n_responses")).as("n_responses"),
+        sum(col("n_impressions")).as("n_impressions"),
+        sum(col("n_clicks")).as("n_clicks"))
+      .select(col("window.start").as("hour"), col("n_requests"),
+        col("n_responses"), col("n_impressions"), col("n_clicks"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/funnel_rollup")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Sinks.exactlyOnce(rollup, "funnel", batchId)(rollup.append(batch))
+        ()
+      }
+      .start()
+
+    IngestionPipeline(Seq(summaryQ, rollupQ))
+  }
+
   /** J3/A2/A3/P10/P11 over the STORED tables — the reference's serving
     * funnel view. Requests = clean ∪ rejected (the raw table analog);
     * every stage dedups on its event id before the chained joins.

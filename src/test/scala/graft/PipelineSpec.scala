@@ -49,17 +49,16 @@ class PipelineSpec extends AnyFunSuite {
       rates = RtbGenerator.Rates(
         dupRequest = 0.05, dupResponse = 0.05, dupImpression = 0.05, dupClick = 0.05))
 
+    val cat = new TableCatalog(spark, fresh("graft_pipeline_wh", "rtbfunnel"),
+      Jobs.funnelTableDefs(spark))
     val rS = MemoryStream[BidRequest]
     val bS = MemoryStream[BidResponse]
     val iS = MemoryStream[ImpressionEvent]
     val cS = MemoryStream[ClickEvent]
-    val q = RtbFunnel.funnelSummaries(
-      RtbFunnel.stageEvents(rS.toDF(), bS.toDF(), iS.toDF(), cS.toDF()))
-      .toDF()
-      .writeStream.format("memory").queryName("rtb_funnel_stream")
-      .outputMode("append")
-      .option("checkpointLocation", fresh("graft_pipeline_ckpt", "rtbfunnel"))
-      .start()
+    // the full funnel JOB: stateful funnel → summary table → tailed
+    // hourly rollup, chained through storage like the reference's jobs
+    val pipe = Jobs.funnel(rS.toDF(), bS.toDF(), iS.toDF(), cS.toDF(),
+      cat, fresh("graft_pipeline_ckpt", "rtbfunnel"))
 
     def half[T](xs: Seq[T], first: Boolean) = {
       val (a, b) = xs.splitAt(xs.size / 2); if (first) a else b
@@ -69,25 +68,21 @@ class PipelineSpec extends AnyFunSuite {
       bS.addData(half(funnel.responses, first))
       iS.addData(half(funnel.impressions, first))
       cS.addData(half(funnel.clicks, first))
-      q.processAllAvailable()
+      pipe.processAllAvailable()
     }
-    // two far-future flush funnels push the watermark past every real
-    // request's 75 s horizon (timeouts fire the batch AFTER the advance)
+    // two far-future flush funnels: the first's summaries are finalized
+    // by the second's watermark advance (timeouts fire the batch AFTER
+    // the advance), which in turn closes every REAL hourly window in the
+    // rollup's own tailing watermark
     for (k <- 0 until 2) {
       rS.addData(RtbGenerator.generate(900L + k, 3,
         start + (4 + k) * 3600 * 1000L, 1000L).requests)
-      q.processAllAvailable()
+      pipe.processAllAvailable()
+      pipe.processAllAvailable() // summary files land, then the rollup tails them
     }
-    q.stop()
+    pipe.stop()
 
-    val cutoff = new java.sql.Timestamp(start + 3600 * 1000L * 2)
-    val streamed = spark.table("rtb_funnel_stream")
-      .filter(col("r_ts") < lit(cutoff))
-      .groupBy(date_trunc("hour", col("r_ts")).as("hour"))
-      .agg(count(lit(1)).as("n_requests"),
-        sum(col("n_responses")).as("n_responses"),
-        sum(col("n_impressions")).as("n_impressions"),
-        sum(col("n_clicks")).as("n_clicks"))
+    val streamed = cat.table(Jobs.funnelRollupTable).readLogical()
     val batch = RtbIngest.funnelHourly(
       spark.createDataset(funnel.requests).toDF(),
       spark.createDataset(funnel.responses).toDF(),
