@@ -114,17 +114,21 @@ object DedupOps {
     // self-join recomputes the whole shingle→md5→signature pipeline on
     // BOTH sides (no exchange to reuse — the sides shuffle under
     // different aliases), where this shape runs it once and shuffles
-    // (band, key, doc_id) exactly once. Per-bucket pair count is
-    // identical (occupancy-bounded — the LSH contract; a capped bucket
-    // size is the standard skew guard either way), but a bucket's pairs
-    // now materialize in one task, so the cap matters at 100 TB.
+    // (band, key, doc_id) exactly once. Expansion is TWO-LEVEL: first a
+    // row per (doc_a, bucket suffix), then a row per pair — per-row
+    // memory stays O(bucket), never the O(bucket²) a single
+    // all-pairs-array row would need, and the explode streams pairs into
+    // the downstream shuffle instead of materializing them. Residual
+    // skew: one task still GENERATES a mega-bucket's k² pairs (band-key
+    // salting would split it); with minhash's fine-grained band-string
+    // keys occupancy stays small — for coarse keys use the self-join
+    // (see dedupSimhashPairs).
     bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b2 => struct(a.as("doc_a"), b2.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
       .distinct()
   }
 

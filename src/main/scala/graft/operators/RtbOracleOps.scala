@@ -42,7 +42,9 @@ object RtbOracleOps {
     * classes are on; each query simply reads the slices it needs.
     */
   private def ensureData(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
-    val marker = Paths.get(s"$root/_complete-$Seed-$N")
+    // the marker must encode EVERY generation parameter — a partial key
+    // (seed+N only) would silently reuse stale data after a parameter edit
+    val marker = Paths.get(s"$root/_complete-$Seed-$N-$StartMs-$SpanMs-dup03x4")
     if (Files.exists(marker)) return
     val p = Paths.get(root)
     if (Files.exists(p))

@@ -168,7 +168,10 @@ object Jobs {
       StructField("total_win_cents", LongType)))
     Seq(
       TableDef(pairsTable, pairsSchema),
-      TableDef(geoTable, geoSchema, keys = Seq("hour", "country")))
+      // merge-on-read: this table is revised EVERY micro-batch, the
+      // exact sink shape Sinks.hourlyUpsert documents as needing O(batch)
+      // commits (copy-on-write would rewrite the whole table each batch)
+      TableDef(geoTable, geoSchema, keys = Seq("hour", "country"), mergeOnRead = true))
   }
 
   /** The aggregation job (aggregation_jobs.sql:19-55) over the INGESTED
@@ -225,7 +228,9 @@ object Jobs {
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointRoot/pairs")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        Sinks.exactlyOnce(pairs, "agg", batchId)(pairs.append(batch))
+        Sinks.exactlyOnce(pairs, "agg", batchId) {
+          if (!batch.isEmpty) pairs.append(batch)
+        }
         ()
       }
       .start()
@@ -313,7 +318,9 @@ object Jobs {
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointRoot/funnel_summary")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        Sinks.exactlyOnce(summary, "funnel", batchId)(summary.append(batch))
+        Sinks.exactlyOnce(summary, "funnel", batchId) {
+          if (!batch.isEmpty) summary.append(batch)
+        }
         ()
       }
       .start()
@@ -334,7 +341,9 @@ object Jobs {
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointRoot/funnel_rollup")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        Sinks.exactlyOnce(rollup, "funnel", batchId)(rollup.append(batch))
+        Sinks.exactlyOnce(rollup, "funnel", batchId) {
+          if (!batch.isEmpty) rollup.append(batch)
+        }
         ()
       }
       .start()

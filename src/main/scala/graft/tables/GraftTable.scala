@@ -252,8 +252,11 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     prev match {
       case Some(p) if addedRows == 0 =>
         // a zero-row write leaves at most one schema-only file behind
-        // (Spark writes it when the plan collapses to an empty relation)
-        added.foreach(f => Files.deleteIfExists(Paths.get(s"$dataDir/$f")))
+        // (Spark writes it when the plan collapses to an empty relation).
+        // LEFT IN PLACE, unreferenced: a tailing file stream may already
+        // have listed it (it reads as 0 rows — harmless), where deleting
+        // it here would crash that reader; removeOrphans reclaims it on
+        // the maintenance cadence like any other unreferenced file
         p
       case _ =>
         val live = prev.map(_.files).getOrElse(Nil) ++ added
@@ -518,15 +521,30 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * name would leave it on an older sequence than the rewrite,
     * manufacturing a bogus latest-wins ordering.
     */
-  /** True iff a compaction at `targetBytes` would actually rewrite
-    * something: ≥2 under-sized live files (or ANY multi-file live set on
-    * a merge-on-read table, where compaction is also the merge
-    * materializer). A maintenance sweep uses this to skip clean tables.
+  /** True iff a compaction at `targetBytes` would actually IMPROVE the
+    * table — the gate must converge, so it asks "would compacting
+    * reduce anything", not "are files small":
+    *  - merge-on-read: >1 SEQUENCE GROUP among live files (compaction
+    *    materializes the latest-wins merge; a multi-file single-group
+    *    table is already merged and stays untouched);
+    *  - copy-on-write: merging the under-sized files would yield FEWER
+    *    files than they currently occupy (3×100 MB at a 128 MB target
+    *    can't improve and must not re-flag forever).
+    * A maintenance sweep uses this to skip clean tables.
     */
   def needsCompaction(targetBytes: Long = 128L * 1024 * 1024): Boolean = {
-    val live = commits.lastOption.map(_.files).getOrElse(Nil)
-    if (defn.mergeOnRead) live.size > 1
-    else live.count(f => new File(s"$dataDir/$f").length() < targetBytes * 9 / 10) > 1
+    val cs = commits
+    val live = cs.lastOption.map(_.files).getOrElse(Nil)
+    if (defn.mergeOnRead) {
+      val firstSeen = cs.flatMap(c => c.files.map(_ -> c.version)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
+      live.map(firstSeen).distinct.size > 1
+    } else {
+      val small = live.filter(f => new File(s"$dataDir/$f").length() < targetBytes * 9 / 10)
+      val smallBytes = small.map(f => new File(s"$dataDir/$f").length()).sum
+      small.size > 1 &&
+        math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt) < small.size
+    }
   }
 
   def compact(targetBytes: Long = 128L * 1024 * 1024): CommitMeta = {
