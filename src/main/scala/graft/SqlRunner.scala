@@ -46,16 +46,23 @@ object SqlRunner {
 
   private val SetStmt = """(?is)SET\s+(\S+)\s*=\s*'?([^';]*?)'?\s*""".r
 
-  /** Run a script over the testdata tables at `dir`. */
+  /** Run a script over the testdata tables at `dir`. The script runs in
+    * its own `newSession()` (shared SparkContext + builder confs, private
+    * SQLConf and temp-view registry), so its SET statements and views
+    * cannot leak into the caller's session — Bench/Verify run every query
+    * on one shared session, and a script's conf change would otherwise
+    * silently apply to every query after it.
+    */
   def run(spark: SparkSession, dir: String, script: String): DataFrame = {
-    val t = Tables(spark, dir)
+    val scoped = spark.newSession()
+    val t = Tables(scoped, dir)
     Tables.names.foreach(n => t.byName(n).createOrReplaceTempView(n))
     val stmts = splitStatements(script)
     require(stmts.nonEmpty, "empty SQL script")
     var last: DataFrame = null
     stmts.foreach {
-      case SetStmt(k, v) => spark.conf.set(k.trim, v.trim)
-      case stmt => last = spark.sql(stmt)
+      case SetStmt(k, v) => scoped.conf.set(k.trim, v.trim)
+      case stmt => last = scoped.sql(stmt)
     }
     require(last != null, "script contained only SET statements")
     last

@@ -130,7 +130,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * this write (set/restore; the table is single-writer) so result
     * dumps elsewhere in the session keep the default format.
     */
-  private def writeFiles(df: DataFrame): Seq[String] = {
+  private def writeFiles(df: DataFrame, numPartitions: Option[Int] = None): Seq[String] = {
     val before = listDataFiles()
     val clustered = withPartitionCols(df)
     // hash-distribute on the partition values before a partitioned write
@@ -138,11 +138,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // writes a sliver into every partition dir it touches — T×P small
     // files per commit. One task per partition value is the accepted
     // tradeoff; a 100 TB deployment adds a within-partition split at the
-    // advisory partition size on top.
-    val physical =
-      if (partCols.nonEmpty)
-        clustered.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-      else clustered
+    // advisory partition size on top. `numPartitions` (compaction's
+    // binpack target) must be applied HERE — a caller-side repartition
+    // would be undone by this one.
+    val pcols = partCols.map(org.apache.spark.sql.functions.col)
+    val physical = (numPartitions, partCols.nonEmpty) match {
+      case (Some(n), true) => clustered.repartition(n, pcols: _*)
+      case (Some(n), false) => clustered.repartition(n)
+      case (None, true) => clustered.repartition(pcols: _*)
+      case (None, false) => clustered
+    }
     val key = "spark.sql.parquet.outputTimestampType"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
@@ -299,7 +304,18 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       val total = prev.map(_.rowCount).getOrElse(0L) + footerRowCount(added)
       writeCommit("upsert-mor", total, live)
     } else {
-      val survivors = readLogical().join(b, defn.keys, "left_anti")
+      // null-safe key match (<=>): a name-list join compares with =, so a
+      // NULL key tuple never matches and the old null-key row would
+      // survive alongside the new one — while the MOR path's latest-wins
+      // window groups nulls together and keeps only the newest. Both
+      // strategies must stay observably identical.
+      val cur = readLogical().alias("cur")
+      val bb = b.alias("b")
+      val sameKey = defn.keys
+        .map(k => org.apache.spark.sql.functions.col(s"cur.$k") <=>
+          org.apache.spark.sql.functions.col(s"b.$k"))
+        .reduce(_ && _)
+      val survivors = cur.join(bb, sameKey, "left_anti")
       val merged = survivors.unionByName(b)
       val added = writeFiles(merged)
       writeCommit("upsert", footerRowCount(added), added)
@@ -557,13 +573,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val df =
       if (defn.mergeOnRead) readLogical() // resolves latest-wins
       else readFilesAs(small).select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-    val compacted =
-      if (partCols.nonEmpty)
-        withPartitionCols(df)
-          .repartition(nFiles, partCols.map(org.apache.spark.sql.functions.col): _*)
-          .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      else df.repartition(nFiles)
-    val added = writeFiles(compacted)
+    // the binpack count goes through writeFiles, which owns the final
+    // repartition — a pre-repartition here would be re-shuffled (and its
+    // sizing discarded) by writeFiles' own partition-value distribution
+    val added = writeFiles(df, Some(nFiles))
     writeCommit("compact", footerRowCount(keep) + footerRowCount(added), keep ++ added)
   }
 

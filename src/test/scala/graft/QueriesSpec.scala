@@ -33,6 +33,16 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("SqlRunner SET statements do not leak into the caller's session") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val out = SqlRunner.run(spark, sf,
+      s"SET $key=7;\nSELECT count(*) AS n FROM region")
+    assert(out.collect().head.getLong(0) > 0)
+    assert(spark.conf.get(key) == before,
+      "script conf changes must stay scoped to the script's session")
+  }
+
   test("funnel counts are monotone: views >= clicked >= converted") {
     import org.apache.spark.sql.functions._
     val df = operators.FunnelOps.j7FunnelChain.run(spark, sf)

@@ -152,6 +152,26 @@ class TablesSpec extends AnyFunSuite {
     assert(t.commits.last.rowCount == 5040)
   }
 
+  test("null identifier keys: copy-on-write latest-wins matches merge-on-read") {
+    import spark.implicits._
+    def batch(grp: String, v: Double) =
+      Seq((Option.empty[Long], grp, v), (Some(1L), grp, v))
+        .toDF("id", "grp", "v")
+    val cow = new GraftTable(spark,
+      TableDef("nkc", schema, keys = Seq("id")), freshRoot("nkc"))
+    val mor = new GraftTable(spark,
+      TableDef("nkm", schema, keys = Seq("id"), mergeOnRead = true), freshRoot("nkm"))
+    for ((g, v) <- Seq(("a", 1.0), ("b", 2.0))) {
+      cow.upsert(batch(g, v)); mor.upsert(batch(g, v))
+    }
+    def sortedRows(t: GraftTable) =
+      t.readLogical().orderBy("id", "grp").collect().toSeq.map(_.toSeq)
+    // the second upsert's null-key row must REPLACE the first one's —
+    // a plain (=) anti-join would keep both on the COW side only
+    assert(cow.readLogical().filter(col("id").isNull).count() == 1)
+    assert(sortedRows(cow) == sortedRows(mor))
+  }
+
   test("expireSnapshots + removeOrphans delete old commits and unreferenced files") {
     val t = new GraftTable(spark, TableDef("t5", schema, keys = Seq("id")), freshRoot("t5"))
     t.upsert(df(0 until 10, "a", 1.0))
