@@ -223,26 +223,23 @@ object DedupOps {
       .filter(col("hamming") <= 3)
   }
 
-  /** n-gram Jaccard verify stage — exact Jaccard computed ONLY for the
-    * LSH candidate pairs (the scale-correct pipeline: banding generates
-    * candidates, Jaccard verifies them; cost is O(candidates), never
-    * all-pairs). Each pair's sets compare via `array_intersect` on the
-    * two shingle arrays — no shingle-level explode/join at all.
+  /** Jaccard-of-shingles CTE over the LSH candidates (shared by the
+    * verify query and the cluster resolution).
     */
-  val dedupNgramJaccard: QueryDef = QueryDef(
-    "dedup_ngram_jaccard",
-    s"""WITH $lshCandSql,
-       |j AS (SELECT doc_a, doc_b,
-       |             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
-       |             len(sa.shingles) AS na, len(sb.shingles) AS nb
-       |      FROM cand
-       |      JOIN sh sa ON sa.doc_id = cand.doc_a
-       |      JOIN sh sb ON sb.doc_id = cand.doc_b)
-       |SELECT doc_a, doc_b,
-       |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
-       |FROM j
-       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin) { t =>
-    val sh = withShingles(t.documents).select(col("doc_id"), col("shingles"))
+  private val jaccardSql =
+    """j AS (SELECT doc_a, doc_b,
+      |             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+      |             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      |      FROM cand
+      |      JOIN sh sa ON sa.doc_id = cand.doc_a
+      |      JOIN sh sb ON sb.doc_id = cand.doc_b)""".stripMargin
+
+  /** LSH candidates verified by exact Jaccard ≥ 0.5 — the edge set of
+    * the near-duplicate graph. Cost is O(candidates), never all-pairs;
+    * each pair compares its two shingle arrays via `array_intersect`
+    * (no shingle-level explode/join at all).
+    */
+  private def verifiedPairs(sh: DataFrame): DataFrame = {
     val cand = lshCandidates(sh)
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
@@ -251,7 +248,132 @@ object DedupOps {
       .withColumn("jaccard_raw",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard_raw") >= 0.5)
+  }
+
+  /** n-gram Jaccard verify stage — exact Jaccard computed ONLY for the
+    * LSH candidate pairs (the scale-correct pipeline: banding generates
+    * candidates, Jaccard verifies them).
+    */
+  val dedupNgramJaccard: QueryDef = QueryDef(
+    "dedup_ngram_jaccard",
+    s"""WITH $lshCandSql,
+       |$jaccardSql
+       |SELECT doc_a, doc_b,
+       |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+       |FROM j
+       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin) { t =>
+    val sh = withShingles(t.documents).select(col("doc_id"), col("shingles"))
+    verifiedPairs(sh)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** Connected components of an undirected edge list by hash-to-min
+    * label propagation: every vertex starts as its own label; each round
+    * every vertex takes the min label across itself and its neighbors;
+    * converged when the label sum stops changing (labels only ever
+    * decrease, so the monotone sum is a complete convergence witness —
+    * no per-row diff join needed). Each round is ONE shuffle carrying
+    * (vertex, label) pairs — never the document payload. Rounds needed =
+    * graph diameter; near-dup components are shallow (pairs/triples), so
+    * 2–3 rounds in practice. A 100 TB corpus with adversarially long
+    * chains would switch to the large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce"), which
+    * converges in O(log²n) rounds on the same (vertex, label) shape.
+    */
+  private[functions] def connectedComponents(edges: DataFrame): DataFrame = {
+    // persist AND materialize the edge list BEFORE symmetrizing: the
+    // union's two branches run concurrently in one job, so a merely-lazy
+    // persist still computes the full candidate+verify pipeline upstream
+    // of `edges` twice (measured 2× the whole query's scan cost)
+    val e = edges.persist()
+    e.count()
+    val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // init already folds in the first neighbor-min round: label(v) =
+    // min(v, neighbors(v)) — one groupBy over sym instead of a distinct
+    // plus a full propagation round
+    var labels = sym.groupBy(col("dst"))
+      .agg(least(col("dst"), min(col("src"))).as("cluster_id"))
+      .withColumnRenamed("dst", "doc_id").persist()
+    def labelSum(l: DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val r = Option(l.agg(sum(col("cluster_id"))).first().get(0))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      if (sys.env.contains("GRAFT_TIMING"))
+        println(f"TIMING cc/labelSum ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    var prev = Long.MinValue
+    var cur = labelSum(labels)
+    var rounds = 0
+    while (cur != prev && rounds < 30) {
+      // labels descends from sym, so qualify the self-joins explicitly
+      val prop = labels.alias("l")
+        .join(sym.alias("s"), col("l.doc_id") === col("s.src"))
+        .select(col("s.dst").as("doc_id"), col("l.cluster_id").as("cluster_id"))
+      val stepped = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // pointer doubling: label(v) ← label(label(v)). A label is always
+      // itself a vertex id, so the lookup join is total; combined with
+      // the neighbor step this halves every label path per round —
+      // O(log diameter) rounds instead of O(diameter), which is the
+      // difference between 4 and 20+ shuffle rounds on chain-shaped
+      // near-dup components (doc i ≈ doc i+1 ≈ …)
+      val next = stepped.alias("a")
+        .join(stepped.alias("b"), col("a.cluster_id") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.cluster_id").as("cluster_id"))
+        .persist()
+      prev = cur
+      cur = labelSum(next)
+      labels.unpersist()
+      labels = next
+      rounds += 1
+      if (sys.env.contains("GRAFT_TIMING"))
+        println(s"TIMING cc/round $rounds labelSum=$cur")
+    }
+    sym.unpersist()
+    e.unpersist()
+    require(cur == prev, s"label propagation did not converge in $rounds rounds")
+    labels
+  }
+
+  /** Cluster resolution — the step that turns pairwise near-dup matches
+    * into keep/drop decisions. Verified pairs (LSH candidates passing
+    * exact Jaccard ≥ 0.5) form an undirected graph; each document maps
+    * to the smallest doc_id in its connected component (its cluster
+    * representative), and `is_canonical` marks the one row per cluster a
+    * dedup pass would keep. Documents in no pair are their own
+    * singleton cluster. The oracle computes the same components with a
+    * recursive transitive-closure CTE.
+    */
+  val dedupClusters: QueryDef = QueryDef(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $lshCandSql,
+       |$jaccardSql,
+       |edges AS (SELECT doc_a, doc_b FROM j
+       |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+       |        UNION ALL
+       |        SELECT doc_b AS src, doc_a AS dst FROM edges),
+       |clos AS (SELECT src AS v, src AS r FROM sym
+       |         UNION
+       |         SELECT s.dst AS v, c.r AS r FROM clos c JOIN sym s ON s.src = c.v),
+       |comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM clos GROUP BY v)
+       |SELECT d.doc_id,
+       |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) { t =>
+    val edges = verifiedPairs(withShingles(t.documents).select(col("doc_id"), col("shingles")))
+      .select(col("doc_a"), col("doc_b"))
+    val t0 = System.nanoTime()
+    val comp = connectedComponents(edges)
+    if (sys.env.contains("GRAFT_TIMING"))
+      println(f"TIMING cc/total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t.documents.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("is_canonical"))
   }
 
   /** Embedding-cosine near-dup pairs: candidates come from a hyperplane-
@@ -288,5 +410,5 @@ object DedupOps {
 
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
-      dedupNgramJaccard, dedupEmbeddingCosine)
+      dedupNgramJaccard, dedupEmbeddingCosine, dedupClusters)
 }

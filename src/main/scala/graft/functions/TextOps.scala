@@ -130,5 +130,67 @@ object TextOps {
           (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
   }
 
-  val all: Seq[QueryDef] = Seq(textTokens, textQuality, textLangId, textFingerprint)
+  /** Sequence packing: assign documents to fixed token-budget chunks —
+    * the corpus-assembly step that batches documents into training
+    * context windows. Documents are ordered by doc_id within each lang
+    * and cut at a 4096-token running budget: `chunk_id = floor(prefix_sum
+    * / budget)` is the streaming bin-packing approximation (a chunk may
+    * overflow by at most one document, which the training loader
+    * truncates) — the exact first-fit packing is inherently sequential,
+    * while this shape is one window per lang partition. At 100 TB:
+    * range-partition by (lang, doc_id) so each partition sorts locally;
+    * a single dominant language is split by salting the order key into
+    * doc_id ranges and offsetting chunk ids per range.
+    */
+  val textPack: QueryDef = QueryDef(
+    "text_pack",
+    """WITH tk AS (SELECT doc_id, lang,
+      |              len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      |            FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM tk),
+      |p AS (SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 4096 AS chunk_id FROM c)
+      |SELECT doc_id, lang, n_tokens, chunk_id,
+      |       CAST(row_number() OVER (PARTITION BY lang, chunk_id ORDER BY doc_id)
+      |            AS BIGINT) AS chunk_pos
+      |FROM p""".stripMargin) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = t.documents
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(cumW))
+      // both engines floor here: operands are non-negative, so DuckDB's
+      // flooring // and Spark's truncating div agree
+      .withColumn("chunk_id", expr("(cum - n_tokens) div 4096"))
+    packed.select(col("doc_id"), col("lang"), col("n_tokens"), col("chunk_id"),
+      row_number().over(
+        Window.partitionBy(col("lang"), col("chunk_id")).orderBy(col("doc_id")))
+        .cast("long").as("chunk_pos"))
+  }
+
+  /** Deterministic stratified sampling: per-language Bernoulli keep
+    * decision from a salted content-free hash of the doc id — 10% of
+    * 'en', 50% of everything else. Hash-based sampling is reproducible
+    * across engines and runs (no RNG state), composes with incremental
+    * ingestion (a document's keep decision never changes), and is a pure
+    * codegen'd filter — no shuffle, prunes at the scan.
+    */
+  val sampleStratified: QueryDef = QueryDef(
+    "sample_stratified",
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE ${h64Sql("concat('smpl|', CAST(doc_id AS VARCHAR))")} % 1000 <
+       |      CASE WHEN lang = 'en' THEN 100 ELSE 500 END""".stripMargin) { t =>
+    t.documents
+      .filter(h64(concat(lit("smpl|"), col("doc_id").cast("string"))) % 1000 <
+        when(col("lang") === "en", 100).otherwise(500))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(textTokens, textQuality, textLangId, textFingerprint, textPack, sampleStratified)
 }
