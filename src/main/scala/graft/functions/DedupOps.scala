@@ -95,15 +95,26 @@ object DedupOps {
     * shingle and updating 16 agg buffers per row costs more than the
     * per-document in-array fold, which never leaves the operator.
     */
+  /** K-minima signature column: the default is the native codegen'd
+    * [[MinhashSignature]] expression (one pass, primitive accumulator,
+    * stays inside WholeStageCodegen); `SPARK_GRAFT_MINHASH=fold` keeps
+    * the built-in higher-order fold for A/B measurement in one JVM.
+    * Both are bit-identical to the oracle's SQL fold.
+    */
+  private def sigCol: Column =
+    if (sys.env.get("SPARK_GRAFT_MINHASH").contains("fold"))
+      aggregate(transform(col("shingles"), s => h64(s) % P),
+        array_repeat(lit(P), K),
+        (acc, h) => transform(sequence(lit(0), lit(K - 1)),
+          k => least(element_at(acc, k + 1),
+            ((lit(2L) * k + 1L) * h + k * lit(912367L) + 341L) % P)))
+    else
+      org.apache.spark.sql.GraftSqlBridge.column(
+        MinhashSignature(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("shingles")), K, P))
+
   private[functions] def lshCandidates(shingled: DataFrame): DataFrame = {
-    val sig = shingled
-      .withColumn("hv", transform(col("shingles"), s => h64(s) % P))
-      .select(col("doc_id"),
-        aggregate(col("hv"),
-          array_repeat(lit(P), K),
-          (acc, h) => transform(sequence(lit(0), lit(K - 1)),
-            k => least(element_at(acc, k + 1),
-              ((lit(2L) * k + 1L) * h + k * lit(912367L) + 341L) % P))).as("sig"))
+    val sig = shingled.select(col("doc_id"), sigCol.as("sig"))
     val bands = sig
       .select(col("doc_id"), explode(transform(sequence(lit(0), lit(B - 1)),
         b => struct(b.as("band"),

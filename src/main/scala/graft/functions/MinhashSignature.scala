@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expression computing the K-permutation minhash
+  * signature of a shingle array in ONE pass — the codegen'd replacement
+  * for the `aggregate`/`transform` in-array fold ([[DedupOps]]).
+  *
+  * Higher-order functions don't participate in whole-stage codegen: the
+  * fold is interpreted per lambda step and allocates a fresh K-element
+  * array per shingle. This expression generates a call into a static
+  * loop over a primitive long[K] accumulator — no per-step allocation,
+  * no interpreter dispatch — and keeps the surrounding projection inside
+  * WholeStageCodegen. Hash semantics are bit-identical to
+  * [[SharedHash.h64]] (`conv(substring(md5(x),1,15),16,10)` = the md5
+  * digest's first 60 bits), so the DuckDB oracle for every minhash query
+  * is unchanged — the native path is a drop-in physical swap.
+  */
+case class MinhashSignature(child: Expression, k: Int, p: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinhashSignature.compute(input.asInstanceOf[ArrayData], k, p))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinhashSignature.compute($c, $k, ${p}L));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+
+  private val md = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(bytes) — bit-identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)`: 15 hex chars are bytes
+    * 0–6 in full plus the high nibble of byte 7.
+    */
+  private def h64(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >>> 4)
+  }
+
+  /** One pass over the shingles, K running minima in a primitive array.
+    * Permutation family matches the SQL fold exactly:
+    * `((2j+1)·h + j·912367 + 341) mod p` over `h = h64(s) mod p`.
+    */
+  def compute(arr: ArrayData, k: Int, p: Long): Array[Long] = {
+    val acc = Array.fill(k)(p)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = h64(s.getBytes) % p
+        var j = 0
+        while (j < k) {
+          val v = ((2L * j + 1L) * h + j.toLong * 912367L + 341L) % p
+          if (v < acc(j)) acc(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    acc
+  }
+}
