@@ -1,0 +1,154 @@
+package graft.functions
+
+import graft.QueryDef
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import SharedHash.{h64, h64Sql}
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * runs after dedup: repetition-based quality filtering (the Gopher
+  * family of filters — Rae et al. 2021, §A1.1), benchmark
+  * decontamination (n-gram overlap against an eval set), and
+  * deterministic train/validation/test assignment with a sharded
+  * training shuffle.
+  *
+  * All ratios are expressed as exact integer comparisons (numerator ×
+  * scale vs denominator) instead of rounded doubles — cross-engine
+  * `round(x, 4)` diverges on exact half-ties (Spark HALF_UPs the
+  * decimal string, DuckDB rounds the double), so the oracle-safe form
+  * keeps counts and derives flags with integer cross-multiplication.
+  */
+object CorpusOps {
+
+  /** Repetition metrics per document: word-level bigram mode count and
+    * distinct-word count, with a Gopher-style "top 2-gram fraction >
+    * 20%" rejection flag. The bigram histogram is an explode →
+    * two-level aggregation — both shuffles carry (doc_id, gram-hash)
+    * sized rows, never the document text, and the per-doc side of the
+    * final join is a pure projection of the scan, so the shape is flat
+    * at any corpus size.
+    */
+  val textRepetition: QueryDef = QueryDef(
+    "text_repetition",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |g AS (SELECT doc_id,
+      |             unnest(list_transform(range(1, len(ws)),
+      |               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      |      FROM w),
+      |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+      |s AS (SELECT doc_id, max(cnt) AS top_bigram_count,
+      |             CAST(sum(cnt) AS BIGINT) AS n_bigrams
+      |      FROM c GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |       CAST(len(ws) AS BIGINT) AS n_words,
+      |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+      |       s.n_bigrams,
+      |       s.top_bigram_count,
+      |       s.top_bigram_count * 5 > s.n_bigrams AS is_repetitive
+      |FROM w JOIN s ON s.doc_id = w.doc_id""".stripMargin) { t =>
+    val docs = t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val grams = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1)))).as("gram"))
+    val stats = grams
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bigram_count"), sum(col("cnt")).as("n_bigrams"))
+    docs
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"))
+      .join(stats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("n_bigrams"), col("top_bigram_count"),
+        (col("top_bigram_count") * 5 > col("n_bigrams")).as("is_repetitive"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any 5-word
+    * gram with the "benchmark" set (here: `doc_id % 97 = 0`, standing in
+    * for an eval suite). Grams are 60-bit hashes, never strings, so the
+    * probe side is fixed-width; the benchmark gram set is broadcast —
+    * eval suites are megabytes against a corpus of terabytes, so the
+    * contamination check must never shuffle the corpus. Output keeps
+    * every non-benchmark document with its matching-gram count, the
+    * decision input for drop-vs-keep.
+    */
+  val textDecontam: QueryDef = QueryDef(
+    "text_decontam",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |             unnest(list_transform(range(1, len(ws) - 3),
+       |               i -> ${h64Sql("array_to_string(ws[i:i+4], ' ')")})) AS gh
+       |      FROM w),
+       |b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+       |h AS (SELECT g.doc_id, count(DISTINCT g.gh) AS n_hits
+       |      FROM g JOIN b ON b.gh = g.gh
+       |      WHERE g.doc_id % 97 <> 0
+       |      GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated_grams,
+       |       coalesce(h.n_hits, 0) > 0 AS is_contaminated
+       |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id % 97 <> 0""".stripMargin) { t =>
+    val g = t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => h64(array_join(slice(col("ws"), i, lit(5)), " ")))).as("gh"))
+    val bench = g.filter(col("doc_id") % 97 === 0).select("gh").distinct()
+    val hits = g.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("gh")).as("n_hits"))
+    t.documents.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  /** Deterministic train/validation/test assignment (80/10/10 by salted
+    * id hash — a document's split never changes as the corpus grows) plus
+    * the training shuffle: order by a second independent hash WITHIN one
+    * of 8 hash shards. Sharding is what makes the shuffle scale — each
+    * (split, shard) window sorts independently, so there is no global
+    * single-partition sort; the training loader interleaves shards to
+    * recover a full shuffle. At 100 TB the shard count rises to
+    * O(corpus/executor-memory) — the shape is unchanged.
+    */
+  val textTrainSplit: QueryDef = QueryDef(
+    "text_train_split",
+    s"""WITH a AS (SELECT doc_id,
+       |                  ${h64Sql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS sb,
+       |                  ${h64Sql("'shuf|' || CAST(doc_id AS VARCHAR)")} AS sh
+       |           FROM documents),
+       |s AS (SELECT doc_id,
+       |             CASE WHEN sb < 80 THEN 'train'
+       |                  WHEN sb < 90 THEN 'validation'
+       |                  ELSE 'test' END AS split,
+       |             sh % 8 AS shard, sh
+       |      FROM a)
+       |SELECT doc_id, split, CAST(shard AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY split, shard
+       |                               ORDER BY sh, doc_id) AS BIGINT) AS shard_pos
+       |FROM s""".stripMargin) { t =>
+    val sb = h64(concat(lit("split|"), col("doc_id").cast("string"))) % 100
+    val sh = h64(concat(lit("shuf|"), col("doc_id").cast("string")))
+    t.documents
+      .select(col("doc_id"),
+        when(sb < 80, "train").when(sb < 90, "validation")
+          .otherwise("test").as("split"),
+        (sh % 8).as("shard"), sh.as("sh"))
+      .select(col("doc_id"), col("split"), col("shard"),
+        row_number().over(
+          Window.partitionBy(col("split"), col("shard"))
+            .orderBy(col("sh"), col("doc_id")))
+          .cast("long").as("shard_pos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(textRepetition, textDecontam, textTrainSplit)
+}

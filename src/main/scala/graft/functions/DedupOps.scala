@@ -297,7 +297,10 @@ object DedupOps {
     // persist still computes the full candidate+verify pipeline upstream
     // of `edges` twice (measured 2× the whole query's scan cost)
     val e = edges.persist()
+    val tEdges = System.nanoTime()
     e.count()
+    if (sys.env.contains("GRAFT_TIMING"))
+      println(f"TIMING cc/edges ${(System.nanoTime() - tEdges) / 1e9}%.2f s")
     val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -336,12 +339,13 @@ object DedupOps {
         .select(col("a.doc_id").as("doc_id"), col("b.cluster_id").as("cluster_id"))
         .persist()
       prev = cur
+      val tRound = System.nanoTime()
       cur = labelSum(next)
       labels.unpersist()
       labels = next
       rounds += 1
       if (sys.env.contains("GRAFT_TIMING"))
-        println(s"TIMING cc/round $rounds labelSum=$cur")
+        println(f"TIMING cc/round $rounds labelSum=$cur took ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
     sym.unpersist()
     e.unpersist()

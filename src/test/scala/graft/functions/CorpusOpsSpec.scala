@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("repetition metrics are internally consistent") {
+    val df = CorpusOps.textRepetition.run(spark, sf).cache()
+    assert(df.count() > 0)
+    // a doc has exactly n_words - 1 bigrams, the mode can't exceed the
+    // total, and distinct words can't exceed total words
+    assert(df.filter(col("n_bigrams") =!= col("n_words") - 1).count() == 0)
+    assert(df.filter(col("top_bigram_count") > col("n_bigrams")).count() == 0)
+    assert(df.filter(col("n_distinct_words") > col("n_words")).count() == 0)
+    // the flag is exactly the 20% integer cross-multiply
+    assert(df.filter(col("is_repetitive") =!=
+      (col("top_bigram_count") * 5 > col("n_bigrams"))).count() == 0)
+    df.unpersist()
+  }
+
+  test("decontamination keeps every non-benchmark doc and flags hits monotonically") {
+    val df = CorpusOps.textDecontam.run(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expected = docs.filter(col("doc_id") % 97 =!= 0).count()
+    assert(df.count() == expected)
+    assert(df.filter(col("is_contaminated") =!= (col("n_contaminated_grams") > 0)).count() == 0)
+    df.unpersist()
+  }
+
+  test("train split is exhaustive, deterministic, and gapless within shards") {
+    val df = CorpusOps.textTrainSplit.run(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(df.count() == docs.count())
+    assert(df.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "validation", "test")))
+    // shard_pos is a gapless 1..n ranking per (split, shard)
+    val bad = df.groupBy("split", "shard")
+      .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"), min("shard_pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0)
+    // determinism: second run bit-identical
+    val again = CorpusOps.textTrainSplit.run(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    df.unpersist()
+  }
+}
