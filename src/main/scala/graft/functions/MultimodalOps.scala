@@ -143,5 +143,76 @@ object MultimodalOps {
         .otherwise("small").as("size_class"))
   }
 
-  val all: Seq[QueryDef] = Seq(mmBinaryMeta)
+  /** Deterministic asset table derived from `documents`: the UTF-8 text
+    * bytes ARE the payload. The testdata text is pure ASCII (asserted at
+    * every SF), so a byte slice of the payload equals a substring of the
+    * text — which is what lets DuckDB recompute the stub codec's output
+    * and hash-match binary transforms it could never express natively.
+    */
+  private def assetsOf(t: graft.Tables): Dataset[MediaAsset] = {
+    import t.spark.implicits._
+    t.documents.select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+      length(col("text")).cast("int").as("width"),
+      lit(1).as("height"),
+      encode(col("text"), "UTF-8").as("payload")).as[MediaAsset]
+  }
+
+  /** Resize through the REAL partition-batched path, oracle-checked: the
+    * stub stride-resample `out(i) = payload[i*n/128]` is re-derived by
+    * DuckDB as substring arithmetic and the resized payloads hash-match
+    * bit-for-bit — metadata rewrite, binary flow, and the mapPartitions
+    * execution are all value-verified, only the codec math is a stand-in.
+    */
+  val mmResize: QueryDef = QueryDef(
+    "mm_resize",
+    s"""WITH r AS (SELECT doc_id AS asset_id, length(text) AS n,
+       |                  array_to_string(list_transform(range(0, 128),
+       |                    i -> substr(text, CAST(i * length(text) // 128 AS INTEGER) + 1, 1)),
+       |                    '') AS rp
+       |           FROM documents)
+       |SELECT asset_id, 16 AS width, 8 AS height,
+       |       octet_length(encode(rp)) AS n_bytes,
+       |       ${SharedHash.h64Sql("rp")} AS payload_hash
+       |FROM r""".stripMargin) { t =>
+    implicit val spark: SparkSession = t.spark
+    resize(assetsOf(t), 16, 8)
+      .select(col("asset_id"), col("width"), col("height"),
+        octet_length(col("payload")).as("n_bytes"),
+        SharedHash.h64(col("payload")).as("payload_hash"))
+  }
+
+  /** Frame sampling through the REAL path, oracle-checked: fixed 32-byte
+    * frame blocks, every 2nd kept, exploded to one row per kept frame;
+    * DuckDB recomputes each frame as a substring and both the per-frame
+    * hashes and the kept-count metadata must match exactly.
+    */
+  val mmFrameSample: QueryDef = QueryDef(
+    "mm_frame_sample",
+    s"""WITH f AS (SELECT doc_id AS asset_id, length(text) AS n,
+       |                  (length(text) + 31) // 32 AS n_chunks
+       |           FROM documents),
+       |k AS (SELECT asset_id, n,
+       |             CAST((n_chunks + 1) // 2 AS INTEGER) AS n_frames,
+       |             unnest(list_filter(range(0, n_chunks), i -> i % 2 = 0)) AS i
+       |      FROM f),
+       |fr AS (SELECT k.asset_id, k.n_frames, CAST(k.i AS INTEGER) AS frame_idx,
+       |              substr(d.text, CAST(k.i * 32 AS INTEGER) + 1, 32) AS frame
+       |       FROM k JOIN documents d ON d.doc_id = k.asset_id)
+       |SELECT asset_id, n_frames, frame_idx,
+       |       octet_length(encode(frame)) AS frame_bytes,
+       |       ${SharedHash.h64Sql("frame")} AS frame_hash
+       |FROM fr""".stripMargin) { t =>
+    implicit val spark: SparkSession = t.spark
+    sampleFrames(assetsOf(t), frameBytes = 32, everyK = 2)
+      .select(col("asset_id"), col("n_frames"),
+        posexplode(col("frames")).as(Seq("pos", "frame")))
+      .select(col("asset_id"), col("n_frames"),
+        (col("pos") * 2).as("frame_idx"),
+        octet_length(col("frame")).as("frame_bytes"),
+        SharedHash.h64(col("frame")).as("frame_hash"))
+  }
+
+  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmResize, mmFrameSample)
 }
