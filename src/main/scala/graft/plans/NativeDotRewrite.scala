@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule rewriting the declarative dot-product idiom
+  *
+  *   `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)`
+  *
+  * into the native codegen'd [[DotProduct]] expression. Users (and the
+  * DuckDB-oracle-parity queries) write the portable higher-order-function
+  * form; the optimizer swaps in the primitive loop — the Spark-idiomatic
+  * division of labor: declarative plan in, physical choice by rule. The
+  * rewrite is a pure physical swap ([[DotProduct]] reproduces the fold's
+  * left-to-right IEEE accumulation and zip_with's null semantics
+  * bit-for-bit, DotProductSpec) and fires only on float/double arrays
+  * with the exact fold shape — any other element type, zero value, or
+  * lambda keeps the interpreted form.
+  *
+  * Disable with `spark.graft.nativeDotRewrite=false` (checked per query
+  * compilation, so one session can A/B both plans).
+  */
+object NativeDotRewrite extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  /** The lambda body may cast the element to double (needed for float
+    * arrays); the cast is what [[DotProduct]] does natively.
+    */
+  private def sameVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case nv: NamedLambdaVariable => nv.exprId == v.exprId
+    case c: Cast if c.dataType == DoubleType => sameVar(c.child, v)
+    case _ => false
+  }
+
+  /** x*y over exactly the two zip_with variables, either order (IEEE-754
+    * multiplication is commutative).
+    */
+  private def isPairProduct(body: Expression,
+      xv: NamedLambdaVariable, yv: NamedLambdaVariable): Boolean = body match {
+    case Multiply(l, r, _) =>
+      (sameVar(l, xv) && sameVar(r, yv)) || (sameVar(l, yv) && sameVar(r, xv))
+    case _ => false
+  }
+
+  private def isPositiveZero(v: Any): Boolean = v match {
+    case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d) == 0L
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.nativeDotRewrite", "true").toBoolean) plan
+    else plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(prod, Seq(xv: NamedLambdaVariable, yv: NamedLambdaVariable), _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(accRef, elemRef, _),
+              Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
+            LambdaFunction(finishRef: NamedLambdaVariable, Seq(fin: NamedLambdaVariable), _))
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            isPairProduct(prod, xv, yv) &&
+            isPositiveZero(zero) &&
+            sameVar(accRef, acc) && sameVar(elemRef, elem) &&
+            finishRef.exprId == fin.exprId =>
+        DotProduct(a, b)
+    }
+}
+
+/** Session extension point: `GraftSession.builder` installs this, and
+  * external users can opt in with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => NativeDotRewrite)
+}
