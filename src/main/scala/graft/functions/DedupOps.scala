@@ -169,19 +169,31 @@ object DedupOps {
   }
 
   /** (doc_id, simhash) signatures — bit j set iff the (+1/−1) majority
-    * vote of bit j across all word hashes is positive.
+    * vote of bit j across all word hashes is positive. The default is
+    * the native [[SimhashSignature]] expression: the whole vote folds
+    * into an int[32] inside the scan projection — a pure map, where the
+    * aggregation form shuffles one row PER WORD and carries 32 agg
+    * buffers per document. `SPARK_GRAFT_SIMHASH=agg` keeps the
+    * explode+groupBy form for in-JVM A/B; both are bit-identical (and
+    * match the DuckDB oracle's unnest+GROUP BY).
     */
   private def simhashSigs(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", h64(col("w")))
-    val bitAggs = (0 until 32).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$j"))
-    val agg = hashed.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    agg.select(col("doc_id"),
-      (0 until 32).map(j =>
-        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L): Column)
-        .reduce(_ + _).as("simhash"))
+    if (sys.env.get("SPARK_GRAFT_SIMHASH").contains("agg")) {
+      val hashed = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", h64(col("w")))
+      val bitAggs = (0 until 32).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$j"))
+      val agg = hashed.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      agg.select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L): Column)
+          .reduce(_ + _).as("simhash"))
+    } else
+      docs.select(col("doc_id"),
+        org.apache.spark.sql.GraftSqlBridge.column(SimhashSignature(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            split(col("text"), " ")))).as("simhash"))
   }
 
   /** SimHash: pure map + one aggregation; near-dup detection = Hamming

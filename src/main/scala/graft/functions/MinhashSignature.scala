@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -47,22 +45,6 @@ case class MinhashSignature(child: Expression, k: Int, p: Long)
 
 object MinhashSignature {
 
-  private val md = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
-
-  /** First 60 bits of md5(bytes) — bit-identical to
-    * `conv(substring(md5(x), 1, 15), 16, 10)`: 15 hex chars are bytes
-    * 0–6 in full plus the high nibble of byte 7.
-    */
-  private def h64(bytes: Array[Byte]): Long = {
-    val d = md.get()
-    d.reset()
-    val dig = d.digest(bytes)
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
-    (v << 4) | ((dig(7) & 0xf0L) >>> 4)
-  }
-
   /** One pass over the shingles, K running minima in a primitive array.
     * Permutation family matches the SQL fold exactly:
     * `((2j+1)·h + j·912367 + 341) mod p` over `h = h64(s) mod p`.
@@ -74,7 +56,7 @@ object MinhashSignature {
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val h = h64(s.getBytes) % p
+        val h = SharedHash.h64Jvm(s.getBytes) % p
         var j = 0
         while (j < k) {
           val v = ((2L * j + 1L) * h + j.toLong * 912367L + 341L) % p

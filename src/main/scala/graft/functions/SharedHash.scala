@@ -19,4 +19,21 @@ object SharedHash {
 
   /** DuckDB-SQL rendering of [[h64]] for oracle queries. */
   def h64Sql(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  private val md = java.lang.ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** JVM-side [[h64]] for native expressions: first 60 bits of md5 — 15
+    * hex chars are bytes 0–6 in full plus the high nibble of byte 7.
+    * Bit-identical to the Column/SQL forms on the same UTF-8 bytes.
+    */
+  def h64Jvm(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >>> 4)
+  }
 }
