@@ -7,13 +7,12 @@ object DevCheck {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get(8)
     spark.sparkContext.setLogLevel("ERROR")
-    val t = Tables(spark, "/root/testdata/sf0.001")
-    try {
-      val ev = t.events
-      ev.printSchema()
-      ev.show(3, truncate = false)
-    } catch {
-      case e: Throwable => println(s"EVENTS READ FAILED: ${e.getMessage.take(500)}")
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names = if (args.length > 1) args(1).split(",").toSeq
+                else SparkEntry.registry.map(_.name)
+    for (n <- names; q <- SparkEntry.registry.find(_.name == n)) {
+      println(s"===== $n =====")
+      q.run(spark, sf).explain("formatted")
     }
     spark.stop()
   }

@@ -23,10 +23,12 @@ object CorpusOps {
   /** Repetition metrics per document: word-level bigram mode count and
     * distinct-word count, with a Gopher-style "top 2-gram fraction >
     * 20%" rejection flag. The bigram histogram is an explode →
-    * two-level aggregation — both shuffles carry (doc_id, gram-hash)
-    * sized rows, never the document text, and the per-doc side of the
-    * final join is a pure projection of the scan, so the shape is flat
-    * at any corpus size.
+    * two-level aggregation; the per-doc word counts are computed once at
+    * the scan and carried through both aggregations as constants
+    * (`first`), so there is NO stats-back-to-docs join — a per-document
+    * join side can't be broadcast at corpus scale, and carrying two
+    * longs through the shuffle is cheaper than a sort-merge join and a
+    * second scan. Shuffles carry (doc_id, gram, 2 longs), never text.
     */
   val textRepetition: QueryDef = QueryDef(
     "text_repetition",
@@ -47,22 +49,24 @@ object CorpusOps {
       |       s.top_bigram_count,
       |       s.top_bigram_count * 5 > s.n_bigrams AS is_repetitive
       |FROM w JOIN s ON s.doc_id = w.doc_id""".stripMargin) { t =>
-    val docs = t.documents
+    val grams = t.documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
-    val grams = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1)))).as("gram"))
-    val stats = grams
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt")).as("top_bigram_count"), sum(col("cnt")).as("n_bigrams"))
-    docs
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
-        size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"))
-      .join(stats, Seq("doc_id"))
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("gram"))
+    grams
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        first(col("n_words")).as("n_words"),
+        first(col("n_distinct_words")).as("n_distinct_words"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bigram_count"), sum(col("cnt")).as("n_bigrams"),
+        first(col("n_words")).as("n_words"),
+        first(col("n_distinct_words")).as("n_distinct_words"))
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
         col("n_bigrams"), col("top_bigram_count"),
         (col("top_bigram_count") * 5 > col("n_bigrams")).as("is_repetitive"))
