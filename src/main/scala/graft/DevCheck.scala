@@ -10,6 +10,8 @@ object DevCheck {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args(1).split(",").toSeq
                 else SparkEntry.registry.map(_.name)
+    val unknown = names.filterNot(n => SparkEntry.registry.exists(_.name == n))
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     for (n <- names; q <- SparkEntry.registry.find(_.name == n)) {
       println(s"===== $n =====")
       q.run(spark, sf).explain("formatted")

@@ -84,22 +84,17 @@ object DedupOps {
        |         FROM bands a JOIN bands c
        |           ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)""".stripMargin
 
-  /** Candidate pairs from banded minhash signatures of a shingled
-    * DataFrame. The K minima are folded in ONE pass over the hash array
-    * (`aggregate` with an array accumulator): a per-permutation
-    * `array_min(transform(hv, …))` looks equivalent, but after Catalyst
-    * collapses the hv projection into the lambda the md5 chain would be
-    * re-evaluated once PER PERMUTATION — K× the hashing cost. The other
-    * tempting rewrite — explode + K parallel `min` aggregates — measures
-    * 3× SLOWER at sf0.1 (3.9 s vs 1.2 s): materializing a row per
-    * shingle and updating 16 agg buffers per row costs more than the
-    * per-document in-array fold, which never leaves the operator.
-    */
   /** K-minima signature column: the default is the native codegen'd
     * [[MinhashSignature]] expression (one pass, primitive accumulator,
     * stays inside WholeStageCodegen); `SPARK_GRAFT_MINHASH=fold` keeps
     * the built-in higher-order fold for A/B measurement in one JVM.
-    * Both are bit-identical to the oracle's SQL fold.
+    * Both are bit-identical to the oracle's SQL fold. Shapes previously
+    * measured and rejected: per-permutation `array_min(transform(hv,…))`
+    * re-evaluates the md5 chain once PER PERMUTATION after Catalyst
+    * collapses the projection (K× the hashing cost); explode + K
+    * parallel `min` aggregates is 3× slower at sf0.1 (3.9 s vs 1.2 s) —
+    * a row per shingle and 16 agg buffers cost more than a per-document
+    * fold that never leaves the operator.
     */
   private def sigCol: Column =
     if (sys.env.get("SPARK_GRAFT_MINHASH").contains("fold"))
@@ -113,6 +108,10 @@ object DedupOps {
         MinhashSignature(
           org.apache.spark.sql.GraftSqlBridge.expression(col("shingles")), K, P))
 
+  /** Candidate pairs from banded minhash signatures ([[sigCol]]) of a
+    * shingled DataFrame: B band keys per document, bucket-local pair
+    * expansion (shape rationale below).
+    */
   private[functions] def lshCandidates(shingled: DataFrame): DataFrame = {
     val sig = shingled.select(col("doc_id"), sigCol.as("sig"))
     val bands = sig
@@ -190,10 +189,14 @@ object DedupOps {
           when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L): Column)
           .reduce(_ + _).as("simhash"))
     } else
-      docs.select(col("doc_id"),
-        org.apache.spark.sql.GraftSqlBridge.column(SimhashSignature(
-          org.apache.spark.sql.GraftSqlBridge.expression(
-            split(col("text"), " ")))).as("simhash"))
+      // NULL-text parity with the agg form: explode(split(NULL)) drops
+      // the row there (and DuckDB's unnest likewise), so the native path
+      // must filter rather than emit a (doc_id, NULL) signature
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          org.apache.spark.sql.GraftSqlBridge.column(SimhashSignature(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              split(col("text"), " ")))).as("simhash"))
   }
 
   /** SimHash: pure map + one aggregation; near-dup detection = Hamming
@@ -359,10 +362,18 @@ object DedupOps {
       if (sys.env.contains("GRAFT_TIMING"))
         println(f"TIMING cc/round $rounds labelSum=$cur took ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
+    require(cur == prev, s"label propagation did not converge in $rounds rounds")
+    // the label table is small (only vertices of the near-dup graph);
+    // localCheckpoint materializes it so every cache built during the
+    // loop can be released NOW — a bare persist returned to the caller
+    // would strand its blocks in the CacheManager for the session's
+    // lifetime (one leak per invocation), while checkpoint blocks are
+    // reclaimed by the ContextCleaner once the result is consumed
+    val out = labels.localCheckpoint()
+    labels.unpersist()
     sym.unpersist()
     e.unpersist()
-    require(cur == prev, s"label propagation did not converge in $rounds rounds")
-    labels
+    out
   }
 
   /** Cluster resolution — the step that turns pairwise near-dup matches

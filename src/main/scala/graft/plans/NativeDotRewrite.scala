@@ -41,11 +41,15 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
   }
 
   /** x*y over exactly the two zip_with variables, either order (IEEE-754
-    * multiplication is commutative).
+    * multiplication is commutative). BOTH operands must already be
+    * double-typed (a double element, or the lambda's explicit cast):
+    * an uncast float*float multiplies in FLOAT precision per element,
+    * which [[DotProduct]]'s widen-then-multiply does NOT reproduce —
+    * rewriting it would change results, not just the physical plan.
     */
   private def isPairProduct(body: Expression,
       xv: NamedLambdaVariable, yv: NamedLambdaVariable): Boolean = body match {
-    case Multiply(l, r, _) =>
+    case Multiply(l, r, _) if l.dataType == DoubleType && r.dataType == DoubleType =>
       (sameVar(l, xv) && sameVar(r, yv)) || (sameVar(l, yv) && sameVar(r, xv))
     case _ => false
   }

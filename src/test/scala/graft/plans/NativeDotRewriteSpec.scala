@@ -49,4 +49,14 @@ class NativeDotRewriteSpec extends AnyFunSuite {
       lit(0.0), (acc, x) => acc + x).as("s"))
     assert(!hasNativeDot(sums))
   }
+
+  test("uncast float folds are NOT rewritten — they multiply in float precision") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // no .cast("double") on the lambda vars: each product rounds to
+    // FLOAT, which DotProduct's widen-then-multiply would not reproduce
+    val uncast = e.select(aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x).as("d"))
+    assert(!hasNativeDot(uncast))
+  }
 }
