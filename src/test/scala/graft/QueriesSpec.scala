@@ -75,6 +75,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN recall@5 vs brute force: multiprobe >= single-bucket, both non-degenerate") {
+    import org.apache.spark.sql.functions._
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val brute = topSets(functions.AnnOps.annBruteTopk.run(spark, sf))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / brute.size
+    val rLsh = recall(topSets(functions.AnnOps.annLshTopk.run(spark, sf)))
+    val rMulti = recall(topSets(functions.AnnOps.annLshMultiprobe.run(spark, sf)))
+    val rIvf = recall(topSets(functions.AnnOps.annIvfTopk.run(spark, sf)))
+    info(f"recall@5: lsh=$rLsh%.2f multiprobe=$rMulti%.2f ivf=$rIvf%.2f")
+    // widening the probe set can only add candidates — recall is monotone
+    assert(rMulti >= rLsh)
+    // the buckets must actually carry signal, not return arbitrary vectors
+    assert(rLsh >= 0.2 && rMulti >= 0.3 && rIvf >= 0.3,
+      f"degenerate ANN recall: lsh=$rLsh%.2f multi=$rMulti%.2f ivf=$rIvf%.2f")
+  }
+
   test("row_number dedup yields one row per (user_id, event_type)") {
     import org.apache.spark.sql.functions._
     val df = operators.WindowOps.wDedupRownum.run(spark, sf)
