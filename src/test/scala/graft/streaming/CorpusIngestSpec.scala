@@ -108,4 +108,51 @@ class CorpusIngestSpec extends AnyFunSuite {
     // no digest lands on both sides of the gate
     assert(gotClean.select("digest").intersect(gotRejected.select("digest")).count() == 0)
   }
+
+  test("dedup completeness and gate routing are invariant to micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy("doc_id").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // 30 unique docs + 10 duplicates under new ids + 2 rejects, all
+    // inside one watermark horizon; WHICH copy survives depends on the
+    // split (in-batch dedup keeps an arbitrary row), so the invariant is
+    // at DIGEST level: same kept set, same routing, for EVERY split
+    val rows = base.zipWithIndex.map { case ((id, tx, lg, src), i) =>
+      Doc(id, tx, lg, src, at(i)) } ++
+      base.take(10).zipWithIndex.map { case ((_, tx, lg, src), i) =>
+        Doc(5000L + i, tx, lg, src, at(31 + i)) } ++
+      Seq(Doc(5100L, "ab", "en", "junk", at(45)),
+        Doc(5101L, "z z z z z z z z z z", "en", "junk", at(46)))
+    val expectedClean = CorpusIngest.enrich(rows.toSeq.toDF())
+      .filter(col("reject_reason").isNull)
+      .select("digest").distinct().as[Long].collect().toSet
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val clean = new GraftTable(spark,
+        TableDef("pc_clean", cleanSchema), fresh(s"pclean$trial"))
+      val rejected = new GraftTable(spark,
+        TableDef("pc_rej", rejectedSchema), fresh(s"prej$trial"))
+      val src = MemoryStream[Doc]
+      val q = CorpusIngest.ingest(src.toDF(), clean, rejected, fresh(s"pckpt$trial"))
+      try {
+        var rest = rnd.shuffle(rows.toSeq)
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(rest.size)
+          src.addData(rest.take(n))
+          q.processAllAvailable()
+          rest = rest.drop(n)
+        }
+      } finally q.stop()
+      val gotClean = clean.readLogical()
+      assert(gotClean.select("digest").as[Long].collect().toSet == expectedClean,
+        s"trial $trial: kept digest set must not depend on the split")
+      assert(gotClean.count() == expectedClean.size,
+        s"trial $trial: exactly one survivor per digest")
+      assert(rejected.readLogical().select("reject_reason").as[String]
+        .collect().sorted.toSeq == Seq("LOW_DIVERSITY", "TOO_SHORT"),
+        s"trial $trial: gate routing must not depend on the split")
+    }
+  }
 }
