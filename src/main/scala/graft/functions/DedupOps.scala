@@ -267,6 +267,11 @@ object DedupOps {
     */
   private def verifiedPairs(sh: DataFrame): DataFrame = {
     val cand = lshCandidates(sh)
+    // measured negative result (sf0.1, one JVM): intersecting 60-bit
+    // shingle HASHES instead of the strings is 30% SLOWER (5.3 s vs
+    // 4.0 s solo) — the two join branches are separate plans, so each
+    // re-runs md5 over every shingle, and that costs more than the
+    // ~2.5× shuffle-byte saving buys. Strings stay.
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
