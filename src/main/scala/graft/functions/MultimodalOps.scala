@@ -34,6 +34,7 @@ object MultimodalOps {
       asset_id: Long,
       media_type: String,
       n_bytes: Int,
+      sum_byte: Long, // exact byte sum — the oracle-checkable integer form
       mean_byte: Double,
       feature: Seq[Float])
 
@@ -61,10 +62,9 @@ object MultimodalOps {
       // real decoder init would happen ONCE here, per partition
       batch.map { a =>
         val n = a.payload.length
-        val mean =
-          if (n == 0) 0.0
-          else a.payload.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / n
-        MediaFeatures(a.asset_id, a.media_type, n,
+        val sum = a.payload.foldLeft(0L)((s, b) => s + (b & 0xff))
+        val mean = if (n == 0) 0.0 else sum.toDouble / n
+        MediaFeatures(a.asset_id, a.media_type, n, sum,
           math.rint(mean * 10000) / 10000,
           StubDecoder.features(a.payload, dim).toSeq)
       }
@@ -217,5 +217,26 @@ object MultimodalOps {
         SharedHash.h64(col("frame")).as("frame_hash"))
   }
 
-  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmResize, mmFrameSample)
+  /** Feature extraction through the REAL partition-batched path,
+    * metadata oracle-checked: byte count and EXACT byte sum survive the
+    * typed mapPartitions round trip and must match DuckDB's code-point
+    * sum (ASCII text ⇒ code point == byte). The float feature vector
+    * and the rounded mean stay spec-tested only — cross-engine float
+    * accumulation and rint-vs-round half-even semantics don't warrant
+    * an exactness contract.
+    */
+  val mmFeatures: QueryDef = QueryDef(
+    "mm_features",
+    """SELECT doc_id AS asset_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+      |              i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT) AS sum_byte
+      |FROM documents""".stripMargin) { t =>
+    implicit val spark: SparkSession = t.spark
+    extractFeatures(assetsOf(t), dim = 8)
+      .select(col("asset_id"), col("media_type"), col("n_bytes"), col("sum_byte"))
+  }
+
+  val all: Seq[QueryDef] = Seq(mmBinaryMeta, mmResize, mmFrameSample, mmFeatures)
 }
