@@ -12,9 +12,16 @@ object DevCheck {
                 else SparkEntry.registry.map(_.name)
     val unknown = names.filterNot(n => SparkEntry.registry.exists(_.name == n))
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val timing = sys.env.contains("GRAFT_DEV_TIME")
     for (n <- names; q <- SparkEntry.registry.find(_.name == n)) {
       println(s"===== $n =====")
-      q.run(spark, sf).explain("formatted")
+      if (timing) {
+        // warm-up once (scan cache, codegen), then timed run
+        q.run(spark, sf).count()
+        val t0 = System.nanoTime()
+        val rows = q.run(spark, sf).count()
+        println(f"TIME $n ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      } else q.run(spark, sf).explain("formatted")
     }
     spark.stop()
   }

@@ -33,6 +33,12 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // SPARK_GRAFT_DOT=fold asks for the interpreted higher-order fold
+      // (A/B vs the native DotProduct); NativeDotRewrite would silently
+      // rewrite that exact shape back to the native expression, so the
+      // rule must be off for the env var to mean anything
+      .config("spark.graft.nativeDotRewrite",
+        (!sys.env.get("SPARK_GRAFT_DOT").contains("fold")).toString)
       .config("spark.ui.enabled", "false")
 
   /** Standard entry-point session: local[cpus], shuffle = cpus. */

@@ -153,12 +153,16 @@ object DedupOps {
     lshCandidates(withShingles(t.documents))
   }
 
+  private val SimBits  = SimhashSignature.Bits // 60
+  private val SimBands = 4                      // 15-bit bands, SimBits = 4*15
+  private val SimBandBits = SimBits / SimBands  // 15 → 32768-way band keys
+
   /** SimHash signature CTE shared by the signature and pair queries. */
   private val simhashSigSql: String = {
-    val bitSums = (0 until 32)
+    val bitSums = (0 until SimBits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(", ")
-    val bitsToLong = (0 until 32)
+    val bitsToLong = (0 until SimBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
       .mkString(" + ")
     s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -168,9 +172,10 @@ object DedupOps {
   }
 
   /** (doc_id, simhash) signatures — bit j set iff the (+1/−1) majority
-    * vote of bit j across all word hashes is positive. The default is
-    * the native [[SimhashSignature]] expression: the whole vote folds
-    * into an int[32] inside the scan projection — a pure map, where the
+    * vote of bit j across all word hashes is positive (60 bits — the
+    * full entropy of [[SharedHash.h64]]). The default is the native
+    * [[SimhashSignature]] expression: the whole vote folds
+    * into an int[60] inside the scan projection — a pure map, where the
     * aggregation form shuffles one row PER WORD and carries 32 agg
     * buffers per document. `SPARK_GRAFT_SIMHASH=agg` keeps the
     * explode+groupBy form for in-JVM A/B; both are bit-identical (and
@@ -181,11 +186,11 @@ object DedupOps {
       val hashed = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .withColumn("h", h64(col("w")))
-      val bitAggs = (0 until 32).map(j =>
+      val bitAggs = (0 until SimBits).map(j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$j"))
       val agg = hashed.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
       agg.select(col("doc_id"),
-        (0 until 32).map(j =>
+        (0 until SimBits).map(j =>
           when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L): Column)
           .reduce(_ + _).as("simhash"))
     } else
@@ -209,17 +214,22 @@ object DedupOps {
     simhashSigs(t.documents)
   }
 
-  /** SimHash near-dup pairs via Hamming BANDING: the 32-bit signature
-    * splits into four 8-bit bands; any pair within Hamming distance 3
-    * must agree on ≥1 band (pigeonhole), so candidates come from a
-    * bucket join on (band, band_byte) — never an all-pairs scan — and
-    * the exact `bit_count(xor)` check verifies them.
+  /** SimHash near-dup pairs via Hamming BANDING: the 60-bit signature
+    * splits into four 15-bit bands; any pair within Hamming distance 3
+    * must agree on ≥1 band (pigeonhole over 4 bands), so candidates come
+    * from a bucket join on (band, band_key) — never an all-pairs scan —
+    * and the exact `bit_count(xor)` check verifies them. 15-bit keys
+    * give 4 × 32768 buckets (vs 4 × 256 with the old 32-bit/8-bit
+    * layout), so per-bucket occupancy — and the within-bucket candidate
+    * volume, which grows ~N²/buckets — stays bounded 128× longer as the
+    * corpus grows; band-key salting is the next lever after that.
     */
   val dedupSimhashPairs: QueryDef = QueryDef(
     "dedup_simhash_pairs",
     s"""WITH $simhashSigSql,
-       |bands AS (SELECT doc_id, simhash, k, (simhash >> (8*k)) & 255 AS key
-       |          FROM sim, (SELECT unnest(generate_series(0, 3)) AS k) t),
+       |bands AS (SELECT doc_id, simhash, k,
+       |            (simhash >> ($SimBandBits*k)) & ${(1 << SimBandBits) - 1} AS key
+       |          FROM sim, (SELECT unnest(generate_series(0, ${SimBands - 1})) AS k) t),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
        |                bit_count(xor(a.simhash, c.simhash)) AS hamming
        |         FROM bands a JOIN bands c
@@ -227,22 +237,37 @@ object DedupOps {
        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""".stripMargin) { t =>
     val sig = simhashSigs(t.documents)
     val bands = sig.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("key", expr("shiftright(simhash, k * 8) & 255"))
-    // deliberately a SELF-JOIN, not the bucket-local pair expansion
-    // lshCandidates uses: simhash band keys are 8-bit (4×256 buckets
-    // total), so buckets are large and collecting one into a single row
-    // concentrates the quadratic pair expansion in one task — measured
-    // 2× SLOWER (10.6 s vs 4.8 s at sf0.1) than the join, which spreads
-    // within-bucket pairs across tasks. Pick the shape by key
-    // cardinality: fine keys (minhash band strings) → bucket-local;
-    // coarse keys (byte bands) → self-join.
-    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
-      col("k"), col("key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
-      col("k"), col("key"))
-    a.join(b, Seq("k", "key"))
-      .filter(col("doc_a") < col("doc_b"))
+      explode(sequence(lit(0), lit(SimBands - 1))).as("k"))
+      .withColumn("key",
+        expr(s"shiftright(simhash, k * $SimBandBits) & ${(1 << SimBandBits) - 1}"))
+    // shape choice follows key cardinality (same rule as lshCandidates):
+    // with the old 8-bit bands (4×256 buckets) buckets were large and
+    // bucket-local expansion concentrated the quadratic pair blow-up in
+    // one task — self-join measured 2× faster (4.8 s vs 10.6 s, sf0.1).
+    // With 15-bit bands the keys are FINE (4×32768 buckets, occupancy
+    // ~1), and the A/B flips: bucket-local 0.95/1.81 s vs self-join
+    // 1.03/2.88 s over two sf0.1 runs — one (k, key, doc, simhash)
+    // shuffle instead of scanning the signature map twice. Bucket-local
+    // is now the default; `SPARK_GRAFT_SIMHASH_PAIRS=selfjoin` keeps the
+    // join form for re-measurement.
+    val expanded =
+      if (sys.env.get("SPARK_GRAFT_SIMHASH_PAIRS").contains("selfjoin")) {
+        val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+          col("k"), col("key"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+          col("k"), col("key"))
+        a.join(b, Seq("k", "key")).filter(col("doc_a") < col("doc_b"))
+      } else {
+        bands.groupBy(col("k"), col("key"))
+          .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+          .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sh_a"),
+            explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b"))
+          .select(col("doc_a"), col("b.doc_id").as("doc_b"),
+            col("sh_a"), col("b.simhash").as("sh_b"))
+      }
+    expanded
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .distinct()
@@ -346,8 +371,19 @@ object DedupOps {
       val prop = labels.alias("l")
         .join(sym.alias("s"), col("l.doc_id") === col("s.src"))
         .select(col("s.dst").as("doc_id"), col("l.cluster_id").as("cluster_id"))
+      // eagerly checkpointed because BOTH sides of the pointer-doubling
+      // self-join read it: un-materialized, the union+groupBy propagation
+      // shuffle would run twice every round. localCheckpoint (not
+      // persist) ALSO truncates the lineage, which is load-bearing: each
+      // round's plan references the previous round's twice, so without
+      // truncation the logical plan — and its join-size statistics,
+      // whose digit count doubles per round — grows exponentially with
+      // the round count (measured: the 40-vertex-chain spec hung for
+      // minutes inside plan-string rendering). Blocks are reclaimed by
+      // the ContextCleaner once unreferenced.
       val stepped = labels.unionByName(prop)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
       // pointer doubling: label(v) ← label(label(v)). A label is always
       // itself a vertex id, so the lookup join is total; combined with
       // the neighbor step this halves every label path per round —

@@ -6,13 +6,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Native Catalyst expression computing the 32-bit SimHash of a word
-  * array in ONE pass — the structural replacement for the explode →
-  * 32-conditional-sum groupBy in [[DedupOps.simhashSigs]].
+/** Native Catalyst expression computing the [[SimhashSignature.Bits]]-bit
+  * (60-bit) SimHash of a word array in ONE pass — the structural
+  * replacement for the explode → per-bit-conditional-sum groupBy in
+  * [[DedupOps.simhashSigs]]. 60 bits because the engine-portable
+  * [[SharedHash.h64]] carries exactly 60 bits of entropy — a wider
+  * signature would have constant (dead) high bits.
   *
-  * The aggregation form shuffles one row PER WORD and keeps 32 agg
+  * The aggregation form shuffles one row PER WORD and keeps 60 agg
   * buffers per document; this expression folds the whole ±1 bit vote
-  * into a primitive int[32] inside the scan projection, so signature
+  * into a primitive int[60] inside the scan projection, so signature
   * computation becomes a pure map — no explode, no shuffle, and the
   * downstream band join starts directly from the scan. Votes are
   * integer counts over the same per-word [[SharedHash.h64Jvm]] values
@@ -43,12 +46,15 @@ case class SimhashSignature(child: Expression) extends UnaryExpression {
 
 object SimhashSignature {
 
+  /** Signature width — 60 usable bits of [[SharedHash.h64]]. */
+  val Bits = 60
+
   /** ±1 majority vote per bit over the word hashes, packed little-endian:
     * bit j of the result is set iff strictly more words have bit j set
     * than clear — exactly `sum(CASE WHEN (h>>j)&1=1 THEN 1 ELSE -1) > 0`.
     */
   def compute(arr: ArrayData): Long = {
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](Bits)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
@@ -56,7 +62,7 @@ object SimhashSignature {
       if (s != null) {
         val h = SharedHash.h64Jvm(s.getBytes)
         var j = 0
-        while (j < 32) {
+        while (j < Bits) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
@@ -65,7 +71,7 @@ object SimhashSignature {
     }
     var sig = 0L
     var j = 0
-    while (j < 32) {
+    while (j < Bits) {
       if (votes(j) > 0) sig |= (1L << j)
       j += 1
     }

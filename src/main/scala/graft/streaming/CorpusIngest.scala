@@ -30,13 +30,22 @@ object CorpusIngest {
   def enrich(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     docs
-      .withColumn("digest", SharedHash.h64(col("text")))
+      // null text must NOT produce a NULL digest: the in-flight dedup
+      // keys on digest and treats NULLs as equal, which would silently
+      // collapse every malformed doc into one surviving row — so each
+      // null-text doc gets a per-doc sentinel digest (NUL prefix cannot
+      // collide with any real text hash input) and a MALFORMED reject
+      .withColumn("digest",
+        when(col("text").isNull,
+          SharedHash.h64(concat(lit("\u0000malformed:"), col("doc_id").cast("string"))))
+          .otherwise(SharedHash.h64(col("text"))))
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
       .withColumn("simhash",
         org.apache.spark.sql.GraftSqlBridge.column(SimhashSignature(
           org.apache.spark.sql.GraftSqlBridge.expression(words))))
       .withColumn("reject_reason",
-        when(length(col("text")) < 8, "TOO_SHORT")
+        when(col("text").isNull, "MALFORMED")
+          .when(length(col("text")) < 8, "TOO_SHORT")
           .when(col("n_tokens") < 3, "TOO_FEW_TOKENS")
           .when(size(array_distinct(words)) * 5 < size(words), "LOW_DIVERSITY"))
   }

@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import SharedHash.h64
 
 /** The native one-pass simhash must be BIT-identical to the explode +
-  * 32-conditional-sum aggregation (the oracle-checked form).
+  * per-bit-conditional-sum aggregation (the oracle-checked form), at the
+  * full 60-bit width.
   */
 class SimhashSignatureSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -18,11 +19,11 @@ class SimhashSignatureSpec extends AnyFunSuite {
     val hashed = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", h64(col("w")))
-    val bitAggs = (0 until 32).map(j =>
+    val bitAggs = (0 until SimhashSignature.Bits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$j"))
     val aggForm = hashed.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(j =>
+        (0 until SimhashSignature.Bits).map(j =>
           when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L):
             org.apache.spark.sql.Column)
           .reduce(_ + _).as("agg_sig"))
@@ -43,10 +44,10 @@ class SimhashSignatureSpec extends AnyFunSuite {
     assert(sigs.length == 3)
     // independent driver-side recomputation of the "a a b" vote
     def expected(words: Seq[String]): Long = {
-      val votes = new Array[Int](32)
-      for (w <- words; h = SharedHash.h64Jvm(w.getBytes("UTF-8")); j <- 0 until 32)
+      val votes = new Array[Int](SimhashSignature.Bits)
+      for (w <- words; h = SharedHash.h64Jvm(w.getBytes("UTF-8")); j <- 0 until SimhashSignature.Bits)
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-      (0 until 32).foldLeft(0L)((s, j) => if (votes(j) > 0) s | (1L << j) else s)
+      (0 until SimhashSignature.Bits).foldLeft(0L)((s, j) => if (votes(j) > 0) s | (1L << j) else s)
     }
     assert(sigs(0) == expected(Seq("a", "a", "b")))
     assert(sigs(1) == expected(Seq(""))) // split("") = [""] — the empty string votes

@@ -109,6 +109,35 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(gotClean.select("digest").intersect(gotRejected.select("digest")).count() == 0)
   }
 
+  test("null-text docs are rejected as MALFORMED, never deduped together") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two malformed docs plus one good one, all in one horizon: both
+    // null-text rows must land in rejected (NOT collapse into one via
+    // the NULL-digest trap) and none may reach the clean table
+    val rows = Seq(
+      Doc(1L, "a perfectly fine document with several words here", "en", "web", at(0)),
+      Doc(2L, null, "en", "web", at(1)),
+      Doc(3L, null, "en", "web", at(2)))
+    val clean = new GraftTable(spark,
+      TableDef("nt_clean", cleanSchema), fresh("ntclean"))
+    val rejected = new GraftTable(spark,
+      TableDef("nt_rej", rejectedSchema), fresh("ntrej"))
+    val src = MemoryStream[Doc]
+    val q = CorpusIngest.ingest(src.toDF(), clean, rejected, fresh("ntckpt"))
+    try {
+      src.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(clean.readLogical().count() == 1)
+    val rej = rejected.readLogical()
+    assert(rej.count() == 2, "BOTH null-text docs must be rejected")
+    assert(rej.select("reject_reason").as[String].collect().toSeq ==
+      Seq("MALFORMED", "MALFORMED"))
+    assert(rej.select("digest").distinct().count() == 2,
+      "sentinel digests must be per-doc, not a shared NULL")
+  }
+
   test("dedup completeness and gate routing are invariant to micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
