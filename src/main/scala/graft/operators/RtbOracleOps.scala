@@ -63,9 +63,11 @@ object RtbOracleOps {
 
   private val tsSql = "strptime(substr(event_timestamp, 1, 26), '%Y-%m-%dT%H:%M:%S.%f')"
 
-  /** P1–P7/P9 + U1 on REAL nested rows, engine-parity-checked. */
-  val rtbIngestEnrich: QueryDef = QueryDef(
-    "rtb_ingest_enrich",
+  /** Shared oracle SQL for the enrichment shape — used verbatim by both
+    * the direct parquet path and the Avro wire round-trip (the point of
+    * the latter: decoded bytes must be indistinguishable downstream).
+    */
+  private val enrichSql =
     s"""WITH x AS (
        |  SELECT id, unnest(imp) AS imp_t, site, app, cur, device, regs, "at",
        |         event_timestamp
@@ -109,9 +111,38 @@ object RtbOracleOps {
        |              OR device_ip LIKE '172.3_.%' THEN 'PRIVATE_IP'
        |            WHEN imp_bidfloor <= 0 THEN 'NON_POSITIVE_BIDFLOOR'
        |            ELSE NULL END AS reject_reason
-       |FROM flat""".stripMargin) { t =>
+       |FROM flat""".stripMargin
+
+  /** P1–P7/P9 + U1 on REAL nested rows, engine-parity-checked. */
+  val rtbIngestEnrich: QueryDef = QueryDef(
+    "rtb_ingest_enrich", enrichSql) { t =>
     ensureData(t.spark)
     RtbIngest.flattenRequests(t.spark.read.parquet(s"$root/requests"))
+      .drop("content_cat", "imp_bidfloor_usd")
+  }
+
+  /** S1's Avro wire leg, engine-parity-checked end to end: the nested
+    * requests are ENCODED to Confluent-framed Avro binary under a
+    * registered writer schema, DECODED back through the registry's
+    * reader, and only then flattened — while the oracle recomputes from
+    * the original parquet. A hash-identical result proves the wire
+    * round-trip preserves every value the enrichment consumes (nested
+    * structs, arrays, the site/app null-union), i.e. a user could swap
+    * the typed source for the Kafka-Avro wire without observable change.
+    */
+  val rtbAvroRoundtrip: QueryDef = QueryDef(
+    "rtb_avro_roundtrip", enrichSql) { t =>
+    ensureData(t.spark)
+    val raw = t.spark.read.parquet(s"$root/requests")
+    val registry = new graft.sources.WireRegistry
+    val schema = graft.sources.AvroWire.schemaFor(raw)
+    val id = registry.register("bid-requests-value", schema)
+    val wire = raw.select(graft.sources.AvroWire.toWire(
+      struct(raw.columns.map(col): _*), schema, id).as("value"))
+    val decoded = wire.select(graft.sources.AvroWire.fromWire(
+      col("value"), registry.latest("bid-requests-value")._2, registry.writers).as("r"))
+      .select("r.*")
+    RtbIngest.flattenRequests(decoded)
       .drop("content_cat", "imp_bidfloor_usd")
   }
 
@@ -183,5 +214,6 @@ object RtbOracleOps {
         col("n_impressions"), col("n_clicks"))
   }
 
-  val all: Seq[QueryDef] = Seq(rtbIngestEnrich, rtbFlattenBids, rtbFunnelHourly)
+  val all: Seq[QueryDef] =
+    Seq(rtbIngestEnrich, rtbAvroRoundtrip, rtbFlattenBids, rtbFunnelHourly)
 }

@@ -146,6 +146,43 @@ object Jobs {
         _.withColumn("event_ts", RtbIngest.parseTs(col("event_timestamp"))))))
   }
 
+  /** The four wire subjects, named after the reference's Kafka topics
+    * (setup.sh: bid-requests / bid-responses / impressions / clicks)
+    * under the Confluent `<topic>-value` convention.
+    */
+  val wireSubjects: Seq[String] = Seq("bid-requests-value",
+    "bid-responses-value", "impressions-value", "clicks-value")
+
+  /** S1 complete — the SAME ingestion statement set fed by
+    * Confluent-framed Avro BINARY streams (one `value` column, the
+    * Kafka record payload shape) instead of typed rows: each stream
+    * decodes with the registry's latest reader for its subject, writer
+    * schemas resolved per frame id (so mixed-version topics decode in
+    * one pass), then flattens and lands exactly as [[ingestion]] does.
+    * The decode is a native expression in the scan projection — the
+    * wire leg adds zero shuffles.
+    */
+  def wireIngestion(
+      requestFrames: DataFrame,
+      responseFrames: DataFrame,
+      impressionFrames: DataFrame,
+      clickFrames: DataFrame,
+      registry: graft.sources.WireRegistry,
+      cat: TableCatalog,
+      checkpointRoot: String): IngestionPipeline = {
+    def decode(frames: DataFrame, subject: String): DataFrame = {
+      val (_, reader) = registry.latest(subject)
+      frames.select(graft.sources.AvroWire.fromWire(
+        col("value"), reader, registry.writers).as("r")).select("r.*")
+    }
+    ingestion(
+      decode(requestFrames, wireSubjects(0)),
+      decode(responseFrames, wireSubjects(1)),
+      decode(impressionFrames, wireSubjects(2)),
+      decode(clickFrames, wireSubjects(3)),
+      cat, checkpointRoot)
+  }
+
   val pairsTable = "impression_request_pairs"
   val geoTable = "hourly_impressions_by_geo"
 
