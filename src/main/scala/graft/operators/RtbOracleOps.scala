@@ -214,6 +214,170 @@ object RtbOracleOps {
         col("n_impressions"), col("n_clicks"))
   }
 
+  /** The reference's `bid_landscape_hourly` view one-for-one
+    * (aggregation_jobs.sql:232-270, surfaced by query-examples.sh #17):
+    * dedup the double-exploded bids by (bid_id, request_id), LEFT
+    * interval-join back to the request for its publisher, then hourly
+    * publisher-level auction landscape. Money aggregates route through
+    * exact integer cents so both engines divide the same exact operands
+    * (AVG over raw doubles is summation-order-dependent and would
+    * hash-flap); `max_bid_price` is order-independent and stays raw.
+    * The join is equi on request_id with the time bound as a residual
+    * filter — a hash join at any scale, never a range scan.
+    */
+  val vBidLandscapeHourly: QueryDef = QueryDef(
+    "v_bid_landscape_hourly",
+    s"""WITH s AS (
+       |  SELECT id AS response_id, ext['request_id'] AS request_id,
+       |         $tsSql AS event_ts, unnest(seatbid) AS sb
+       |  FROM read_parquet('$root/responses/*.parquet')
+       |),
+       |eb AS (SELECT request_id, event_ts, unnest(sb['bid']) AS b FROM s),
+       |resp AS (
+       |  SELECT b['id'] AS bid_id, request_id,
+       |         max(b['price']) AS bid_price, max(event_ts) AS event_ts
+       |  FROM eb GROUP BY 1, 2
+       |),
+       |br AS (
+       |  SELECT id, coalesce(site['publisher']['id'], app['publisher']['id']) AS pub_id,
+       |         $tsSql AS r_ts
+       |  FROM read_parquet('$root/requests/*.parquet')
+       |),
+       |j AS (
+       |  SELECT resp.*, br.pub_id
+       |  FROM resp LEFT JOIN br
+       |    ON br.id = resp.request_id
+       |   AND br.r_ts BETWEEN resp.event_ts - INTERVAL 10 SECOND
+       |                   AND resp.event_ts + INTERVAL 5 SECOND
+       |)
+       |SELECT date_trunc('hour', event_ts) AS window_start,
+       |       coalesce(pub_id, 0) AS publisher_id,
+       |       count(DISTINCT request_id) AS request_count,
+       |       count(*) AS total_bids,
+       |       CASE WHEN count(DISTINCT request_id) > 0
+       |            THEN CAST(count(*) AS DOUBLE) / count(DISTINCT request_id)
+       |            ELSE 0.0 END AS bids_per_request,
+       |       CAST(sum(CAST(round(bid_price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       |         / count(*) AS avg_bid_price,
+       |       max(bid_price) AS max_bid_price
+       |FROM j GROUP BY 1, 2""".stripMargin) { t =>
+    ensureData(t.spark)
+    val resp = RtbIngest.flattenBids(t.spark.read.parquet(s"$root/responses"))
+      .groupBy(col("bid_id"), col("request_id"))
+      .agg(max(col("bid_price")).as("bid_price"), max(col("event_ts")).as("event_ts"))
+    val br = t.spark.read.parquet(s"$root/requests")
+      .select(col("id"),
+        coalesce(col("site.publisher.id"), col("app.publisher.id")).as("pub_id"),
+        RtbIngest.parseTs(col("event_timestamp")).as("r_ts"))
+    resp.join(br,
+        br("id") === resp("request_id") &&
+          br("r_ts").between(
+            resp("event_ts") - expr("INTERVAL 10 SECOND"),
+            resp("event_ts") + expr("INTERVAL 5 SECOND")),
+        "left")
+      .groupBy(date_trunc("hour", col("event_ts")).as("window_start"),
+        coalesce(col("pub_id"), lit(0)).as("publisher_id"))
+      .agg(
+        countDistinct(col("request_id")).as("request_count"),
+        count(lit(1)).as("total_bids"),
+        when(countDistinct(col("request_id")) > 0,
+          count(lit(1)).cast("double") / countDistinct(col("request_id")))
+          .otherwise(0.0).as("bids_per_request"),
+        (sum(round(col("bid_price") * 100).cast("long")).cast("double") / 100.0
+          / count(lit(1))).as("avg_bid_price"),
+        max(col("bid_price")).as("max_bid_price"))
+  }
+
+  /** The reference's `realtime_serving_metrics_1m` view one-for-one
+    * (aggregation_jobs.sql:273-310, query-examples.sh #18): dedup
+    * impressions by (impression_id, bidder_id) and clicks by
+    * (click_id, impression_id), LEFT interval-join clicks to their
+    * impression, then MINUTE-grain bidder serving metrics — the one
+    * reference bucket grain (FLOOR TO MINUTE) not previously pinned by
+    * a named oracle row. Revenue goes through exact cents; ctr divides
+    * two exact counts.
+    */
+  val vRealtimeServing1m: QueryDef = QueryDef(
+    "v_realtime_serving_metrics_1m",
+    s"""WITH imp AS (
+       |  SELECT impression_id, bidder_id,
+       |         max(win_price) AS win_price, max(event_ts) AS event_ts
+       |  FROM (SELECT impression_id, bidder_id, win_price, $tsSql AS event_ts
+       |        FROM read_parquet('$root/impressions/*.parquet'))
+       |  GROUP BY 1, 2
+       |),
+       |cl AS (
+       |  SELECT click_id, impression_id, max(event_ts) AS event_ts
+       |  FROM (SELECT click_id, impression_id, $tsSql AS event_ts
+       |        FROM read_parquet('$root/clicks/*.parquet'))
+       |  GROUP BY 1, 2
+       |),
+       |j AS (
+       |  SELECT imp.*, cl.click_id
+       |  FROM imp LEFT JOIN cl
+       |    ON cl.impression_id = imp.impression_id
+       |   AND cl.event_ts BETWEEN imp.event_ts AND imp.event_ts + INTERVAL 60 SECOND
+       |)
+       |SELECT date_trunc('minute', event_ts) AS window_start,
+       |       bidder_id,
+       |       count(*) AS impressions,
+       |       count(DISTINCT click_id) AS clicks,
+       |       CAST(sum(CAST(round(win_price * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       |       CASE WHEN count(*) > 0
+       |            THEN CAST(count(DISTINCT click_id) AS DOUBLE) / count(*)
+       |            ELSE 0.0 END AS ctr
+       |FROM j GROUP BY 1, 2""".stripMargin) { t =>
+    ensureData(t.spark)
+    val imp = t.spark.read.parquet(s"$root/impressions")
+      .withColumn("event_ts", RtbIngest.parseTs(col("event_timestamp")))
+      .groupBy(col("impression_id"), col("bidder_id"))
+      .agg(max(col("win_price")).as("win_price"), max(col("event_ts")).as("event_ts"))
+    val cl = t.spark.read.parquet(s"$root/clicks")
+      .withColumn("c_ts", RtbIngest.parseTs(col("event_timestamp")))
+      .groupBy(col("click_id"), col("impression_id").as("c_impression_id"))
+      .agg(max(col("c_ts")).as("c_ts"))
+    imp.join(cl,
+        col("c_impression_id") === col("impression_id") &&
+          col("c_ts").between(col("event_ts"),
+            col("event_ts") + expr("INTERVAL 60 SECOND")),
+        "left")
+      .groupBy(date_trunc("minute", col("event_ts")).as("window_start"),
+        col("bidder_id"))
+      .agg(
+        count(lit(1)).as("impressions"),
+        countDistinct(col("click_id")).as("clicks"),
+        (sum(round(col("win_price") * 100).cast("long")).cast("double") / 100.0)
+          .as("revenue"),
+        when(count(lit(1)) > 0,
+          countDistinct(col("click_id")).cast("double") / count(lit(1)))
+          .otherwise(0.0).as("ctr"))
+  }
+
+  /** query-examples.sh #6 one-for-one: the auction-type label CASE over
+    * the flat per-impression request rows.
+    */
+  val vAuctionTypeDistribution: QueryDef = QueryDef(
+    "v_auction_type_distribution",
+    s"""WITH x AS (SELECT "at" AS auction_type, unnest(imp) AS imp_t
+       |           FROM read_parquet('$root/requests/*.parquet'))
+       |SELECT auction_type,
+       |       CASE auction_type WHEN 1 THEN 'First Price'
+       |                         WHEN 2 THEN 'Second Price'
+       |                         ELSE 'Other' END AS auction_name,
+       |       count(*) AS request_count
+       |FROM x GROUP BY 1""".stripMargin) { t =>
+    ensureData(t.spark)
+    RtbIngest.flattenRequests(t.spark.read.parquet(s"$root/requests"))
+      .groupBy(col("auction_type"))
+      .agg(count(lit(1)).as("request_count"))
+      .select(col("auction_type"),
+        when(col("auction_type") === 1, "First Price")
+          .when(col("auction_type") === 2, "Second Price")
+          .otherwise("Other").as("auction_name"),
+        col("request_count"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(rtbIngestEnrich, rtbAvroRoundtrip, rtbFlattenBids, rtbFunnelHourly)
+    Seq(rtbIngestEnrich, rtbAvroRoundtrip, rtbFlattenBids, rtbFunnelHourly,
+      vBidLandscapeHourly, vRealtimeServing1m, vAuctionTypeDistribution)
 }
