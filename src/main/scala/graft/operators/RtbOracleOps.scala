@@ -166,7 +166,8 @@ object RtbOracleOps {
        |       b['id'] AS bid_id, b['impid'] AS imp_id, b['price'] AS bid_price,
        |       b['crid'] AS creative_id, b['adomain'][1] AS ad_domain,
        |       b['dealid'] AS deal_id, b['campaign_id'] AS campaign_id,
-       |       b['advertiser_id'] AS advertiser_id
+       |       b['line_item_id'] AS line_item_id, b['strategy_id'] AS strategy_id,
+       |       b['advertiser_id'] AS advertiser_id, b['agency_id'] AS agency_id
        |FROM b""".stripMargin) { t =>
     ensureData(t.spark)
     RtbIngest.flattenBids(t.spark.read.parquet(s"$root/responses"))
@@ -377,7 +378,186 @@ object RtbOracleOps {
         col("request_count"))
   }
 
+  // ---- 12-dim wide SCD2 enrichment (v_event_enriched_full_funnel.sql:86-112) ----
+
+  /** Deterministic SCD2 dim seeding at the reference's hierarchy breadth
+    * (dimension_mapping.py:167-431): one current row per key plus a
+    * retired historical row for every third key, so `is_current` is
+    * load-bearing in all 12 joins. Both engines rebuild the identical
+    * dims from integer ranges.
+    */
+  private def rangeDim(spark: org.apache.spark.sql.SparkSession,
+      n: Int, key: String, label: String, prefix: String): org.apache.spark.sql.DataFrame = {
+    val base = spark.range(1, n + 1)
+      .select(col("id").cast("int").as(key),
+        concat(lit(s"$prefix-"), col("id").cast("string")).as(label))
+    base.withColumn("is_current", lit(true))
+      .unionByName(base.filter(col(key) % 3 === 0)
+        .withColumn(label, concat(col(label), lit("-old")))
+        .withColumn("is_current", lit(false)))
+  }
+
+  private def rangeDimSql(n: Int, key: String, label: String, prefix: String): String =
+    s"""SELECT CAST(id AS INTEGER) AS $key,
+       |       '$prefix-' || CAST(id AS VARCHAR) AS $label, true AS is_current
+       |FROM (SELECT unnest(generate_series(1, $n)) AS id)
+       |UNION ALL
+       |SELECT CAST(id AS INTEGER), '$prefix-' || CAST(id AS VARCHAR) || '-old', false
+       |FROM (SELECT unnest(generate_series(1, $n)) AS id) WHERE id % 3 = 0""".stripMargin
+
+  /** The reference's full-funnel wide enrichment at its real width: the
+    * deduplicated per-bid fact joined to its request row, then LEFT
+    * joined to ALL TWELVE `is_current` SCD2 dims in one plan — publisher
+    * / device-type / device-OS / geo on the request side, the complete
+    * DSP hierarchy (bidder, creative, strategy, line item, campaign,
+    * advertiser, agency, deal) on the response side
+    * (v_event_enriched_full_funnel.sql:86-112, breadth from
+    * dimension_mapping.py: 30 publishers, 7 device types, 5 OSes, 160
+    * geos, 25 bidders, 200 creatives, 180 strategies, 120 line items,
+    * 60 campaigns, 20 advertisers, 5 agencies, 40 deals). Every dim is
+    * small and every join key is a dim PK, so all 12 joins BROADCAST
+    * (PlanSpec pins this) — the fact table never shuffles, which is what
+    * makes a 12-way enrichment viable over 100 TB of facts. Misses stay
+    * NULL (test-traffic publishers, null deal ids), proving LEFT
+    * semantics per dim.
+    */
+  val j5WideEnrich: QueryDef = QueryDef(
+    "j5_wide_enrich", {
+      val dims = Seq(
+        rangeDimSql(30, "d_publisher_id", "publisher_name", "publisher"),
+        rangeDimSql(7, "device_type_code", "device_type_name", "devtype"),
+        rangeDimSql(25, "d_bidder_id", "bidder_name", "bidder"),
+        rangeDimSql(200, "d_creative_id", "creative_name", "creative"),
+        rangeDimSql(180, "d_strategy_id", "strategy_name", "strategy"),
+        rangeDimSql(120, "d_line_item_id", "line_item_name", "lineitem"),
+        rangeDimSql(60, "d_campaign_id", "campaign_name", "campaign"),
+        rangeDimSql(20, "d_advertiser_id", "advertiser_name", "advertiser"),
+        rangeDimSql(5, "d_agency_id", "agency_name", "agency"),
+        rangeDimSql(40, "d_deal_id", "deal_name", "deal"))
+      val dimCtes = Seq("dim_publisher", "dim_device_type", "dim_bidder",
+        "dim_creative", "dim_strategy", "dim_line_item", "dim_campaign",
+        "dim_advertiser", "dim_agency", "dim_deal")
+        .zip(dims).map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+      s"""WITH $dimCtes,
+         |dim_device_os AS (
+         |  SELECT os_name,
+         |         CASE WHEN os_name IN ('iOS', 'Android') THEN 'mobile'
+         |              ELSE 'desktop' END AS os_family, true AS is_current
+         |  FROM (SELECT unnest(['iOS','Android','Windows','macOS','Linux']) AS os_name)
+         |),
+         |dim_geo AS (
+         |  SELECT country, country || '-' || CAST(r AS VARCHAR) AS region,
+         |         'geo-' || country || '-' || CAST(r AS VARCHAR) AS geo_name,
+         |         true AS is_current
+         |  FROM (SELECT unnest(['US','GB','DE','FR','JP','BR','IN','CA']) AS country),
+         |       (SELECT unnest(generate_series(0, 19)) AS r)
+         |),
+         |reqs AS (
+         |  SELECT DISTINCT id AS request_id, imp_t['id'] AS imp_id,
+         |         coalesce(site['publisher']['id'], app['publisher']['id']) AS publisher_id,
+         |         device['devicetype'] AS devicetype, device['os'] AS device_os,
+         |         device['geo']['country'] AS geo_country,
+         |         device['geo']['region'] AS geo_region
+         |  FROM (SELECT id, unnest(imp) AS imp_t, site, app, device
+         |        FROM read_parquet('$root/requests/*.parquet'))
+         |),
+         |bids AS (
+         |  SELECT DISTINCT request_id, b['id'] AS bid_id, b['impid'] AS imp_id,
+         |         bidder_id, b['crid'] AS creative_id, b['strategy_id'] AS strategy_id,
+         |         b['line_item_id'] AS line_item_id, b['campaign_id'] AS campaign_id,
+         |         b['advertiser_id'] AS advertiser_id, b['agency_id'] AS agency_id,
+         |         b['dealid'] AS deal_id
+         |  FROM (SELECT ext['request_id'] AS request_id, sb['seat'] AS bidder_id,
+         |               unnest(sb['bid']) AS b
+         |        FROM (SELECT id, ext, unnest(seatbid) AS sb
+         |              FROM read_parquet('$root/responses/*.parquet')))
+         |)
+         |SELECT bids.request_id, bids.bid_id,
+         |       dp.publisher_name, ddt.device_type_name, dos.os_family, dg.geo_name,
+         |       db.bidder_name, dc.creative_name, ds.strategy_name, dl.line_item_name,
+         |       dcmp.campaign_name, da.advertiser_name, dag.agency_name, dd.deal_name
+         |FROM bids
+         |JOIN reqs ON reqs.request_id = bids.request_id AND reqs.imp_id = bids.imp_id
+         |LEFT JOIN dim_publisher dp
+         |  ON reqs.publisher_id = dp.d_publisher_id AND dp.is_current
+         |LEFT JOIN dim_device_type ddt
+         |  ON reqs.devicetype = ddt.device_type_code AND ddt.is_current
+         |LEFT JOIN dim_device_os dos
+         |  ON reqs.device_os = dos.os_name AND dos.is_current
+         |LEFT JOIN dim_geo dg
+         |  ON reqs.geo_country = dg.country AND reqs.geo_region = dg.region
+         | AND dg.is_current
+         |LEFT JOIN dim_bidder db ON bids.bidder_id = db.d_bidder_id AND db.is_current
+         |LEFT JOIN dim_creative dc ON bids.creative_id = dc.d_creative_id AND dc.is_current
+         |LEFT JOIN dim_strategy ds ON bids.strategy_id = ds.d_strategy_id AND ds.is_current
+         |LEFT JOIN dim_line_item dl ON bids.line_item_id = dl.d_line_item_id AND dl.is_current
+         |LEFT JOIN dim_campaign dcmp ON bids.campaign_id = dcmp.d_campaign_id AND dcmp.is_current
+         |LEFT JOIN dim_advertiser da ON bids.advertiser_id = da.d_advertiser_id AND da.is_current
+         |LEFT JOIN dim_agency dag ON bids.agency_id = dag.d_agency_id AND dag.is_current
+         |LEFT JOIN dim_deal dd ON bids.deal_id = dd.d_deal_id AND dd.is_current""".stripMargin
+    }) { t =>
+    ensureData(t.spark)
+    wideEnrich(t.spark)
+  }
+
+  /** Spark side of [[j5WideEnrich]], reusable by PlanSpec. */
+  def wideEnrich(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    ensureData(spark)
+    val reqs = RtbIngest.flattenRequests(spark.read.parquet(s"$root/requests"))
+      .select(col("request_id"), col("imp_id"), col("publisher_id"),
+        col("devicetype"), col("device_os"),
+        col("device_geo_country").as("geo_country"),
+        col("device_geo_region").as("geo_region"))
+      .distinct()
+    val bids = RtbIngest.flattenBids(spark.read.parquet(s"$root/responses"))
+      .select(col("request_id"), col("bid_id"), col("imp_id"), col("bidder_id"),
+        col("creative_id"), col("strategy_id"), col("line_item_id"),
+        col("campaign_id"), col("advertiser_id"), col("agency_id"), col("deal_id"))
+      .distinct()
+    def cur(df: org.apache.spark.sql.DataFrame) =
+      broadcast(df.filter(col("is_current")).drop("is_current"))
+    val osDim = spark.createDataFrame(
+      Seq(("iOS", "mobile"), ("Android", "mobile"), ("Windows", "desktop"),
+        ("macOS", "desktop"), ("Linux", "desktop")))
+      .toDF("os_name", "os_family")
+    val geoDim = spark.createDataFrame(
+      for (c <- Seq("US", "GB", "DE", "FR", "JP", "BR", "IN", "CA"); r <- 0 until 20)
+        yield (c, s"$c-$r", s"geo-$c-$r"))
+      .toDF("country", "region", "geo_name")
+    bids
+      .join(reqs, Seq("request_id", "imp_id"))
+      .join(cur(rangeDim(spark, 30, "d_publisher_id", "publisher_name", "publisher")),
+        col("publisher_id") === col("d_publisher_id"), "left")
+      .join(cur(rangeDim(spark, 7, "device_type_code", "device_type_name", "devtype")),
+        col("devicetype") === col("device_type_code"), "left")
+      .join(broadcast(osDim), col("device_os") === col("os_name"), "left")
+      .join(broadcast(geoDim),
+        col("geo_country") === col("country") && col("geo_region") === col("region"), "left")
+      .join(cur(rangeDim(spark, 25, "d_bidder_id", "bidder_name", "bidder")),
+        col("bidder_id") === col("d_bidder_id"), "left")
+      .join(cur(rangeDim(spark, 200, "d_creative_id", "creative_name", "creative")),
+        col("creative_id") === col("d_creative_id"), "left")
+      .join(cur(rangeDim(spark, 180, "d_strategy_id", "strategy_name", "strategy")),
+        col("strategy_id") === col("d_strategy_id"), "left")
+      .join(cur(rangeDim(spark, 120, "d_line_item_id", "line_item_name", "lineitem")),
+        col("line_item_id") === col("d_line_item_id"), "left")
+      .join(cur(rangeDim(spark, 60, "d_campaign_id", "campaign_name", "campaign")),
+        col("campaign_id") === col("d_campaign_id"), "left")
+      .join(cur(rangeDim(spark, 20, "d_advertiser_id", "advertiser_name", "advertiser")),
+        col("advertiser_id") === col("d_advertiser_id"), "left")
+      .join(cur(rangeDim(spark, 5, "d_agency_id", "agency_name", "agency")),
+        col("agency_id") === col("d_agency_id"), "left")
+      .join(cur(rangeDim(spark, 40, "d_deal_id", "deal_name", "deal")),
+        col("deal_id") === col("d_deal_id"), "left")
+      .select(col("request_id"), col("bid_id"),
+        col("publisher_name"), col("device_type_name"), col("os_family"),
+        col("geo_name"), col("bidder_name"), col("creative_name"),
+        col("strategy_name"), col("line_item_name"), col("campaign_name"),
+        col("advertiser_name"), col("agency_name"), col("deal_name"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(rtbIngestEnrich, rtbAvroRoundtrip, rtbFlattenBids, rtbFunnelHourly,
-      vBidLandscapeHourly, vRealtimeServing1m, vAuctionTypeDistribution)
+      vBidLandscapeHourly, vRealtimeServing1m, vAuctionTypeDistribution,
+      j5WideEnrich)
 }

@@ -102,7 +102,8 @@ object RtbIngest {
         col("b.price").as("bid_price"), col("b.crid").as("creative_id"),
         element_at(col("b.adomain"), 1).as("ad_domain"), // P3
         col("b.dealid").as("deal_id"),
-        col("b.campaign_id"), col("b.advertiser_id"))
+        col("b.campaign_id"), col("b.line_item_id"), col("b.strategy_id"),
+        col("b.advertiser_id"), col("b.agency_id"))
 
   /** J3 (full 4-stage form) + A2/A3/P10/P11 — the hourly funnel:
     * requests →(≤5 s) responses →(≤10 s) impressions →(≤60 s) clicks

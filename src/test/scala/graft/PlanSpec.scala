@@ -44,6 +44,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("12-dim wide enrichment broadcasts every dim join, no sort-merge creep") {
+    val plan = planOf("j5_wide_enrich")
+    // 12 dim joins + the fact-to-request join; all dim sides must hash-
+    // broadcast — a SortMergeJoin at this width would shuffle the fact
+    // table 12 times at cluster scale
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 12, s"expected >=12 broadcast dim joins, got $nBroadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"wide enrichment must not sort-merge any dim join\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = planOf("o1_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan)
