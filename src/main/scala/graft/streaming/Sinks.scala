@@ -61,6 +61,28 @@ object Sinks {
       }
       .start()
 
+  /** Continuous SLIDING-window aggregation (W1: 1 h size / 15 min hop)
+    * → keyed upsert table — the `rolling_metrics_by_bidder` analog of
+    * the reference (aggregation_jobs.sql:60-81 HOP windows): each event
+    * revises the 4 overlapping windows it falls in, and every
+    * micro-batch upserts the revised (window_start, event_type) rows
+    * latest-wins. Same merge-on-read guidance as [[hourlyUpsert]]; the
+    * hop multiplies the ROW count (4 windows per event), not the state
+    * or commit cost per key.
+    */
+  def slidingUpsert(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+    EventStreams.sliding(events)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        exactlyOnce(table, "slidingUpsert", batchId) {
+          if (!batch.isEmpty) table.upsert(batch)
+        }
+        ()
+      }
+      .start()
+
   /** Funnel stage 1: per-view summaries → append table. Summary rows
     * are final when emitted (the funnel state only finalizes a view once
     * the watermark proves its match set complete), so append semantics

@@ -112,6 +112,42 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(morTable.readLogical(), batchTwin, "hourly upsert (merge-on-read)")
   }
 
+  test("streaming sliding upsert equals the batch W1 sliding window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents().sortBy(_.ts.getTime)
+    val (first, second) = events.splitAt(events.size / 2)
+
+    val schema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("window_end", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    // merge-on-read: the hop means 4× the revised rows per micro-batch
+    // vs tumbling, so O(batch) commits matter even more here
+    val table = new GraftTable(spark,
+      TableDef("rolling_metrics", schema,
+        keys = Seq("window_start", "event_type"), mergeOnRead = true),
+      wh("rolling"))
+
+    val src = MemoryStream[Ev]
+    val q = Sinks.slidingUpsert(src.toDF(), table, ckpt("rolling"))
+    src.addData(first)
+    q.processAllAvailable()
+    src.addData(second)
+    q.processAllAvailable()
+    q.stop()
+
+    val batchTwin = spark.createDataset(events).toDF()
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+    assertSameRows(table.readLogical(), batchTwin, "sliding upsert")
+  }
+
   test("dropDuplicatesWithinWatermark removes in- and cross-batch duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
