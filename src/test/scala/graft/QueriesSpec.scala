@@ -88,12 +88,16 @@ class QueriesSpec extends AnyFunSuite {
     val rLsh = recall(topSets(functions.AnnOps.annLshTopk.run(spark, sf)))
     val rMulti = recall(topSets(functions.AnnOps.annLshMultiprobe.run(spark, sf)))
     val rIvf = recall(topSets(functions.AnnOps.annIvfTopk.run(spark, sf)))
-    info(f"recall@5: lsh=$rLsh%.2f multiprobe=$rMulti%.2f ivf=$rIvf%.2f")
+    val rPq = recall(topSets(functions.AnnOps.annPqAdc.run(spark, sf)))
+    info(f"recall@5: lsh=$rLsh%.2f multiprobe=$rMulti%.2f ivf=$rIvf%.2f pq=$rPq%.2f")
     // widening the probe set can only add candidates — recall is monotone
     assert(rMulti >= rLsh)
     // the buckets must actually carry signal, not return arbitrary vectors
     assert(rLsh >= 0.2 && rMulti >= 0.3 && rIvf >= 0.3,
       f"degenerate ANN recall: lsh=$rLsh%.2f multi=$rMulti%.2f ivf=$rIvf%.2f")
+    // PQ ranks by compressed L2, recall measured against exact cosine —
+    // lossy twice over, so the bar is non-degeneracy, not parity
+    assert(rPq >= 0.15, f"degenerate PQ recall: $rPq%.2f")
   }
 
   test("row_number dedup yields one row per (user_id, event_type)") {
