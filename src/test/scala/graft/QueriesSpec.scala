@@ -89,7 +89,8 @@ class QueriesSpec extends AnyFunSuite {
     val rMulti = recall(topSets(functions.AnnOps.annLshMultiprobe.run(spark, sf)))
     val rIvf = recall(topSets(functions.AnnOps.annIvfTopk.run(spark, sf)))
     val rPq = recall(topSets(functions.AnnOps.annPqAdc.run(spark, sf)))
-    info(f"recall@5: lsh=$rLsh%.2f multiprobe=$rMulti%.2f ivf=$rIvf%.2f pq=$rPq%.2f")
+    val rIvfPq = recall(topSets(functions.AnnOps.annIvfPq.run(spark, sf)))
+    info(f"recall@5: lsh=$rLsh%.2f multiprobe=$rMulti%.2f ivf=$rIvf%.2f pq=$rPq%.2f ivfpq=$rIvfPq%.2f")
     // widening the probe set can only add candidates — recall is monotone
     assert(rMulti >= rLsh)
     // the buckets must actually carry signal, not return arbitrary vectors
@@ -98,6 +99,10 @@ class QueriesSpec extends AnyFunSuite {
     // PQ ranks by compressed L2, recall measured against exact cosine —
     // lossy twice over, so the bar is non-degeneracy, not parity
     assert(rPq >= 0.15, f"degenerate PQ recall: $rPq%.2f")
+    // IVF-PQ compounds cell pruning and compression: its candidate set
+    // is IVF's, so it cannot beat IVF; it must still carry signal
+    assert(rIvfPq >= 0.1 && rIvfPq <= rIvf + 1e-9,
+      f"ivfpq recall out of range: $rIvfPq%.2f (ivf=$rIvf%.2f)")
   }
 
   test("row_number dedup yields one row per (user_id, event_type)") {
