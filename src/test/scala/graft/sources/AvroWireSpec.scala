@@ -82,6 +82,31 @@ class AvroWireSpec extends AnyFunSuite {
       df.limit(50).select("id").distinct().count())
   }
 
+  test("decode rejects unframed bytes and unknown schema ids with clear errors") {
+    import spark.implicits._
+    val df = requestsDf.limit(5).localCheckpoint()
+    val registry = new WireRegistry
+    val schema = AvroWire.schemaFor(df)
+    val id = registry.register("s", schema)
+    val frames = df
+      .select(AvroWire.toWire(struct(df.columns.map(col): _*), schema, id).as("value"))
+
+    // bytes missing the magic/frame → actionable failure, not garbage rows
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("value")
+    val e1 = intercept[Exception] {
+      bad.select(AvroWire.fromWire(col("value"), schema, registry.writers)).collect()
+    }
+    assert(e1.getMessage != null)
+
+    // a frame whose id the registry does not know → named in the error
+    val e2 = intercept[Exception] {
+      frames.select(AvroWire.fromWire(col("value"), schema, Map(999 -> schema)))
+        .collect()
+    }
+    assert(e2.getMessage.contains("unknown writer schema id") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("unknown writer schema id")))
+  }
+
   test("wireIngestion: the statement set fed from framed binary == typed ingestion") {
     import spark.implicits._
     import graft.streaming.Jobs
