@@ -1,0 +1,173 @@
+package graft.functions
+
+import graft.QueryDef
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import SharedHash.{h64, h64Sql}
+
+/** Corpus-preparation operators for a large-scale training-data pipeline:
+  * RAG-style chunking, corpus vocabulary statistics, tf-idf keyword
+  * extraction, domain-weighted mixture sampling, and PII scrubbing.
+  * All over the `documents` table; all pure codegen'd expressions (no
+  * UDFs).
+  *
+  * Scale notes (100 TB discipline):
+  *  - chunking and scrubbing are per-row maps: no shuffle, parallelize
+  *    embarrassingly, prune at the scan (only doc_id + text read);
+  *  - topk_terms is partial-agg + TakeOrderedAndProject: the map-side
+  *    combine collapses each partition to its local vocabulary before
+  *    the shuffle, and only (term, count) pairs move — never documents;
+  *  - tf-idf shuffles (doc_id, term, tf) pairs twice (term agg, then
+  *    term join) — both keyed on term whose cardinality is vocabulary-
+  *    not corpus-sized; AQE broadcast-converts the df side when small;
+  *  - mixture sampling is a pure filter from a salted content-free hash:
+  *    reproducible across engines/runs, keep decisions stable under
+  *    incremental ingestion, prunes at the scan.
+  */
+object PrepOps {
+
+  /** Fixed-size overlapping character chunking (RAG / context-window
+    * prep): size 200, stride 150 (25% overlap). Chunk starts tile the
+    * document at stride spacing; the final chunk may be short. substring
+    * is character-based in both engines.
+    */
+  val textChunk: QueryDef = QueryDef(
+    "text_chunk",
+    """WITH k AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(0, (length(text) - 1) // 150)) AS chunk_idx
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id, chunk_idx,
+      |       substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk_text,
+      |       length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_len
+      |FROM k""".stripMargin) { t =>
+    t.documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), expr("(length(text) - 1) div 150"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr("substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
+
+  /** Corpus-level top-k vocabulary: lowercase, split on non-letters,
+    * terms of length >= 3, top 20 by count with an alphabetical
+    * tie-break. Plans as partial agg -> TakeOrderedAndProject (top-k
+    * heap per partition, never a global sort).
+    */
+  val topkTerms: QueryDef = QueryDef(
+    "topk_terms",
+    """WITH w AS (
+      |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+      |  FROM documents)
+      |SELECT term, count(*) AS n FROM w WHERE length(term) >= 3
+      |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin) { t =>
+    t.documents
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+  }
+
+  /** tf-idf keyword extraction: each document's top term by rarity-
+    * weighted frequency. The idf factor is the INTEGER score
+    * `tf * 1_000_000 div df` — monotone in tf/df exactly like
+    * tf*log(N/df) for ranking within a document, but integer-exact so
+    * both engines agree bit-for-bit (no cross-engine log/double drift).
+    * Deterministic (score desc, term asc) tie-break.
+    */
+  val textTfidf: QueryDef = QueryDef(
+    "text_tfidf",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w WHERE length(term) >= 3
+      |       GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * 1000000 // df.df AS score
+      |       FROM tf JOIN df USING (term)),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                    ORDER BY score DESC, term) AS rn FROM sc)
+      |SELECT doc_id, term AS top_term, tf, df, score FROM rk WHERE rn = 1""".stripMargin) { t =>
+    val terms = t.documents
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Domain-weighted mixture sampling: per-source keep rates (the
+    * training-mix weights — 90% of the first source tier down to 10% of
+    * the tail) decided by a salted content-free hash. Same reproducible-
+    * Bernoulli machinery as sample_stratified, keyed on the mix salt so
+    * the two samples are independent.
+    */
+  val sampleWeightedMix: QueryDef = {
+    def tier(lo: Int, hi: Int): Seq[String] = (lo to hi).map("src" + _)
+    val t1 = tier(0, 4); val t2 = tier(5, 9); val t3 = tier(10, 14)
+    def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(", ")
+    QueryDef(
+      "sample_weighted_mix",
+      s"""SELECT doc_id, source, lang
+         |FROM documents
+         |WHERE ${h64Sql("concat('mix|', CAST(doc_id AS VARCHAR))")} % 10000 <
+         |      CASE WHEN source IN (${inList(t1)}) THEN 9000
+         |           WHEN source IN (${inList(t2)}) THEN 5000
+         |           WHEN source IN (${inList(t3)}) THEN 2500
+         |           ELSE 1000 END""".stripMargin) { t =>
+      t.documents
+        .filter(h64(concat(lit("mix|"), col("doc_id").cast("string"))) % 10000 <
+          when(col("source").isin(t1: _*), 9000)
+            .when(col("source").isin(t2: _*), 5000)
+            .when(col("source").isin(t3: _*), 2500)
+            .otherwise(1000))
+        .select(col("doc_id"), col("source"), col("lang"))
+    }
+  }
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+?\\d[\\d-]{6,}\\d"
+
+  /** PII scrubbing: redact emails and phone-shaped digit runs. The
+    * fixture injects one deterministic email + phone per document (the
+    * corpus itself is synthetic word salad) so the redaction regexes are
+    * genuinely exercised; counts come from regexp_extract_all so the
+    * oracle verifies match semantics, not just the rewrite.
+    */
+  val textPiiScrub: QueryDef = QueryDef(
+    "text_pii_scrub",
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+       |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(raw, '$emailRe')) AS n_emails,
+       |       len(regexp_extract_all(raw, '$phoneRe')) AS n_phones,
+       |       regexp_replace(regexp_replace(raw, '$emailRe', '<EMAIL>', 'g'),
+       |                      '$phoneRe', '<PHONE>', 'g') AS scrubbed
+       |FROM s""".stripMargin) { t =>
+    val raw = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    t.documents
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(textChunk, topkTerms, textTfidf, sampleWeightedMix, textPiiScrub)
+}

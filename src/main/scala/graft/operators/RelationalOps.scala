@@ -386,9 +386,35 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
   }
 
+  /** A9 — ROLLUP / grouping-sets aggregation: the subtotal+grand-total
+    * lattice over (returnflag, linestatus) in ONE pass (Spark expands the
+    * grouping sets inside the hash aggregate — no per-level rescan, no
+    * union of three aggs). `gid` disambiguates a NULL group key from a
+    * rolled-up level. Quantity sums go through BIGINT (the values are
+    * integral) so both engines add exact integers.
+    */
+  val a9Rollup: QueryDef = QueryDef(
+    "a9_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INT) AS gid,
+      |       count(*) AS n,
+      |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      |       round(sum(l_extendedprice), 2)  AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { t =>
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, p5RejectFilter, p8CurrencyCase, j5DimEnrich,
     j6MultikeyJoin, j9ExistsSemi, j10InSemi, a2FunnelCounts,
     a3DedupGroupby, a4ConditionalDistinct, a5UnionSpine, a5SpineOnepass,
-    u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend)
+    u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend, a9Rollup)
 }

@@ -66,6 +66,26 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** W7 — gap-based sessionization (30 min inactivity), matching
+    * `w_sessionize`. session_window merges per-key state as events
+    * arrive and finalizes a session once the watermark passes its end —
+    * state is bounded by the set of OPEN sessions, not stream length.
+    * `n_types` uses size(collect_set(…)) because streaming aggregations
+    * reject COUNT(DISTINCT); the batch twin pins the equivalence.
+    */
+  def sessionized(events: DataFrame): DataFrame =
+    withWatermark(events)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        size(collect_set(col("event_type"))).cast("long").as("n_types"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_types"), col("total_value"))
+
   /** J1 — stream-stream INNER interval join: click within 30 min of a
     * view by the same user. Emits the raw pairs (the batch twin
     * aggregates them; chaining another stateful agg is possible but the

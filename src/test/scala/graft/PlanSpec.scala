@@ -76,6 +76,28 @@ class PlanSpec extends AnyFunSuite {
       s"the exploded probe set is tiny and must broadcast:\n$plan")
   }
 
+  test("corpus top-k terms plans a partial agg + TakeOrderedAndProject") {
+    val plan = planOf("topk_terms")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must heap-select, not globally sort:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("as-of join is the one-shuffle window form, not an interval join") {
+    val plan = planOf("j11_asof_join")
+    assert(!plan.contains("Join"),
+      s"as-of must be union-tag + window, no join operator:\n$plan")
+    val nShuffles = "Exchange".r.findAllIn(plan).size
+    assert(nShuffles == 1, s"expected exactly 1 shuffle (user_id), got $nShuffles:\n$plan")
+  }
+
+  test("sessionize is a single shuffle on the session key") {
+    val plan = planOf("w_sessionize")
+    assert(!plan.contains("Join"), plan)
+    val nShuffles = "Exchange".r.findAllIn(plan).size
+    assert(nShuffles == 1, s"expected exactly 1 shuffle (user_id), got $nShuffles:\n$plan")
+  }
+
   test("one-pass spine uses a single scan (partial+final agg, no join)") {
     val plan = planOf("a5_spine_onepass")
     assert(!plan.contains("Join"), s"one-pass spine must not join:\n$plan")

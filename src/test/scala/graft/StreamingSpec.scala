@@ -230,6 +230,36 @@ class StreamingSpec extends AnyFunSuite {
     assertSameRows(got, batchTwin, "left interval join")
   }
 
+  test("streaming session windows equal the batch sessionize twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents()
+    // sentinel advances the watermark far past every real session's end
+    def flush(id: Long) = Ev(-100 - id, at(100000 + id), -1L, "view", 0.0)
+
+    val src = MemoryStream[Ev]
+    val out = EventStreams.sessionized(src.toDF())
+      .writeStream.format("memory").queryName("session_out").outputMode("append")
+      .option("checkpointLocation", ckpt("session")).start()
+    src.addData(events :+ flush(1))
+    out.processAllAvailable()
+    src.addData(flush(2)) // watermark from flush(1) closes all real sessions
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("session_out").filter(col("user_id") >= 0)
+
+    // batch twin — also pins size(collect_set) == COUNT(DISTINCT)
+    val batchTwin = spark.createDataset(events).toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_types"), col("total_value"))
+    assertSameRows(got, batchTwin, "session windows")
+  }
+
   test("flatMapGroupsWithState funnel chain equals the batch chained left joins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
