@@ -412,9 +412,35 @@ object RelationalOps {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
 
+  /** A10 — exact interpolated percentiles per group. Both engines use
+    * the same linear-interpolation formula (pos = p·(n−1); lo +
+    * (hi−lo)·frac) over integral quantity values, so the doubles agree
+    * bit-for-bit. NB exact percentile sorts each group — the 100 TB
+    * form is approx_percentile (t-digest) or the HLL-style sketch in
+    * [[graft.functions.SketchOps]]; this is the oracle-checkable exact
+    * semantics.
+    */
+  val a10Quantiles: QueryDef = QueryDef(
+    "a10_quantiles",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.25) AS p25,
+      |       quantile_cont(l_quantity, 0.5)  AS p50,
+      |       quantile_cont(l_quantity, 0.9)  AS p90,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { t =>
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, p5RejectFilter, p8CurrencyCase, j5DimEnrich,
     j6MultikeyJoin, j9ExistsSemi, j10InSemi, a2FunnelCounts,
     a3DedupGroupby, a4ConditionalDistinct, a5UnionSpine, a5SpineOnepass,
-    u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend, a9Rollup)
+    u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend, a9Rollup,
+    a10Quantiles)
 }
