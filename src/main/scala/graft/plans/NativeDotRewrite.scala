@@ -1,11 +1,12 @@
 package graft.plans
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinhashSignature, SimhashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Optimizer rule rewriting the declarative dot-product idiom
   *
@@ -81,8 +82,44 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
 /** Session extension point: `GraftSession.builder` installs this, and
   * external users can opt in with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Besides the optimizer rule, the three native expressions register as
+  * SQL functions so `spark.sql` users get the codegen'd kernels without
+  * touching the Scala API:
+  *
+  *   SELECT dot_product(a, b)                 -- double
+  *   SELECT minhash_signature(shingles, k, p) -- array<bigint>, k perms mod prime p
+  *   SELECT simhash_signature(words)          -- 60-bit bigint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType)   => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NativeDotRewrite)
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: dot_product(a, b)")
+        DotProduct(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "usage: minhash_signature(shingles, k, p)")
+        MinhashSignature(args(0),
+          litLong(args(1), "k").toInt, litLong(args(2), "p"))
+      }))
+    e.injectFunction((FunctionIdentifier("simhash_signature"),
+      new ExpressionInfo(classOf[SimhashSignature].getName, "simhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: simhash_signature(words)")
+        SimhashSignature(args.head)
+      }))
+  }
 }
