@@ -1,7 +1,6 @@
 package graft.functions
 
 import graft.QueryDef
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import SharedHash.{h64, h64Sql}
 
@@ -98,11 +97,18 @@ object PrepOps {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("score", expr("tf * 1000000 div df"))
+    // top term per doc via a lexicographic min(struct) hash aggregate:
+    // (-score, term) ascending == (score desc, term asc), the oracle's
+    // window order — but as a partial-aggregating agg (each map task
+    // collapses to one candidate per doc before the shuffle) instead of
+    // a sort-based row_number window over every (doc, term) pair
     scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("term"), col("tf"),
+        col("df"), col("score"))).as("top"))
+      .select(col("doc_id"), col("top.term").as("top_term"),
+        col("top.tf").as("tf"), col("top.df").as("df"),
+        col("top.score").as("score"))
   }
 
   /** Domain-weighted mixture sampling: per-source keep rates (the
