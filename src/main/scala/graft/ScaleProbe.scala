@@ -59,25 +59,58 @@ object ScaleProbe {
     label -> s
   }
 
+  /** k-replica embeddings: vec_id offsets keep the query set (vec_id<5)
+    * and the hash-picked centroid/codebook donors FIXED while the
+    * candidate corpus scales by k — exactly the regime the ANN scale
+    * claims (per-query work ∝ probed candidates, codes a pure map) are
+    * about. Vectors repeat across copies; ANN cost depends on counts
+    * and bucket occupancy, not values, and occupancy growing k× IS the
+    * growing-corpus behavior under test.
+    */
+  private def buildEmbReplica(spark: SparkSession, sfDir: String, out: String, k: Int): Unit = {
+    if (Files.exists(Paths.get(s"$out/embeddings.parquet"))) return
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until k).map { c =>
+      base.select((col("vec_id") + lit(c * 100_000_000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
 
-    val stages = Seq[(String, Tables => org.apache.spark.sql.DataFrame)](
-      "dedup_exact" -> (t => functions.DedupOps.dedupExact.fn(t.spark, t.dir)),
-      "dedup_minhash_lsh" -> (t => functions.DedupOps.dedupMinhashLsh.fn(t.spark, t.dir)),
-      "dedup_ngram_jaccard" -> (t => functions.DedupOps.dedupNgramJaccard.fn(t.spark, t.dir)),
-      "dedup_simhash_pairs" -> (t => functions.DedupOps.dedupSimhashPairs.fn(t.spark, t.dir)),
-      "dedup_clusters" -> (t => functions.DedupOps.dedupClusters.fn(t.spark, t.dir)))
+    val annProbe = sys.env.get("SPARK_GRAFT_PROBE").contains("ann")
+    val stages =
+      if (annProbe) Seq[(String, Tables => org.apache.spark.sql.DataFrame)](
+        "ann_lsh_topk" -> (t => functions.AnnOps.annLshTopk.fn(t.spark, t.dir)),
+        "ann_ivf_topk" -> (t => functions.AnnOps.annIvfTopk.fn(t.spark, t.dir)),
+        "ann_pq_adc" -> (t => functions.AnnOps.annPqAdc.fn(t.spark, t.dir)),
+        "ann_ivfpq_topk" -> (t => functions.AnnOps.annIvfPq.fn(t.spark, t.dir)),
+        "cm_heavy_hitters" -> (t => functions.SketchOps.cmHeavyHitters.fn(t.spark, t.dir)))
+      else Seq[(String, Tables => org.apache.spark.sql.DataFrame)](
+        "dedup_exact" -> (t => functions.DedupOps.dedupExact.fn(t.spark, t.dir)),
+        "dedup_minhash_lsh" -> (t => functions.DedupOps.dedupMinhashLsh.fn(t.spark, t.dir)),
+        "dedup_ngram_jaccard" -> (t => functions.DedupOps.dedupNgramJaccard.fn(t.spark, t.dir)),
+        "dedup_simhash_pairs" -> (t => functions.DedupOps.dedupSimhashPairs.fn(t.spark, t.dir)),
+        "dedup_clusters" -> (t => functions.DedupOps.dedupClusters.fn(t.spark, t.dir)))
 
     // sf0.1 is only 5k docs — the 1×..10× range turned out to be fully
     // overhead-dominated on local[32] (flat ~0.3-3 s per stage), so the
-    // probe climbs to 30×/100× (150k/500k docs) where real work shows
-    val results = for (k <- Seq(1, 10, 30, 100)) yield {
+    // probe climbs to 30×/100× (150k/500k docs) where real work shows.
+    // The ANN probe stops at 30× (embeddings are 50k vectors at 1×, so
+    // 30× is already 1.5M 64-dim candidates).
+    val ks = if (annProbe) Seq(1, 10, 30) else Seq(1, 10, 30, 100)
+    val results = for (k <- ks) yield {
       val dir = if (k == 1) sfDir else s"$outRoot/x$k"
-      if (k > 1) buildReplica(spark, sfDir, dir, k)
+      if (k > 1) {
+        if (annProbe) { buildReplica(spark, sfDir, dir, k); buildEmbReplica(spark, sfDir, dir, k) }
+        else buildReplica(spark, sfDir, dir, k)
+      }
       println(s"== ${k}x ==")
       k -> stages.map { case (label, fn) =>
         timed(label)(fn(Tables(spark, dir)).count())
