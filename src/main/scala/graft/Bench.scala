@@ -19,7 +19,13 @@ object Bench {
     val defs = SparkEntry.registry.sortBy(_.name)
       .filter(q => only.forall(_.findFirstIn(q.name).isDefined))
     Tables(spark, sfDir).lineitem.count()
-    val results = defs.map { q =>
+    val results = defs.zipWithIndex.map { case (q, i) =>
+      // periodic GC tick OUTSIDE the timed window: broadcast blocks from
+      // completed queries are reclaimed by the ContextCleaner only after
+      // their plan refs are collected — without this, queries late in
+      // the run pay earlier queries' GC debt (measured: the w_* tail
+      // read 3-7x its isolated time in an 80-query run)
+      if (i % 10 == 0) System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).count(); true }
