@@ -556,8 +556,164 @@ object RtbOracleOps {
         col("advertiser_name"), col("agency_name"), col("deal_name"))
   }
 
+  /** v_agg_impressions_by_geo.sql one-for-one: hourly impressions per
+    * geo with the J8 geo-dim pre-dedup — the dim is collapsed to one
+    * row per country_code via MAX(country_name) BEFORE the join
+    * (v_agg_impressions_by_geo.sql:11-17), the reference's guard
+    * against dim-duplication fanout. Money through exact cents; avg is
+    * half-up integer division of the cents total.
+    */
+  val vImpressionsByGeo: QueryDef = QueryDef(
+    "v_impressions_by_geo",
+    s"""WITH dim_geo AS (
+       |  SELECT country, country || '-' || CAST(r AS VARCHAR) AS region,
+       |         'geo-' || country || '-' || CAST(r AS VARCHAR) AS geo_name
+       |  FROM (SELECT unnest(['US','GB','DE','FR','JP','BR','IN','CA']) AS country),
+       |       (SELECT unnest(generate_series(0, 19)) AS r)
+       |),
+       |dg AS (SELECT country, max(geo_name) AS country_name
+       |       FROM dim_geo GROUP BY country),
+       |br AS (SELECT id AS request_id, device['geo']['country'] AS device_geo_country
+       |       FROM read_parquet('$root/requests/*.parquet')),
+       |imp AS (SELECT request_id, win_price, $tsSql AS event_ts
+       |        FROM read_parquet('$root/impressions/*.parquet')),
+       |j AS (SELECT imp.event_ts, imp.win_price, br.device_geo_country, dg.country_name
+       |      FROM imp
+       |      LEFT JOIN br ON imp.request_id = br.request_id
+       |      LEFT JOIN dg ON br.device_geo_country = dg.country)
+       |SELECT date_trunc('hour', event_ts) AS hour_start,
+       |       device_geo_country, country_name,
+       |       count(*) AS impression_count,
+       |       CAST(sum(CAST(round(win_price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       |         AS total_revenue,
+       |       CAST((2 * sum(CAST(round(win_price * 100) AS BIGINT)) + count(*))
+       |            // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_win_price
+       |FROM j GROUP BY 1, 2, 3""".stripMargin) { t =>
+    ensureData(t.spark)
+    val geoDim = t.spark.createDataFrame(
+      for (c <- Seq("US", "GB", "DE", "FR", "JP", "BR", "IN", "CA"); r <- 0 until 20)
+        yield (c, s"$c-$r", s"geo-$c-$r"))
+      .toDF("country", "region", "geo_name")
+    val dg = geoDim.groupBy(col("country"))
+      .agg(max(col("geo_name")).as("country_name"))
+    val br = t.spark.read.parquet(s"$root/requests")
+      .select(col("id").as("request_id"),
+        col("device.geo.country").as("device_geo_country"))
+    val imp = t.spark.read.parquet(s"$root/impressions")
+      .select(col("request_id"), col("win_price"),
+        RtbIngest.parseTs(col("event_timestamp")).as("event_ts"))
+    imp
+      .join(br, Seq("request_id"), "left")
+      .join(broadcast(dg), col("device_geo_country") === col("country"), "left")
+      .groupBy(date_trunc("hour", col("event_ts")).as("hour_start"),
+        col("device_geo_country"), col("country_name"))
+      .agg(
+        count(lit(1)).as("impression_count"),
+        (sum(round(col("win_price") * 100).cast("long")).cast("double") / 100.0)
+          .as("total_revenue"),
+        expr("""CAST((2 * sum(CAST(round(win_price * 100) AS BIGINT)) + count(*))
+                DIV (2 * count(*)) AS DOUBLE) / 100.0""").as("avg_win_price"))
+  }
+
+  /** v_agg_funnel_by_publisher.sql one-for-one: the 4-stage raw-table
+    * LEFT-join chain rolled up per (hour, publisher) with the SCD2
+    * publisher dim and the three guarded funnel ratios
+    * (fill/win/ctr) — each a double division of two exact distinct
+    * counts, identical in both engines.
+    */
+  val vFunnelByPublisher: QueryDef = QueryDef(
+    "v_funnel_by_publisher",
+    s"""WITH dim_publisher AS (${rangeDimSql(30, "d_publisher_id", "publisher_name", "publisher")}),
+       |br AS (SELECT id AS request_id,
+       |              coalesce(site['publisher']['id'], app['publisher']['id']) AS publisher_id,
+       |              $tsSql AS event_ts
+       |       FROM read_parquet('$root/requests/*.parquet')),
+       |resp AS (SELECT id AS response_id, ext['request_id'] AS request_id
+       |         FROM read_parquet('$root/responses/*.parquet')),
+       |imp AS (SELECT impression_id, response_id
+       |        FROM read_parquet('$root/impressions/*.parquet')),
+       |cl AS (SELECT click_id, impression_id
+       |       FROM read_parquet('$root/clicks/*.parquet')),
+       |j AS (
+       |  SELECT br.event_ts, br.publisher_id, br.request_id,
+       |         resp.response_id, imp.impression_id, cl.click_id,
+       |         dp.publisher_name, dp.d_publisher_id
+       |  FROM br
+       |  LEFT JOIN resp ON br.request_id = resp.request_id
+       |  LEFT JOIN imp ON resp.response_id = imp.response_id
+       |  LEFT JOIN cl ON imp.impression_id = cl.impression_id
+       |  LEFT JOIN dim_publisher dp
+       |    ON br.publisher_id = dp.d_publisher_id AND dp.is_current)
+       |SELECT date_trunc('hour', event_ts) AS hour_start,
+       |       publisher_id, publisher_name,
+       |       CASE WHEN d_publisher_id IS NULL THEN NULL
+       |            ELSE 'v' || CAST(d_publisher_id % 4 AS VARCHAR) END AS publisher_vertical,
+       |       CASE WHEN d_publisher_id IS NULL THEN NULL
+       |            ELSE 1 + d_publisher_id % 3 END AS publisher_tier,
+       |       count(DISTINCT request_id) AS bid_requests,
+       |       count(DISTINCT response_id) AS bid_responses,
+       |       count(DISTINCT impression_id) AS impressions,
+       |       count(DISTINCT click_id) AS clicks,
+       |       CASE WHEN count(DISTINCT request_id) > 0
+       |            THEN CAST(count(DISTINCT response_id) AS DOUBLE)
+       |                 / CAST(count(DISTINCT request_id) AS DOUBLE)
+       |            ELSE 0.0 END AS fill_rate,
+       |       CASE WHEN count(DISTINCT response_id) > 0
+       |            THEN CAST(count(DISTINCT impression_id) AS DOUBLE)
+       |                 / CAST(count(DISTINCT response_id) AS DOUBLE)
+       |            ELSE 0.0 END AS win_rate,
+       |       CASE WHEN count(DISTINCT impression_id) > 0
+       |            THEN CAST(count(DISTINCT click_id) AS DOUBLE)
+       |                 / CAST(count(DISTINCT impression_id) AS DOUBLE)
+       |            ELSE 0.0 END AS ctr
+       |FROM j GROUP BY 1, 2, 3, 4, 5""".stripMargin) { t =>
+    ensureData(t.spark)
+    val br = t.spark.read.parquet(s"$root/requests")
+      .select(col("id").as("request_id"),
+        coalesce(col("site.publisher.id"), col("app.publisher.id")).as("publisher_id"),
+        RtbIngest.parseTs(col("event_timestamp")).as("event_ts"))
+    val resp = t.spark.read.parquet(s"$root/responses")
+      .select(col("id").as("response_id"), col("ext.request_id").as("request_id"))
+    val imp = t.spark.read.parquet(s"$root/impressions")
+      .select(col("impression_id"), col("response_id"))
+    val cl = t.spark.read.parquet(s"$root/clicks")
+      .select(col("click_id"), col("impression_id"))
+    val dp = broadcast(
+      rangeDim(t.spark, 30, "d_publisher_id", "publisher_name", "publisher")
+        .filter(col("is_current")).drop("is_current"))
+    br
+      .join(resp, Seq("request_id"), "left")
+      .join(imp, Seq("response_id"), "left")
+      .join(cl, Seq("impression_id"), "left")
+      .join(dp, col("publisher_id") === col("d_publisher_id"), "left")
+      .groupBy(date_trunc("hour", col("event_ts")).as("hour_start"),
+        col("publisher_id"), col("publisher_name"),
+        when(col("d_publisher_id").isNotNull,
+          concat(lit("v"), (col("d_publisher_id") % 4).cast("string")))
+          .as("publisher_vertical"),
+        when(col("d_publisher_id").isNotNull, lit(1) + col("d_publisher_id") % 3)
+          .as("publisher_tier"))
+      .agg(
+        countDistinct(col("request_id")).as("bid_requests"),
+        countDistinct(col("response_id")).as("bid_responses"),
+        countDistinct(col("impression_id")).as("impressions"),
+        countDistinct(col("click_id")).as("clicks"),
+        when(countDistinct(col("request_id")) > 0,
+          countDistinct(col("response_id")).cast("double") /
+            countDistinct(col("request_id")).cast("double"))
+          .otherwise(0.0).as("fill_rate"),
+        when(countDistinct(col("response_id")) > 0,
+          countDistinct(col("impression_id")).cast("double") /
+            countDistinct(col("response_id")).cast("double"))
+          .otherwise(0.0).as("win_rate"),
+        when(countDistinct(col("impression_id")) > 0,
+          countDistinct(col("click_id")).cast("double") /
+            countDistinct(col("impression_id")).cast("double"))
+          .otherwise(0.0).as("ctr"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(rtbIngestEnrich, rtbAvroRoundtrip, rtbFlattenBids, rtbFunnelHourly,
       vBidLandscapeHourly, vRealtimeServing1m, vAuctionTypeDistribution,
-      j5WideEnrich)
+      j5WideEnrich, vImpressionsByGeo, vFunnelByPublisher)
 }
