@@ -27,12 +27,12 @@ object RelationalOps {
   val q1PricingSummary: QueryDef = QueryDef(
     "a1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2)       AS sum_qty,
-      |       round(sum(l_extendedprice), 2)  AS sum_base_price,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |       CAST((CAST(round(round(sum(l_quantity), 2) * 100) AS BIGINT) * 200 + count(*))
+      |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+      |       CAST((sum(CAST(round(l_quantity * 100) AS BIGINT)) * 200 + count(*))
       |            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_qty,
-      |       CAST((CAST(round(round(sum(l_discount), 2) * 100) AS BIGINT) * 200 + count(*))
+      |       CAST((sum(CAST(round(l_discount * 100) AS BIGINT)) * 200 + count(*))
       |            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_disc,
       |       count(*)                        AS n_rows
       |FROM lineitem
@@ -40,12 +40,14 @@ object RelationalOps {
     t.lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        expr("CAST((CAST(round(round(sum(l_quantity), 2) * 100) AS BIGINT) * 200 + count(*)) DIV (2 * count(*)) AS DOUBLE) / 10000").as("avg_qty"),
-        expr("CAST((CAST(round(round(sum(l_discount), 2) * 100) AS BIGINT) * 200 + count(*)) DIV (2 * count(*)) AS DOUBLE) / 10000").as("avg_disc"),
+        (sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).cast("double") / 100.0).as("sum_disc_price"),
+        expr("CAST((sum(CAST(round(l_quantity * 100) AS BIGINT)) * 200 + count(*)) DIV (2 * count(*)) AS DOUBLE) / 10000").as("avg_qty"),
+        expr("CAST((sum(CAST(round(l_discount * 100) AS BIGINT)) * 200 + count(*)) DIV (2 * count(*)) AS DOUBLE) / 10000").as("avg_disc"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -390,8 +392,11 @@ object RelationalOps {
     * lattice over (returnflag, linestatus) in ONE pass (Spark expands the
     * grouping sets inside the hash aggregate — no per-level rescan, no
     * union of three aggs). `gid` disambiguates a NULL group key from a
-    * rolled-up level. Quantity sums go through BIGINT (the values are
-    * integral) so both engines add exact integers.
+    * rolled-up level. Quantity AND price sums go through exact BIGINT
+    * (integral quantities; prices as integer cents) so both engines add
+    * exact integers at every rollup level — the grand-total row sums the
+    * whole table and raw-double accumulation order diverges across
+    * engines (round-5 hash mismatch).
     */
   val a9Rollup: QueryDef = QueryDef(
     "a9_rollup",
@@ -399,7 +404,7 @@ object RelationalOps {
       |       CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INT) AS gid,
       |       count(*) AS n,
       |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-      |       round(sum(l_extendedprice), 2)  AS sum_price
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { t =>
     t.lineitem
@@ -409,7 +414,8 @@ object RelationalOps {
           .cast("int").as("gid"),
         count(lit(1)).as("n"),
         sum(col("l_quantity").cast("long")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_price"))
   }
 
   /** A10 — exact interpolated percentiles per group. Both engines use
