@@ -712,8 +712,100 @@ object RtbOracleOps {
           .otherwise(0.0).as("ctr"))
   }
 
+  /** Derived `format` attribute of the creative dim
+    * (dimension_mapping.py creative hierarchy): a pure function of the
+    * creative key so both engines rebuild it identically. NULL when the
+    * dim misses (LEFT semantics), like the reference's `dc.format`.
+    */
+  private val formats = Seq("banner", "video", "native", "audio")
+
+  private def creativeFormatSql(dimKey: String): String =
+    s"""CASE WHEN $dimKey IS NULL THEN NULL
+       |     ${formats.zipWithIndex.map { case (f, i) =>
+              s"WHEN $dimKey % 4 = $i THEN '$f'" }.mkString(" ")}
+       |END""".stripMargin
+
+  private def creativeFormatCol(dimKey: String): org.apache.spark.sql.Column =
+    formats.zipWithIndex.foldLeft(when(col(dimKey).isNull, lit(null))) {
+      case (c, (f, i)) => c.when(col(dimKey) % 4 === i, f)
+    }
+
+  /** v_event_enriched_clicks.sql one-for-one: the raw clicks table LEFT
+    * joined to the `is_current` bidder and creative SCD2 dims
+    * (v_event_enriched_clicks.sql:14-18), projecting the reference's
+    * exact column list. A pure per-row view — no aggregation, duplicate
+    * click rows pass through untouched — so at 100 TB it is a scan plus
+    * two broadcast joins, zero shuffles (dims are PK-keyed and tiny).
+    */
+  val vEventEnrichedClicks: QueryDef = QueryDef(
+    "v_event_enriched_clicks",
+    s"""WITH dim_bidder AS (${rangeDimSql(25, "d_bidder_id", "bidder_name", "bidder")}),
+       |dim_creative AS (${rangeDimSql(200, "d_creative_id", "creative_name", "creative")})
+       |SELECT cl.click_id, cl.request_id, cl.impression_id, cl.imp_id,
+       |       cl.bidder_id, db.bidder_name,
+       |       cl.creative_id, dc.creative_name,
+       |       ${creativeFormatSql("dc.d_creative_id")} AS creative_format,
+       |       cl.click_url, cl.event_timestamp
+       |FROM read_parquet('$root/clicks/*.parquet') cl
+       |LEFT JOIN dim_bidder db
+       |  ON cl.bidder_id = db.d_bidder_id AND db.is_current
+       |LEFT JOIN dim_creative dc
+       |  ON cl.creative_id = dc.d_creative_id AND dc.is_current""".stripMargin) { t =>
+    ensureData(t.spark)
+    def cur(df: org.apache.spark.sql.DataFrame) =
+      broadcast(df.filter(col("is_current")).drop("is_current"))
+    t.spark.read.parquet(s"$root/clicks")
+      .join(cur(rangeDim(t.spark, 25, "d_bidder_id", "bidder_name", "bidder")),
+        col("bidder_id") === col("d_bidder_id"), "left")
+      .join(cur(rangeDim(t.spark, 200, "d_creative_id", "creative_name", "creative")),
+        col("creative_id") === col("d_creative_id"), "left")
+      .select(col("click_id"), col("request_id"), col("impression_id"),
+        col("imp_id"), col("bidder_id"), col("bidder_name"),
+        col("creative_id"), col("creative_name"),
+        creativeFormatCol("d_creative_id").as("creative_format"),
+        col("click_url"), col("event_timestamp"))
+  }
+
+  /** v_event_enriched_impressions.sql one-for-one: the raw impressions
+    * table LEFT joined to the `is_current` bidder and creative dims
+    * (v_event_enriched_impressions.sql:17-21), with `win_price` carried
+    * through per-row (no aggregation, so the raw double is bit-identical
+    * in both engines). Same scan + two broadcast joins shape as clicks.
+    */
+  val vEventEnrichedImpressions: QueryDef = QueryDef(
+    "v_event_enriched_impressions",
+    s"""WITH dim_bidder AS (${rangeDimSql(25, "d_bidder_id", "bidder_name", "bidder")}),
+       |dim_creative AS (${rangeDimSql(200, "d_creative_id", "creative_name", "creative")})
+       |SELECT imp.impression_id, imp.request_id, imp.response_id, imp.imp_id,
+       |       imp.bidder_id, db.bidder_name,
+       |       imp.win_price, imp.win_currency,
+       |       imp.creative_id, dc.creative_name,
+       |       ${creativeFormatSql("dc.d_creative_id")} AS creative_format,
+       |       imp.ad_domain, imp.event_timestamp
+       |FROM read_parquet('$root/impressions/*.parquet') imp
+       |LEFT JOIN dim_bidder db
+       |  ON imp.bidder_id = db.d_bidder_id AND db.is_current
+       |LEFT JOIN dim_creative dc
+       |  ON imp.creative_id = dc.d_creative_id AND dc.is_current""".stripMargin) { t =>
+    ensureData(t.spark)
+    def cur(df: org.apache.spark.sql.DataFrame) =
+      broadcast(df.filter(col("is_current")).drop("is_current"))
+    t.spark.read.parquet(s"$root/impressions")
+      .join(cur(rangeDim(t.spark, 25, "d_bidder_id", "bidder_name", "bidder")),
+        col("bidder_id") === col("d_bidder_id"), "left")
+      .join(cur(rangeDim(t.spark, 200, "d_creative_id", "creative_name", "creative")),
+        col("creative_id") === col("d_creative_id"), "left")
+      .select(col("impression_id"), col("request_id"), col("response_id"),
+        col("imp_id"), col("bidder_id"), col("bidder_name"),
+        col("win_price"), col("win_currency"),
+        col("creative_id"), col("creative_name"),
+        creativeFormatCol("d_creative_id").as("creative_format"),
+        col("ad_domain"), col("event_timestamp"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(rtbIngestEnrich, rtbAvroRoundtrip, rtbFlattenBids, rtbFunnelHourly,
       vBidLandscapeHourly, vRealtimeServing1m, vAuctionTypeDistribution,
-      j5WideEnrich, vImpressionsByGeo, vFunnelByPublisher)
+      j5WideEnrich, vImpressionsByGeo, vFunnelByPublisher,
+      vEventEnrichedClicks, vEventEnrichedImpressions)
 }
