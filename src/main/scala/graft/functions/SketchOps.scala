@@ -137,5 +137,76 @@ object SketchOps {
       .agg(min(col("cnt")).as("n_cm"))
   }
 
-  val all: Seq[QueryDef] = Seq(hllDistinct, cmHeavyHitters)
+  // ---- histogram quantile sketch (the scale twin of exact a10_quantiles) ----
+
+  private[graft] val QBinW = 4096L    // cents per bin (~$40.96) — the error bound
+  private[graft] val QPms = Seq(250, 500, 900) // per-mille targets: p25/p50/p90
+
+  /** Bin stage: value → integer-cent bin, counted per (group, bin). The
+    * counts are additive, so Catalyst's partial aggregation collapses
+    * every map task to ≤ #bins rows per group before the shuffle —
+    * the mergeable-sketch property that makes this the 100 TB form of a
+    * percentile (exact percentile sorts each group; this never sorts the
+    * data, only the tiny bin table).
+    */
+  private[graft] def quantileBins(df: org.apache.spark.sql.DataFrame,
+      valueExpr: String, groupCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol),
+        expr(s"CAST(round(($valueExpr) * 100) AS BIGINT) DIV $QBinW").as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Estimate stage: CDF walk over the bin table (windows run over ≤ a
+    * few thousand bin rows per group, never the raw data) with ALL-
+    * INTEGER rank arithmetic — percentiles are per-mille ints and the
+    * within-bin midpoint interpolation is a half-up integer division, so
+    * both engines compute identical BIGINTs and only the final /100.0 is
+    * floating point.
+    */
+  private[graft] def quantileFromBins(bins: org.apache.spark.sql.DataFrame,
+      groupCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bins
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(groupCol).orderBy("bin")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(groupCol)))
+      .select(col("*"), explode(array(QPms.map(lit(_)): _*)).as("pm"))
+      .withColumn("r", expr("(pm * n + 999) DIV 1000"))
+      .filter(col("cum") - col("cnt") < col("r") && col("r") <= col("cum"))
+      .select(col(groupCol), col("pm"),
+        expr(s"CAST(bin * $QBinW + ($QBinW * (2 * (r - cum + cnt) - 1)) DIV (2 * cnt) AS DOUBLE) / 100.0")
+          .as("approx_value"),
+        col("n"))
+  }
+
+  /** Approximate per-group percentiles of l_extendedprice via the
+    * histogram sketch — deterministic (oracle-checkable, unlike Spark's
+    * built-in approx_percentile/t-digest) and accurate to one bin width.
+    * The exact twin is a10_quantiles; its docstring names this operator
+    * as the form that survives 100 TB.
+    */
+  val approxPercentile: QueryDef = QueryDef(
+    "approx_percentile_hist",
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) // $QBinW AS bin,
+       |         count(*) AS cnt
+       |  FROM lineitem GROUP BY 1, 2),
+       |c AS (
+       |  SELECT l_returnflag, bin, cnt,
+       |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+       |         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM b),
+       |x AS (
+       |  SELECT c.*, p.pm, (p.pm * c.n + 999) // 1000 AS r
+       |  FROM c, (SELECT unnest([${QPms.mkString(", ")}]) AS pm) p)
+       |SELECT l_returnflag, pm,
+       |       CAST(bin * $QBinW + ($QBinW * (2 * (r - cum + cnt) - 1)) // (2 * cnt) AS DOUBLE) / 100.0 AS approx_value,
+       |       n
+       |FROM x WHERE cum - cnt < r AND r <= cum""".stripMargin) { t =>
+    quantileFromBins(
+      quantileBins(t.lineitem, "l_extendedprice", "l_returnflag"), "l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(hllDistinct, cmHeavyHitters, approxPercentile)
 }

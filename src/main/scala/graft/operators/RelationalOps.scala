@@ -422,9 +422,9 @@ object RelationalOps {
     * the same linear-interpolation formula (pos = p·(n−1); lo +
     * (hi−lo)·frac) over integral quantity values, so the doubles agree
     * bit-for-bit. NB exact percentile sorts each group — the 100 TB
-    * form is approx_percentile (t-digest) or the HLL-style sketch in
-    * [[graft.functions.SketchOps]]; this is the oracle-checkable exact
-    * semantics.
+    * form is the mergeable histogram sketch instantiated as
+    * `approx_percentile_hist` ([[graft.functions.SketchOps]]); this is
+    * the oracle-checkable exact semantics.
     */
   val a10Quantiles: QueryDef = QueryDef(
     "a10_quantiles",

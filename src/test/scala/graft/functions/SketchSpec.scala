@@ -62,6 +62,44 @@ class SketchSpec extends AnyFunSuite {
     assert(merged == whole, "half-merge must equal the whole-corpus sketch")
   }
 
+  test("histogram quantile sketch merges: bins of halves re-summed == whole") {
+    // the property that makes the sketch a partial aggregate at 100 TB:
+    // bin counts are additive, so union-and-resum of two half-corpus bin
+    // tables must give estimates identical to the whole-corpus sketch
+    val sf = "/root/testdata/sf0.01"
+    val li = Tables(spark, sf).lineitem
+    def bins(half: org.apache.spark.sql.DataFrame) =
+      SketchOps.quantileBins(half, "l_extendedprice", "l_returnflag")
+    val whole = SketchOps.quantileFromBins(bins(li), "l_returnflag")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val merged = SketchOps.quantileFromBins(
+      bins(li.filter(col("l_orderkey") % 2 === 0))
+        .unionByName(bins(li.filter(col("l_orderkey") % 2 === 1)))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(sum(col("cnt")).as("cnt")),
+      "l_returnflag")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(merged == whole, "half-merge must equal the whole-corpus sketch")
+  }
+
+  test("histogram quantile sketch lands within one bin width of exact") {
+    val sf = "/root/testdata/sf0.01"
+    val est = SketchOps.approxPercentile.run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val exact = Tables(spark, sf).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("p250"),
+        expr("percentile(l_extendedprice, 0.5)").as("p500"),
+        expr("percentile(l_extendedprice, 0.9)").as("p900"))
+      .collect().flatMap(r => Seq(250, 500, 900).zipWithIndex.map {
+        case (pm, i) => (r.getString(0), pm) -> r.getDouble(i + 1)
+      }).toMap
+    val binWidth = SketchOps.QBinW / 100.0
+    for ((k, ex) <- exact)
+      assert(math.abs(est(k) - ex) <= binWidth,
+        s"$k: est ${est(k)} vs exact $ex (> one bin width $binWidth)")
+  }
+
   test("count-min never undercounts; exact for most top terms") {
     val out = SketchOps.cmHeavyHitters.run(spark, "/root/testdata/sf0.01").cache()
     assert(out.count() == 20)
