@@ -52,14 +52,17 @@ case class NearestCell(left: Expression, right: Expression)
     case _ => false
   }
 
-  override def nullSafeEval(emb: Any, cents: Any): Any =
-    NearestCell.compute(emb.asInstanceOf[ArrayData],
+  override def nullSafeEval(emb: Any, cents: Any): Any = {
+    val cid = NearestCell.compute(emb.asInstanceOf[ArrayData],
       cents.asInstanceOf[ArrayData], isFloat(left.dataType), centFloat)
+    if (cid < 0) null else cid
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (e, c) =>
-      s"${ev.value} = graft.functions.NearestCell.compute($e, $c, " +
-        s"${isFloat(left.dataType)}, $centFloat);")
+      s"""${ev.value} = graft.functions.NearestCell.compute($e, $c,
+         |  ${isFloat(left.dataType)}, $centFloat);
+         |if (${ev.value} < 0L) { ${ev.isNull} = true; }""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCell =
@@ -69,7 +72,11 @@ case class NearestCell(left: Expression, right: Expression)
 object NearestCell {
 
   /** Sequential-fold arithmetic in the exact order of the Column form —
-    * see the class doc.
+    * see the class doc. Returns the sentinel −1 when no candidate wins:
+    * an empty `cents` array, or a zero-norm embedding (nrm 0 makes
+    * every cosine NaN and `NaN > best` is false). The expression maps
+    * the sentinel to SQL NULL rather than silently assigning the vector
+    * to a nonexistent cell.
     */
   def compute(emb: ArrayData, cents: ArrayData,
       embFloat: Boolean, centFloat: Boolean): Long = {

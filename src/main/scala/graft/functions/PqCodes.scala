@@ -54,14 +54,20 @@ case class PqCodes(left: Expression, right: Expression)
   private def isFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(emb: Any, cball: Any): Any =
-    new GenericArrayData(PqCodes.compute(
-      emb.asInstanceOf[ArrayData], cball.asInstanceOf[ArrayData], isFloat))
+  override def nullSafeEval(emb: Any, cball: Any): Any = {
+    val codes = PqCodes.compute(
+      emb.asInstanceOf[ArrayData], cball.asInstanceOf[ArrayData], isFloat)
+    if (codes == null) null else new GenericArrayData(codes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (e, cb) =>
-      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.PqCodes.compute($e, $cb, $isFloat));""".stripMargin)
+    nullSafeCodeGen(ctx, ev, (e, cb) => {
+      val raw = ctx.freshName("rawCodes")
+      s"""int[] $raw = graft.functions.PqCodes.compute($e, $cb, $isFloat);
+         |if ($raw == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($raw); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqCodes =
@@ -71,7 +77,11 @@ case class PqCodes(left: Expression, right: Expression)
 object PqCodes {
 
   /** See the class doc for the exact IEEE-order contract; every loop
-    * below is the sequential fold the Column/DuckDB forms run.
+    * below is the sequential fold the Column/DuckDB forms run. Returns
+    * null when any subspace picks no candidate — an empty candidate
+    * list, or a zero-norm embedding (NaN subvectors make every d2 NaN
+    * and `NaN < best` is false) — rather than emitting the cid-0
+    * sentinel a downstream ADC would silently index with.
     */
   def compute(emb: ArrayData, cball: ArrayData, embFloat: Boolean): Array[Int] = {
     val dim = emb.numElements()
@@ -99,6 +109,7 @@ object PqCodes {
       val cands = cball.getArray(mi)
       var best = Double.MaxValue
       var bestCid = 0
+      var found = false
       var k = 0
       val nc = cands.numElements()
       while (k < nc) {
@@ -108,9 +119,10 @@ object PqCodes {
         var x = 0
         while (x < sub) { dotv += sv(x) * cvec.getDouble(x); x += 1 }
         val d2 = s2 + c.getDouble(2) - 2.0 * dotv
-        if (d2 < best) { best = d2; bestCid = c.getInt(0) }
+        if (d2 < best) { best = d2; bestCid = c.getInt(0); found = true }
         k += 1
       }
+      if (!found) return null
       codes(mi) = bestCid
       mi += 1
     }

@@ -83,19 +83,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  // The shuffle assertions below are AT MOST one Exchange, not exactly
+  // one: AQE reuse or a Spark version bump can legitimately drop (never
+  // add) a shuffle without any semantic regression, and the scale claim
+  // being pinned is "no join and no second shuffle of the fact stream".
+
   test("as-of join is the one-shuffle window form, not an interval join") {
     val plan = planOf("j11_asof_join")
     assert(!plan.contains("Join"),
       s"as-of must be union-tag + window, no join operator:\n$plan")
+    assert(plan.contains("Window"),
+      s"as-of must rank via a window over the union-tagged stream:\n$plan")
     val nShuffles = "Exchange".r.findAllIn(plan).size
-    assert(nShuffles == 1, s"expected exactly 1 shuffle (user_id), got $nShuffles:\n$plan")
+    assert(nShuffles <= 1, s"expected at most 1 shuffle (user_id), got $nShuffles:\n$plan")
   }
 
   test("sessionize is a single shuffle on the session key") {
     val plan = planOf("w_sessionize")
     assert(!plan.contains("Join"), plan)
     val nShuffles = "Exchange".r.findAllIn(plan).size
-    assert(nShuffles == 1, s"expected exactly 1 shuffle (user_id), got $nShuffles:\n$plan")
+    assert(nShuffles <= 1, s"expected at most 1 shuffle (user_id), got $nShuffles:\n$plan")
   }
 
   test("one-pass spine uses a single scan (partial+final agg, no join)") {

@@ -47,4 +47,25 @@ class NearestCellSpec extends AnyFunSuite {
         s"vec ${r.getLong(0)}: fold=${r.getLong(1)} native=${r.getLong(2)}")
     }
   }
+
+  test("zero-norm embedding and empty centroid list give null, not cid -1") {
+    // nrm 0 makes every cosine NaN (no candidate wins); an empty cents
+    // array never enters the loop — both must surface as NULL rather
+    // than assigning the vector to a nonexistent cell
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("nrm", sqrt(AnnOps.dot(col("embedding"), col("embedding"))))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val centsRow = AnnOps.centroids(e).groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("c_emb"), col("c_nrm"))))
+        .as("cents"))
+    val zero = Seq((1L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+      .crossJoin(broadcast(centsRow))
+      .select(native(col("embedding"), col("cents")).as("n"))
+    assert(zero.collect().head.isNullAt(0), "zero-norm must be null")
+    val empty = e.limit(1)
+      .crossJoin(broadcast(centsRow))
+      .select(native(col("embedding"), slice(col("cents"), 1, 0)).as("n"))
+    assert(empty.collect().head.isNullAt(0), "empty cents must be null")
+  }
 }

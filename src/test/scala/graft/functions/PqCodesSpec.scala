@@ -64,4 +64,17 @@ class PqCodesSpec extends AnyFunSuite {
       .select(native(col("embedding"), col("cball")).as("n"))
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("zero-norm embedding gives null codes, not the cid-0 sentinel") {
+    // nrm 0 makes every subvector NaN and every d2 NaN; no candidate
+    // ever wins, and emitting code 0 would silently index the ADC LUT
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cbArr = AnnOps.pqCodebookArr(AnnOps.pqCodebook(e))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val df = Seq((1L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+      .crossJoin(broadcast(cbArr))
+      .select(native(col("embedding"), col("cball")).as("n"))
+    assert(df.collect().head.isNullAt(0))
+  }
 }
