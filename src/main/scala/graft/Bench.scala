@@ -42,8 +42,16 @@ object Bench {
       .mkString("[", ",", "]")
     val nFailed = results.count(!_._3)
     val total = results.collect { case (_, v, true) => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed}"""
+    println(json)
+    // Also write the full record to a file: the driver's stdout scrape
+    // truncates long tails, which cut the first queries out of the
+    // round-5 record. Stdout stays the contract; the file is the
+    // untruncated copy.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_local.json")), json + "\n")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

@@ -48,13 +48,29 @@ object ScaleProbe {
 
   /** One warm-up pass (codegen/JIT/scan cache), then the timed run —
     * without it the 1× numbers absorb all JIT cost and the curve reads
-    * as impossibly sublinear.
+    * as impossibly sublinear. GC tick between warm-up and measurement,
+    * same as Bench: checkpoint/broadcast blocks from earlier stages are
+    * reclaimed only after their refs are collected, and without the tick
+    * a stage mid-probe can absorb the whole probe's GC debt (measured:
+    * a 44 s minhash reading at 30× on unchanged code, 2.3 s at 100×).
     */
-  private def timed[A](label: String)(f: => A): (String, Double) = {
+  private def timed[A](spark: SparkSession, label: String)(f: => A): (String, Double) = {
+    // warm-up, then the MINIMUM of two measured runs: this box shows
+    // ambient multi-x spikes on identical code (neighbors/GC debt), and
+    // the min is the honest noise-floor estimate of warm cost. Before
+    // each measurement, drop every lingering persisted/checkpointed RDD
+    // — each run builds its OWN checkpoints, so blocks from the previous
+    // run (GB-scale hv checkpoints at 100×) are dead weight that
+    // non-evictably occupies the block manager — and tick a GC, as in
+    // Bench, for broadcast refs.
     f
-    val t0 = System.nanoTime()
-    f
-    val s = (System.nanoTime() - t0) / 1e9
+    val s = (0 until 2).map { _ =>
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }.min
     println(f"  $label%-22s $s%8.2f s")
     label -> s
   }
@@ -83,6 +99,43 @@ object ScaleProbe {
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
+
+    // SPARK_GRAFT_PROBE=skew: the adversarial-occupancy probe — the 10×
+    // replica corpus PLUS a hot band of 10k byte-identical documents
+    // (the classic LSH mega-bucket). Measures the three near-dup stages
+    // on the benign and hot corpora side by side: the cluster path must
+    // stay near benign cost (exact-dup collapse removes the band before
+    // banding), and the pair path must emit the capped C(1024,2) volume,
+    // not C(10k,2).
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("skew")) {
+      buildReplica(spark, sfDir, s"$outRoot/x10", 10)
+      val hotDir = s"$outRoot/x10hot"
+      if (!Files.exists(Paths.get(s"$hotDir/documents.parquet"))) {
+        val base = spark.read.parquet(s"$outRoot/x10/documents.parquet")
+        val hotText =
+          Seq.fill(40)("the same sentence repeated enough times to shingle").mkString(" ")
+        import spark.implicits._
+        val hot = (0 until 10000).map(i => (900000000L + i, hotText))
+          .toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("hot"))
+          .withColumn("n_chars", length(col("text")))
+        base.unionByName(hot.select(base.columns.map(col): _*))
+          .repartition(32).write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
+        println("built 10x+hot corpus (10k identical docs) at " + hotDir)
+      }
+      val skewStages = Seq[(String, Tables => org.apache.spark.sql.DataFrame)](
+        "dedup_minhash_lsh" -> (t => functions.DedupOps.dedupMinhashLsh.fn(t.spark, t.dir)),
+        "dedup_ngram_jaccard" -> (t => functions.DedupOps.dedupNgramJaccard.fn(t.spark, t.dir)),
+        "dedup_clusters" -> (t => functions.DedupOps.dedupClusters.fn(t.spark, t.dir)))
+      for (dir <- Seq(s"$outRoot/x10", hotDir)) {
+        println(s"== ${dir.substring(dir.lastIndexOf('/') + 1)} ==")
+        skewStages.foreach { case (l, fn) => timed(spark, l)(fn(Tables(spark, dir)).count()) }
+      }
+      val nCand = functions.DedupOps.dedupMinhashLsh.fn(spark, hotDir).count()
+      println(s"hot candidate pairs (capped): $nCand")
+      spark.stop()
+      return
+    }
 
     val annProbe = sys.env.get("SPARK_GRAFT_PROBE").contains("ann")
     val stages =
@@ -113,7 +166,7 @@ object ScaleProbe {
       }
       println(s"== ${k}x ==")
       k -> stages.map { case (label, fn) =>
-        timed(label)(fn(Tables(spark, dir)).count())
+        timed(spark, label)(fn(Tables(spark, dir)).count())
       }
     }
 

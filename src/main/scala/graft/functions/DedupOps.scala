@@ -108,12 +108,26 @@ object DedupOps {
         MinhashSignature(
           org.apache.spark.sql.GraftSqlBridge.expression(col("shingles")), K, P))
 
-  /** Candidate pairs from banded minhash signatures ([[sigCol]]) of a
-    * shingled DataFrame: B band keys per document, bucket-local pair
-    * expansion (shape rationale below).
+  /** Per-bucket pair-generation cap: a bucket with more than this many
+    * documents expands pairs only among its [[BucketCap]] smallest
+    * doc_ids. The all-pairs-within-bucket blowup is the classic LSH
+    * failure mode at adversarial occupancy (k docs sharing a band key
+    * generate k²/2 candidates in one task); the cap bounds any single
+    * bucket's candidate volume at ~500k pairs. A deliberate recall
+    * trade, engine-side only: the DuckDB oracle has no cap, which is
+    * sound because gate-corpus occupancy never comes near it (SkewSpec
+    * pins max occupancy ≪ cap at sf0.01), and the exact-duplicate hot
+    * bands that hit the cap in practice are collapsed to one
+    * representative before banding in the cluster path (dedupClusters).
     */
-  private[functions] def lshCandidates(shingled: DataFrame): DataFrame = {
-    val sig = shingled.select(col("doc_id"), sigCol.as("sig"))
+  private val BucketCap =
+    sys.env.get("SPARK_GRAFT_LSH_BUCKET_CAP").map(_.toInt).getOrElse(1024)
+
+  /** Banded bucket-local pair expansion of a (doc_id, sig) signature
+    * table — shape rationale inline. `cap` is parameterized for the
+    * skew spec/probe; production paths use [[BucketCap]].
+    */
+  private[functions] def bandPairs(sig: DataFrame, cap: Int = BucketCap): DataFrame = {
     val bands = sig
       .select(col("doc_id"), explode(transform(sequence(lit(0), lit(B - 1)),
         b => struct(b.as("band"),
@@ -129,18 +143,26 @@ object DedupOps {
     // memory stays O(bucket), never the O(bucket²) a single
     // all-pairs-array row would need, and the explode streams pairs into
     // the downstream shuffle instead of materializing them. Residual
-    // skew: one task still GENERATES a mega-bucket's k² pairs (band-key
-    // salting would split it); with minhash's fine-grained band-string
-    // keys occupancy stays small — for coarse keys use the self-join
+    // skew: one task still GENERATES a mega-bucket's k² pairs, bounded
+    // by [[BucketCap]]; with minhash's fine-grained band-string keys
+    // occupancy stays small — for coarse keys use the self-join
     // (see dedupSimhashPairs).
     bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .withColumn("ids", slice(col("ids"), 1, cap))
       .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
       .select(col("doc_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
       .distinct()
   }
+
+  /** Candidate pairs from banded minhash signatures ([[sigCol]]) of a
+    * shingled DataFrame: B band keys per document, bucket-local pair
+    * expansion.
+    */
+  private[functions] def lshCandidates(shingled: DataFrame): DataFrame =
+    bandPairs(shingled.select(col("doc_id"), sigCol.as("sig")))
 
   /** MinHash + LSH candidate pairs: shingle → K permuted min-hashes →
     * B bands of R → bucket self-join on (band, key). Emits distinct
@@ -274,41 +296,100 @@ object DedupOps {
       .filter(col("hamming") <= 3)
   }
 
-  /** Jaccard-of-shingles CTE over the LSH candidates (shared by the
-    * verify query and the cluster resolution).
+  /** Jaccard-of-hashed-shingles CTE over the LSH candidates (shared by
+    * the verify query and the cluster resolution). Jaccard compares the
+    * DISTINCT `h64 mod P` shingle-hash sets, not the strings — both
+    * engines hash with the same formula, so collisions (if any) are
+    * identical on both sides.
     */
   private val jaccardSql =
-    """j AS (SELECT doc_a, doc_b,
-      |             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
-      |             len(sa.shingles) AS na, len(sb.shingles) AS nb
+    """hvd AS (SELECT doc_id, list_distinct(hv) AS hv FROM hv),
+      |j AS (SELECT doc_a, doc_b,
+      |             len(list_intersect(sa.hv, sb.hv)) AS inter,
+      |             len(sa.hv) AS na, len(sb.hv) AS nb
       |      FROM cand
-      |      JOIN sh sa ON sa.doc_id = cand.doc_a
-      |      JOIN sh sb ON sb.doc_id = cand.doc_b)""".stripMargin
+      |      JOIN hvd sa ON sa.doc_id = cand.doc_a
+      |      JOIN hvd sb ON sb.doc_id = cand.doc_b)""".stripMargin
 
-  /** LSH candidates verified by exact Jaccard ≥ 0.5 — the edge set of
-    * the near-duplicate graph. Cost is O(candidates), never all-pairs;
-    * each pair compares its two shingle arrays via `array_intersect`
-    * (no shingle-level explode/join at all).
+  /** (doc_id, hv): the distinct shingle-hash set (`h64 mod P`), the one
+    * intermediate the whole near-dup pipeline runs on — the minhash
+    * signature permutes these hashes ([[MinhashSignature]] hashed mode)
+    * and the verify stage intersects them. Callers `localCheckpoint` the
+    * result so the candidate branch and both verify join branches read
+    * ONE materialization: without it each branch is a separate plan that
+    * re-scans the documents and re-runs the shingle split + md5 chain
+    * (measured: the md5 recompute cost more than hashed-verify saved in
+    * shuffle bytes, which is why verify previously shipped the strings).
+    * 8-byte hashes also shuffle ~3× fewer bytes than shingle strings.
     */
-  private def verifiedPairs(sh: DataFrame): DataFrame = {
-    val cand = lshCandidates(sh)
-    // measured negative result (sf0.1, one JVM): intersecting 60-bit
-    // shingle HASHES instead of the strings is 30% SLOWER (5.3 s vs
-    // 4.0 s solo) — the two join branches are separate plans, so each
-    // re-runs md5 over every shingle, and that costs more than the
-    // ~2.5× shuffle-byte saving buys. Strings stay.
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+  private[functions] def hashedShingles(docs: DataFrame): DataFrame =
+    // the native n-gram kernel by default: words → distinct shingle
+    // hashes in one primitive pass, never materializing the shingle
+    // strings (their construction was an interpreted concat_ws lambda
+    // per shingle, and the hashing an interpreted md5 Column chain —
+    // together they dominated the verify pipeline at 100× corpus).
+    // `SPARK_GRAFT_SHINGLEHASH=fold` keeps the Column form for in-JVM
+    // A/B (ShingleHashesSpec pins bit-identity of both kernel modes)
+    if (sys.env.get("SPARK_GRAFT_SHINGLEHASH").contains("fold"))
+      withShingles(docs).select(col("doc_id"),
+        array_distinct(transform(col("shingles"), s => h64(s) % P)).as("hv"))
+    else
+      docs.withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"),
+          org.apache.spark.sql.GraftSqlBridge.column(ShingleHashes(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("words")), P,
+            gram = 3)).as("hv"))
+
+  /** [[sigCol]] over the pre-hashed shingle set — same permutation
+    * family, md5 already paid by [[hashedShingles]].
+    */
+  private[functions] def sigColHv: Column =
+    if (sys.env.get("SPARK_GRAFT_MINHASH").contains("fold"))
+      aggregate(col("hv"), array_repeat(lit(P), K),
+        (acc, h) => transform(sequence(lit(0), lit(K - 1)),
+          k => least(element_at(acc, k + 1),
+            ((lit(2L) * k + 1L) * h + k * lit(912367L) + 341L) % P)))
+    else
+      org.apache.spark.sql.GraftSqlBridge.column(
+        MinhashSignature(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("hv")), K, P))
+
+  /** LSH candidates verified by exact Jaccard ≥ 0.5 over the hash sets —
+    * the edge set of the near-duplicate graph. Cost is O(candidates),
+    * never all-pairs. `hv` must be the (checkpointed) output of
+    * [[hashedShingles]].
+    */
+  private[functions] def verifiedPairsHv(hv: DataFrame): DataFrame = {
+    // checkpointed: both the doc-id reduction below and the verify join
+    // consume the candidate set, and the sig+band shuffle behind it must
+    // not run twice
+    val cand = bandPairs(hv.select(col("doc_id"), sigColHv.as("sig")))
+      .localCheckpoint()
+    // verify payload ∝ docs-in-candidates, not corpus: only a few
+    // percent of documents appear in any candidate pair, so reduce the
+    // hash-set table to those BEFORE the two verify joins — a broadcast
+    // semi-join filter (no shuffle of hv at all), then the joins shuffle
+    // kilobytes-per-candidate instead of the whole corpus's hash sets
+    // twice. (At a scale where the candidate doc-id set outgrows a
+    // broadcast, drop the hint and Spark falls back to a shuffled
+    // semi-join — still one corpus shuffle instead of two.)
+    val need = broadcast(
+      cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct())
+    val slim = hv.join(need, Seq("doc_id"), "left_semi")
+    val a = slim.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"))
+    val b = slim.select(col("doc_id").as("doc_b"), col("hv").as("hv_b"))
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("hv_a"), col("hv_b"))))
       .withColumn("jaccard_raw",
-        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        col("inter").cast("double") / (size(col("hv_a")) + size(col("hv_b")) - col("inter")))
       .filter(col("jaccard_raw") >= 0.5)
   }
 
   /** n-gram Jaccard verify stage — exact Jaccard computed ONLY for the
     * LSH candidate pairs (the scale-correct pipeline: banding generates
-    * candidates, Jaccard verifies them).
+    * candidates, Jaccard verifies them), over the shared hashed-shingle
+    * checkpoint.
     */
   val dedupNgramJaccard: QueryDef = QueryDef(
     "dedup_ngram_jaccard",
@@ -318,8 +399,7 @@ object DedupOps {
        |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
        |FROM j
        |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin) { t =>
-    val sh = withShingles(t.documents).select(col("doc_id"), col("shingles"))
-    verifiedPairs(sh)
+    verifiedPairsHv(hashedShingles(t.documents).localCheckpoint())
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
@@ -425,6 +505,19 @@ object DedupOps {
     * dedup pass would keep. Documents in no pair are their own
     * singleton cluster. The oracle computes the same components with a
     * recursive transitive-closure CTE.
+    *
+    * Exact duplicates are collapsed to one representative (min doc_id
+    * per identical shingle-hash set) BEFORE banding: an adversarial hot
+    * band — say 10k byte-identical documents — would otherwise put all
+    * of them in every band bucket and generate O(k²) candidate pairs
+    * where the CLUSTER output only needs O(k) rows. The collapse is
+    * output-invariant: hv-identical documents have Jaccard exactly 1 in
+    * both engines, so they are always edges of the same component, and
+    * each group's representative IS its min doc_id — the component
+    * minimum over representatives equals the minimum over all members.
+    * The oracle keeps the uncollapsed form (its closure connects the
+    * group members directly); SkewSpec pins the equivalence on a hot
+    * corpus.
     */
   val dedupClusters: QueryDef = QueryDef(
     "dedup_clusters",
@@ -443,13 +536,37 @@ object DedupOps {
        |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
        |       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) { t =>
-    val edges = verifiedPairs(withShingles(t.documents).select(col("doc_id"), col("shingles")))
+    clusterDocs(t.documents)
+  }
+
+  /** The cluster pipeline body, on any (doc_id, text) corpus — shared by
+    * the registered query and the skew/scale probes.
+    */
+  private[functions] def clusterDocs(documents: DataFrame): DataFrame = {
+    // exact-dup collapse (see class doc): rep = min doc_id over the hash
+    // SET itself — array equality, no second-level hashing that could
+    // diverge from the oracle's closure. ONE window pass assigns every
+    // doc its rep (a groupBy-reps-then-join-back shape would shuffle the
+    // hv arrays twice); the checkpoint materializes it once for the rep
+    // filter, the rep→cluster expansion, and the verify branches.
+    import org.apache.spark.sql.expressions.Window
+    val withRep = hashedShingles(documents)
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("hv"))))
+      .localCheckpoint()
+    val reps = withRep.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("hv"))
+    val docRep = withRep.select(col("doc_id"), col("rep_id"))
+    val edges = verifiedPairsHv(reps.localCheckpoint())
       .select(col("doc_a"), col("doc_b"))
     val t0 = System.nanoTime()
     val comp = connectedComponents(edges)
     if (sys.env.contains("GRAFT_TIMING"))
       println(f"TIMING cc/total ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    t.documents.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+    val assigned = docRep
+      .join(comp.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+    documents.select(col("doc_id")).join(assigned, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("is_canonical"))

@@ -27,10 +27,16 @@ object SharedHash {
     * hex chars are bytes 0–6 in full plus the high nibble of byte 7.
     * Bit-identical to the Column/SQL forms on the same UTF-8 bytes.
     */
-  def h64Jvm(bytes: Array[Byte]): Long = {
+  def h64Jvm(bytes: Array[Byte]): Long = h64Jvm(bytes, bytes.length)
+
+  /** Prefix-length variant for callers assembling input in a reusable
+    * buffer (no per-call copy).
+    */
+  def h64Jvm(bytes: Array[Byte], len: Int): Long = {
     val d = md.get()
     d.reset()
-    val dig = d.digest(bytes)
+    d.update(bytes, 0, len)
+    val dig = d.digest()
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }

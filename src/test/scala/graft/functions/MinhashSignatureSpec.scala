@@ -46,6 +46,31 @@ class MinhashSignatureSpec extends AnyFunSuite {
     }
   }
 
+  test("hashed-input mode equals hashing the strings in the expression") {
+    // array<bigint> input = h64 mod P computed upstream (the shared
+    // verify checkpoint); permuting those hashes must give the exact
+    // signature the string path computes
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "ünïcödé shïnglés wörk töö with multi byte text here").toDF("text")
+    val sh = docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(transform(
+        sequence(lit(0), size(col("words")) - 3),
+        i => concat_ws(" ", get(col("words"), i), get(col("words"), i + 1),
+          get(col("words"), i + 2)))))
+      .withColumn("hv", array_distinct(transform(col("shingles"), s => h64(s) % P)))
+    val fromStrings = GraftSqlBridge.column(
+      MinhashSignature(GraftSqlBridge.expression(col("shingles")), K, P))
+    val fromHashes = GraftSqlBridge.column(
+      MinhashSignature(GraftSqlBridge.expression(col("hv")), K, P))
+    sh.select(fromStrings.as("s"), fromHashes.as("h")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"strings=${r.getSeq[Long](0)} hashes=${r.getSeq[Long](1)}")
+    }
+  }
+
   test("empty shingle array yields the all-P identity signature") {
     import spark.implicits._
     val df = Seq(Seq.empty[String]).toDF("shingles")
