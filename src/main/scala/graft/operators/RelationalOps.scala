@@ -294,6 +294,10 @@ object RelationalOps {
     * `groupBy(hour).agg(count(when(...)))`. Kept alongside the faithful
     * spine replica: at 100 TB this is 1× the fact scan instead of 3×
     * and one exchange instead of four.
+    *
+    * Perf note (round 6): the round-4/5 bench drift (0.68→0.94 s) was
+    * shared-JVM ambient, not a plan change — isolated warm runs measure
+    * 0.36–0.53 s at sf0.1 with PlanSpec still pinning 1 scan / no join.
     */
   val a5SpineOnepass: QueryDef = QueryDef(
     "a5_spine_onepass",
