@@ -604,7 +604,66 @@ object DedupOps {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cos_sim"))
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then keep ONE representative per
+    * ε-ball — a vector is dropped when a lower-id vector in the SAME
+    * cluster sits within cosine ≥ τ. Clustering reuses the IVF codebook
+    * ([[AnnOps.centroids]] — deterministic hash-picked centroids so the
+    * oracle can reconstruct them; a real deployment k-means), and cell
+    * assignment is the same scan-local native fold as the IVF scan.
+    *
+    * Scale shape: assignment is a pure map over a broadcast codebook;
+    * the only shuffle keys on the cell id; the within-cell pair join is
+    * bounded by cell occupancy, which the codebook size controls — at
+    * 100 TB, k grows as corpus/target-cell-size (SemDeDup used 50k
+    * clusters for LAION-2B), so per-cell pairs stay constant while this
+    * test-scale instance pins k = [[AnnOps.NCentroids]] for the oracle.
+    * τ = 0.4 suits the synthetic near-orthogonal vectors (max pairwise
+    * cosine ≈ 0.48); real embedded text uses 0.9+.
+    */
+  val dedupSemantic: QueryDef = QueryDef(
+    "dedup_semantic",
+    s"""WITH e AS (${AnnOps.sqlNorms}),
+       |cent AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+       |         FROM e ORDER BY ${h64Sql("vec_id::VARCHAR")}, vec_id LIMIT ${AnnOps.NCentroids}),
+       |scored AS (SELECT e.vec_id, cent.cid,
+       |                  row_number() OVER (PARTITION BY e.vec_id
+       |                                     ORDER BY ${AnnOps.sqlDot("e.embedding", "cent.c_emb")}
+       |                                           / (e.nrm * cent.c_nrm) DESC, cent.cid) AS crn
+       |           FROM e, cent),
+       |assign AS (SELECT vec_id, cid AS cell FROM scored WHERE crn = 1),
+       |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+       |             ${AnnOps.sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS sim
+       |      FROM assign a
+       |      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |      JOIN e ea ON ea.vec_id = a.vec_id
+       |      JOIN e eb ON eb.vec_id = b.vec_id),
+       |d AS (SELECT vb AS vec_id, min(va) AS dup_of FROM p WHERE sim >= 0.4 GROUP BY vb)
+       |SELECT assign.vec_id, assign.cell, d.vec_id IS NULL AS is_kept, d.dup_of
+       |FROM assign LEFT JOIN d ON d.vec_id = assign.vec_id""".stripMargin) { t =>
+    val e = t.embeddings
+      .withColumn("nrm", sqrt(AnnOps.dot(col("embedding"), col("embedding"))))
+    val cent = AnnOps.centroids(e)
+    val cells = e.crossJoin(broadcast(AnnOps.centroidArr(cent)))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        AnnOps.cellFold.as("cell"))
+    val a = cells.select(col("vec_id").as("va"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = cells.select(col("vec_id").as("vb"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cell"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .withColumn("sim",
+        AnnOps.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= 0.4)
+      .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dup_of"))
+    cells.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("is_kept"), col("dup_of"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
-      dedupNgramJaccard, dedupEmbeddingCosine, dedupClusters)
+      dedupNgramJaccard, dedupEmbeddingCosine, dedupSemantic, dedupClusters)
 }

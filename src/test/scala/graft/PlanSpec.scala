@@ -68,6 +68,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("bucket"), plan)
   }
 
+  test("semantic dedup pair join is keyed on the cell, codebook broadcast as one row") {
+    val plan = planOf("dedup_semantic")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ONLY nested-loop joins allowed are the 1-row codebook
+    // broadcasts (crossJoin against the single collect_list row); the
+    // corpus-sized pair join must be a keyed hash/merge join on `cell`
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 3, s"unexpected nested-loop joins ($bnlj):\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"pair generation must be a keyed join on the cell:\n$plan")
+  }
+
   test("multi-probe ANN joins candidates on the bucket key, probe side broadcast") {
     val plan = planOf("ann_lsh_multiprobe")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
