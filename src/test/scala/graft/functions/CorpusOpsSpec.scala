@@ -31,6 +31,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("bloom decontamination is a strict one-sided relaxation of the exact form") {
+    val exact = CorpusOps.textDecontam.run(spark, sf)
+      .select(col("doc_id"), col("is_contaminated")).cache()
+    val bloom = CorpusOps.textDecontamBloom.run(spark, sf)
+      .select(col("doc_id"), col("is_flagged"), col("n_hit_grams")).cache()
+    assert(exact.count() == bloom.count())
+    val joined = exact.join(bloom, Seq("doc_id")).cache()
+    // one-sided error: every exactly-contaminated doc MUST be flagged
+    // (a false negative would keep a contaminated document — the failure
+    // mode a bloom cannot have)
+    assert(joined.filter(col("is_contaminated") && !col("is_flagged")).count() == 0)
+    // measure (don't assume) the false-positive count at this m/k; with
+    // ~5 eval docs in 2^20 bits the expected FP count is ≪ 1
+    val fp = joined.filter(!col("is_contaminated") && col("is_flagged")).count()
+    assert(fp <= 2, s"bloom flagged $fp clean documents — m/k miscalibrated")
+    assert(bloom.filter(col("is_flagged") =!= (col("n_hit_grams") > 0)).count() == 0)
+    joined.unpersist(); exact.unpersist(); bloom.unpersist()
+  }
+
   test("train split is exhaustive, deterministic, and gapless within shards") {
     val df = CorpusOps.textTrainSplit.run(spark, sf).cache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
