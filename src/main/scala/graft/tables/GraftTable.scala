@@ -580,6 +580,59 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     writeCommit("compact", footerRowCount(keep) + footerRowCount(added), keep ++ added)
   }
 
+  /** M7b — z-order clustering rewrite (the Delta `OPTIMIZE ZORDER BY` /
+    * Iceberg sort-strategy `rewrite_data_files` analog): rewrite the
+    * live snapshot ordered by the bit-interleaved z-value of `zcols`,
+    * range-distributed so every output file covers a contiguous z-range
+    * — a narrow box in EVERY clustered dimension, not just a sort
+    * leader. Footer min/max pruning ([[readRangeLogical]] /
+    * [[RangePrune]]) then skips files for predicates on ANY of the
+    * clustered columns; a linearly-written table only ever prunes on
+    * its write-order column. Each column is normalized to a 16-bit
+    * bucket of its global [min, max] (one scalar aggregate) so range
+    * skew cannot starve bit positions. Integral/timestamp columns only
+    * (those are the ones parquet footers carry orderable INT64 stats
+    * for). Unpartitioned tables here; a partitioned 100 TB deployment
+    * applies the identical rewrite within each partition.
+    */
+  def compactZOrder(zcols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): CommitMeta = {
+    import org.apache.spark.sql.functions._
+    require(zcols.size >= 2, "z-order clustering needs at least 2 columns")
+    require(defn.partitions.isEmpty,
+      s"${defn.name}: z-order rewrite expects an unpartitioned table")
+    val live = commits.lastOption.map(_.files).getOrElse(Nil)
+    require(live.nonEmpty, s"${defn.name}: nothing to z-order")
+    val df = readLogical()
+    val totalBytes = live.map(f => new File(s"$dataDir/$f").length()).sum
+    val nFiles = math.max(2, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val statCols = zcols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val stats = df.agg(statCols.head, statCols.tail: _*).first()
+    val n = zcols.size
+    // 16-bit bucket per column; truncating double division is fine here
+    // (a boundary off-by-one only nudges clustering, never correctness —
+    // footer bounds stay exact)
+    val buckets = zcols.zipWithIndex.map { case (c, i) =>
+      val lo = stats.getLong(2 * i)
+      val hi = stats.getLong(2 * i + 1)
+      val scale = math.max(1L, (hi - lo) / 65536L + 1L)
+      least(lit(65535L), coalesce(
+        ((col(c).cast("long") - lit(lo)) / lit(scale)).cast("long"), lit(0L)))
+    }
+    val z = (0 until 16).flatMap { b =>
+      buckets.zipWithIndex.map { case (bc, i) =>
+        shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * n + i)
+      }
+    }.reduce(_ + _)
+    val ordered = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(defn.schema.fieldNames.map(col): _*)
+    val added = writeFiles(ordered)
+    writeCommit("zorder", footerRowCount(added), added)
+  }
+
   /** M8a — expire snapshots older than `olderThanMs`, always keeping the
     * latest (reference: expire_snapshots(retention_threshold => '7d')).
     * For merge-on-read tables, a commit that is the first-seen version

@@ -265,6 +265,51 @@ class TablesSpec extends AnyFunSuite {
     assert(cat.table("t8").readLogical().count() == 0)
   }
 
+  test("z-order rewrite makes footer pruning effective on BOTH clustered columns") {
+    val zschema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("v", DoubleType)))
+    val t = new GraftTable(spark, TableDef("tz", zschema), freshRoot("tz"))
+    val nRows = 100000
+    val baseUs = 1700000000000000L
+    def chunk(r: Range) = {
+      import spark.implicits._
+      r.map { i =>
+        (i.toLong, i * 1000000L + baseUs, (i * 2654435761L) % 100000L, i / 7.0)
+      }.toDF("id", "us", "user_id", "v")
+        .select(col("id"), timestamp_micros(col("us")).as("ts"), col("user_id"), col("v"))
+    }
+    // four ts-contiguous appends = the natural "linear in write order"
+    // layout: each file spans a ts quarter but the FULL user_id range
+    (0 until 4).foreach(q =>
+      t.append(chunk(q * nRows / 4 until (q + 1) * nRows / 4).coalesce(1)))
+    val filesBefore = t.commits.last.files.size
+    assert(filesBefore == 4)
+    val tsLo = baseUs
+    val tsHi = baseUs + (nRows / 4L - 1) * 1000000L
+    val uidLo = 0L
+    val uidHi = 100000L / 8
+    // linear layout: ts (the write-order column) prunes to one file,
+    // user_id prunes NOTHING
+    assert(t.readRangeLogical("ts", tsLo, tsHi).inputFiles.length == 1)
+    assert(t.readRangeLogical("user_id", uidLo, uidHi).inputFiles.length == filesBefore)
+    val before = t.readLogical().orderBy("id").collect().toSeq
+
+    t.compactZOrder(Seq("ts", "user_id"), targetBytes = 200 * 1024)
+    val filesAfter = t.commits.last.files.size
+    assert(filesAfter >= 4, s"expected a multi-file rewrite, got $filesAfter")
+    assert(t.readLogical().orderBy("id").collect().toSeq == before,
+      "z-order rewrite must not change table content")
+    // clustered layout: BOTH columns now prune
+    val tsRead = t.readRangeLogical("ts", tsLo, tsHi).inputFiles.length
+    val uidRead = t.readRangeLogical("user_id", uidLo, uidHi).inputFiles.length
+    assert(tsRead < filesAfter, s"ts range read $tsRead of $filesAfter files")
+    assert(uidRead < filesAfter, s"user_id range read $uidRead of $filesAfter files")
+    assert(t.snapshots.orderBy("version").collect().last.getString(2) == "zorder")
+  }
+
   test("snapshots table records version, operation, and row counts") {
     val t = new GraftTable(spark, TableDef("t7", schema), freshRoot("t7"))
     t.append(df(0 until 10, "a", 1.0))
