@@ -143,6 +143,45 @@ object Sinks {
       }
       .start()
 
+  /** Streaming twin of the histogram quantile sketch
+    * ([[graft.functions.SketchOps.approxPercentile]]): every micro-batch
+    * bins its rows into integer-cent histogram PARTIALS
+    * (event_type, bin, cnt) and APPENDS them — no stateful aggregation
+    * and no upsert, because additive bin counts are exactly the
+    * mergeable-sketch property: partial histograms from any set of
+    * commits (a micro-batch, a day, a replayed backfill) merge into a
+    * correct sketch by a plain sum at read time
+    * ([[quantilesFromSketchTable]]). At 100 TB this is the winning
+    * shape — the stream holds no quantile state across batches, each
+    * append is at most groups × occupied-bins rows, and the estimate
+    * stage only ever walks the tiny bin table.
+    */
+  def quantileSketchAppend(events: DataFrame, table: GraftTable,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        exactlyOnce(table, "quantileSketchAppend", batchId) {
+          val bins = graft.functions.SketchOps.quantileBins(
+            batch.toDF(), "value", "event_type")
+          if (!bins.isEmpty) table.append(bins)
+        }
+        ()
+      }
+      .start()
+
+  /** Merge the appended histogram partials (sum per (group, bin)) and
+    * run the shared CDF-walk estimate — bit-identical to binning the
+    * full history in one batch pass, which StreamingSpec pins.
+    */
+  def quantilesFromSketchTable(table: GraftTable): DataFrame =
+    graft.functions.SketchOps.quantileFromBins(
+      table.readLogical()
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("cnt")).as("cnt")),
+      "event_type")
+
   /** X1 — statement-set analog: one query, one cached batch, three
     * sinks (clean / rejected / per-batch quality counts), mirroring the
     * reference's ingestion job fanning bid requests into clean,

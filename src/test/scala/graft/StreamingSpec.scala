@@ -65,6 +65,33 @@ class StreamingSpec extends AnyFunSuite {
       s"$hint: ${extraA} rows only in streaming, ${extraB} only in batch")
   }
 
+  test("streaming histogram-sketch partials merge to the one-pass batch quantiles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val binSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("bin", LongType),
+      StructField("cnt", LongType)))
+    val table = new GraftTable(spark, TableDef("qsketch", binSchema), wh("qsketch"))
+    // amplify values so the histogram spans many bins — single-bin data
+    // would make the merge trivially correct
+    val evs = mkEvents().map(e => e.copy(value = e.value * 1000.0 + e.user_id))
+    val src = MemoryStream[Ev]
+    val q = Sinks.quantileSketchAppend(src.toDF(), table, ckpt("qsketch"))
+    val (first, second) = evs.splitAt(evs.size / 2)
+    src.addData(first); q.processAllAvailable()
+    src.addData(second); q.processAllAvailable()
+    q.stop()
+    // two commits of PARTIAL histograms — the merge is real, not a no-op
+    assert(table.commits.count(_.op == "append") == 2)
+    assert(table.readLogical().select("bin").distinct().count() > 10)
+    val streamed = Sinks.quantilesFromSketchTable(table)
+    val batch = graft.functions.SketchOps.quantileFromBins(
+      graft.functions.SketchOps.quantileBins(evs.toDF(), "value", "event_type"),
+      "event_type")
+    assertSameRows(streamed, batch, "merged sketch quantiles")
+  }
+
   test("streaming hourly upsert equals batch tumbling agg; late event dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
