@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.QueryDef
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import SharedHash.{h64, h64Sql}
 
@@ -208,5 +209,134 @@ object SketchOps {
       quantileBins(t.lineitem, "l_extendedprice", "l_returnflag"), "l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(hllDistinct, cmHeavyHitters, approxPercentile)
+  // ---- KMV (k-minimum-values) theta sketch: distinct + set algebra ----
+
+  private[functions] val KmvK = 256 // relative error ≈ 1/√(k−2) ≈ 6.3%
+  private val KmvM = 1L << 60       // h64 hash space
+
+  private def kmvSketch(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      KmvSketchAgg(org.apache.spark.sql.GraftSqlBridge.expression(c), KmvK)
+        .toAggregateExpression())
+
+  /** D̂ from a sketch array: exact when unsaturated, (k−1)·M/h_k when
+    * full. The only floating-point step is the final division, written
+    * with identical literals and operand order in both engines.
+    */
+  private def kmvEst(sk: Column, exactWhenSmall: Column): Column =
+    when(size(sk) < KmvK, exactWhenSmall)
+      .otherwise(floor(lit((KmvK - 1).toDouble) *
+        (lit(KmvM.toDouble) / element_at(sk, KmvK).cast("double"))).cast("long"))
+
+  private val kmvEstSql =
+    s"CAST(floor(${KmvK - 1}.0 * (1152921504606846976.0 / CAST(hk AS DOUBLE))) AS BIGINT)"
+
+  /** Distinct word-bigram count per language via the [[KmvSketchAgg]]
+    * native aggregate (bigrams, not unigrams — the synthetic corpus has
+    * a ~31-word vocabulary, and the sketch must actually SATURATE for
+    * the estimator to be exercised; ~900 distinct bigrams per language
+    * do that). The exact count is computed alongside purely so the
+    * oracle row documents the sketch's realized accuracy — at 100 TB
+    * only the sketch runs: the aggregation state is ≤ k longs per group
+    * at every partial, where exact distinct shuffles every gram.
+    */
+  val kmvDistinct: QueryDef = QueryDef(
+    "kmv_distinct",
+    s"""WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 2),
+       |tk AS (
+       |  SELECT lang, ${h64Sql("g")} AS h
+       |  FROM (SELECT lang, unnest(list_transform(range(1, len(ws)),
+       |                       i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM w)),
+       |d AS (SELECT DISTINCT lang, h FROM tk),
+       |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM d),
+       |s AS (SELECT lang, count(*) AS nd,
+       |             max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |      FROM r GROUP BY lang)
+       |SELECT lang, CAST(nd AS BIGINT) AS n_exact,
+       |       CASE WHEN nd < $KmvK THEN CAST(nd AS BIGINT) ELSE $kmvEstSql END AS est_distinct
+       |FROM s""".stripMargin) { t =>
+    val toks = t.documents
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("g"))
+      .select(col("lang"), h64(col("g")).as("h"))
+    toks.groupBy(col("lang"))
+      .agg(kmvSketch(col("h")).as("sk"), countDistinct(col("h")).as("n_exact"))
+      .select(col("lang"), col("n_exact"),
+        kmvEst(col("sk"), col("n_exact")).as("est_distinct"))
+  }
+
+  /** Set algebra on two KMV sketches — union, intersection, and Jaccard
+    * of the src0/src1 token vocabularies WITHOUT comparing the
+    * vocabularies: the k smallest of K(A) ∪ K(B) is a valid sketch of
+    * A ∪ B, every element of it is ≤ both inputs' k-th minima (so
+    * sketch membership decides set membership), and the intersection
+    * estimate is the union estimate scaled by the matched fraction —
+    * all-integer per-mille arithmetic, bit-identical across engines.
+    * This is what replaces an exact token-set join between two corpus
+    * slices at 100 TB: two ≤k-long arrays meet on the driver instead of
+    * two token shuffles meeting in an equi-join.
+    */
+  val kmvJaccard: QueryDef = QueryDef(
+    "kmv_jaccard",
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents
+       |           WHERE source IN ('src0', 'src1')
+       |             AND len(string_split(text, ' ')) >= 2),
+       |tk AS (
+       |  SELECT source, ${h64Sql("g")} AS h
+       |  FROM (SELECT source, unnest(list_transform(range(1, len(ws)),
+       |                         i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM w)),
+       |d AS (SELECT DISTINCT source, h FROM tk),
+       |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |                      FROM d WHERE source = 'src0') WHERE rn <= $KmvK),
+       |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |                      FROM d WHERE source = 'src1') WHERE rn <= $KmvK),
+       |u AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)),
+       |uk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+       |kk AS (SELECT count(*) AS nu,
+       |              count(CASE WHEN rn <= $KmvK THEN 1 END) AS sz,
+       |              max(CASE WHEN rn = $KmvK THEN h END) AS hk,
+       |              count(CASE WHEN rn <= $KmvK AND h IN (SELECT h FROM ka)
+       |                          AND h IN (SELECT h FROM kb) THEN 1 END) AS ic
+       |       FROM uk),
+       |e AS (SELECT sz, ic,
+       |             CASE WHEN nu < $KmvK THEN CAST(nu AS BIGINT) ELSE $kmvEstSql END AS ue
+       |      FROM kk)
+       |SELECT ue AS n_union_est,
+       |       (ue * ic) // sz AS n_inter_est,
+       |       (1000 * ic) // sz AS jaccard_permille
+       |FROM e""".stripMargin) { t =>
+    val toks = t.documents
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("g"))
+      .select(col("source"), h64(col("g")).as("h"))
+    val sk = toks.groupBy(col("source")).agg(kmvSketch(col("h")).as("sk"))
+    val a = sk.filter(col("source") === "src0").select(col("sk").as("ska"))
+    val b = sk.filter(col("source") === "src1").select(col("sk").as("skb"))
+    a.crossJoin(b)
+      .withColumn("uall", array_sort(array_union(col("ska"), col("skb"))))
+      .withColumn("nu", size(col("uall")).cast("long"))
+      .withColumn("uk", slice(col("uall"), 1, KmvK))
+      .withColumn("sz", least(lit(KmvK.toLong), col("nu")))
+      .withColumn("ic",
+        size(array_intersect(array_intersect(col("uk"), col("ska")), col("skb"))).cast("long"))
+      .withColumn("ue", kmvEst(col("uk"), col("nu")))
+      .select(col("ue").as("n_union_est"),
+        expr("(ue * ic) div sz").as("n_inter_est"),
+        expr("(1000 * ic) div sz").as("jaccard_permille"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(hllDistinct, cmHeavyHitters, approxPercentile, kmvDistinct, kmvJaccard)
 }
