@@ -144,7 +144,15 @@ object ScaleProbe {
         "ann_ivf_topk" -> (t => functions.AnnOps.annIvfTopk.fn(t.spark, t.dir)),
         "ann_pq_adc" -> (t => functions.AnnOps.annPqAdc.fn(t.spark, t.dir)),
         "ann_ivfpq_topk" -> (t => functions.AnnOps.annIvfPq.fn(t.spark, t.dir)),
-        "cm_heavy_hitters" -> (t => functions.SketchOps.cmHeavyHitters.fn(t.spark, t.dir)))
+        "cm_heavy_hitters" -> (t => functions.SketchOps.cmHeavyHitters.fn(t.spark, t.dir)),
+        // SemDeDup with the deployment-shaped cell count (k ∝ N/500):
+        // fixed-k is only for the oracle; bounded per-cell occupancy is
+        // the property under test here
+        "dedup_semantic" -> (t => {
+          val emb = t.spark.read.parquet(s"${t.dir}/embeddings.parquet")
+          val cells = math.max(16, (emb.count() / 500L).toInt)
+          functions.DedupOps.semanticDedup(emb, cells, 0.4)
+        }))
       else Seq[(String, Tables => org.apache.spark.sql.DataFrame)](
         "dedup_exact" -> (t => functions.DedupOps.dedupExact.fn(t.spark, t.dir)),
         "dedup_minhash_lsh" -> (t => functions.DedupOps.dedupMinhashLsh.fn(t.spark, t.dir)),

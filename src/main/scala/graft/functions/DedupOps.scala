@@ -641,9 +641,19 @@ object DedupOps {
        |d AS (SELECT vb AS vec_id, min(va) AS dup_of FROM p WHERE sim >= 0.4 GROUP BY vb)
        |SELECT assign.vec_id, assign.cell, d.vec_id IS NULL AS is_kept, d.dup_of
        |FROM assign LEFT JOIN d ON d.vec_id = assign.vec_id""".stripMargin) { t =>
-    val e = t.embeddings
+    semanticDedup(t.embeddings, AnnOps.NCentroids, 0.4)
+  }
+
+  /** Parameterized SemDeDup core — the oracle row pins
+    * `nCells = AnnOps.NCentroids`; [[graft.ScaleProbe]] grows `nCells`
+    * with the corpus (the real deployment's k ∝ N/target-cell-size),
+    * which is what keeps within-cell pair volume bounded as N grows.
+    */
+  private[graft] def semanticDedup(embeddings: DataFrame, nCells: Int,
+      tau: Double): DataFrame = {
+    val e = embeddings
       .withColumn("nrm", sqrt(AnnOps.dot(col("embedding"), col("embedding"))))
-    val cent = AnnOps.centroids(e)
+    val cent = AnnOps.centroids(e, nCells)
     val cells = e.crossJoin(broadcast(AnnOps.centroidArr(cent)))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         AnnOps.cellFold.as("cell"))
@@ -655,7 +665,7 @@ object DedupOps {
       .filter(col("va") < col("vb"))
       .withColumn("sim",
         AnnOps.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-      .filter(col("sim") >= 0.4)
+      .filter(col("sim") >= tau)
       .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dup_of"))
     cells.select(col("vec_id"), col("cell"))
       .join(dups, Seq("vec_id"), "left")
