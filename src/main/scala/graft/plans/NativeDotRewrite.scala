@@ -83,13 +83,14 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
   * external users can opt in with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   *
-  * Besides the optimizer rule, the three native expressions register as
-  * SQL functions so `spark.sql` users get the codegen'd kernels without
-  * touching the Scala API:
+  * Besides the optimizer rule, the native kernels register as SQL
+  * functions so `spark.sql` users get them without touching the Scala
+  * API:
   *
   *   SELECT dot_product(a, b)                 -- double
   *   SELECT minhash_signature(shingles, k, p) -- array<bigint>, k perms mod prime p
   *   SELECT simhash_signature(words)          -- 60-bit bigint
+  *   SELECT kmv_sketch(hash_col, k)           -- aggregate: k smallest distinct hashes
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -120,6 +121,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "usage: simhash_signature(words)")
         SimhashSignature(args.head)
+      }))
+    e.injectFunction((FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: kmv_sketch(hash_col, k)")
+        graft.functions.KmvSketchAgg(args.head, litLong(args(1), "k").toInt)
+          .toAggregateExpression()
       }))
   }
 }

@@ -81,6 +81,15 @@ class PlanSpec extends AnyFunSuite {
       s"pair generation must be a keyed join on the cell:\n$plan")
   }
 
+  test("kmv sketch aggregates partial-then-final: map tasks ship <=k-long buffers") {
+    val plan = planOf("kmv_distinct")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; two nodes
+    // (partial below the exchange, final above) prove map-side collapse
+    // — the property that bounds the shuffle at k longs per group
+    val nObjAgg = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(nObjAgg >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
+  }
+
   test("multi-probe ANN joins candidates on the bucket key, probe side broadcast") {
     val plan = planOf("ann_lsh_multiprobe")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

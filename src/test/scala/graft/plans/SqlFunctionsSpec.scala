@@ -45,6 +45,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(sh == shJvm)
   }
 
+  test("kmv_sketch aggregates from SQL and matches the Column-API sketch") {
+    spark.range(0, 500).createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      """SELECT kmv_sketch(
+        |         CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT),
+        |         32) AS sk
+        |FROM kmv_in""".stripMargin)
+      .head().getSeq[Long](0)
+    val expected = (0L until 500L)
+      .map(v => graft.functions.SharedHash.h64Jvm(v.toString.getBytes))
+      .distinct.sorted.take(32)
+    assert(viaSql == expected)
+  }
+
   test("minhash_signature rejects non-literal k") {
     val err = intercept[Exception] {
       spark.range(1).selectExpr("minhash_signature(array('a'), id + 1, 7)").collect()
