@@ -138,6 +138,7 @@ object ScaleProbe {
     }
 
     val annProbe = sys.env.get("SPARK_GRAFT_PROBE").contains("ann")
+    val embRows = scala.collection.mutable.Map[String, Long]()
     val stages =
       if (annProbe) Seq[(String, Tables => org.apache.spark.sql.DataFrame)](
         "ann_lsh_topk" -> (t => functions.AnnOps.annLshTopk.fn(t.spark, t.dir)),
@@ -147,10 +148,14 @@ object ScaleProbe {
         "cm_heavy_hitters" -> (t => functions.SketchOps.cmHeavyHitters.fn(t.spark, t.dir)),
         // SemDeDup with the deployment-shaped cell count (k ∝ N/500):
         // fixed-k is only for the oracle; bounded per-cell occupancy is
-        // the property under test here
+        // the property under test here. The row count comes from
+        // parquet footers (memoized per dir) so the TIMED runs don't
+        // pay an extra full scan just to size the codebook.
         "dedup_semantic" -> (t => {
           val emb = t.spark.read.parquet(s"${t.dir}/embeddings.parquet")
-          val cells = math.max(16, (emb.count() / 500L).toInt)
+          val cells = math.max(16, (embRows.getOrElseUpdate(t.dir,
+            emb.queryExecution.optimizedPlan.stats.rowCount
+              .map(_.toLong).getOrElse(emb.count())) / 500L).toInt)
           functions.DedupOps.semanticDedup(emb, cells, 0.4)
         }))
       else Seq[(String, Tables => org.apache.spark.sql.DataFrame)](

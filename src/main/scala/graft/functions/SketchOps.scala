@@ -311,7 +311,7 @@ object SketchOps {
        |SELECT ue AS n_union_est,
        |       (ue * ic) // sz AS n_inter_est,
        |       (1000 * ic) // sz AS jaccard_permille
-       |FROM e""".stripMargin) { t =>
+       |FROM e WHERE sz > 0""".stripMargin) { t =>
     val toks = t.documents
       .filter(col("source").isin("src0", "src1"))
       .select(col("source"), split(col("text"), " ").as("ws"))

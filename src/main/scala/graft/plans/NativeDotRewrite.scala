@@ -88,6 +88,7 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
   * API:
   *
   *   SELECT dot_product(a, b)                 -- double
+  *   SELECT int_dot_product(a, b)             -- bigint (int8-domain scans)
   *   SELECT minhash_signature(shingles, k, p) -- array<bigint>, k perms mod prime p
   *   SELECT simhash_signature(words)          -- 60-bit bigint
   *   SELECT kmv_sketch(hash_col, k)           -- aggregate: k smallest distinct hashes
@@ -121,6 +122,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "usage: simhash_signature(words)")
         SimhashSignature(args.head)
+      }))
+    e.injectFunction((FunctionIdentifier("int_dot_product"),
+      new ExpressionInfo(classOf[graft.functions.IntDotProduct].getName, "int_dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "usage: int_dot_product(a, b)")
+        graft.functions.IntDotProduct(args(0), args(1))
       }))
     e.injectFunction((FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, "kmv_sketch"),

@@ -163,9 +163,11 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         exactlyOnce(table, "quantileSketchAppend", batchId) {
-          val bins = graft.functions.SketchOps.quantileBins(
-            batch.toDF(), "value", "event_type")
-          if (!bins.isEmpty) table.append(bins)
+          // guard on the SOURCE batch: bins.isEmpty would run the full
+          // bin aggregation once for the check and again for the append
+          if (!batch.isEmpty)
+            table.append(graft.functions.SketchOps.quantileBins(
+              batch.toDF(), "value", "event_type"))
         }
         ()
       }

@@ -62,6 +62,10 @@ object VectorIngest {
       .withColumn("q_nrm", sqrt(AnnOps.dot(col("embedding"), col("embedding"))))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("q_nrm"))
+    // localCheckpoint: the probe set feeds BOTH the collected cell
+    // filter and the candidate join — left lazy, the query×codebook
+    // scoring would run twice (and a non-deterministic query source
+    // could even disagree between the two evaluations)
     val probes = q.crossJoin(broadcast(codebook))
       .withColumn("csim",
         AnnOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
@@ -69,6 +73,7 @@ object VectorIngest {
         Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cid").as("cell"))
+      .localCheckpoint()
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val cand = table.read()

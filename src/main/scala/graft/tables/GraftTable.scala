@@ -588,9 +588,11 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * leader. Footer min/max pruning ([[readRangeLogical]] /
     * [[RangePrune]]) then skips files for predicates on ANY of the
     * clustered columns; a linearly-written table only ever prunes on
-    * its write-order column. Each column is normalized to a 16-bit
-    * bucket of its global [min, max] (one scalar aggregate) so range
-    * skew cannot starve bit positions. Integral/timestamp columns only
+    * its write-order column. Each column is normalized to a
+    * min(21, 63/n)-bit bucket of its global [min, max] (one scalar
+    * aggregate) so range skew cannot starve bit positions and every
+    * interleaved bit stays below the sign bit at any column count.
+    * Integral/timestamp columns only
     * (those are the ones parquet footers carry orderable INT64 stats
     * for). Unpartitioned tables here; a partitioned 100 TB deployment
     * applies the identical rewrite within each partition.
@@ -609,18 +611,29 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val statCols = zcols.flatMap(c =>
       Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
     val stats = df.agg(statCols.head, statCols.tail: _*).first()
+    zcols.zipWithIndex.foreach { case (c, i) =>
+      require(!stats.isNullAt(2 * i),
+        s"${defn.name}: z-order column '$c' has no orderable integral values " +
+          "(all-null, or not castable to long) — integral/timestamp columns only")
+    }
     val n = zcols.size
-    // 16-bit bucket per column; truncating double division is fine here
-    // (a boundary off-by-one only nudges clustering, never correctness —
-    // footer bounds stay exact)
+    // bits per column shrink with column count so every interleaved bit
+    // position stays below the long's sign bit (21 bits at n≤3, 15 at
+    // n=4, 12 at n=5, …) — positions ≥ 63 would be masked by shiftleft
+    // and silently collide bit planes across columns
+    val bits = math.min(21, 63 / n)
+    val nBuckets = 1L << bits
+    // truncating double division is fine here (a boundary off-by-one
+    // only nudges clustering, never correctness — footer bounds stay
+    // exact)
     val buckets = zcols.zipWithIndex.map { case (c, i) =>
       val lo = stats.getLong(2 * i)
       val hi = stats.getLong(2 * i + 1)
-      val scale = math.max(1L, (hi - lo) / 65536L + 1L)
-      least(lit(65535L), coalesce(
+      val scale = math.max(1L, (hi - lo) / nBuckets + 1L)
+      least(lit(nBuckets - 1), coalesce(
         ((col(c).cast("long") - lit(lo)) / lit(scale)).cast("long"), lit(0L)))
     }
-    val z = (0 until 16).flatMap { b =>
+    val z = (0 until bits).flatMap { b =>
       buckets.zipWithIndex.map { case (bc, i) =>
         shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * n + i)
       }
