@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.functions.{AnnOps, CorpusOps, DedupOps, MultimodalOps, PrepOps, SketchOps, TextOps}
+import graft.functions.{AnnOps, CorpusOps, DedupOps, MultimodalOps, PrepOps, SearchOps, SketchOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     RelationalOps.all ++ FunnelOps.all ++ WindowOps.all ++ SessionOps.all ++
       DedupOps.all ++ TextOps.all ++ PrepOps.all ++ SketchOps.all ++ CorpusOps.all ++ AnnOps.all ++
+      SearchOps.all ++
       StorageOps.all ++ Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all ++
       RunnerOps.all ++ RtbOracleOps.all
 
