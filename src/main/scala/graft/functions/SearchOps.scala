@@ -34,6 +34,46 @@ object SearchOps {
   private def sqlTermList: String =
     QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
+  /** The corpus tokenizer every lexical op shares (and the one the
+    * streaming postings index must apply identically — see
+    * [[graft.streaming.PostingsIngest]]): lowercase, split on non-letter
+    * runs, keep tokens of length ≥ 3.
+    */
+  private[graft] def tokenize(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+
+  /** Shared BM25 scoring core over pre-built postings inputs:
+    * `tf(doc_id, term, tf)` already restricted to the query terms,
+    * `dl(doc_id, dl)`, `tot` one row `(nn, ll)` = (doc count, total
+    * token count). Exact int64 throughout (see [[bm25Topk]]); df is
+    * derived from `tf` (rows per term = docs containing the term).
+    * Both the raw-text query and the postings-table serving path rank
+    * through this one body, so the two can never drift.
+    */
+  private[graft] def bm25Rank(tf: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame, tot: org.apache.spark.sql.DataFrame,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_ppm", expr("(2 * (nn - df) + 1) * 1000000 div (2 * df + 1)"))
+      .withColumn("t_ppt",
+        expr("22 * ll * tf * 1000 div (10 * ll * tf + 3 * ll + 9 * dl * nn)"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("idf_ppm * t_ppt div 1000")).as("score_ppm"))
+      // top-k FIRST (TakeOrderedAndProject: per-partition heaps, one
+      // k-row merge — no global sort), then rank the k survivors; the
+      // single-partition window only ever sees k rows
+      .orderBy(col("score_ppm").desc, col("doc_id")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("dl"), col("n_terms"), col("score_ppm"))
+  }
+
   /** BM25 top-k retrieval, exact-integer form. With k1 = 6/5 and
     * b = 3/4, and writing N = doc count, L = total token count
     * (so avgdl = L/N), the per-term score
@@ -82,33 +122,13 @@ object SearchOps {
        |rk AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rnk
        |       FROM agg)
        |SELECT rnk, doc_id, dl, n_terms, score_ppm FROM rk WHERE rnk <= $BmTopK""".stripMargin) { t =>
-    val toks = t.documents
-      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= 3)
+    val toks = tokenize(t.documents)
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tf = toks.filter(col("term").isin(QueryTerms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tot = t.documents.agg(count(lit(1)).as("nn"))
       .crossJoin(dl.agg(sum(col("dl")).as("ll")))
-    val scored = tf
-      .join(broadcast(dfT), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(tot))
-      .withColumn("idf_ppm", expr("(2 * (nn - df) + 1) * 1000000 div (2 * df + 1)"))
-      .withColumn("t_ppt",
-        expr("22 * ll * tf * 1000 div (10 * ll * tf + 3 * ll + 9 * dl * nn)"))
-    scored
-      .groupBy(col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("n_terms"),
-        sum(expr("idf_ppm * t_ppt div 1000")).as("score_ppm"))
-      // top-k FIRST (TakeOrderedAndProject: per-partition heaps, one
-      // k-row merge — no global sort), then rank the k survivors; the
-      // single-partition window only ever sees k rows
-      .orderBy(col("score_ppm").desc, col("doc_id")).limit(BmTopK)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("score_ppm").desc, col("doc_id"))))
-      .select(col("rnk"), col("doc_id"), col("dl"), col("n_terms"), col("score_ppm"))
+    bm25Rank(tf, dl, tot, BmTopK)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of a lexical ranking
@@ -164,10 +184,7 @@ object SearchOps {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val dt = t.documents
-      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= 3)
-      .distinct()
+    val dt = tokenize(t.documents).distinct()
     val qt = dt.filter(col("doc_id") < NQueries)
       .select(col("doc_id").as("query_id"), col("term"))
     val ov = dt.join(broadcast(qt), "term")

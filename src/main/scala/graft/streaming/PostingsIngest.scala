@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.functions.SearchOps
+import graft.tables.{GraftTable, IdentityTransform, TableDef}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streaming maintenance of the BM25 inverted index — the serving-side
+  * counterpart of `bm25_topk`'s raw-text scan, and the materialized
+  * form its Scaladoc promises: documents arrive on a stream, each
+  * microbatch tokenizes ONCE (the exact [[SearchOps.tokenize]] rules)
+  * and lands exactly-once as postings `(term, doc_id, tf)` plus a
+  * doc-length sidecar `(doc_id, dl)`. The postings table is
+  * identity-partitioned by `term`, so a BM25 query opens ONLY its query
+  * terms' partition directories — bounded I/O per query term, never the
+  * corpus, the same partition-pruned serving layout the IVF vector
+  * index uses for cells ([[VectorIngest]]). At 100 TB the real
+  * partition key is a hash bucket of the term (vocabulary is unbounded;
+  * a per-term directory is not), which changes only the `partitions`
+  * spec here — the pruning mechanics are identical.
+  *
+  * Corpus is append-only (the training-data regime: docs are added,
+  * never edited); re-delivered batches are dropped whole by the sink
+  * marker, so tf never double-counts.
+  */
+object PostingsIngest {
+
+  val postingsDef: TableDef = TableDef("postings",
+    StructType(Seq(
+      StructField("term", StringType),
+      StructField("doc_id", LongType),
+      StructField("tf", LongType))),
+    partitions = Seq(IdentityTransform("term")),
+    keys = Seq("term", "doc_id"))
+
+  val docStatsDef: TableDef = TableDef("doc_stats",
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dl", LongType))),
+    keys = Seq("doc_id"))
+
+  /** `(doc_id, text)` stream → postings + doc-stats appends. Every doc
+    * gets a doc_stats row even when it tokenizes to nothing (dl = 0):
+    * the corpus size N that BM25's idf needs is `count(doc_stats)`, and
+    * an empty doc is still a corpus member.
+    */
+  def indexAppend(docs: DataFrame, postings: GraftTable, docStats: GraftTable,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // two tables, one marker each: a retry after a crash between the
+        // two commits skips the already-marked table and lands the other
+        Sinks.exactlyOnce(postings, "postingsAppend", batchId) {
+          if (!batch.isEmpty)
+            postings.append(
+              SearchOps.tokenize(batch.toDF())
+                .groupBy(col("term"), col("doc_id"))
+                .agg(count(lit(1)).as("tf")))
+        }
+        Sinks.exactlyOnce(docStats, "docStatsAppend", batchId) {
+          if (!batch.isEmpty)
+            docStats.append(
+              batch.toDF().select(col("doc_id"),
+                size(filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"),
+                  t => length(t) >= 3)).cast("long").as("dl")))
+        }
+        ()
+      }
+      .start()
+
+  /** BM25 top-k over the maintained index: the per-term partition
+    * filter prunes the postings read to the query terms' directories
+    * (`df.inputFiles` proves it — PostingsIngestSpec pins that), the
+    * corpus totals come from the KB-sized sidecar, and ranking goes
+    * through the SAME [[SearchOps.bm25Rank]] body as the raw-text
+    * query, so serving can never drift from the oracle-checked math.
+    */
+  def bm25TopK(postings: GraftTable, docStats: GraftTable,
+      terms: Seq[String], k: Int): DataFrame = {
+    val tf = postings.read()
+      .filter(col("p_term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val stats = docStats.readLogical()
+    val dl = stats.select(col("doc_id"), col("dl"))
+    val tot = stats.agg(count(lit(1)).as("nn"), sum(col("dl")).as("ll"))
+    SearchOps.bm25Rank(tf, dl, tot, k)
+  }
+}
