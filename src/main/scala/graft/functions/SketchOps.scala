@@ -88,8 +88,34 @@ object SketchOps {
         floor(lit(HllNum) / col("s_scaled").cast("double")).cast("long"))
   }
 
-  private val CmD = 4    // hash rows
-  private val CmW = 1024 // cells per row
+  private[graft] val CmD = 4    // hash rows
+  private[graft] val CmW = 1024 // cells per row
+
+  /** The CM cell index for (row i, term) — ONE definition shared by the
+    * batch query, the streaming partial builder, and the point-query
+    * side, so the three can never hash apart.
+    */
+  private[graft] def cmCellOf(i: org.apache.spark.sql.Column,
+      term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    h64(concat(i.cast("string"), lit("|"), term)) % CmW
+
+  /** CM partials for one slice of the corpus: d×w additive cell counts
+    * `(i, cell, cnt)`. Counts are additive across slices, so appending a
+    * partial per micro-batch and summing at read IS the sketch merge —
+    * the same mergeable-partial shape the histogram quantile sketch
+    * streams ([[graft.streaming.Sinks.quantileSketchAppend]]). Each
+    * partial is ≤ d×w rows regardless of slice size.
+    */
+  private[graft] def cmCells(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    tf.select(col("n"), explode(sequence(lit(0), lit(CmD - 1))).as("i"),
+        col("term"))
+      .groupBy(col("i"), cmCellOf(col("i"), col("term")).as("cell"))
+      .agg(sum(col("n")).as("cnt"))
+  }
 
   /** Count-min heavy hitters: a d×w additive counter sketch over the
     * corpus vocabulary, point-queried at the exact top-20 terms. The
@@ -121,18 +147,16 @@ object SketchOps {
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
       .filter(length(col("term")) >= 3)
       .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
-    def cellOf(i: org.apache.spark.sql.Column, term: org.apache.spark.sql.Column) =
-      h64(concat(i.cast("string"), lit("|"), term)) % CmW
     val cells = tf
       .select(col("term"), col("n_exact"),
         explode(sequence(lit(0), lit(CmD - 1))).as("i"))
-      .groupBy(col("i"), cellOf(col("i"), col("term")).as("cell"))
+      .groupBy(col("i"), cmCellOf(col("i"), col("term")).as("cell"))
       .agg(sum(col("n_exact")).as("cnt"))
     val top20 = tf.orderBy(col("n_exact").desc, col("term")).limit(20)
     val probes = top20
       .select(col("term"), col("n_exact"),
         explode(sequence(lit(0), lit(CmD - 1))).as("i"))
-      .withColumn("cell", cellOf(col("i"), col("term")))
+      .withColumn("cell", cmCellOf(col("i"), col("term")))
     broadcast(probes).join(cells, Seq("i", "cell"))
       .groupBy(col("term"), col("n_exact"))
       .agg(min(col("cnt")).as("n_cm"))

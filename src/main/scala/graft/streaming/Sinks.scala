@@ -173,6 +173,52 @@ object Sinks {
       }
       .start()
 
+  /** Streaming twin of the count-min heavy-hitter sketch
+    * ([[graft.functions.SketchOps.cmHeavyHitters]]): every micro-batch
+    * of documents folds into d×w additive cell-count PARTIALS
+    * (i, cell, cnt) and APPENDS them — same mergeable-partial shape as
+    * [[quantileSketchAppend]]: no state across batches, each append
+    * bounded by the d×w grid regardless of batch size, replays dropped
+    * whole by the sink marker, and a plain sum at read time IS the
+    * sketch merge. At 100 TB term-frequency tracking over a document
+    * firehose is exactly this: 4096 cells of state total, vs a
+    * vocabulary-sized keyed aggregation.
+    */
+  def cmSketchAppend(docs: DataFrame, table: GraftTable,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        exactlyOnce(table, "cmSketchAppend", batchId) {
+          // guard on the SOURCE batch (see quantileSketchAppend)
+          if (!batch.isEmpty)
+            table.append(graft.functions.SketchOps.cmCells(batch.toDF()))
+        }
+        ()
+      }
+      .start()
+
+  /** Point-query the streamed CM sketch: merge the appended partials
+    * (sum per (i, cell)) and take the min over the d probe rows for
+    * each queried term — the classic CM estimate, with the same
+    * one-sided n_cm ≥ n_exact guarantee the batch query pins.
+    */
+  def cmEstimate(table: GraftTable, terms: Seq[String]): DataFrame = {
+    import graft.functions.SketchOps.{cmCellOf, CmD}
+    val spark = table.spark
+    import spark.implicits._
+    val merged = table.readLogical()
+      .groupBy(col("i"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val probes = terms.toDF("term")
+      .select(col("term"), explode(sequence(lit(0), lit(CmD - 1))).as("i"))
+      .withColumn("cell", cmCellOf(col("i"), col("term")))
+    broadcast(probes).join(merged, Seq("i", "cell"))
+      .groupBy(col("term"))
+      .agg(min(col("cnt")).as("n_cm"))
+  }
+
   /** Merge the appended histogram partials (sum per (group, bin)) and
     * run the shared CDF-walk estimate — bit-identical to binning the
     * full history in one batch pass, which StreamingSpec pins.

@@ -13,6 +13,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class DocRow(doc_id: Long, text: String)
 
 /** Streaming semantics vs the oracle-checked batch twins: identical rows
   * fed through the Structured Streaming forms must produce the batch
@@ -90,6 +91,49 @@ class StreamingSpec extends AnyFunSuite {
       graft.functions.SketchOps.quantileBins(evs.toDF(), "value", "event_type"),
       "event_type")
     assertSameRows(streamed, batch, "merged sketch quantiles")
+  }
+
+  test("streaming CM partials merge to the batch sketch's exact estimates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cellSchema = StructType(Seq(
+      StructField("i", IntegerType),
+      StructField("cell", LongType),
+      StructField("cnt", LongType)))
+    val table = new GraftTable(spark, TableDef("cmsketch", cellSchema), wh("cmsketch"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => DocRow(r.getLong(0), r.getString(1))).toSeq
+    val src = MemoryStream[DocRow]
+    val q = Sinks.cmSketchAppend(src.toDF(), table, ckpt("cmsketch"))
+    val (first, second) = docs.splitAt(docs.size / 2)
+    src.addData(first); q.processAllAvailable()
+    src.addData(second); q.processAllAvailable()
+    q.stop()
+    // two commits of PARTIAL grids — the read-time sum is a real merge
+    assert(table.commits.count(_.op == "append") == 2)
+
+    // the streamed estimate must equal the one-pass batch sketch's n_cm
+    // for the batch query's own top-20 probe set
+    val batch = graft.functions.SketchOps.cmHeavyHitters
+      .run(spark, "/root/testdata/sf0.001").collect()
+    val streamed = Sinks.cmEstimate(table, batch.map(_.getAs[String]("term")).toSeq)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("n_cm")).toMap
+    batch.foreach { r =>
+      val term = r.getAs[String]("term")
+      assert(streamed(term) == r.getAs[Long]("n_cm"),
+        s"$term: streamed ${streamed(term)} vs batch ${r.getAs[Long]("n_cm")}")
+      // one-sided guarantee survives the streamed merge
+      assert(streamed(term) >= r.getAs[Long]("n_exact"))
+    }
+
+    // whole-batch replay is dropped by the sink marker
+    val before = table.readLogical().agg(sum("cnt")).head.getLong(0)
+    val src2 = MemoryStream[DocRow]
+    val q2 = Sinks.cmSketchAppend(src2.toDF(), table, ckpt("cmsketch2"))
+    src2.addData(first); q2.processAllAvailable()
+    q2.stop()
+    assert(table.readLogical().agg(sum("cnt")).head.getLong(0) == before)
   }
 
   test("streaming hourly upsert equals batch tumbling agg; late event dropped") {
