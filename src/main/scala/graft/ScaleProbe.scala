@@ -146,6 +146,14 @@ object ScaleProbe {
         "ann_pq_adc" -> (t => functions.AnnOps.annPqAdc.fn(t.spark, t.dir)),
         "ann_ivfpq_topk" -> (t => functions.AnnOps.annIvfPq.fn(t.spark, t.dir)),
         "cm_heavy_hitters" -> (t => functions.SketchOps.cmHeavyHitters.fn(t.spark, t.dir)),
+        // retrieval: BM25's tf/df/dl aggregates + fixed top-k must scale
+        // like the scan (the word-prefix in replicas splits away under
+        // the [^a-z]+ tokenizer, so every copy feeds the same terms —
+        // tf and df grow k×, which IS the growing-corpus regime);
+        // kmeans_refine is one Lloyd pass — a broadcast assignment scan
+        // plus a C×d-bounded aggregate, the flattest curve here
+        "bm25_topk" -> (t => functions.SearchOps.bm25Topk.fn(t.spark, t.dir)),
+        "kmeans_refine" -> (t => functions.AnnOps.kmeansRefine.fn(t.spark, t.dir)),
         // SemDeDup with the deployment-shaped cell count (k ∝ N/500):
         // fixed-k is only for the oracle; bounded per-cell occupancy is
         // the property under test here. The row count comes from
