@@ -51,6 +51,16 @@ object SearchOps {
     * derived from `tf` (rows per term = docs containing the term).
     * Both the raw-text query and the postings-table serving path rank
     * through this one body, so the two can never drift.
+    *
+    * The length normalization uses the TRUNCATED integer average doc
+    * length `avg_r = max(1, L ∕ N)` rather than the exact rational L/N:
+    * rationalizing against raw L would put 22000·L·tf in the numerator,
+    * which overflows int64 at corpus scale (L ~ 10¹², tf > ~420 — the
+    * exact serving regime this body exists for), and Spark wraps where
+    * DuckDB errors. With avg_r the largest intermediate is
+    * 22000·avg_r·tf — safe while avg_r·tf < 4·10¹⁴, i.e. any corpus
+    * whose docs fit in memory. avg_r is identical in both engines
+    * (truncating division), so ranking stays bit-exact.
     */
   private[graft] def bm25Rank(tf: org.apache.spark.sql.DataFrame,
       dl: org.apache.spark.sql.DataFrame, tot: org.apache.spark.sql.DataFrame,
@@ -59,9 +69,10 @@ object SearchOps {
     tf.join(broadcast(dfT), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
+      .withColumn("avg_r", expr("greatest(1L, ll div nn)"))
       .withColumn("idf_ppm", expr("(2 * (nn - df) + 1) * 1000000 div (2 * df + 1)"))
       .withColumn("t_ppt",
-        expr("22 * ll * tf * 1000 div (10 * ll * tf + 3 * ll + 9 * dl * nn)"))
+        expr("22000 * avg_r * tf div (10 * avg_r * tf + 3 * avg_r + 9 * dl)"))
       .groupBy(col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("n_terms"),
         sum(expr("idf_ppm * t_ppt div 1000")).as("score_ppm"))
@@ -75,21 +86,23 @@ object SearchOps {
   }
 
   /** BM25 top-k retrieval, exact-integer form. With k1 = 6/5 and
-    * b = 3/4, and writing N = doc count, L = total token count
-    * (so avgdl = L/N), the per-term score
+    * b = 3/4, and writing N = doc count, L = total token count,
+    * avg_r = max(1, L ∕ N) (the integer average doc length), the
+    * per-term score
     *
     *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     *
-    * multiplies through by 10·L into pure int64:
+    * multiplies through by 10·avg_r into pure overflow-safe int64:
     *
     *   idf_ppm = (2·(N − df) + 1) · 10⁶ ∕ (2·df + 1)       [Robertson
     *             idf with the log dropped — rank-order preserving for a
     *             single-term contribution, and exactly representable]
-    *   t_ppt   = 22·L·tf·1000 ∕ (10·L·tf + 3·L + 9·dl·N)
+    *   t_ppt   = 22000·avg_r·tf ∕ (10·avg_r·tf + 3·avg_r + 9·dl)
     *   score   = Σ_terms idf_ppm · t_ppt ∕ 1000
     *
     * (∕ = truncating integer division, identical in Spark `div` and
-    * DuckDB `//`.) Shape at scale: the inverted-index pattern — tokenize
+    * DuckDB `//`; see [[bm25Rank]] for why avg_r replaces raw L in the
+    * rationalization.) Shape at scale: the inverted-index pattern — tokenize
     * is a pure map, tf/df/dl are map-side-combining hash aggregates, the
     * per-term join keys on `term` (df is |query terms| rows → broadcast),
     * and the final top-k is TakeOrderedAndProject, not a full sort.
@@ -108,12 +121,13 @@ object SearchOps {
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
        |       WHERE term IN $sqlTermList GROUP BY doc_id, term),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |tot AS (SELECT (SELECT count(*) FROM documents) AS nn,
-       |               (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS ll),
+       |tot AS (SELECT nn, greatest(1, ll // nn) AS avg_r
+       |        FROM (SELECT (SELECT count(*) FROM documents) AS nn,
+       |                     (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS ll)),
        |sc AS (SELECT tf.doc_id, dl.dl,
        |              (2 * (nn - df) + 1) * 1000000 // (2 * df + 1) AS idf_ppm,
-       |              22 * ll * tf.tf * 1000
-       |                // (10 * ll * tf.tf + 3 * ll + 9 * dl.dl * nn) AS t_ppt
+       |              22000 * avg_r * tf.tf
+       |                // (10 * avg_r * tf.tf + 3 * avg_r + 9 * dl.dl) AS t_ppt
        |       FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
        |       CROSS JOIN tot),
        |agg AS (SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS n_terms,

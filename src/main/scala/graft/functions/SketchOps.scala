@@ -335,7 +335,13 @@ object SketchOps {
        |SELECT ue AS n_union_est,
        |       (ue * ic) // sz AS n_inter_est,
        |       (1000 * ic) // sz AS jaccard_permille
-       |FROM e WHERE sz > 0""".stripMargin) { t =>
+       |FROM e WHERE sz > 0
+       |  AND EXISTS (SELECT 1 FROM ka) AND EXISTS (SELECT 1 FROM kb)""".stripMargin) { t =>
+    // the EXISTS pair keeps the two engines row-parity-exact on corpora
+    // where a SOURCE is empty: the Spark side's cross join of two
+    // one-sketch-per-source frames yields 0 rows whenever either source
+    // vanishes, while the bare SQL aggregate would still emit its one
+    // row estimating the surviving source alone
     val toks = t.documents
       .filter(col("source").isin("src0", "src1"))
       .select(col("source"), split(col("text"), " ").as("ws"))

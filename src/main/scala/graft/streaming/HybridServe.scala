@@ -30,6 +30,12 @@ object HybridServe {
   def hybridTopK(postings: GraftTable, docStats: GraftTable,
       vecIndex: GraftTable, codebook: DataFrame, queryVec: DataFrame,
       terms: Seq[String], nprobe: Int, kEach: Int, k: Int): DataFrame = {
+    // ONE query per call: the lexical leg has a single term set, so the
+    // doc_id-keyed fusion join below is only meaningful for a single
+    // semantic query — a multi-row queryVec would silently sum RRF
+    // contributions across unrelated queries
+    require(queryVec.select("vec_id").distinct().count() == 1,
+      "hybridTopK serves exactly one query vector per call")
     val lex = PostingsIngest.bm25TopK(postings, docStats, terms, kEach)
       .select(col("doc_id"), col("rnk").as("r_lex"))
     val sem = VectorIngest.probeTopK(vecIndex, queryVec, codebook, nprobe, kEach)

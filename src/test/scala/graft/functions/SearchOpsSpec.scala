@@ -34,12 +34,13 @@ class SearchOpsSpec extends AnyFunSuite {
     val dfT = terms.map(t => t -> toks.filter(_._2 == t).map(_._1).distinct.length.toLong).toMap
     val top = byRank.head
     val d = top.getAs[Long]("doc_id")
+    val avgR = math.max(1L, ll / nn)
     val expected = terms.map { t =>
       val tf = toks.count(p => p._1 == d && p._2 == t).toLong
       if (tf == 0L) 0L
       else {
         val idfPpm = (2L * (nn - dfT(t)) + 1L) * 1000000L / (2L * dfT(t) + 1L)
-        val tPpt = 22L * ll * tf * 1000L / (10L * ll * tf + 3L * ll + 9L * dl(d) * nn)
+        val tPpt = 22000L * avgR * tf / (10L * avgR * tf + 3L * avgR + 9L * dl(d))
         idfPpm * tPpt / 1000L
       }
     }.sum
