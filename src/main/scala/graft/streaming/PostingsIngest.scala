@@ -72,6 +72,58 @@ object PostingsIngest {
       }
       .start()
 
+  /** The corpus statement-set: ONE streamed pass over arriving
+    * documents maintains ALL the lexical corpus indexes — postings,
+    * doc-length sidecar, and the count-min term-frequency sketch — from
+    * a single tokenize per micro-batch. The per-batch (term, doc_id,
+    * tf) aggregate persists and fans out: postings append it verbatim,
+    * CM cells derive from its per-term totals (no second tokenize), and
+    * only the dl sidecar re-reads the (persisted) batch because it
+    * needs token-less docs too. One exactly-once marker PER table, so a
+    * crash mid-fan-out replays into fills, never double-appends — the
+    * same X1 discipline as [[Sinks.multiSinkFanout]]. At 100 TB this is
+    * the difference between reading the firehose once and reading it
+    * once per index.
+    */
+  def corpusIndexFanout(docs: DataFrame, postings: GraftTable,
+      docStats: GraftTable, cmTable: GraftTable,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.persist()
+        val tfB = SearchOps.tokenize(batch.toDF())
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .persist()
+        try {
+          Sinks.exactlyOnce(postings, "postingsAppend", batchId) {
+            if (!batch.isEmpty) postings.append(tfB)
+          }
+          Sinks.exactlyOnce(cmTable, "cmSketchAppend", batchId) {
+            if (!batch.isEmpty) {
+              import graft.functions.SketchOps.{cmCellOf, CmD}
+              cmTable.append(tfB
+                .groupBy(col("term")).agg(sum(col("tf")).as("n"))
+                .select(col("n"),
+                  explode(sequence(lit(0), lit(CmD - 1))).as("i"), col("term"))
+                .groupBy(col("i"), cmCellOf(col("i"), col("term")).as("cell"))
+                .agg(sum(col("n")).as("cnt")))
+            }
+          }
+          Sinks.exactlyOnce(docStats, "docStatsAppend", batchId) {
+            if (!batch.isEmpty)
+              docStats.append(
+                batch.toDF().select(col("doc_id"),
+                  size(filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"),
+                    t => length(t) >= 3)).cast("long").as("dl")))
+          }
+        } finally { tfB.unpersist(); batch.unpersist() }
+        ()
+      }
+      .start()
+
   /** BM25 top-k over the maintained index: the per-term partition
     * filter prunes the postings read to the query terms' directories
     * (`df.inputFiles` proves it — PostingsIngestSpec pins that), the

@@ -79,4 +79,49 @@ class PostingsIngestSpec extends AnyFunSuite {
     val tfAfter = postings.readLogical().agg(sum("tf")).head.getLong(0)
     assert(tfAfter == tfBefore, "replayed batch 0 must be dropped by the sink marker")
   }
+
+  test("single-pass corpus fan-out maintains postings, doc stats, and CM identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = fresh("fwh")
+    val postings = new GraftTable(spark, PostingsIngest.postingsDef, wh)
+    val docStats = new GraftTable(spark, PostingsIngest.docStatsDef, wh)
+    val cmSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    val cmTable = new GraftTable(spark,
+      graft.tables.TableDef("cm_cells", cmSchema), wh)
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc2(r.getLong(0), r.getString(1))).toSeq
+    val src = MemoryStream[Doc2]
+    val q = PostingsIngest.corpusIndexFanout(src.toDF(), postings, docStats,
+      cmTable, fresh("fck"))
+    val (first, second) = docs.splitAt(docs.size / 2)
+    src.addData(first); q.processAllAvailable()
+    src.addData(second); q.processAllAvailable()
+    q.stop()
+
+    // postings serve the same BM25 ranking as the raw-text query
+    val terms = Seq("vector", "stream", "merge", "window", "hash")
+    val served = PostingsIngest.bm25TopK(postings, docStats, terms, 20)
+    val direct = SearchOps.bm25Topk.run(spark, sf)
+    assert(served.collect().toSeq.map(_.toSeq) == direct.collect().toSeq.map(_.toSeq),
+      "fanout postings must serve the raw-text ranking")
+
+    // the CM leg equals the one-pass batch sketch for its top-20 probes
+    val batchCm = graft.functions.SketchOps.cmHeavyHitters.run(spark, sf).collect()
+    val streamed = Sinks.cmEstimate(cmTable, batchCm.map(_.getAs[String]("term")).toSeq)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("n_cm")).toMap
+    batchCm.foreach { r =>
+      assert(streamed(r.getAs[String]("term")) == r.getAs[Long]("n_cm"),
+        s"${r.getAs[String]("term")}: fanout CM drifted from the batch sketch")
+    }
+    assert(docStats.readLogical().count() == docs.size)
+  }
 }
