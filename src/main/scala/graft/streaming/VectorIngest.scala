@@ -89,4 +89,24 @@ object VectorIngest {
       .select(col("query_id"), col("rnk"), col("vec_id"),
         round(col("sim"), 6).as("cos_sim"))
   }
+
+  /** The retrain cut-over: build the SUCCESSOR index from the live one
+    * under a new (retrained) codebook. One linear pass — read the old
+    * index's rows, re-assign each vector against the broadcast new
+    * codebook (same pure-map fold ingestion uses), append into the
+    * successor table's cell partitions — then the serving side flips
+    * tables; the old index keeps serving until the flip, which is what
+    * the frozen-codebook ingestion contract is FOR. The embeddings and
+    * norms are already in the index (no re-read of the source corpus,
+    * no re-normalization), so a 100 TB rebuild is one shuffle-free scan
+    * of the index itself writing hash-distributed cell files.
+    */
+  def rebuildIndex(old: GraftTable, successor: GraftTable,
+      newCodebook: DataFrame): Unit = {
+    val e = old.readLogical().select(col("vec_id"), col("embedding"), col("nrm"))
+    successor.append(
+      e.crossJoin(broadcast(AnnOps.centroidArr(newCodebook)))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          AnnOps.cellFold.as("cell")))
+  }
 }
