@@ -127,13 +127,26 @@ object DedupOps {
     * table — shape rationale inline. `cap` is parameterized for the
     * skew spec/probe; production paths use [[BucketCap]].
     */
-  private[functions] def bandPairs(sig: DataFrame, cap: Int = BucketCap): DataFrame = {
-    val bands = sig
+  /** (doc_id, band, key) band-bucket rows of a (doc_id, sig) signature
+    * frame — the unit both the batch pair expansion and the streamed
+    * near-dup index ([[graft.streaming.NearDupIngest]]) are built from.
+    */
+  private[graft] def bandKeysOfSig(sig: DataFrame): DataFrame =
+    sig
       .select(col("doc_id"), explode(transform(sequence(lit(0), lit(B - 1)),
         b => struct(b.as("band"),
           concat_ws("-", transform(slice(col("sig"), b * lit(R) + 1, lit(R)),
             v => v.cast("string"))).as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Band-bucket rows straight from raw documents: shingle → native
+    * minhash signature → banded keys. One pure-map pass per doc.
+    */
+  private[graft] def bandKeys(docs: DataFrame): DataFrame =
+    bandKeysOfSig(withShingles(docs).select(col("doc_id"), sigCol.as("sig")))
+
+  private[functions] def bandPairs(sig: DataFrame, cap: Int = BucketCap): DataFrame = {
+    val bands = bandKeysOfSig(sig)
     // bucket-LOCAL pair expansion instead of a bucket self-join: the
     // self-join recomputes the whole shingle→md5→signature pipeline on
     // BOTH sides (no exchange to reuse — the sides shuffle under
