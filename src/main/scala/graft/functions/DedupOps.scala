@@ -120,13 +120,9 @@ object DedupOps {
     * bands that hit the cap in practice are collapsed to one
     * representative before banding in the cluster path (dedupClusters).
     */
-  private val BucketCap =
+  private[graft] val BucketCap =
     sys.env.get("SPARK_GRAFT_LSH_BUCKET_CAP").map(_.toInt).getOrElse(1024)
 
-  /** Banded bucket-local pair expansion of a (doc_id, sig) signature
-    * table — shape rationale inline. `cap` is parameterized for the
-    * skew spec/probe; production paths use [[BucketCap]].
-    */
   /** (doc_id, band, key) band-bucket rows of a (doc_id, sig) signature
     * frame — the unit both the batch pair expansion and the streamed
     * near-dup index ([[graft.streaming.NearDupIngest]]) are built from.
@@ -145,8 +141,37 @@ object DedupOps {
   private[graft] def bandKeys(docs: DataFrame): DataFrame =
     bandKeysOfSig(withShingles(docs).select(col("doc_id"), sigCol.as("sig")))
 
-  private[functions] def bandPairs(sig: DataFrame, cap: Int = BucketCap): DataFrame = {
-    val bands = bandKeysOfSig(sig)
+  /** Banded keys straight from a (checkpointed) hashed-shingle frame —
+    * signature computed in hashed mode, md5 already paid.
+    */
+  private[graft] def bandKeysOfHv(hv: DataFrame): DataFrame =
+    bandKeysOfSig(hv.select(col("doc_id"), sigColHv.as("sig")))
+
+  /** Exact-Jaccard verification of an arbitrary candidate pair list
+    * against two hash-set sides (they may be the same frame, or a
+    * batch-side frame and a persisted fingerprint table). The ≥ 0.5
+    * bar is the pipeline's near-dup definition — the same filter
+    * `dedup_ngram_jaccard` oracle-checks.
+    */
+  private[graft] def verifyPairs(pairs: DataFrame, hvA: DataFrame,
+      hvB: DataFrame): DataFrame = {
+    val a = hvA.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"))
+    val b = hvB.select(col("doc_id").as("doc_b"), col("hv").as("hv_b"))
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hv_a"), col("hv_b"))))
+      .filter(col("inter").cast("double") /
+        (size(col("hv_a")) + size(col("hv_b")) - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  private[functions] def bandPairs(sig: DataFrame, cap: Int = BucketCap): DataFrame =
+    bandPairsOfKeys(bandKeysOfSig(sig), cap)
+
+  /** Banded bucket-local pair expansion over (doc_id, band, key) rows —
+    * shape rationale inline. `cap` is parameterized for the skew
+    * spec/probe; production paths use [[BucketCap]].
+    */
+  private[graft] def bandPairsOfKeys(bands: DataFrame, cap: Int = BucketCap): DataFrame = {
     // bucket-LOCAL pair expansion instead of a bucket self-join: the
     // self-join recomputes the whole shingle→md5→signature pipeline on
     // BOTH sides (no exchange to reuse — the sides shuffle under
@@ -335,7 +360,7 @@ object DedupOps {
     * shuffle bytes, which is why verify previously shipped the strings).
     * 8-byte hashes also shuffle ~3× fewer bytes than shingle strings.
     */
-  private[functions] def hashedShingles(docs: DataFrame): DataFrame =
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
     // the native n-gram kernel by default: words → distinct shingle
     // hashes in one primitive pass, never materializing the shingle
     // strings (their construction was an interpreted concat_ws lambda
@@ -429,7 +454,7 @@ object DedupOps {
     * (Kiveris et al., "Connected Components in MapReduce"), which
     * converges in O(log²n) rounds on the same (vertex, label) shape.
     */
-  private[functions] def connectedComponents(edges: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
     // persist AND materialize the edge list BEFORE symmetrizing: the
     // union's two branches run concurrently in one job, so a merely-lazy
     // persist still computes the full candidate+verify pipeline upstream

@@ -106,16 +106,22 @@ object SketchOps {
     * streams ([[graft.streaming.Sinks.quantileSketchAppend]]). Each
     * partial is ≤ d×w rows regardless of slice size.
     */
-  private[graft] def cmCells(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tf = docs
+  private[graft] def cmCells(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cmCellsOfTermCounts(docs
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
       .filter(length(col("term")) >= 3)
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
-    tf.select(col("n"), explode(sequence(lit(0), lit(CmD - 1))).as("i"),
+      .groupBy(col("term")).agg(count(lit(1)).as("n")))
+
+  /** The cell fold over per-term totals `(term, n)` — ONE body shared by
+    * [[cmCells]] and the streamed fan-outs that already hold a term
+    * aggregate, so the three call sites cannot hash apart.
+    */
+  private[graft] def cmCellsOfTermCounts(termCounts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    termCounts
+      .select(col("n"), explode(sequence(lit(0), lit(CmD - 1))).as("i"),
         col("term"))
       .groupBy(col("i"), cmCellOf(col("i"), col("term")).as("cell"))
       .agg(sum(col("n")).as("cnt"))
-  }
 
   /** Count-min heavy hitters: a d×w additive counter sketch over the
     * corpus vocabulary, point-queried at the exact top-20 terms. The

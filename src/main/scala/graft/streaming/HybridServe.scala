@@ -33,8 +33,9 @@ object HybridServe {
     // ONE query per call: the lexical leg has a single term set, so the
     // doc_id-keyed fusion join below is only meaningful for a single
     // semantic query — a multi-row queryVec would silently sum RRF
-    // contributions across unrelated queries
-    require(queryVec.select("vec_id").distinct().count() == 1,
+    // contributions across unrelated queries. take(2) bounds the guard
+    // at two rows via limit pushdown instead of a full distinct+count.
+    require(queryVec.select("vec_id").distinct().take(2).length == 1,
       "hybridTopK serves exactly one query vector per call")
     val lex = PostingsIngest.bm25TopK(postings, docStats, terms, kEach)
       .select(col("doc_id"), col("rnk").as("r_lex"))

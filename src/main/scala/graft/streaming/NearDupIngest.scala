@@ -33,6 +33,18 @@ object NearDupIngest {
     partitions = Seq(IdentityTransform("band")),
     keys = Seq("band", "key", "doc_id"))
 
+  /** Fingerprint sidecar: each indexed doc's distinct shingle-hash set,
+    * so a candidate from the band index can be VERIFIED (exact Jaccard)
+    * without re-reading the historical text — the verify stage's input
+    * at serving time. ~8 bytes per shingle; the price of turning the
+    * candidate superset into true near-dups.
+    */
+  val fingerprintDef: TableDef = TableDef("doc_hv",
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("hv", ArrayType(LongType)))),
+    keys = Seq("doc_id"))
+
   /** `(doc_id, text)` stream → band-key appends. Docs shorter than the
     * shingle width contribute no rows (they cannot near-dup by the
     * 3-shingle definition), matching the batch pipeline exactly.
@@ -55,15 +67,31 @@ object NearDupIngest {
     * far: band the probes with the same shared body, equi-join on
     * (band, key), drop self-matches, distinct. Returns
     * (probe_id, cand_id) — feed the pairs to the usual Jaccard verify
-    * stage; LSH candidates are a superset of true near-dups by
+    * stage ([[DedupOps.verifyPairs]] against the [[fingerprintDef]]
+    * sidecar); LSH candidates are a superset of true near-dups by
     * construction, never a miss at the banding level.
     */
-  def nearDupCandidates(table: GraftTable, newDocs: DataFrame): DataFrame = {
-    val probes = DedupOps.bandKeys(newDocs)
-      .withColumnRenamed("doc_id", "probe_id")
+  def nearDupCandidates(table: GraftTable, newDocs: DataFrame): DataFrame =
+    candidatesOfKeys(table,
+      DedupOps.bandKeys(newDocs).withColumnRenamed("doc_id", "probe_id"))
+
+  /** The probe join over pre-banded probe keys. Per (probe, band, key)
+    * the candidates are capped at the [[DedupOps.BucketCap]] smallest
+    * historical ids — the same bound (and the same deliberate recall
+    * trade at adversarial occupancy) the batch pair expansion applies,
+    * so one hot bucket can never make a single probe emit unbounded
+    * pairs.
+    */
+  private[streaming] def candidatesOfKeys(table: GraftTable,
+      probes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     table.readLogical()
       .join(probes, Seq("band", "key"))
       .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("key"), col("probe_id"))
+          .orderBy(col("doc_id"))))
+      .filter(col("rn") <= DedupOps.BucketCap)
       .select(col("probe_id"), col("doc_id").as("cand_id"))
       .distinct()
   }

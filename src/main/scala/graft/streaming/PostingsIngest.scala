@@ -41,6 +41,14 @@ object PostingsIngest {
       StructField("dl", LongType))),
     keys = Seq("doc_id"))
 
+  /** The doc-length column (token count under the shared tokenizer;
+    * null text → 0) — one definition for every sink that writes the
+    * sidecar.
+    */
+  private[streaming] def dlCol: org.apache.spark.sql.Column =
+    size(filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"),
+      t => length(t) >= 3)).cast("long").as("dl")
+
   /** `(doc_id, text)` stream → postings + doc-stats appends. Every doc
     * gets a doc_stats row even when it tokenizes to nothing (dl = 0):
     * the corpus size N that BM25's idf needs is `count(doc_stats)`, and
@@ -63,10 +71,7 @@ object PostingsIngest {
         }
         Sinks.exactlyOnce(docStats, "docStatsAppend", batchId) {
           if (!batch.isEmpty)
-            docStats.append(
-              batch.toDF().select(col("doc_id"),
-                size(filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"),
-                  t => length(t) >= 3)).cast("long").as("dl")))
+            docStats.append(batch.toDF().select(col("doc_id"), dlCol))
         }
         ()
       }
@@ -84,6 +89,12 @@ object PostingsIngest {
     * same X1 discipline as [[Sinks.multiSinkFanout]]. At 100 TB this is
     * the difference between reading the firehose once and reading it
     * once per index.
+    *
+    * Sink ids are DISTINCT from [[indexAppend]]'s: batch ids are
+    * per-streaming-query counters, so two job shapes sharing a marker
+    * namespace on the same table would silently skip every batch of
+    * the newer query until its counter passes the older one's
+    * high-water mark. One table, one job shape, ever.
     */
   def corpusIndexFanout(docs: DataFrame, postings: GraftTable,
       docStats: GraftTable, cmTable: GraftTable,
@@ -98,26 +109,17 @@ object PostingsIngest {
           .agg(count(lit(1)).as("tf"))
           .persist()
         try {
-          Sinks.exactlyOnce(postings, "postingsAppend", batchId) {
+          Sinks.exactlyOnce(postings, "fanout.postings", batchId) {
             if (!batch.isEmpty) postings.append(tfB)
           }
-          Sinks.exactlyOnce(cmTable, "cmSketchAppend", batchId) {
-            if (!batch.isEmpty) {
-              import graft.functions.SketchOps.{cmCellOf, CmD}
-              cmTable.append(tfB
-                .groupBy(col("term")).agg(sum(col("tf")).as("n"))
-                .select(col("n"),
-                  explode(sequence(lit(0), lit(CmD - 1))).as("i"), col("term"))
-                .groupBy(col("i"), cmCellOf(col("i"), col("term")).as("cell"))
-                .agg(sum(col("n")).as("cnt")))
-            }
-          }
-          Sinks.exactlyOnce(docStats, "docStatsAppend", batchId) {
+          Sinks.exactlyOnce(cmTable, "fanout.cm", batchId) {
             if (!batch.isEmpty)
-              docStats.append(
-                batch.toDF().select(col("doc_id"),
-                  size(filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"),
-                    t => length(t) >= 3)).cast("long").as("dl")))
+              cmTable.append(graft.functions.SketchOps.cmCellsOfTermCounts(
+                tfB.groupBy(col("term")).agg(sum(col("tf")).as("n"))))
+          }
+          Sinks.exactlyOnce(docStats, "fanout.docStats", batchId) {
+            if (!batch.isEmpty)
+              docStats.append(batch.toDF().select(col("doc_id"), dlCol))
           }
         } finally { tfB.unpersist(); batch.unpersist() }
         ()
