@@ -120,6 +120,13 @@ class PlanSpec extends AnyFunSuite {
     assert(nShuffles <= 1, s"expected at most 1 shuffle (user_id), got $nShuffles:\n$plan")
   }
 
+  test("random projection is map-only: no shuffle, no join, one scan") {
+    val plan = planOf("emb_project")
+    assert(!plan.contains("Exchange"),
+      s"emb_project must be a pure map — the plane matrix is a constant:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("sessionize is a single shuffle on the session key") {
     val plan = planOf("w_sessionize")
     assert(!plan.contains("Join"), plan)
