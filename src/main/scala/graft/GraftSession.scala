@@ -11,10 +11,12 @@ import org.apache.spark.sql.SparkSession
   *    estimate from input size, and AQE coalesces from there;
   *  - AQE on (default in Spark 4) with skew-join handling, which is the
   *    runtime guard for skewed funnel keys;
-  *  - `nanosAsLong` set ONCE here — `events.parquet` carries INT64
-  *    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects.
-  *    Setting it at construction (not inside a table getter) keeps the
-  *    session's read semantics constant for all readers.
+  *  - `nanosAsLong` kept ON here for compatibility with the older
+  *    `events.parquet` layout (INT64 TIMESTAMP(NANOS), which the
+  *    vectorized reader otherwise rejects). Current testdata ships
+  *    TIMESTAMP(MICROS) — the conf is then inert; [[Tables.events]]
+  *    adapts to whichever layout it finds. Setting it at construction
+  *    (not inside a table getter) keeps read semantics constant.
   *
   * Timestamp OUTPUT format stays the session default (INT96) so ad-hoc
   * result dumps (Verify) read back naive, matching the DuckDB oracle;

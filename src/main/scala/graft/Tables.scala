@@ -12,15 +12,32 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), read as long via
-    * `spark.sql.legacy.parquet.nanosAsLong` (set once at session build —
-    * see [[GraftSession]]) and rebuilt as a (µs) TimestampType column.
-    * Integer `div` — a double division would lose precision above 2^53
-    * (epoch-nanos ≈ 1.7e18). The source values are µs-grain, so the
-    * truncation is lossless vs the DuckDB oracle.
+  /** `events.parquet` has shipped with two physical layouts for `ts`, so
+    * the loader adapts to whatever actually arrives:
+    *
+    *  - INT64 TIMESTAMP(NANOS): read as long via
+    *    `spark.sql.legacy.parquet.nanosAsLong` (set at session build —
+    *    see [[GraftSession]]) and rebuilt as a (µs) TimestampType column.
+    *    Integer `div` — a double division would lose precision above 2^53
+    *    (epoch-nanos ≈ 1.7e18). Source values are µs-grain, so the
+    *    truncation is lossless vs the DuckDB oracle.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): loads as TIMESTAMP_NTZ;
+    *    cast to the session-local TimestampType (session TZ is pinned to
+    *    UTC in [[GraftSession]], so the wall-clock values are unchanged
+    *    and match the naive timestamps DuckDB reads).
+    *
+    * Everything downstream sees one stable contract: `ts` is TimestampType.
     */
-  def events: DataFrame =
-    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Lookup by table name (SQL-runner/temp-view registration). */
   def byName(name: String): DataFrame = name match {

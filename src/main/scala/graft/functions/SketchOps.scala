@@ -225,8 +225,8 @@ object SketchOps {
        |  FROM lineitem GROUP BY 1, 2),
        |c AS (
        |  SELECT l_returnflag, bin, cnt,
-       |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
-       |         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+       |         CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+       |         CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
        |  FROM b),
        |x AS (
        |  SELECT c.*, p.pm, (p.pm * c.n + 999) // 1000 AS r

@@ -407,7 +407,7 @@ object RelationalOps {
     """SELECT l_returnflag, l_linestatus,
       |       CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INT) AS gid,
       |       count(*) AS n,
-      |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
       |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { t =>
