@@ -20,12 +20,18 @@ object Bench {
       .filter(q => only.forall(_.findFirstIn(q.name).isDefined))
     Tables(spark, sfDir).lineitem.count()
     val results = defs.zipWithIndex.map { case (q, i) =>
-      // periodic GC tick OUTSIDE the timed window: broadcast blocks from
-      // completed queries are reclaimed by the ContextCleaner only after
-      // their plan refs are collected — without this, queries late in
-      // the run pay earlier queries' GC debt (measured: the w_* tail
-      // read 3-7x its isolated time in an 80-query run)
-      if (i % 10 == 0) System.gc()
+      // GC tick OUTSIDE the timed window, before EVERY query: broadcast
+      // and localCheckpoint blocks from completed queries are reclaimed
+      // by the async ContextCleaner only after their plan refs are
+      // collected — without this, queries late in the run pay earlier
+      // queries' GC debt (measured: the w_* tail read 3-7x its isolated
+      // time in an 80-query run, and the dedup family 2-5x after the
+      // checkpoint-heavy bm25/kmeans/ivf queries landed). The short
+      // sleep lets the cleaner thread drain block deletes before the
+      // next timed window opens.
+      val _ = i
+      System.gc()
+      Thread.sleep(250)
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).count(); true }
