@@ -12,13 +12,21 @@ import graft.functions.{AnnOps, CorpusOps, DedupOps, MultimodalOps, PrepOps, Sea
   */
 object SparkEntry {
 
-  /** Full operator registry. Order is presentation only. */
-  def registry: Seq[QueryDef] =
-    RelationalOps.all ++ FunnelOps.all ++ WindowOps.all ++ SessionOps.all ++
-      DedupOps.all ++ TextOps.all ++ PrepOps.all ++ SketchOps.all ++ CorpusOps.all ++ AnnOps.all ++
-      SearchOps.all ++
-      StorageOps.all ++ Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all ++
-      RunnerOps.all ++ RtbOracleOps.all
+  /** Full operator registry. Order is presentation only. A duplicate
+    * name would silently shrink the [[queries]] map (it is keyed by
+    * name), so uniqueness is asserted at first use.
+    */
+  def registry: Seq[QueryDef] = {
+    val r =
+      RelationalOps.all ++ FunnelOps.all ++ WindowOps.all ++ SessionOps.all ++
+        DedupOps.all ++ TextOps.all ++ PrepOps.all ++ SketchOps.all ++ CorpusOps.all ++ AnnOps.all ++
+        SearchOps.all ++
+        StorageOps.all ++ Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all ++
+        RunnerOps.all ++ RtbOracleOps.all
+    val dups = r.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names in registry: ${dups.mkString(", ")}")
+    r
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly funnel spine with guarded conversion rates — the reference's

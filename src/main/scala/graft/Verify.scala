@@ -9,16 +9,27 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.get(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       oracleJson(SparkEntry.oracleSql))
     spark.stop()
+    // a query that fails to dump would otherwise just VANISH from the
+    // round's correctness record (round 6 lost 24 rows with no err entry)
+    // — exit nonzero and name them so the shrink is loud
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} of ${SparkEntry.queries.size} queries failed to dump: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -161,10 +161,19 @@ object RelationalOps {
       |              WHERE l.l_orderkey = o.o_orderkey
       |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
       |GROUP BY o_orderstatus""".stripMargin) { t =>
+    // the EXISTS predicate is monotone in l_shipdate, so the semi-join
+    // right side reduces to max(l_shipdate) per orderkey FIRST: the
+    // partial max combines map-side (~4 lineitems/order never shuffle),
+    // the build side shrinks to one row per orderkey, and the residual
+    // range check runs against that single max instead of every line.
+    // Joining raw lineitem made Spark build/broadcast the 4x-larger
+    // fact side here.
+    val lastShip = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
     t.orders
-      .join(t.lineitem,
+      .join(lastShip,
         col("o_orderkey") === col("l_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          col("last_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
         "left_semi")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_late_orders"),

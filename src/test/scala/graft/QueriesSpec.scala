@@ -19,6 +19,8 @@ class QueriesSpec extends AnyFunSuite {
   test("registry names are unique and every oracle has a query") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size)
+    assert(SparkEntry.queries.size == SparkEntry.registry.size,
+      "queries map silently dropped a registry entry")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
