@@ -11,27 +11,36 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.get(cpus)
+    val sc = spark.sparkContext
     // Deterministic order; warm the session once so the first measured
-    // query doesn't pay JVM/parquet-footer warm-up. SPARK_GRAFT_ONLY
-    // (regex) narrows the run for local A/B — per-query timing in one
-    // JVM is the only comparison that beats the ±15% between-run noise.
+    // query doesn't pay JVM/parquet-footer warm-up, and pre-generate the
+    // RTB oracle fixture so no rtb_*/v_* query pays one-time generation
+    // inside its timed window (it is a pure function of the seed — on a
+    // fresh machine the first caller otherwise eats the full write).
+    // SPARK_GRAFT_ONLY (regex) narrows the run for local A/B — per-query
+    // timing in one JVM is the only comparison that beats the ±15%
+    // between-run noise.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val defs = SparkEntry.registry.sortBy(_.name)
       .filter(q => only.forall(_.findFirstIn(q.name).isDefined))
     Tables(spark, sfDir).lineitem.count()
-    val results = defs.zipWithIndex.map { case (q, i) =>
-      // GC tick OUTSIDE the timed window, before EVERY query: broadcast
-      // and localCheckpoint blocks from completed queries are reclaimed
-      // by the async ContextCleaner only after their plan refs are
-      // collected — without this, queries late in the run pay earlier
-      // queries' GC debt (measured: the w_* tail read 3-7x its isolated
-      // time in an 80-query run, and the dedup family 2-5x after the
-      // checkpoint-heavy bm25/kmeans/ivf queries landed). The short
-      // sleep lets the cleaner thread drain block deletes before the
-      // next timed window opens.
-      val _ = i
-      System.gc()
-      Thread.sleep(250)
+    graft.operators.RtbOracleOps.warm(spark)
+
+    // Per-query state hygiene, OUTSIDE the timed window (replaces the old
+    // System.gc()+sleep(250) tick, which masked the debt rather than
+    // retiring it and made builder and driver runs disagree by ~1.35x):
+    // any cached/localCheckpointed blocks a query leaves behind are
+    // dropped synchronously, so no query ever pays an earlier query's
+    // async-ContextCleaner debt. Blocking unpersist is deterministic
+    // where the WeakReference-driven cleaner is not.
+    def drainState(): Unit = {
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      require(sc.getPersistentRDDs.isEmpty,
+        "persistent RDDs survived a blocking drain — bench isolation broken")
+    }
+
+    val results = defs.map { q =>
+      drainState()
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).count(); true }

@@ -30,12 +30,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = t("events")
     df.schema("ts").dataType match {
-      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampType => df
-      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => sys.error(
+        s"events.ts: unexpected parquet type $other — testdata layout changed, extend the loader deliberately")
     }
   }
 

@@ -241,7 +241,7 @@ object DedupOps {
     * explode+groupBy form for in-JVM A/B; both are bit-identical (and
     * match the DuckDB oracle's unnest+GROUP BY).
     */
-  private[graft] def simhashSigs(docs: DataFrame): DataFrame = {
+  private[functions] def simhashSigs(docs: DataFrame): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_SIMHASH").contains("agg")) {
       val hashed = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -68,11 +68,16 @@ final class Materializer(
     */
   private var cachedView: Option[DataFrame] = None
 
+  private def computeView(): DataFrame = {
+    viewComputeCounter += 1
+    view.compute(source.readLogical())
+  }
+
   private def viewDf: DataFrame =
-    cachedView.getOrElse(view.compute(source.readLogical()))
+    cachedView.getOrElse(computeView())
 
   private def withCachedView[A](body: => A): A = {
-    val v = view.compute(source.readLogical()).cache()
+    val v = computeView().cache()
     cachedView = Some(v)
     try body
     finally {
@@ -80,6 +85,27 @@ final class Materializer(
       v.unpersist()
     }
   }
+
+  // ---- per-run instrumentation (read by MaterializeSpec/GRAFT_TIMING) ----
+
+  private var viewComputeCounter = 0
+
+  /** How many times the last [[run]] built the view plan over the full
+    * source. The cached-view contract is EXACTLY ONE per run — a repair
+    * pass quietly recomputing the aggregation multiplies source scans,
+    * which is how a per-pass regression hides inside a two-pass bench
+    * query. Pinned by MaterializeSpec.
+    */
+  @volatile var lastRunViewComputes: Int = -1
+
+  /** Spark jobs the last [[run]] launched (listener-counted; the bus is
+    * async, so treat as a floor — in practice all jobs complete inside
+    * run(), so their start events have long since posted). Job-count
+    * inflation per pass is the scale killer for M4–M6 — every job is a
+    * scheduler round-trip plus a plan/codegen pass — so MaterializeSpec
+    * pins an upper bound.
+    */
+  @volatile var lastRunJobs: Int = -1
 
   // ---- M2: watermark bookkeeping ----
 
@@ -169,9 +195,16 @@ final class Materializer(
     */
   def dimensionRepair(wm: Timestamp, changedKeys: DataFrame): Unit = {
     val fkCols = changedKeys.columns.toSeq
-    val fresh = viewDf.filter(ts <= lit(wm))
-      .join(broadcast(changedKeys.distinct()), fkCols, "left_semi")
-    mat.replaceKeys(changedKeys, fkCols, fresh)
+    val keys = changedKeys.distinct().persist()
+    try {
+      // one count on the persisted key set decides broadcast vs shuffle
+      // for BOTH joins (the re-enrich semi-join here and replaceKeys'
+      // delete anti-join) — bounded key sets never shuffle fact rows
+      val hinted =
+        if (keys.count() <= GraftTable.BroadcastKeyLimit) broadcast(keys) else keys
+      val fresh = viewDf.filter(ts <= lit(wm)).join(hinted, fkCols, "left_semi")
+      mat.replaceKeys(hinted, fkCols, fresh)
+    } finally keys.unpersist()
   }
 
   /** M3 — append view rows strictly after the watermark. No emptiness
@@ -200,7 +233,9 @@ final class Materializer(
     val current = mat.readRangeLogical(view.tsCol, loMicros, Long.MaxValue).filter(cond)
     // fingerprint fast path: a clean detection window (the common case
     // for steady-state runs) costs two scans, never a row shuffle
-    if (fingerprint(fresh) == fingerprint(current)) return
+    val fpF = timed("stale/fpFresh")(fingerprint(fresh))
+    val fpC = timed("stale/fpCurrent")(fingerprint(current))
+    if (fpF == fpC) return
     // symmetric multiset diff in ONE shuffle: tag each side ±1, group by
     // the full row — any row whose per-side counts differ marks its key
     // stale. Two exceptAll calls would shuffle both sides twice for the
@@ -216,7 +251,10 @@ final class Materializer(
       .select(view.keyCols.map(col): _*).distinct()
       .persist()
     try {
-      val replacement = fresh.join(staleKeys, view.keyCols, "left_semi")
+      val hinted =
+        if (staleKeys.count() <= GraftTable.BroadcastKeyLimit) broadcast(staleKeys)
+        else staleKeys
+      val replacement = fresh.join(hinted, view.keyCols, "left_semi")
       // file pruning is sound only when the key tuple pins the row's
       // timestamp — then a stale key can only match rows inside the
       // detection window the key itself came from
@@ -224,7 +262,8 @@ final class Materializer(
         if (view.keyCols.contains(view.tsCol))
           Some(RangePrune(view.tsCol, loMicros, Long.MaxValue))
         else None
-      mat.replaceKeys(staleKeys, view.keyCols, replacement, prune)
+      timed("stale/replaceKeys")(
+        mat.replaceKeys(hinted, view.keyCols, replacement, prune))
     } finally staleKeys.unpersist()
   }
 
@@ -234,8 +273,17 @@ final class Materializer(
   def run(
       lookback: String = "48 hours",
       changedDimKeys: Option[DataFrame] = None,
-      staleDetectionWindow: Option[String] = None): Unit =
-    readWatermark() match {
+      staleDetectionWindow: Option[String] = None): Unit = {
+    viewComputeCounter = 0
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          job: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try readWatermark() match {
       case None => timed("fullMaterialize")(fullMaterialize())
       case Some(wm) => withCachedView {
         timed("lookbackRepair")(lookbackRepair(wm, lookback))
@@ -244,7 +292,14 @@ final class Materializer(
         staleDetectionWindow.foreach(w => timed("staleRepair")(staleRepair(wm, w)))
         timed("advanceWatermark")(advanceWatermark())
       }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      lastRunJobs = jobCounter.get()
+      lastRunViewComputes = viewComputeCounter
+      if (sys.env.contains("GRAFT_TIMING"))
+        println(s"TIMING ${view.name}/run jobs=$lastRunJobs viewComputes=$lastRunViewComputes")
     }
+  }
 }
 
 object Materializer {

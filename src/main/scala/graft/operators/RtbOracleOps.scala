@@ -41,6 +41,12 @@ object RtbOracleOps {
     * marker file short-circuits the regenerate+rewrite). All four fault
     * classes are on; each query simply reads the slices it needs.
     */
+  /** Pre-generate the fixture outside any timed window (Bench warm-up).
+    * Idempotent — same marker-file short-circuit as the per-query calls.
+    */
+  private[graft] def warm(spark: org.apache.spark.sql.SparkSession): Unit =
+    ensureData(spark)
+
   private def ensureData(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     // the marker must encode EVERY generation parameter — a partial key
     // (seed+N only) would silently reuse stale data after a parameter edit

@@ -24,10 +24,21 @@ final case class CommitMeta(
     rowCount: Long,
     files: Seq[String],
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
-    sinkBatches: Map[String, Long] = Map.empty) {
+    sinkBatches: Map[String, Long] = Map.empty,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    fileRows: Map[String, Long] = Map.empty) {
   /** Jackson leaves a missing field null on old commit jsons. */
   def sinkBatchesOrEmpty: Map[String, Long] =
     Option(sinkBatches).getOrElse(Map.empty)
+
+  /** Per-file row counts (Iceberg's manifest `record_count` analog) —
+    * carried commit to commit so a replace/compact commit re-reads
+    * footers only for files it ADDED, never the carried-over live set:
+    * commit metadata cost stays O(new files), not O(table). Missing on
+    * pre-upgrade commit jsons → the next commit rebuilds it once.
+    */
+  def fileRowsOrEmpty: Map[String, Long] =
+    Option(fileRows).getOrElse(Map.empty)
 }
 
 /** Conservative file-pruning hint for replace commits: every row the
@@ -67,6 +78,19 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
+  /** GRAFT_TIMING=1 per-step wall prints (same switch as
+    * [[graft.materialize.Materializer]]) — the local stand-in for the
+    * per-job metrics a cluster deployment reads off the event log.
+    */
+  private def timed[A](label: String)(body: => A): A =
+    if (!sys.env.contains("GRAFT_TIMING")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"TIMING ${defn.name}/$label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Directory the data files live under — the mount point for a file
     * STREAM tailing this table (Spark's file source lists new files per
     * micro-batch, so a downstream job consumes appends continuously; the
@@ -93,13 +117,22 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   def currentVersion: Int = commits.lastOption.map(_.version).getOrElse(0)
 
-  private def writeCommit(op: String, rowCount: Long, files: Seq[String]): CommitMeta = {
+  /** Commit `files` as the new live set. Row counts come from the
+    * previous commit's per-file map where a file is carried over; only
+    * files NOT in the previous commit (the ones this operation wrote)
+    * have their footers read — commit cost is O(new files) regardless of
+    * how many live files are carried.
+    */
+  private def writeCommit(op: String, files: Seq[String]): CommitMeta = {
+    val prevMeta = commits.lastOption
+    val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty)
+    val fileRows = files.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).toMap
     // every commit carries the full per-sink batch watermark forward, so
     // the LATEST commit is always authoritative and expiring old
     // snapshots never loses a sink's mark
-    val prev = commits.lastOption.map(_.sinkBatchesOrEmpty).getOrElse(Map.empty)
-    val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op, rowCount, files,
-      prev ++ pendingSinkMark)
+    val prev = prevMeta.map(_.sinkBatchesOrEmpty).getOrElse(Map.empty)
+    val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op,
+      fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows)
     val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
     Files.writeString(tmp, mapper.writeValueAsString(meta))
     Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
@@ -264,16 +297,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         // the maintenance cadence like any other unreferenced file
         p
       case _ =>
-        val live = prev.map(_.files).getOrElse(Nil) ++ added
-        val total = prev.map(_.rowCount).getOrElse(0L) + addedRows
-        writeCommit("append", total, live)
+        writeCommit("append", prev.map(_.files).getOrElse(Nil) ++ added)
     }
   }
 
   /** M1 — full overwrite (CTAS materialization). */
   def overwrite(df: DataFrame): CommitMeta = {
     val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
-    writeCommit("overwrite", footerRowCount(added), added)
+    writeCommit("overwrite", added)
   }
 
   /** S5 — keyed upsert: rows in `batch` replace live rows with the same
@@ -299,10 +330,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val b = batch.select(cols: _*)
     if (defn.mergeOnRead) {
       val added = writeFiles(b)
-      val prev = commits.lastOption
-      val live = prev.map(_.files).getOrElse(Nil) ++ added
-      val total = prev.map(_.rowCount).getOrElse(0L) + footerRowCount(added)
-      writeCommit("upsert-mor", total, live)
+      writeCommit("upsert-mor", commits.lastOption.map(_.files).getOrElse(Nil) ++ added)
     } else {
       // null-safe key match (<=>): a name-list join compares with =, so a
       // NULL key tuple never matches and the old null-key row would
@@ -318,7 +346,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       val survivors = cur.join(bb, sameKey, "left_anti")
       val merged = survivors.unionByName(b)
       val added = writeFiles(merged)
-      writeCommit("upsert", footerRowCount(added), added)
+      writeCommit("upsert", added)
     }
   }
 
@@ -337,30 +365,42 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
     val added = writeFiles(merged)
-    writeCommit("replace", footerRowCount(untouched) + footerRowCount(added), untouched ++ added)
+    writeCommit("replace", untouched ++ added)
   }
 
   /** Keyed delete+re-insert: drop live rows whose `keyCols` tuple appears
     * in `staleKeys`, append `replacement`. The deletion is an anti-join
     * (distributed — no driver-side key collection), so it scales to
     * arbitrarily many stale keys; this is the engine's MERGE primitive
-    * for the materializer repair passes (M5/M6). `prune` is only safe
-    * when every row a stale key can match lies inside the range (e.g.
-    * the key tuple includes the timestamp column) — the caller asserts
-    * that by passing it.
+    * for the materializer repair passes (M5/M6). The key set is counted
+    * once (persisted, so the count is not a recompute) and BROADCAST
+    * when bounded — the steady-state repair case, where keys come from a
+    * fixed detection window — turning the delete into a broadcast
+    * anti-join with zero shuffle of the rewritten rows; past the bound
+    * it stays a shuffled join. `prune` is only safe when every row a
+    * stale key can match lies inside the range (e.g. the key tuple
+    * includes the timestamp column) — the caller asserts that by
+    * passing it.
     */
   def replaceKeys(
       staleKeys: DataFrame,
       keyCols: Seq[String],
       replacement: DataFrame,
       prune: Option[RangePrune] = None): CommitMeta = {
-    val (untouched, toRewrite) = classifyLiveFiles(prune)
-    val keep = readFilesAs(toRewrite)
-      .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      .join(staleKeys.select(keyCols.map(staleKeys.col): _*).distinct(), keyCols, "left_anti")
-    val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
-    val added = writeFiles(merged)
-    writeCommit("replace", footerRowCount(untouched) + footerRowCount(added), untouched ++ added)
+    val (untouched, toRewrite) = timed("replaceKeys/classify")(classifyLiveFiles(prune))
+    val keys = staleKeys.select(keyCols.map(staleKeys.col): _*).distinct().persist()
+    try {
+      val hinted =
+        if (keys.count() <= GraftTable.BroadcastKeyLimit)
+          org.apache.spark.sql.functions.broadcast(keys)
+        else keys
+      val keep = readFilesAs(toRewrite)
+        .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        .join(hinted, keyCols, "left_anti")
+      val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
+      val added = timed("replaceKeys/write")(writeFiles(merged))
+      timed("replaceKeys/commit")(writeCommit("replace", untouched ++ added))
+    } finally keys.unpersist()
   }
 
   /** Split the live file set into (provably-outside-range → carry over,
@@ -577,7 +617,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // repartition — a pre-repartition here would be re-shuffled (and its
     // sizing discarded) by writeFiles' own partition-value distribution
     val added = writeFiles(df, Some(nFiles))
-    writeCommit("compact", footerRowCount(keep) + footerRowCount(added), keep ++ added)
+    writeCommit("compact", keep ++ added)
   }
 
   /** M7b — z-order clustering rewrite (the Delta `OPTIMIZE ZORDER BY` /
@@ -643,7 +683,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .sortWithinPartitions("__z")
       .select(defn.schema.fieldNames.map(col): _*)
     val added = writeFiles(ordered)
-    writeCommit("zorder", footerRowCount(added), added)
+    writeCommit("zorder", added)
   }
 
   /** M8a — expire snapshots older than `olderThanMs`, always keeping the
@@ -698,4 +738,13 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       c.version, new java.sql.Timestamp(c.tsMs), c.op, c.rowCount, c.files.size))
     spark.createDataFrame(rows.asJava, schema)
   }
+}
+
+object GraftTable {
+  /** Max distinct key tuples a repair pass will broadcast for its
+    * delete/re-insert joins. 1M tuples of (timestamp, long-ish key)
+    * ≈ tens of MB — comfortably under executor broadcast budgets on a
+    * real cluster; beyond it the joins fall back to shuffled form.
+    */
+  val BroadcastKeyLimit: Long = 1000000L
 }

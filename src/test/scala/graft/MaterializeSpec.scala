@@ -308,4 +308,51 @@ class MaterializeSpec extends AnyFunSuite {
     assert(mat.readLogical()
       .filter(col("user_id").isin(0L, 2L) && col("tier") =!= "premium").count() == 0)
   }
+
+  test("a full-protocol repair run computes the view once and stays under the job budget") {
+    val root = wh("budget")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mzr = new Materializer(spark, src, view, cat.table("mat"),
+      cat.table("materialization_watermarks"))
+    import spark.implicits._
+
+    src.append(toDf((1L to 40L).map(i =>
+      ev(i, 1 + (i % 2).toInt, (i % 24).toInt, i % 5,
+        if (i % 3 == 0) "click" else "view", i.toDouble))))
+    mzr.run()
+    assert(mzr.lastRunViewComputes == 1, s"first run: ${mzr.lastRunViewComputes} view computes")
+
+    // full protocol: lookback + dimension repair + append + stale repair
+    src.append(toDf(
+      (41L to 50L).map(i => ev(i, 3, (i % 24).toInt, i % 5, "view", i.toDouble)) ++
+        Seq(ev(51, 1, 2, 3, "click", 9.0))))
+    mzr.run(lookback = "24 hours",
+      changedDimKeys = Some(Seq(0L).toDF("user_id").selectExpr("CAST(NULL AS TIMESTAMP) AS window_start", "'view' AS event_type").limit(0)),
+      staleDetectionWindow = Some("30 days"))
+    // the cached-view contract: every repair pass slices ONE computed
+    // view; a second compute means a pass regressed to re-aggregating
+    // the source
+    assert(mzr.lastRunViewComputes == 1, s"repair run: ${mzr.lastRunViewComputes} view computes")
+    // loose job ceiling (AQE makes each shuffle-stage its own job): the
+    // r7 driver bench saw m5/m6 drift to 2-3x wall with no spec tripping;
+    // a pass that starts launching O(passes^2) work lands far above this
+    assert(mzr.lastRunJobs > 0 && mzr.lastRunJobs <= 45,
+      s"repair run launched ${mzr.lastRunJobs} Spark jobs (budget 45)")
+    assertConverged(cat.table("mat"), view.compute(src.readLogical()), "after budget run")
+  }
 }
