@@ -736,6 +736,335 @@ object RtbOracleOps {
       case (c, (f, i)) => c.when(col(dimKey) % 4 === i, f)
     }
 
+  /** The reference's WIDEST query, composed as ONE plan
+    * (v_event_enriched_full_funnel.sql:75-112): the row-level 4-stage
+    * funnel — request LEFT response-bid LEFT impression LEFT click, so
+    * drop-off is visible per row — enriched by all TWELVE `is_current`
+    * SCD2 dims, with the three funnel stage flags. The halves are
+    * oracle-checked separately (j5_wide_enrich, rtb_funnel_hourly), but
+    * only the composed plan catches a wrong join order or a lost
+    * broadcast between them; PlanSpec pins every dim join as a
+    * BroadcastHashJoin. Each stream is deduplicated by full projected
+    * row first (duplicate injection is on), so the LEFT chain's fanout
+    * is the funnel's own, identical in both engines. Raw doubles
+    * (bid_price, win_price, imp_bidfloor) pass through per-row —
+    * bit-identical, no rounding ties. At 100 TB this plan is a fact
+    * scan, three key-partitioned stage joins, and 12 broadcasts — the
+    * fact rows shuffle only on the funnel keys, never for a dim.
+    */
+  val vFullFunnel: QueryDef = QueryDef(
+    "v_event_enriched_full_funnel", {
+      val dims = Seq(
+        "dim_publisher" -> rangeDimSql(30, "d_publisher_id", "publisher_name", "publisher"),
+        "dim_device_type" -> rangeDimSql(7, "device_type_code", "device_type_name", "devtype"),
+        "dim_bidder" -> rangeDimSql(25, "d_bidder_id", "bidder_name", "bidder"),
+        "dim_creative" -> rangeDimSql(200, "d_creative_id", "creative_name", "creative"),
+        "dim_strategy" -> rangeDimSql(180, "d_strategy_id", "strategy_name", "strategy"),
+        "dim_line_item" -> rangeDimSql(120, "d_line_item_id", "line_item_name", "lineitem"),
+        "dim_campaign" -> rangeDimSql(60, "d_campaign_id", "campaign_name", "campaign"),
+        "dim_advertiser" -> rangeDimSql(20, "d_advertiser_id", "advertiser_name", "advertiser"),
+        "dim_agency" -> rangeDimSql(5, "d_agency_id", "agency_name", "agency"),
+        "dim_deal" -> rangeDimSql(40, "d_deal_id", "deal_name", "deal"))
+        .map { case (n, q) => s"$n AS ($q)" }.mkString(",\n")
+      s"""WITH $dims,
+         |dim_device_os AS (
+         |  SELECT os_name,
+         |         CASE WHEN os_name IN ('iOS', 'Android') THEN 'mobile'
+         |              ELSE 'desktop' END AS os_family, true AS is_current
+         |  FROM (SELECT unnest(['iOS','Android','Windows','macOS','Linux']) AS os_name)
+         |),
+         |dim_geo AS (
+         |  SELECT country, country || '-' || CAST(r AS VARCHAR) AS region,
+         |         'geo-' || country || '-' || CAST(r AS VARCHAR) AS geo_name,
+         |         true AS is_current
+         |  FROM (SELECT unnest(['US','GB','DE','FR','JP','BR','IN','CA']) AS country),
+         |       (SELECT unnest(generate_series(0, 19)) AS r)
+         |),
+         |req AS (
+         |  SELECT DISTINCT id AS request_id, imp_t['id'] AS imp_id,
+         |         imp_t['banner']['w'] AS banner_w, imp_t['banner']['h'] AS banner_h,
+         |         imp_t['bidfloor'] AS imp_bidfloor,
+         |         coalesce(site['domain'], app['bundle']) AS property_domain,
+         |         coalesce(site['publisher']['id'], app['publisher']['id']) AS publisher_id,
+         |         device['devicetype'] AS devicetype, device['os'] AS device_os,
+         |         device['geo']['country'] AS device_geo_country,
+         |         device['geo']['region'] AS device_geo_region,
+         |         cur[1] AS currency, "at" AS auction_type,
+         |         regs['coppa'] = 1 AS is_coppa, regs['ext']['gdpr'] = 1 AS is_gdpr,
+         |         $tsSql AS request_ts
+         |  FROM (SELECT id, unnest(imp) AS imp_t, site, app, device, cur, regs, "at",
+         |               event_timestamp
+         |        FROM read_parquet('$root/requests/*.parquet'))
+         |),
+         |bids AS (
+         |  SELECT DISTINCT request_id, b['impid'] AS imp_id, response_id,
+         |         b['id'] AS bid_id, bidder_id, b['price'] AS bid_price,
+         |         b['crid'] AS creative_id, b['strategy_id'] AS strategy_id,
+         |         b['line_item_id'] AS line_item_id, b['campaign_id'] AS campaign_id,
+         |         b['advertiser_id'] AS advertiser_id, b['agency_id'] AS agency_id,
+         |         b['dealid'] AS deal_id, b['adomain'][1] AS ad_domain,
+         |         event_ts AS response_ts
+         |  FROM (SELECT id AS response_id, ext['request_id'] AS request_id,
+         |               $tsSql AS event_ts, sb['seat'] AS bidder_id,
+         |               unnest(sb['bid']) AS b
+         |        FROM (SELECT id, ext, event_timestamp, unnest(seatbid) AS sb
+         |              FROM read_parquet('$root/responses/*.parquet')))
+         |),
+         |imp AS (
+         |  SELECT DISTINCT impression_id, response_id, imp_id, win_price,
+         |         win_currency, $tsSql AS impression_ts
+         |  FROM read_parquet('$root/impressions/*.parquet')
+         |),
+         |cl AS (
+         |  SELECT DISTINCT click_id, impression_id, click_url, $tsSql AS click_ts
+         |  FROM read_parquet('$root/clicks/*.parquet')
+         |)
+         |SELECT req.request_id, req.imp_id, req.banner_w, req.banner_h,
+         |       req.imp_bidfloor, req.property_domain, req.publisher_id,
+         |       dp.publisher_name,
+         |       CASE WHEN dp.d_publisher_id IS NULL THEN NULL
+         |            ELSE 'v' || CAST(dp.d_publisher_id % 4 AS VARCHAR) END
+         |         AS publisher_vertical,
+         |       CASE WHEN dp.d_publisher_id IS NULL THEN NULL
+         |            ELSE 1 + dp.d_publisher_id % 3 END AS publisher_tier,
+         |       req.devicetype, ddt.device_type_name, req.device_os, dos.os_family,
+         |       req.device_geo_country, req.device_geo_region, dg.geo_name,
+         |       req.currency, req.auction_type, req.is_coppa, req.is_gdpr,
+         |       req.request_ts,
+         |       bids.response_id, bids.bid_id, bids.bidder_id, db.bidder_name,
+         |       bids.bid_price, bids.creative_id, dc.creative_name,
+         |       ${creativeFormatSql("dc.d_creative_id")} AS creative_format,
+         |       bids.strategy_id, ds.strategy_name,
+         |       bids.line_item_id, dl.line_item_name,
+         |       bids.campaign_id, dcmp.campaign_name,
+         |       bids.advertiser_id, da.advertiser_name,
+         |       bids.agency_id, dag.agency_name,
+         |       bids.deal_id, dd.deal_name,
+         |       bids.ad_domain, bids.response_ts,
+         |       imp.impression_id, imp.win_price, imp.win_currency, imp.impression_ts,
+         |       cl.click_id, cl.click_url, cl.click_ts,
+         |       bids.response_id IS NOT NULL AS has_response,
+         |       imp.impression_id IS NOT NULL AS has_impression,
+         |       cl.click_id IS NOT NULL AS has_click
+         |FROM req
+         |LEFT JOIN bids ON req.request_id = bids.request_id AND req.imp_id = bids.imp_id
+         |LEFT JOIN imp ON bids.response_id = imp.response_id AND bids.imp_id = imp.imp_id
+         |LEFT JOIN cl ON imp.impression_id = cl.impression_id
+         |LEFT JOIN dim_publisher dp
+         |  ON req.publisher_id = dp.d_publisher_id AND dp.is_current
+         |LEFT JOIN dim_device_type ddt
+         |  ON req.devicetype = ddt.device_type_code AND ddt.is_current
+         |LEFT JOIN dim_device_os dos ON req.device_os = dos.os_name AND dos.is_current
+         |LEFT JOIN dim_geo dg
+         |  ON req.device_geo_country = dg.country AND req.device_geo_region = dg.region
+         | AND dg.is_current
+         |LEFT JOIN dim_bidder db ON bids.bidder_id = db.d_bidder_id AND db.is_current
+         |LEFT JOIN dim_creative dc ON bids.creative_id = dc.d_creative_id AND dc.is_current
+         |LEFT JOIN dim_strategy ds ON bids.strategy_id = ds.d_strategy_id AND ds.is_current
+         |LEFT JOIN dim_line_item dl ON bids.line_item_id = dl.d_line_item_id AND dl.is_current
+         |LEFT JOIN dim_campaign dcmp ON bids.campaign_id = dcmp.d_campaign_id AND dcmp.is_current
+         |LEFT JOIN dim_advertiser da ON bids.advertiser_id = da.d_advertiser_id AND da.is_current
+         |LEFT JOIN dim_agency dag ON bids.agency_id = dag.d_agency_id AND dag.is_current
+         |LEFT JOIN dim_deal dd ON bids.deal_id = dd.d_deal_id AND dd.is_current""".stripMargin
+    }) { t =>
+    ensureData(t.spark)
+    fullFunnelEnriched(t.spark)
+  }
+
+  /** Spark side of [[vFullFunnel]], reusable by PlanSpec. */
+  def fullFunnelEnriched(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    ensureData(spark)
+    val req = RtbIngest.flattenRequests(spark.read.parquet(s"$root/requests"))
+      .select(col("request_id"), col("imp_id"), col("banner_w"), col("banner_h"),
+        col("imp_bidfloor"), col("property_domain"), col("publisher_id"),
+        col("devicetype"), col("device_os"),
+        col("device_geo_country"), col("device_geo_region"),
+        col("currency"), col("auction_type"), col("is_coppa"), col("is_gdpr"),
+        col("event_ts").as("request_ts"))
+      .distinct()
+    val bids = RtbIngest.flattenBids(spark.read.parquet(s"$root/responses"))
+      .select(col("request_id"), col("imp_id"), col("response_id"), col("bid_id"),
+        col("bidder_id"), col("bid_price"), col("creative_id"), col("strategy_id"),
+        col("line_item_id"), col("campaign_id"), col("advertiser_id"),
+        col("agency_id"), col("deal_id"), col("ad_domain"),
+        col("event_ts").as("response_ts"))
+      .distinct()
+    val imp = spark.read.parquet(s"$root/impressions")
+      .select(col("impression_id"), col("response_id"), col("imp_id"),
+        col("win_price"), col("win_currency"),
+        RtbIngest.parseTs(col("event_timestamp")).as("impression_ts"))
+      .distinct()
+    val cl = spark.read.parquet(s"$root/clicks")
+      .select(col("click_id"), col("impression_id"), col("click_url"),
+        RtbIngest.parseTs(col("event_timestamp")).as("click_ts"))
+      .distinct()
+    def cur(df: org.apache.spark.sql.DataFrame) =
+      broadcast(df.filter(col("is_current")).drop("is_current"))
+    val osDim = spark.createDataFrame(
+      Seq(("iOS", "mobile"), ("Android", "mobile"), ("Windows", "desktop"),
+        ("macOS", "desktop"), ("Linux", "desktop")))
+      .toDF("os_name", "os_family")
+    val geoDim = spark.createDataFrame(
+      for (c <- Seq("US", "GB", "DE", "FR", "JP", "BR", "IN", "CA"); r <- 0 until 20)
+        yield (c, s"$c-$r", s"geo-$c-$r"))
+      .toDF("country", "region", "geo_name")
+    req
+      .join(bids, Seq("request_id", "imp_id"), "left")
+      .join(imp, Seq("response_id", "imp_id"), "left")
+      .join(cl, Seq("impression_id"), "left")
+      .join(cur(rangeDim(spark, 30, "d_publisher_id", "publisher_name", "publisher")),
+        col("publisher_id") === col("d_publisher_id"), "left")
+      .join(cur(rangeDim(spark, 7, "device_type_code", "device_type_name", "devtype")),
+        col("devicetype") === col("device_type_code"), "left")
+      .join(broadcast(osDim), col("device_os") === col("os_name"), "left")
+      .join(broadcast(geoDim),
+        col("device_geo_country") === col("country") &&
+          col("device_geo_region") === col("region"), "left")
+      .join(cur(rangeDim(spark, 25, "d_bidder_id", "bidder_name", "bidder")),
+        col("bidder_id") === col("d_bidder_id"), "left")
+      .join(cur(rangeDim(spark, 200, "d_creative_id", "creative_name", "creative")),
+        col("creative_id") === col("d_creative_id"), "left")
+      .join(cur(rangeDim(spark, 180, "d_strategy_id", "strategy_name", "strategy")),
+        col("strategy_id") === col("d_strategy_id"), "left")
+      .join(cur(rangeDim(spark, 120, "d_line_item_id", "line_item_name", "lineitem")),
+        col("line_item_id") === col("d_line_item_id"), "left")
+      .join(cur(rangeDim(spark, 60, "d_campaign_id", "campaign_name", "campaign")),
+        col("campaign_id") === col("d_campaign_id"), "left")
+      .join(cur(rangeDim(spark, 20, "d_advertiser_id", "advertiser_name", "advertiser")),
+        col("advertiser_id") === col("d_advertiser_id"), "left")
+      .join(cur(rangeDim(spark, 5, "d_agency_id", "agency_name", "agency")),
+        col("agency_id") === col("d_agency_id"), "left")
+      .join(cur(rangeDim(spark, 40, "d_deal_id", "deal_name", "deal")),
+        col("deal_id") === col("d_deal_id"), "left")
+      .select(
+        col("request_id"), col("imp_id"), col("banner_w"), col("banner_h"),
+        col("imp_bidfloor"), col("property_domain"), col("publisher_id"),
+        col("publisher_name"),
+        when(col("d_publisher_id").isNotNull,
+          concat(lit("v"), (col("d_publisher_id") % 4).cast("string")))
+          .as("publisher_vertical"),
+        when(col("d_publisher_id").isNotNull, lit(1) + col("d_publisher_id") % 3)
+          .as("publisher_tier"),
+        col("devicetype"), col("device_type_name"), col("device_os"), col("os_family"),
+        col("device_geo_country"), col("device_geo_region"), col("geo_name"),
+        col("currency"), col("auction_type"), col("is_coppa"), col("is_gdpr"),
+        col("request_ts"),
+        col("response_id"), col("bid_id"), col("bidder_id"), col("bidder_name"),
+        col("bid_price"), col("creative_id"), col("creative_name"),
+        creativeFormatCol("d_creative_id").as("creative_format"),
+        col("strategy_id"), col("strategy_name"),
+        col("line_item_id"), col("line_item_name"),
+        col("campaign_id"), col("campaign_name"),
+        col("advertiser_id"), col("advertiser_name"),
+        col("agency_id"), col("agency_name"),
+        col("deal_id"), col("deal_name"),
+        col("ad_domain"), col("response_ts"),
+        col("impression_id"), col("win_price"), col("win_currency"), col("impression_ts"),
+        col("click_id"), col("click_url"), col("click_ts"),
+        col("response_id").isNotNull.as("has_response"),
+        col("impression_id").isNotNull.as("has_impression"),
+        col("click_id").isNotNull.as("has_click"))
+  }
+
+  /** v_agg_metrics_by_bidder.sql one-for-one: hourly bidder KPIs straight
+    * off the raw impressions table with the `is_current` bidder dim
+    * (v_agg_metrics_by_bidder.sql:3-15). `bidder_domain` is the dim's
+    * derived `domain` attribute — a pure function of the key, rebuilt
+    * identically by both engines, NULL on a dim miss. Money routes
+    * through exact integer cents (the suite's money discipline — raw
+    * double SUM/AVG is summation-order-dependent and would hash-flap);
+    * avg_cpm is half-up integer division of the cents total. One scan,
+    * one broadcast join, one aggregation — no shape change at 100 TB.
+    */
+  val vAggMetricsByBidder: QueryDef = QueryDef(
+    "v_agg_metrics_by_bidder",
+    s"""WITH dim_bidder AS (${rangeDimSql(25, "d_bidder_id", "bidder_name", "bidder")})
+       |SELECT date_trunc('hour', $tsSql) AS hour_start,
+       |       imp.bidder_id, db.bidder_name,
+       |       CASE WHEN db.d_bidder_id IS NULL THEN NULL
+       |            ELSE 'dsp-' || CAST(db.d_bidder_id AS VARCHAR) || '.example.com'
+       |       END AS bidder_domain,
+       |       count(*) AS win_count,
+       |       CAST(sum(CAST(round(win_price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       |         AS revenue,
+       |       CAST((2 * sum(CAST(round(win_price * 100) AS BIGINT)) + count(*))
+       |            // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_cpm
+       |FROM read_parquet('$root/impressions/*.parquet') imp
+       |LEFT JOIN dim_bidder db
+       |  ON imp.bidder_id = db.d_bidder_id AND db.is_current
+       |GROUP BY 1, 2, 3, 4""".stripMargin) { t =>
+    ensureData(t.spark)
+    val db = broadcast(
+      rangeDim(t.spark, 25, "d_bidder_id", "bidder_name", "bidder")
+        .filter(col("is_current")).drop("is_current"))
+    t.spark.read.parquet(s"$root/impressions")
+      .join(db, col("bidder_id") === col("d_bidder_id"), "left")
+      .groupBy(
+        date_trunc("hour", RtbIngest.parseTs(col("event_timestamp"))).as("hour_start"),
+        col("bidder_id"), col("bidder_name"),
+        when(col("d_bidder_id").isNotNull,
+          concat(lit("dsp-"), col("d_bidder_id").cast("string"), lit(".example.com")))
+          .as("bidder_domain"))
+      .agg(
+        count(lit(1)).as("win_count"),
+        (sum(round(col("win_price") * 100).cast("long")).cast("double") / 100.0)
+          .as("revenue"),
+        expr("""CAST((2 * sum(CAST(round(win_price * 100) AS BIGINT)) + count(*))
+                DIV (2 * count(*)) AS DOUBLE) / 100.0""").as("avg_cpm"))
+  }
+
+  /** v_agg_serving_metrics.sql one-for-one, including its J8 guard: the
+    * clicks side is PRE-AGGREGATED to one (impression_id, click_count)
+    * row BEFORE the join (v_agg_serving_metrics.sql:15-20) — joining raw
+    * clicks would fan out duplicate-click impressions and corrupt
+    * count(*). ctr is a double division of two exact integers, identical
+    * in both engines; revenue through exact cents as everywhere. The
+    * pre-agg also bounds the join's build side at 100 TB: one row per
+    * clicked impression, not one per click.
+    */
+  val vAggServingMetrics: QueryDef = QueryDef(
+    "v_agg_serving_metrics",
+    s"""WITH dim_bidder AS (${rangeDimSql(25, "d_bidder_id", "bidder_name", "bidder")}),
+       |cl AS (SELECT impression_id, count(*) AS click_count
+       |       FROM read_parquet('$root/clicks/*.parquet') GROUP BY impression_id)
+       |SELECT date_trunc('hour', $tsSql) AS hour_start,
+       |       imp.bidder_id, db.bidder_name,
+       |       count(*) AS impressions,
+       |       coalesce(sum(cl.click_count), 0) AS clicks,
+       |       CAST(sum(CAST(round(win_price * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       |         AS revenue,
+       |       CASE WHEN count(*) > 0
+       |            THEN CAST(coalesce(sum(cl.click_count), 0) AS DOUBLE)
+       |                 / CAST(count(*) AS DOUBLE)
+       |            ELSE 0.0 END AS ctr
+       |FROM read_parquet('$root/impressions/*.parquet') imp
+       |LEFT JOIN cl ON imp.impression_id = cl.impression_id
+       |LEFT JOIN dim_bidder db
+       |  ON imp.bidder_id = db.d_bidder_id AND db.is_current
+       |GROUP BY 1, 2, 3""".stripMargin) { t =>
+    ensureData(t.spark)
+    val cl = t.spark.read.parquet(s"$root/clicks")
+      .groupBy(col("impression_id")).agg(count(lit(1)).as("click_count"))
+    val db = broadcast(
+      rangeDim(t.spark, 25, "d_bidder_id", "bidder_name", "bidder")
+        .filter(col("is_current")).drop("is_current"))
+    t.spark.read.parquet(s"$root/impressions")
+      .join(cl, Seq("impression_id"), "left")
+      .join(db, col("bidder_id") === col("d_bidder_id"), "left")
+      .groupBy(
+        date_trunc("hour", RtbIngest.parseTs(col("event_timestamp"))).as("hour_start"),
+        col("bidder_id"), col("bidder_name"))
+      .agg(
+        count(lit(1)).as("impressions"),
+        coalesce(sum(col("click_count")), lit(0L)).as("clicks"),
+        (sum(round(col("win_price") * 100).cast("long")).cast("double") / 100.0)
+          .as("revenue"),
+        when(count(lit(1)) > 0,
+          coalesce(sum(col("click_count")), lit(0L)).cast("double") /
+            count(lit(1)).cast("double"))
+          .otherwise(0.0).as("ctr"))
+  }
+
   /** v_event_enriched_clicks.sql one-for-one: the raw clicks table LEFT
     * joined to the `is_current` bidder and creative SCD2 dims
     * (v_event_enriched_clicks.sql:14-18), projecting the reference's
@@ -813,5 +1142,6 @@ object RtbOracleOps {
     Seq(rtbIngestEnrich, rtbAvroRoundtrip, rtbFlattenBids, rtbFunnelHourly,
       vBidLandscapeHourly, vRealtimeServing1m, vAuctionTypeDistribution,
       j5WideEnrich, vImpressionsByGeo, vFunnelByPublisher,
-      vEventEnrichedClicks, vEventEnrichedImpressions)
+      vEventEnrichedClicks, vEventEnrichedImpressions, vFullFunnel,
+      vAggMetricsByBidder, vAggServingMetrics)
 }

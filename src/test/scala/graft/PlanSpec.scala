@@ -56,6 +56,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("composed full-funnel view broadcasts all 12 dims in one plan") {
+    val plan = planOf("v_event_enriched_full_funnel")
+    // the 4-stage LEFT chain may shuffle on its funnel keys, but every
+    // dim join must broadcast — losing one here means the widest
+    // reference view shuffles its fact rows per dim at cluster scale
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 12, s"expected >=12 broadcast dim joins, got $nBroadcast\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = planOf("o1_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan)
