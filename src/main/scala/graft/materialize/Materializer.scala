@@ -8,15 +8,34 @@ import org.apache.spark.sql.catalyst.util.{DateTimeUtils, IntervalUtils}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Locality bound linking a view row's event time to the source facts
+  * it derives from: every view row with `view.tsCol = T` is a function
+  * ONLY of source facts whose `sourceTsCol` lies in [T − slack, T + slack].
+  * An hourly tumbling aggregation has slack = 1 hour; a sessionized view
+  * has slack = max session span. The bound is the CALLER'S assertion —
+  * the materializer uses it to prune the source scan per pass, never to
+  * change results (passes compute over a superset of the bound and
+  * re-filter the view rows, so an over-wide slack only costs I/O).
+  */
+final case class FactBound(sourceTsCol: String, slack: String)
+
 /** A materializable view: a deterministic transform of the source facts
   * with an event-time column (drives the watermark) and an identifier
-  * key (drives the repair passes).
+  * key (drives the repair passes). With `factBound` set, the window-
+  * bounded passes (lookback repair, append, stale repair) recompute the
+  * view from a RANGE-PRUNED source read — footer-level file skipping
+  * plus a pushed-down row filter — instead of aggregating the whole
+  * table; that is the difference between O(affected window) and
+  * O(table) per incremental run, and it is what makes the protocol
+  * viable against a 100 TB fact table. Without it, passes share one
+  * cached full-view computation per run (correct for any view, O(table)).
   */
 final case class MatView(
     name: String,
     tsCol: String,
     keyCols: Seq[String],
-    compute: DataFrame => DataFrame)
+    compute: DataFrame => DataFrame,
+    factBound: Option[FactBound] = None)
 
 /** Incremental materializer — the engine's port of the reference's
   * 4-pass watermark protocol (scripts/materialize.sh:66-330):
@@ -76,19 +95,42 @@ final class Materializer(
   private def viewDf: DataFrame =
     cachedView.getOrElse(computeView())
 
-  private def withCachedView[A](body: => A): A = {
-    val v = computeView().cache()
-    cachedView = Some(v)
-    try body
-    finally {
-      cachedView = None
-      v.unpersist()
+  private def withCachedView[A](body: => A): A =
+    if (view.factBound.isDefined) body // passes prune their own source reads
+    else {
+      val v = computeView().cache()
+      cachedView = Some(v)
+      try body
+      finally {
+        cachedView = None
+        v.unpersist()
+      }
     }
-  }
+
+  /** The view restricted to rows with `tsCol ≥ loMicros`-ish: with a
+    * [[FactBound]], computed from a source read pruned to
+    * `sourceTs ≥ loMicros − slack` (footer file-skip + pushed-down row
+    * filter — the aggregation shuffles only the window's facts); the
+    * result is a SUPERSET of the ≥ loMicros view rows, so callers keep
+    * their exact view-time filter on top. Without a bound, the shared
+    * (cached) full view.
+    */
+  private def viewFrom(loMicros: Long): DataFrame =
+    view.factBound match {
+      case Some(fb) =>
+        boundedComputeCounter += 1
+        val lo = loMicros - intervalCeilMicros(fb.slack)
+        val pruned = source.readRangeLogical(fb.sourceTsCol, lo, Long.MaxValue)
+          .filter(col(fb.sourceTsCol) >= to_timestamp(lit(
+            DateTimeUtils.toJavaTimestamp(lo))))
+        view.compute(pruned)
+      case None => viewDf
+    }
 
   // ---- per-run instrumentation (read by MaterializeSpec/GRAFT_TIMING) ----
 
   private var viewComputeCounter = 0
+  private var boundedComputeCounter = 0
 
   /** How many times the last [[run]] built the view plan over the full
     * source. The cached-view contract is EXACTLY ONE per run — a repair
@@ -97,6 +139,14 @@ final class Materializer(
     * query. Pinned by MaterializeSpec.
     */
   @volatile var lastRunViewComputes: Int = -1
+
+  /** Window-bounded view computations in the last [[run]] (FactBound
+    * views only): each bounded pass computes its own pruned slice, so
+    * lookback+append+stale = 3. Pinned with [[lastRunViewComputes]] by
+    * MaterializeSpec — a bounded view doing FULL computes in a repair
+    * run means source pruning silently stopped applying.
+    */
+  @volatile var lastRunBoundedComputes: Int = -1
 
   /** Spark jobs the last [[run]] launched (listener-counted; the bus is
     * async, so treat as a floor — in practice all jobs complete inside
@@ -175,7 +225,7 @@ final class Materializer(
     val windowCond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $lookback") && ts <= lit(wm)
     val wmMicros = DateTimeUtils.fromJavaTimestamp(wm)
     val loMicros = wmMicros - intervalCeilMicros(lookback)
-    val fresh = viewDf.filter(windowCond)
+    val fresh = viewFrom(loMicros).filter(windowCond)
     // file-pruned read: the fingerprint and any rewrite only ever touch
     // files overlapping the lookback window
     val current = mat.readRangeLogical(view.tsCol, loMicros, wmMicros).filter(windowCond)
@@ -213,7 +263,7 @@ final class Materializer(
     * produced no files.
     */
   def appendNew(wm: Timestamp): Unit =
-    mat.append(viewDf.filter(ts > lit(wm)))
+    mat.append(viewFrom(DateTimeUtils.fromJavaTimestamp(wm)).filter(ts > lit(wm)))
 
   /** M6 — stale-row repair: inside the detection window, any key whose
     * freshly computed row differs from the materialized row (a late
@@ -229,7 +279,7 @@ final class Materializer(
   def staleRepair(wm: Timestamp, detectionWindow: String): Unit = {
     val cond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $detectionWindow")
     val loMicros = DateTimeUtils.fromJavaTimestamp(wm) - intervalCeilMicros(detectionWindow)
-    val fresh = viewDf.filter(cond)
+    val fresh = viewFrom(loMicros).filter(cond)
     val current = mat.readRangeLogical(view.tsCol, loMicros, Long.MaxValue).filter(cond)
     // fingerprint fast path: a clean detection window (the common case
     // for steady-state runs) costs two scans, never a row shuffle
@@ -275,6 +325,7 @@ final class Materializer(
       changedDimKeys: Option[DataFrame] = None,
       staleDetectionWindow: Option[String] = None): Unit = {
     viewComputeCounter = 0
+    boundedComputeCounter = 0
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -296,8 +347,10 @@ final class Materializer(
       spark.sparkContext.removeSparkListener(listener)
       lastRunJobs = jobCounter.get()
       lastRunViewComputes = viewComputeCounter
+      lastRunBoundedComputes = boundedComputeCounter
       if (sys.env.contains("GRAFT_TIMING"))
-        println(s"TIMING ${view.name}/run jobs=$lastRunJobs viewComputes=$lastRunViewComputes")
+        println(s"TIMING ${view.name}/run jobs=$lastRunJobs " +
+          s"viewComputes=$lastRunViewComputes boundedComputes=$lastRunBoundedComputes")
     }
   }
 }

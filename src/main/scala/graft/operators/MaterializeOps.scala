@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 import graft.QueryDef
-import graft.materialize.{MatView, Materializer}
+import graft.materialize.{FactBound, MatView, Materializer}
 import graft.tables._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -49,7 +49,10 @@ object MaterializeOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("window_start"),
-        col("event_type"), col("n"), col("total_value")))
+        col("event_type"), col("n"), col("total_value")),
+    // hourly tumbling window: a view row at T derives only from facts in
+    // [T, T+1h) — so repair/append passes scan the window, not the table
+    factBound = Some(FactBound("ts", "1 hour")))
 
   /** M1+M2+M3+M4 — two-pass incremental materialization == full recompute. */
   val m4IncrementalMatview: QueryDef = QueryDef(
@@ -163,7 +166,8 @@ object MaterializeOps {
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
           .select(col("window.start").as("window_start"),
             col("user_id"), col("segment"), col("n"), col("total_value"))
-      })
+      },
+      factBound = Some(FactBound("ts", "1 hour")))
     val cat = new TableCatalog(t.spark, wh, Seq(
       TableDef("events_src", eventsSchema),
       TableDef("mat_enriched", enrichedSchema,

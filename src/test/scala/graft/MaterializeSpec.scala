@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.sql.Timestamp
 import java.util.Comparator
 
-import graft.materialize.{MatView, Materializer}
+import graft.materialize.{FactBound, MatView, Materializer}
 import graft.tables._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -307,6 +307,45 @@ class MaterializeSpec extends AnyFunSuite {
     assertConverged(mat, view.compute(src.readLogical()), "after dimension repair")
     assert(mat.readLogical()
       .filter(col("user_id").isin(0L, 2L) && col("tier") =!= "premium").count() == 0)
+  }
+
+  test("a FactBound view repairs from pruned source reads, never a full recompute") {
+    val root = wh("bound")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")),
+      factBound = Some(FactBound("ts", "1 hour")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mzr = new Materializer(spark, src, view, cat.table("mat"),
+      cat.table("materialization_watermarks"))
+
+    src.append(toDf((1L to 60L).map(i =>
+      ev(i, 1 + (i % 4).toInt, (i % 24).toInt, i % 5,
+        if (i % 3 == 0) "click" else "view", i.toDouble))))
+    mzr.run()
+    // tail + a straggler beyond the lookback: exercises lookback, append
+    // AND stale repair, all three as bounded computes
+    src.append(toDf(
+      (61L to 70L).map(i => ev(i, 6, (i % 24).toInt, i % 5, "view", i.toDouble)) ++
+        Seq(ev(71, 1, 3, 2, "click", 4.0))))
+    mzr.run(lookback = "24 hours", staleDetectionWindow = Some("30 days"))
+    assert(mzr.lastRunViewComputes == 0,
+      s"bounded repair run did ${mzr.lastRunViewComputes} FULL view computes — source pruning lost")
+    assert(mzr.lastRunBoundedComputes == 3,
+      s"expected 3 bounded computes (lookback/append/stale), got ${mzr.lastRunBoundedComputes}")
+    assertConverged(cat.table("mat"), view.compute(src.readLogical()), "bounded convergence")
   }
 
   test("a full-protocol repair run computes the view once and stays under the job budget") {
