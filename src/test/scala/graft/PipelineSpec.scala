@@ -208,4 +208,51 @@ class PipelineSpec extends AnyFunSuite {
       .select(countDistinct(col("request_id"))).collect().head.getLong(0)
       == funnel.truth.testPublisherRequests, "TEST_PUBLISHER rejects vs truth")
   }
+
+  test("statement-set fan-out flattens once: both request sinks read the shared cache (X1)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val funnel = RtbGenerator.generate(
+      seed = 777L, nRequests = 300,
+      startMs = 1704103200000L, spanMs = 3600 * 1000L,
+      rates = RtbGenerator.Rates()) // test-publisher/private-ip faults are structural, both sinks fill
+    val cat = new TableCatalog(spark, fresh("graft_pipeline_wh", "fusion"),
+      Jobs.ingestionTableDefs(spark))
+    val ckpt = fresh("graft_pipeline_ckpt", "fusion")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      val rS = MemoryStream[BidRequest]
+      val bS = MemoryStream[BidResponse]
+      val iS = MemoryStream[ImpressionEvent]
+      val cS = MemoryStream[ClickEvent]
+      val pipe = Jobs.ingestion(rS.toDF(), bS.toDF(), iS.toDF(), cS.toDF(), cat, ckpt)
+      rS.addData(funnel.requests)
+      pipe.processAllAvailable()
+      pipe.stop()
+      // the listener bus is async — wait for both request-sink writes
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def sinkWrites = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.toSeq.filter(pl =>
+          pl.contains(Jobs.cleanTable) || pl.contains(Jobs.rejectedTable))
+      }
+      while (sinkWrites.size < 2 && System.nanoTime() < deadline) Thread.sleep(100)
+      val writes = sinkWrites
+      assert(writes.size >= 2, s"expected clean+rejected sink writes, saw ${writes.size}")
+      // X1's shared-read contract: the statement set flattens the nested
+      // batch ONCE; each sink's write plan must scan the shared cache —
+      // a raw re-flatten here means the source is read N times per batch
+      writes.foreach(pl => assert(pl.contains("InMemoryTableScan"),
+        s"request sink write does not read the shared cached flatten:\n$pl"))
+    } finally spark.listenerManager.unregister(qel)
+  }
 }
