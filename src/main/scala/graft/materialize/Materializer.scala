@@ -225,15 +225,20 @@ final class Materializer(
     val windowCond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $lookback") && ts <= lit(wm)
     val wmMicros = DateTimeUtils.fromJavaTimestamp(wm)
     val loMicros = wmMicros - intervalCeilMicros(lookback)
-    val fresh = viewFrom(loMicros).filter(windowCond)
-    // file-pruned read: the fingerprint and any rewrite only ever touch
-    // files overlapping the lookback window
-    val current = mat.readRangeLogical(view.tsCol, loMicros, wmMicros).filter(windowCond)
-    val drifted = timed("lookback/driftCheck")(
-      fingerprint(fresh) != fingerprint(current))
-    if (drifted)
-      timed("lookback/replaceWhere")(mat.replaceWhere(windowCond, fresh,
-        Some(RangePrune(view.tsCol, loMicros, wmMicros))))
+    // persisted for the pass: the fingerprint AND a drift rewrite both
+    // consume the slice, and each lazy re-evaluation would re-run the
+    // bounded source aggregation (small output, window-sized input)
+    val fresh = viewFrom(loMicros).filter(windowCond).persist()
+    try {
+      // file-pruned read: the fingerprint and any rewrite only ever touch
+      // files overlapping the lookback window
+      val current = mat.readRangeLogical(view.tsCol, loMicros, wmMicros).filter(windowCond)
+      val drifted = timed("lookback/driftCheck")(
+        fingerprint(fresh) != fingerprint(current))
+      if (drifted)
+        timed("lookback/replaceWhere")(mat.replaceWhere(windowCond, fresh,
+          Some(RangePrune(view.tsCol, loMicros, wmMicros))))
+    } finally fresh.unpersist()
   }
 
   /** M5 — re-enrich rows whose dimension key gained a new version after
@@ -279,7 +284,16 @@ final class Materializer(
   def staleRepair(wm: Timestamp, detectionWindow: String): Unit = {
     val cond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $detectionWindow")
     val loMicros = DateTimeUtils.fromJavaTimestamp(wm) - intervalCeilMicros(detectionWindow)
-    val fresh = viewFrom(loMicros).filter(cond)
+    // persisted for the pass: fingerprint, symmetric diff, and the
+    // replacement semi-join all consume `fresh` — three bounded source
+    // aggregations without the persist, one with it
+    val fresh = viewFrom(loMicros).filter(cond).persist()
+    try staleRepairOn(wm, loMicros, cond, fresh)
+    finally fresh.unpersist()
+  }
+
+  private def staleRepairOn(wm: Timestamp, loMicros: Long,
+      cond: Column, fresh: DataFrame): Unit = {
     val current = mat.readRangeLogical(view.tsCol, loMicros, Long.MaxValue).filter(cond)
     // fingerprint fast path: a clean detection window (the common case
     // for steady-state runs) costs two scans, never a row shuffle
