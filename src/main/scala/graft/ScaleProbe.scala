@@ -149,23 +149,14 @@ object ScaleProbe {
     // lands them in production — that ordering is what gives footer
     // pruning its bite.
     if (sys.env.get("SPARK_GRAFT_PROBE").contains("mat")) {
-      import graft.materialize.{FactBound, MatView, Materializer}
+      import graft.materialize.Materializer
+      import graft.operators.MaterializeOps
       import graft.tables.{TableCatalog, TableDef}
-      import org.apache.spark.sql.types._
-      val eventsSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-      val matSchema = StructType(Seq(
-        StructField("window_start", TimestampType), StructField("event_type", StringType),
-        StructField("n", LongType), StructField("total_value", DoubleType)))
-      val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
-        facts => facts
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-          .select(col("window.start").as("window_start"),
-            col("event_type"), col("n"), col("total_value")),
-        factBound = Some(FactBound("ts", "1 hour")))
+      // the SAME view definition the m4/m6 oracle rows run — the probe
+      // must measure the shipped operator, not a lookalike
+      val eventsSchema = MaterializeOps.eventsSchema
+      val matSchema = MaterializeOps.matSchema
+      val view = MaterializeOps.hourlyView
       def once[A](label: String)(f: => A): Double = {
         val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
         println(f"  $label%-22s $s%8.2f s"); s
@@ -202,7 +193,8 @@ object ScaleProbe {
         val src = cat.table("src")
         val mzr = new Materializer(spark, src, view, cat.table("mat"),
           cat.table("materialization_watermarks"))
-        println(s"== mat ${k}x (${ev.count()} rows) ==")
+        val nRows = ev.count()
+        println(s"== mat ${k}x ($nRows rows) ==")
         src.append(ev.filter(col("ts") < lit(cutoff) && !late))
         val ctas = once("ctas_first_run")(mzr.run())
         src.append(ev.filter(col("ts") >= lit(cutoff) || late))
@@ -211,7 +203,7 @@ object ScaleProbe {
         // by the FIXED 21-day detection window while the table grows k x
         val repair = once("repair_run")(
           mzr.run(lookback = "48 hours", staleDetectionWindow = Some("21 days")))
-        (k, ev.count(), ctas, repair)
+        (k, nRows, ctas, repair)
       }
       println("\n| k | rows | first run (CTAS) | repair run |")
       rows.foreach { case (k, n, c, r) => println(f"| ${k}x | $n | $c%.2f s | $r%.2f s |") }

@@ -14,7 +14,8 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // same per-query hygiene as Bench: drop any blocks the query
-        // cached so 96 dumps don't accumulate storage-memory pressure
+        // cached so the dumps don't accumulate storage-memory pressure
+        spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         None

@@ -67,18 +67,8 @@ final class Materializer(
 
   private def ts: Column = col(view.tsCol)
 
-  /** Per-pass wall-clock prints, enabled by GRAFT_TIMING=1 — the local
-    * stand-in for per-job metrics a cluster deployment reads off the
-    * Spark UI/event log.
-    */
   private def timed[A](label: String)(body: => A): A =
-    if (!sys.env.contains("GRAFT_TIMING")) body
-    else {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"TIMING ${view.name}/$label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    graft.Timing.timed(view.name, label)(body)
 
   /** The freshly computed view over ALL source facts. Cached for the
     * duration of one `run()` — the repair passes each slice it, and
@@ -120,9 +110,18 @@ final class Materializer(
       case Some(fb) =>
         boundedComputeCounter += 1
         val lo = loMicros - intervalCeilMicros(fb.slack)
-        val pruned = source.readRangeLogical(fb.sourceTsCol, lo, Long.MaxValue)
-          .filter(col(fb.sourceTsCol) >= to_timestamp(lit(
-            DateTimeUtils.toJavaTimestamp(lo))))
+        val loTs = to_timestamp(lit(DateTimeUtils.toJavaTimestamp(lo)))
+        // merge-on-read sources need every file of a key for latest-wins
+        // resolution, which file pruning cannot guarantee — keep the
+        // resolved logical read and bound ROWS only (the filter still
+        // pushes below the aggregation, so the shuffle stays O(window);
+        // only the scan is O(table) until the source is compacted)
+        val pruned =
+          if (source.defn.mergeOnRead)
+            source.readLogical().filter(col(fb.sourceTsCol) >= loTs)
+          else
+            source.readRangeLogical(fb.sourceTsCol, lo, Long.MaxValue)
+              .filter(col(fb.sourceTsCol) >= loTs)
         view.compute(pruned)
       case None => viewDf
     }
@@ -255,10 +254,11 @@ final class Materializer(
       // one count on the persisted key set decides broadcast vs shuffle
       // for BOTH joins (the re-enrich semi-join here and replaceKeys'
       // delete anti-join) — bounded key sets never shuffle fact rows
+      val nKeys = keys.count()
       val hinted =
-        if (keys.count() <= GraftTable.BroadcastKeyLimit) broadcast(keys) else keys
+        if (nKeys <= GraftTable.BroadcastKeyLimit) broadcast(keys) else keys
       val fresh = viewDf.filter(ts <= lit(wm)).join(hinted, fkCols, "left_semi")
-      mat.replaceKeys(hinted, fkCols, fresh)
+      mat.replaceKeys(keys, fkCols, fresh, knownKeyCount = Some(nKeys))
     } finally keys.unpersist()
   }
 
@@ -315,8 +315,9 @@ final class Materializer(
       .select(view.keyCols.map(col): _*).distinct()
       .persist()
     try {
+      val nStale = staleKeys.count()
       val hinted =
-        if (staleKeys.count() <= GraftTable.BroadcastKeyLimit) broadcast(staleKeys)
+        if (nStale <= GraftTable.BroadcastKeyLimit) broadcast(staleKeys)
         else staleKeys
       val replacement = fresh.join(hinted, view.keyCols, "left_semi")
       // file pruning is sound only when the key tuple pins the row's
@@ -327,7 +328,8 @@ final class Materializer(
           Some(RangePrune(view.tsCol, loMicros, Long.MaxValue))
         else None
       timed("stale/replaceKeys")(
-        mat.replaceKeys(hinted, view.keyCols, replacement, prune))
+        mat.replaceKeys(staleKeys, view.keyCols, replacement, prune,
+          knownKeyCount = Some(nStale)))
     } finally staleKeys.unpersist()
   }
 

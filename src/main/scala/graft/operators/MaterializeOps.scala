@@ -28,20 +28,23 @@ object MaterializeOps {
     p.toString
   }
 
-  private val eventsSchema = StructType(Seq(
+  /** Shared with ScaleProbe's materializer probe — one definition of
+    * the hourly fixture so probe and oracle measure the same view.
+    */
+  private[graft] val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  private val matSchema = StructType(Seq(
+  private[graft] val matSchema = StructType(Seq(
     StructField("window_start", TimestampType),
     StructField("event_type", StringType),
     StructField("n", LongType),
     StructField("total_value", DoubleType)))
 
-  private def hourlyView: MatView = MatView(
+  private[graft] def hourlyView: MatView = MatView(
     name = "hourly_events",
     tsCol = "window_start",
     keyCols = Seq("window_start", "event_type"),

@@ -78,18 +78,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
-  /** GRAFT_TIMING=1 per-step wall prints (same switch as
-    * [[graft.materialize.Materializer]]) — the local stand-in for the
-    * per-job metrics a cluster deployment reads off the event log.
-    */
   private def timed[A](label: String)(body: => A): A =
-    if (!sys.env.contains("GRAFT_TIMING")) body
-    else {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"TIMING ${defn.name}/$label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    graft.Timing.timed(defn.name, label)(body)
 
   /** Directory the data files live under — the mount point for a file
     * STREAM tailing this table (Spark's file source lists new files per
@@ -123,9 +113,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * have their footers read — commit cost is O(new files) regardless of
     * how many live files are carried.
     */
-  private def writeCommit(op: String, files: Seq[String]): CommitMeta = {
+  private def writeCommit(op: String, files: Seq[String],
+      knownRows: Map[String, Long] = Map.empty): CommitMeta = {
     val prevMeta = commits.lastOption
-    val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty)
+    val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     val fileRows = files.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).toMap
     // every commit carries the full per-sink batch watermark forward, so
     // the LATEST commit is always authoritative and expiring old
@@ -286,7 +277,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   def append(df: DataFrame): CommitMeta = {
     val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
     val prev = commits.lastOption
-    val addedRows = footerRowCount(added)
+    val addedRowsByFile = added.map(f => f -> footerRowCount(Seq(f))).toMap
+    val addedRows = addedRowsByFile.values.sum
     prev match {
       case Some(p) if addedRows == 0 =>
         // a zero-row write leaves at most one schema-only file behind
@@ -297,7 +289,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         // the maintenance cadence like any other unreferenced file
         p
       case _ =>
-        writeCommit("append", prev.map(_.files).getOrElse(Nil) ++ added)
+        writeCommit("append", prev.map(_.files).getOrElse(Nil) ++ added, addedRowsByFile)
     }
   }
 
@@ -360,6 +352,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       condition: org.apache.spark.sql.Column,
       replacement: DataFrame,
       prune: Option[RangePrune] = None): CommitMeta = {
+    require(!defn.mergeOnRead || morSequences <= 1,
+      s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
     val (untouched, toRewrite) = classifyLiveFiles(prune)
     val keep = readFilesAs(toRewrite).filter(!condition || condition.isNull)
       .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
@@ -386,12 +380,30 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       staleKeys: DataFrame,
       keyCols: Seq[String],
       replacement: DataFrame,
-      prune: Option[RangePrune] = None): CommitMeta = {
-    val (untouched, toRewrite) = timed("replaceKeys/classify")(classifyLiveFiles(prune))
-    val keys = staleKeys.select(keyCols.map(staleKeys.col): _*).distinct().persist()
+      prune: Option[RangePrune] = None,
+      knownKeyCount: Option[Long] = None): CommitMeta = {
+    require(!defn.mergeOnRead || morSequences <= 1,
+      s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
+    val keyProj = staleKeys.select(keyCols.map(staleKeys.col): _*)
+    // `knownKeyCount` = the caller already distincted/persisted/counted
+    // the key set (the Materializer repair passes do) — reuse it rather
+    // than re-shuffling and re-caching the same keys; duplicates are
+    // harmless to a left-anti join, so no defensive distinct either way
+    val (keys, ownedCache, nKeys) = knownKeyCount match {
+      case Some(n) => (keyProj, false, n)
+      case None =>
+        val k = keyProj.distinct().persist()
+        (k, true, k.count())
+    }
     try {
+      if (nKeys == 0)
+        // nothing to delete and (by the repair contract) nothing to
+        // insert: the steady-state no-drift case must not rewrite the
+        // table — same no-op shape as a zero-row append
+        return commits.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
+      val (untouched, toRewrite) = timed("replaceKeys/classify")(classifyLiveFiles(prune))
       val hinted =
-        if (keys.count() <= GraftTable.BroadcastKeyLimit)
+        if (nKeys <= GraftTable.BroadcastKeyLimit)
           org.apache.spark.sql.functions.broadcast(keys)
         else keys
       val keep = readFilesAs(toRewrite)
@@ -400,7 +412,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
       val added = timed("replaceKeys/write")(writeFiles(merged))
       timed("replaceKeys/commit")(writeCommit("replace", untouched ++ added))
-    } finally keys.unpersist()
+    } finally if (ownedCache) keys.unpersist()
   }
 
   /** Split the live file set into (provably-outside-range → carry over,
@@ -477,12 +489,32 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * intersect `[loMicros, hiMicros]` of `colName` are opened (plus any
     * with unusable stats). Callers still apply their exact row filter —
     * this prunes FILES the way the replace path does, so a bounded
-    * repair window reads O(window), not O(table).
+    * repair window reads O(window), not O(table). Raw-file read: a
+    * merge-on-read table with un-compacted upsert sequences would need
+    * ALL of a key's files to resolve latest-wins, which file pruning
+    * cannot guarantee — refuse loudly rather than return superseded
+    * rows (compact() collapses a MOR table to one sequence, after which
+    * the read is sound again).
     */
   def readRangeLogical(colName: String, loMicros: Long, hiMicros: Long): DataFrame = {
+    require(!defn.mergeOnRead || morSequences <= 1,
+      s"${defn.name}: range read over ${morSequences} merge-on-read upsert sequences " +
+        "would skip latest-wins resolution — compact() first")
     val (_, overlapping) = classifyLiveFiles(Some(RangePrune(colName, loMicros, hiMicros)))
     readFilesAs(overlapping)
       .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** Distinct upsert sequences among the live files of a merge-on-read
+    * table (1 after compaction; raw-file reads are sound only then).
+    */
+  private def morSequences: Int = {
+    val cs = commits
+    cs.lastOption.map { snap =>
+      val firstSeen = cs.flatMap(c => c.files.map(_ -> c.version)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
+      snap.files.map(firstSeen).distinct.size
+    }.getOrElse(0)
   }
 
   private def readFilesAs(files: Seq[String]): DataFrame =
