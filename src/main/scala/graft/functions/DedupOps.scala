@@ -44,6 +44,44 @@ object DedupOps {
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Cross-source priority dedup — the corpus-pipeline keep-rule: when
+    * the same document text appears in several sources, keep the copy
+    * from the most-trusted source (rank = the source's numeric suffix
+    * here; a deployment plugs in its provenance ranking), tie-broken by
+    * doc_id for determinism. One hash-shuffle `groupBy` with `min_by`
+    * partial aggregation — each map task forwards ONE candidate row per
+    * text-hash, so the reduce side sees O(distinct texts), never
+    * O(copies); the window-function formulation (rank-within-group)
+    * would sort every copy group instead. The oracle's window form is
+    * the readable spec; the engine runs the agg form.
+    */
+  val dedupKeepBest: QueryDef = QueryDef(
+    "dedup_keep_best",
+    """WITH d AS (SELECT md5(text) AS text_hash, doc_id, source,
+      |                  CAST(substr(source, 4) AS BIGINT) AS src_rank
+      |           FROM documents),
+      |w AS (SELECT text_hash, doc_id, source,
+      |             row_number() OVER (PARTITION BY text_hash
+      |                                ORDER BY src_rank, doc_id) AS rn,
+      |             count(*) OVER (PARTITION BY text_hash) AS n_copies
+      |      FROM d),
+      |s AS (SELECT text_hash, count(DISTINCT source) AS n_sources
+      |      FROM d GROUP BY 1)
+      |SELECT w.text_hash, w.doc_id AS keep_doc_id, w.source AS keep_source,
+      |       w.n_copies, s.n_sources
+      |FROM w JOIN s USING (text_hash) WHERE w.rn = 1""".stripMargin) { t =>
+    val ord = struct(
+      expr("CAST(substring(source, 4) AS BIGINT)").as("src_rank"), col("doc_id"))
+    t.documents
+      .select(md5(col("text")).as("text_hash"), col("doc_id"), col("source"))
+      .groupBy(col("text_hash"))
+      .agg(
+        min_by(col("doc_id"), ord).as("keep_doc_id"),
+        min_by(col("source"), ord).as("keep_source"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
   /** Word 3-gram shingles as an array column (shared by minhash/jaccard). */
   private def withShingles(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
@@ -712,6 +750,6 @@ object DedupOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
+    Seq(dedupExact, dedupKeepBest, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupEmbeddingCosine, dedupSemantic, dedupClusters)
 }
