@@ -35,7 +35,17 @@ final case class MatView(
     tsCol: String,
     keyCols: Seq[String],
     compute: DataFrame => DataFrame,
-    factBound: Option[FactBound] = None)
+    factBound: Option[FactBound] = None,
+    /** Fact columns that `compute` passes through UNCHANGED into
+      * same-named view columns (typical grouping keys like user_id).
+      * The dimension-repair pass may then push its changed-key
+      * semi-join BELOW the aggregation — re-aggregating only the
+      * changed keys' facts instead of the whole table, which is what
+      * keeps M5 O(changed keys' history) at 100 TB. Opt-in because it
+      * is the CALLER'S assertion: a view that derives or renames a key
+      * (e.g. groups by UPPER(region)) must not list it here.
+      */
+    passthroughKeys: Seq[String] = Nil)
 
 /** Incremental materializer — the engine's port of the reference's
   * 4-pass watermark protocol (scripts/materialize.sh:66-330):
@@ -255,10 +265,22 @@ final class Materializer(
       // for BOTH joins (the re-enrich semi-join here and replaceKeys'
       // delete anti-join) — bounded key sets never shuffle fact rows
       val nKeys = keys.count()
-      val hinted =
-        if (nKeys <= GraftTable.BroadcastKeyLimit) broadcast(keys) else keys
-      val fresh = viewDf.filter(ts <= lit(wm)).join(hinted, fkCols, "left_semi")
-      mat.replaceKeys(keys, fkCols, fresh, knownKeyCount = Some(nKeys))
+      if (nKeys > 0) {
+        val hinted =
+          if (nKeys <= GraftTable.BroadcastKeyLimit) broadcast(keys) else keys
+        // when the repair keys pass through `compute` unchanged, filter
+        // the FACTS to the changed keys before aggregating — the repair
+        // then recomputes O(changed keys' history), not the whole view.
+        // Otherwise the exact view-level semi-join below does all the
+        // work against the full (cached or recomputed) view.
+        val base =
+          if (fkCols.nonEmpty && fkCols.forall(view.passthroughKeys.contains)) {
+            boundedComputeCounter += 1
+            view.compute(source.readLogical().join(hinted, fkCols, "left_semi"))
+          } else viewDf
+        val fresh = base.filter(ts <= lit(wm)).join(hinted, fkCols, "left_semi")
+        mat.replaceKeys(keys, fkCols, fresh, knownKeyCount = Some(nKeys))
+      }
     } finally keys.unpersist()
   }
 

@@ -170,7 +170,10 @@ object MaterializeOps {
           .select(col("window.start").as("window_start"),
             col("user_id"), col("segment"), col("n"), col("total_value"))
       },
-      factBound = Some(FactBound("ts", "1 hour")))
+      factBound = Some(FactBound("ts", "1 hour")),
+      // user_id passes through the aggregation unchanged → the M5 dim
+      // repair re-aggregates only the changed users' facts
+      passthroughKeys = Seq("user_id"))
     val cat = new TableCatalog(t.spark, wh, Seq(
       TableDef("events_src", eventsSchema),
       TableDef("mat_enriched", enrichedSchema,

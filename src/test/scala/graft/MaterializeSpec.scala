@@ -285,7 +285,9 @@ class MaterializeSpec extends AnyFunSuite {
       facts => facts
         .join(broadcast(dim), Seq("user_id"))
         .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"), col("tier"))
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n")),
+      // user_id passes through → the repair aggregates only changed users
+      passthroughKeys = Seq("user_id"))
     val cat = new TableCatalog(spark, root, Seq(
       TableDef("src", eventsSchema),
       TableDef("mat", matSchema, keys = Seq("day", "user_id")),
@@ -307,6 +309,14 @@ class MaterializeSpec extends AnyFunSuite {
     assertConverged(mat, view.compute(src.readLogical()), "after dimension repair")
     assert(mat.readLogical()
       .filter(col("user_id").isin(0L, 2L) && col("tier") =!= "premium").count() == 0)
+    // the passthrough-key pushdown: the dim repair itself must have
+    // aggregated only the changed keys' facts (one BOUNDED compute);
+    // the single full compute is the run's shared cached view for the
+    // lookback/append passes (this view has no FactBound)
+    assert(mzr.lastRunBoundedComputes == 1,
+      s"dim repair did ${mzr.lastRunBoundedComputes} bounded computes — passthrough pushdown lost")
+    assert(mzr.lastRunViewComputes == 1,
+      s"expected exactly the shared cached view compute, got ${mzr.lastRunViewComputes}")
   }
 
   test("a FactBound view repairs from pruned source reads, never a full recompute") {
