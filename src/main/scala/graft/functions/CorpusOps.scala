@@ -245,6 +245,99 @@ object CorpusOps {
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("is_flagged"))
   }
 
+  /** The curation pipeline COMPOSED as one plan — what a training-data
+    * user actually runs, not the stages in isolation: length gate →
+    * Gopher repetition gate → benchmark decontamination (broadcast gram
+    * hashes) → cross-source keep-best dedup → per-(source, lang) corpus
+    * accounting. One documents scan feeds the word/gram derivations;
+    * the only corpus-wide shuffles are the bigram histogram, the
+    * keep-best hash `groupBy`, and the final rollup — the benchmark
+    * side stays broadcast, so composing the stages adds NO join of
+    * corpus against corpus. All-integer output (doc/token/char counts),
+    * so the cross-engine compare is exact. A wrong gate order, a dedup
+    * that sees pre-filter rows, or a contamination check applied after
+    * dedup all change the counts and fail the hash.
+    */
+  val corpusCurationE2e: QueryDef = QueryDef(
+    "corpus_curation_e2e",
+    s"""WITH w AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |rep AS (SELECT doc_id, max(cnt) AS topc, CAST(sum(cnt) AS BIGINT) AS nb
+       |        FROM (SELECT doc_id, gram, count(*) AS cnt
+       |              FROM (SELECT doc_id,
+       |                           unnest(list_transform(range(1, len(ws)),
+       |                             i -> ws[i] || ' ' || ws[i + 1])) AS gram
+       |                    FROM w WHERE len(ws) >= 2) g
+       |              GROUP BY doc_id, gram) c
+       |        GROUP BY doc_id),
+       |g AS (SELECT doc_id,
+       |             unnest(list_transform(range(1, len(ws) - 3),
+       |               i -> ${h64Sql("array_to_string(ws[i:i+4], ' ')")})) AS gh
+       |      FROM w),
+       |b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+       |contaminated AS (SELECT DISTINCT g.doc_id
+       |                 FROM g JOIN b ON b.gh = g.gh WHERE g.doc_id % 97 <> 0),
+       |eligible AS (
+       |  SELECT w.* FROM w
+       |  JOIN rep ON rep.doc_id = w.doc_id
+       |  LEFT JOIN contaminated c ON c.doc_id = w.doc_id
+       |  WHERE len(w.ws) >= 50
+       |    AND rep.topc * 5 <= rep.nb
+       |    AND w.doc_id % 97 <> 0
+       |    AND c.doc_id IS NULL),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+       |                ORDER BY CAST(substr(source, 4) AS BIGINT), doc_id) AS rn
+       |    FROM eligible)
+       |  WHERE rn = 1)
+       |SELECT source, lang,
+       |       count(*) AS n_docs,
+       |       CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+       |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |FROM kept GROUP BY 1, 2""".stripMargin) { t =>
+    val w = t.documents
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        split(col("text"), " ").as("ws"))
+    // Gopher gate: top bigram must account for <= 1/5 of all bigrams
+    val rep = w.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("topc"), sum(col("cnt")).as("nb"))
+    // contamination: any 5-gram hash shared with the benchmark slice
+    val g = w.filter(size(col("ws")) >= 5)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => h64(array_join(slice(col("ws"), i, lit(5)), " ")))).as("gh"))
+    val bench = g.filter(col("doc_id") % 97 === 0).select("gh").distinct()
+    val contaminated = g.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gh")).select("doc_id").distinct()
+    val eligible = w
+      .join(rep, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(size(col("ws")) >= 50 &&
+        col("topc") * 5 <= col("nb") &&
+        col("doc_id") % 97 =!= 0)
+    // cross-source keep-best over the eligible set (filter THEN dedup)
+    val ord = struct(
+      expr("CAST(substring(source, 4) AS BIGINT)").as("src_rank"), col("doc_id"))
+    val kept = eligible
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min_by(struct(col("source"), col("lang"), col("ws"), col("text")), ord)
+        .as("win"))
+      .select(col("win.source").as("source"), col("win.lang").as("lang"),
+        col("win.ws").as("ws"), col("win.text").as("text"))
+    kept.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ws"))).cast("long").as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(textRepetition, textDecontam, textDecontamBloom, textTrainSplit)
+    Seq(textRepetition, textDecontam, textDecontamBloom, textTrainSplit,
+      corpusCurationE2e)
 }
