@@ -29,16 +29,18 @@ object Bench {
 
     // Per-query state hygiene, OUTSIDE the timed window (replaces the old
     // System.gc()+sleep(250) tick, which masked the debt rather than
-    // retiring it and made builder and driver runs disagree by ~1.35x):
-    // Dataset-level caches go first through the CacheManager (a raw RDD
-    // unpersist would leave dead InMemoryRelation entries that silently
-    // un-cache later equivalent plans), then any remaining persisted
-    // RDDs — localCheckpoint blocks are not in the CacheManager — are
-    // dropped with a BLOCKING unpersist, so no query ever pays an
-    // earlier query's async-ContextCleaner debt.
+    // retiring it and made builder and driver runs disagree by ~1.35x).
+    // Order matters: the BLOCKING RDD-level unpersist runs FIRST — it
+    // covers cached Datasets' underlying RDDs and localCheckpoint blocks
+    // alike, and blocking is what makes the drop land before the next
+    // timed window (this Spark's no-arg CacheManager.clearCache() issues
+    // ASYNC block removals, which would leak eviction work into the next
+    // query). clearCache() then reconciles the CacheManager registry so
+    // no dead InMemoryRelation entry can silently un-cache a later
+    // equivalent plan; its own unpersists are no-ops by then.
     def drainState(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
       if (sc.getPersistentRDDs.nonEmpty)
         // warn, don't abort: a leak taints timings but the per-query
         // record is still worth emitting for the round

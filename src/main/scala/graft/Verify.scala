@@ -13,11 +13,11 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // same per-query hygiene as Bench: drop any blocks the query
-        // cached so the dumps don't accumulate storage-memory pressure
-        spark.sharedState.cacheManager.clearCache()
+        // same per-query hygiene as Bench (same order: blocking RDD
+        // unpersist first, then CacheManager registry reconciliation)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        spark.sharedState.cacheManager.clearCache()
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -21,6 +21,20 @@ import SharedHash.{h64, h64Sql}
   */
 object CorpusOps {
 
+  /** Word bigrams / hashed 5-grams as generator columns over a split-
+    * words array — ONE definition shared by the stage queries
+    * ([[textRepetition]], [[textDecontam]]) and the composed pipeline
+    * ([[corpusCurationE2e]]), so the e2e row provably runs the same
+    * gram construction as the stages it composes.
+    */
+  private def bigrams(ws: Column): Column =
+    explode(transform(sequence(lit(1), size(ws) - 1),
+      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+
+  private def fiveGramHashes(ws: Column): Column =
+    explode(transform(sequence(lit(1), size(ws) - 4),
+      i => h64(array_join(slice(ws, i, lit(5)), " "))))
+
   /** Repetition metrics per document: word-level bigram mode count and
     * distinct-word count, with a Gopher-style "top 2-gram fraction >
     * 20%" rejection flag. The bigram histogram is an explode →
@@ -56,9 +70,7 @@ object CorpusOps {
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => concat(element_at(col("ws"), i), lit(" "),
-            element_at(col("ws"), i + 1)))).as("gram"))
+        bigrams(col("ws")).as("gram"))
     grams
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"),
@@ -102,9 +114,7 @@ object CorpusOps {
     val g = t.documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 5)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 4),
-          i => h64(array_join(slice(col("ws"), i, lit(5)), " ")))).as("gh"))
+      .select(col("doc_id"), fiveGramHashes(col("ws")).as("gh"))
     val bench = g.filter(col("doc_id") % 97 === 0).select("gh").distinct()
     val hits = g.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), Seq("gh"))
@@ -301,18 +311,13 @@ object CorpusOps {
         split(col("text"), " ").as("ws"))
     // Gopher gate: top bigram must account for <= 1/5 of all bigrams
     val rep = w.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => concat(element_at(col("ws"), i), lit(" "),
-            element_at(col("ws"), i + 1)))).as("gram"))
+      .select(col("doc_id"), bigrams(col("ws")).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(max(col("cnt")).as("topc"), sum(col("cnt")).as("nb"))
     // contamination: any 5-gram hash shared with the benchmark slice
     val g = w.filter(size(col("ws")) >= 5)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 4),
-          i => h64(array_join(slice(col("ws"), i, lit(5)), " ")))).as("gh"))
+      .select(col("doc_id"), fiveGramHashes(col("ws")).as("gh"))
     val bench = g.filter(col("doc_id") % 97 === 0).select("gh").distinct()
     val contaminated = g.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), Seq("gh")).select("doc_id").distinct()
@@ -322,9 +327,9 @@ object CorpusOps {
       .filter(size(col("ws")) >= 50 &&
         col("topc") * 5 <= col("nb") &&
         col("doc_id") % 97 =!= 0)
-    // cross-source keep-best over the eligible set (filter THEN dedup)
-    val ord = struct(
-      expr("CAST(substring(source, 4) AS BIGINT)").as("src_rank"), col("doc_id"))
+    // cross-source keep-best over the eligible set (filter THEN dedup);
+    // same keep-rule ordering as dedup_keep_best, by construction
+    val ord = DedupOps.srcRankOrd
     val kept = eligible
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min_by(struct(col("source"), col("lang"), col("ws"), col("text")), ord)

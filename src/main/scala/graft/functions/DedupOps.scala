@@ -55,6 +55,13 @@ object DedupOps {
     * would sort every copy group instead. The oracle's window form is
     * the readable spec; the engine runs the agg form.
     */
+  /** Keep-rule ordering shared by [[dedupKeepBest]] and the composed
+    * curation pipeline (CorpusOps.corpusCurationE2e): lowest source
+    * rank wins, doc_id breaks ties deterministically.
+    */
+  private[functions] def srcRankOrd: Column = struct(
+    expr("CAST(substring(source, 4) AS BIGINT)").as("src_rank"), col("doc_id"))
+
   val dedupKeepBest: QueryDef = QueryDef(
     "dedup_keep_best",
     """WITH d AS (SELECT md5(text) AS text_hash, doc_id, source,
@@ -70,8 +77,7 @@ object DedupOps {
       |SELECT w.text_hash, w.doc_id AS keep_doc_id, w.source AS keep_source,
       |       w.n_copies, s.n_sources
       |FROM w JOIN s USING (text_hash) WHERE w.rn = 1""".stripMargin) { t =>
-    val ord = struct(
-      expr("CAST(substring(source, 4) AS BIGINT)").as("src_rank"), col("doc_id"))
+    val ord = srcRankOrd
     t.documents
       .select(md5(col("text")).as("text_hash"), col("doc_id"), col("source"))
       .groupBy(col("text_hash"))

@@ -233,9 +233,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           .getOrElse(throw new IllegalArgumentException(s"${defn.name}: no snapshot v$v"))
         case None => cs.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
       }
-      val firstSeen: Map[String, Int] =
-        cs.flatMap(c => c.files.map(_ -> c.version)).groupBy(_._1)
-          .view.mapValues(_.map(_._2).min).toMap
+      val firstSeen = firstSeenByFile(cs)
       val groups = snap.files.groupBy(firstSeen).toSeq.sortBy(_._1)
       if (groups.size <= 1) read(version).select(logicalCols: _*)
       else {
@@ -396,11 +394,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         (k, true, k.count())
     }
     try {
-      if (nKeys == 0)
-        // nothing to delete and (by the repair contract) nothing to
-        // insert: the steady-state no-drift case must not rewrite the
-        // table — same no-op shape as a zero-row append
+      if (nKeys == 0) {
+        // nothing to delete ⇒ nothing may be inserted either (a repair
+        // pass derives `replacement` FROM the keys; silently dropping a
+        // non-empty replacement here would lose data for any caller
+        // using this as insert-or-replace — that caller wants append).
+        // The isEmpty probe is one limit-1 job on the rare no-op path.
+        require(replacement.isEmpty,
+          s"${defn.name}: replaceKeys with zero keys but a non-empty replacement — use append")
         return commits.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
+      }
       val (untouched, toRewrite) = timed("replaceKeys/classify")(classifyLiveFiles(prune))
       val hinted =
         if (nKeys <= GraftTable.BroadcastKeyLimit)
@@ -505,16 +508,21 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
+  /** file → the commit version that FIRST added it — the merge-on-read
+    * sequence number readLogical's latest-wins resolution orders by.
+    * One definition for every MOR-aware code path.
+    */
+  private def firstSeenByFile(cs: Seq[CommitMeta]): Map[String, Int] =
+    cs.flatMap(c => c.files.map(_ -> c.version)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+
   /** Distinct upsert sequences among the live files of a merge-on-read
     * table (1 after compaction; raw-file reads are sound only then).
     */
   private def morSequences: Int = {
     val cs = commits
-    cs.lastOption.map { snap =>
-      val firstSeen = cs.flatMap(c => c.files.map(_ -> c.version)).groupBy(_._1)
-        .view.mapValues(_.map(_._2).min).toMap
-      snap.files.map(firstSeen).distinct.size
-    }.getOrElse(0)
+    cs.lastOption.map(snap =>
+      snap.files.map(firstSeenByFile(cs)).distinct.size).getOrElse(0)
   }
 
   private def readFilesAs(files: Seq[String]): DataFrame =
@@ -624,9 +632,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val cs = commits
     val live = cs.lastOption.map(_.files).getOrElse(Nil)
     if (defn.mergeOnRead) {
-      val firstSeen = cs.flatMap(c => c.files.map(_ -> c.version)).groupBy(_._1)
-        .view.mapValues(_.map(_._2).min).toMap
-      live.map(firstSeen).distinct.size > 1
+      live.map(firstSeenByFile(cs)).distinct.size > 1
     } else {
       val small = live.filter(f => new File(s"$dataDir/$f").length() < targetBytes * 9 / 10)
       val smallBytes = small.map(f => new File(s"$dataDir/$f").length()).sum
@@ -734,9 +740,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       if (!defn.mergeOnRead) Set.empty
       else {
         val live = cs.lastOption.map(_.files).getOrElse(Nil)
-        val firstSeen = cs.flatMap(c => c.files.map(_ -> c.version)).groupBy(_._1)
-          .view.mapValues(_.map(_._2).min).toMap
-        live.map(firstSeen).toSet
+        live.map(firstSeenByFile(cs)).toSet
       }
     val expired = cs.dropRight(1)
       .filter(c => c.tsMs < cutoff && !needed.contains(c.version))
