@@ -44,6 +44,45 @@ object FunnelOps {
           .as("total_lag_s"))
   }
 
+  /** J2/J4 — the LEFT interval join in its batch form, oracle-checked:
+    * every view row survives, matched to clicks within its 30-minute
+    * window or to NULL. Counts are exact integers (rows, matches,
+    * unmatched = rows − matches), so the cross-engine compare is
+    * hash-stable. This closes the loop on the streaming twin: the
+    * streamed [[graft.streaming.EventStreams.leftIntervalJoinPairs]]
+    * is pinned row-equal to THIS batch form by StreamingSpec, and this
+    * form is pinned value-equal to DuckDB — so the stream's outer-join
+    * semantics (NULL emission after watermark) are transitively
+    * oracle-checked. Equi-join on user_id with the time bound as a
+    * residual: a hash join at any scale, never a range scan.
+    */
+  val j2LeftIntervalJoin: QueryDef = QueryDef(
+    "j2_left_interval_join",
+    """WITH v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+      |SELECT v.user_id,
+      |       count(*) AS n_rows,
+      |       count(c.c_ts) AS n_matched,
+      |       count(*) - count(c.c_ts) AS n_unmatched_views
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |                   AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTE
+      |GROUP BY v.user_id""".stripMargin) { t =>
+    val ev = t.events
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    v.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("c_ts")).as("n_matched"),
+        (count(lit(1)) - count(col("c_ts"))).as("n_unmatched_views"))
+  }
+
   /** J7/J3/P13 — 3-stage funnel chain with NULL-preserving left joins and
     * join-null stage flags (v_event_enriched_full_funnel.sql:72-84;
     * streaming twin funnel_jobs.sql:54-63): view →(≤30 min) click
@@ -234,5 +273,5 @@ object FunnelOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(j1IntervalJoin, j7FunnelChain, j3Funnel4Stage, a6FunnelLeakage)
+    Seq(j1IntervalJoin, j2LeftIntervalJoin, j7FunnelChain, j3Funnel4Stage, a6FunnelLeakage)
 }
