@@ -245,7 +245,12 @@ object ScaleProbe {
         "dedup_minhash_lsh" -> (t => functions.DedupOps.dedupMinhashLsh.fn(t.spark, t.dir)),
         "dedup_ngram_jaccard" -> (t => functions.DedupOps.dedupNgramJaccard.fn(t.spark, t.dir)),
         "dedup_simhash_pairs" -> (t => functions.DedupOps.dedupSimhashPairs.fn(t.spark, t.dir)),
-        "dedup_clusters" -> (t => functions.DedupOps.dedupClusters.fn(t.spark, t.dir)))
+        "dedup_clusters" -> (t => functions.DedupOps.dedupClusters.fn(t.spark, t.dir)),
+        // exact-substring spans: the window hashes and the dup-count
+        // groupBy grow k× with the corpus (replica word-prefixes keep
+        // copies from colliding, so dup structure replicates too); the
+        // curve should track dedup_exact's shape, not the pair ops'
+        "dedup_substring_spans" -> (t => functions.DedupOps.dedupSubstringSpans.fn(t.spark, t.dir)))
 
     // sf0.1 is only 5k docs — the 1×..10× range turned out to be fully
     // overhead-dominated on local[32] (flat ~0.3-3 s per stage), so the

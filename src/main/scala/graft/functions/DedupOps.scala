@@ -755,7 +755,132 @@ object DedupOps {
         col("dup_of").isNull.as("is_kept"), col("dup_of"))
   }
 
+  /** Window length (in words) for exact-substring duplicate detection.
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better") use 50 BPE tokens against web-scale corpora; the synthetic
+    * documents are 10-99 words, so 8 keeps the operator exercised at
+    * every test SF while the window stays a constructor parameter of
+    * [[substringDupSpans]].
+    */
+  private[graft] val SubstringW = 8
+
+  /** Exact duplicated-substring detection — the span-level complement of
+    * document-level dedup: find every W-word window whose content occurs
+    * MORE THAN ONCE anywhere in the corpus (other documents or elsewhere
+    * in the same one), merge overlapping duplicated windows into maximal
+    * spans, and report per document how much of it is duplicated text.
+    * A curation pipeline uses the counts two ways: gate documents whose
+    * duplicated fraction exceeds a policy bound (the flag here), or cut
+    * the spans themselves (Lee et al.'s remove-and-rejoin).
+    *
+    * Scale shape (the suffix-array of the paper is a single-machine
+    * construction; this is the shuffle-native equivalent):
+    *  - window hashes are a pure map — `transform` over the split array
+    *    computes (pos, h64) pairs BEFORE the explode, so the shuffle
+    *    carries (doc_id, pos, hash), never words or arrays;
+    *  - the global occurrence count is one hash-shuffle groupBy with
+    *    map-side partial counts; a hash repeated a million times still
+    *    contributes ONE (h, cnt) row to the dup side, so hot spans skew
+    *    the count side by nothing and the join back fans out each
+    *    position exactly once — no pair expansion anywhere, unlike a
+    *    position×position self-join;
+    *  - span merging is gaps-and-islands per document (running max of
+    *    window end over a doc-local sort) — partitions by doc_id, so the
+    *    heaviest reduce task is the longest single document.
+    */
+  val dedupSubstringSpans: QueryDef = QueryDef(
+    "dedup_substring_spans",
+    s"""WITH ww AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |            FROM documents),
+       |g AS (SELECT doc_id, n_words, unnest(range(1, n_words - ${SubstringW - 2})) AS pos, ws
+       |      FROM ww WHERE n_words >= $SubstringW),
+       |h AS (SELECT doc_id, n_words, pos,
+       |             ${h64Sql(s"array_to_string(ws[pos:pos+${SubstringW - 1}], ' ')")} AS h
+       |      FROM g),
+       |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+       |d AS (SELECT h.doc_id, h.n_words, h.pos FROM h JOIN dup ON dup.h = h.h),
+       |i AS (SELECT doc_id, n_words, pos,
+       |             max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |      FROM d),
+       |f AS (SELECT doc_id, n_words, pos,
+       |             CASE WHEN prev_max IS NULL OR pos > prev_max + ${SubstringW - 1}
+       |                  THEN 1 ELSE 0 END AS new_island
+       |      FROM i),
+       |s AS (SELECT doc_id, n_words, pos,
+       |             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+       |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |      FROM f),
+       |sp AS (SELECT doc_id, island, max(n_words) AS n_words,
+       |              max(pos) - min(pos) + $SubstringW AS span_words,
+       |              count(*) AS n_windows
+       |       FROM s GROUP BY doc_id, island),
+       |pd AS (SELECT doc_id, max(n_words) AS n_words,
+       |              CAST(count(*) AS BIGINT) AS n_dup_spans,
+       |              CAST(sum(n_windows) AS BIGINT) AS n_dup_windows,
+       |              CAST(sum(span_words) AS BIGINT) AS dup_words
+       |       FROM sp GROUP BY doc_id)
+       |SELECT ww.doc_id, ww.n_words,
+       |       coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+       |       coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+       |       coalesce(pd.dup_words, 0) AS dup_words,
+       |       coalesce(pd.dup_words, 0) * 5 > ww.n_words AS is_substring_dup
+       |FROM ww LEFT JOIN pd ON pd.doc_id = ww.doc_id""".stripMargin) { t =>
+    substringDupSpans(t.documents, SubstringW)
+  }
+
+  /** Parameterized core of [[dedupSubstringSpans]] — the window length is
+    * the only knob; specs drive it with synthetic overlap shapes.
+    */
+  private[graft] def substringDupSpans(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ww = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
+    val h = ww
+      .filter(col("n_words") >= w)
+      .select(col("doc_id"), col("n_words"),
+        explode(transform(sequence(lit(1), size(col("ws")) - (w - 1)),
+          i => struct(i.cast("long").as("pos"),
+            h64(array_join(slice(col("ws"), i, lit(w)), " ")).as("h")))).as("ph"))
+      .select(col("doc_id"), col("n_words"),
+        col("ph.pos").as("pos"), col("ph.h").as("h"))
+    val dup = h.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val d = h.join(dup, Seq("h")).select("doc_id", "n_words", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = d
+      .withColumn("prev_max",
+        max(col("pos")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("pos") > col("prev_max") + (w - 1), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islands
+      .groupBy(col("doc_id"), col("island"))
+      .agg(max(col("n_words")).as("n_words"),
+        (max(col("pos")) - min(col("pos")) + w).as("span_words"),
+        count(lit(1)).as("n_windows"))
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("n_windows")).as("n_dup_windows"),
+        sum(col("span_words")).as("dup_words"))
+    ww.select(col("doc_id"), col("n_words"))
+      .join(perDoc.drop("n_words"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        (coalesce(col("dup_words"), lit(0L)) * 5 > col("n_words"))
+          .as("is_substring_dup"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupKeepBest, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
-      dedupNgramJaccard, dedupEmbeddingCosine, dedupSemantic, dedupClusters)
+      dedupNgramJaccard, dedupEmbeddingCosine, dedupSemantic, dedupClusters,
+      dedupSubstringSpans)
 }

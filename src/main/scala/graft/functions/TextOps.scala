@@ -191,6 +191,57 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Vocabulary size for [[textOovRate]]. A deployment sizes this to its
+    * tokenizer/LM vocabulary (CCNet's KenLM models carry ~2^16 words);
+    * pinned to 24 here because the synthetic corpus draws from ~31
+    * distinct words — the cut has to land INSIDE the observed vocabulary
+    * for the gate to ever fire at test scale.
+    */
+  private val OovVocabK = 24
+
+  /** Corpus-vocabulary OOV-rate scoring — the cheap stand-in for
+    * LM-perplexity quality filtering (CCNet trains KenLM; the proxy both
+    * it and Gopher fall back to is "how much of the document is made of
+    * words the corpus itself considers common"). Pass 1 builds the
+    * vocabulary: the top-[[OovVocabK]] words by corpus frequency — one
+    * hash-shuffle groupBy with map-side partial counts, then a
+    * TakeOrderedAndProject over the (already tiny) distinct-word set,
+    * tie-broken by word so the cut is deterministic cross-engine. Pass 2
+    * scores every document against it: the vocabulary is BROADCAST
+    * (fixed K regardless of corpus size — at 100 TB the corpus grows,
+    * the vocab does not), so the corpus side never shuffles; the per-doc
+    * count is a map-side-combinable agg keyed by doc_id. Flags docs
+    * whose OOV share exceeds 20%, integer cross-multiplied so the
+    * decision is exact cross-engine.
+    */
+  val textOovRate: QueryDef = QueryDef(
+    "text_oov_rate",
+    s"""WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |            FROM documents),
+       |v AS (SELECT word FROM ws GROUP BY word
+       |      ORDER BY count(*) DESC, word LIMIT $OovVocabK)
+       |SELECT ws.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 5
+       |         > count(*) AS is_high_oov
+       |FROM ws LEFT JOIN v ON v.word = ws.word
+       |GROUP BY ws.doc_id""".stripMargin) { t =>
+    val ws = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = ws.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(OovVocabK)
+      .select(col("word"), lit(true).as("in_vocab"))
+    ws.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        (col("n_oov") * 5 > col("n_words")).as("is_high_oov"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(textTokens, textQuality, textLangId, textFingerprint, textPack, sampleStratified)
+    Seq(textTokens, textQuality, textLangId, textFingerprint, textPack,
+      sampleStratified, textOovRate)
 }

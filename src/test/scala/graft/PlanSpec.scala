@@ -150,4 +150,25 @@ class PlanSpec extends AnyFunSuite {
     val nScans = "Scan parquet".r.findAllIn(plan).size
     assert(nScans == 1, s"expected 1 scan, got $nScans:\n$plan")
   }
+
+  test("OOV scoring broadcasts the fixed-size vocabulary, corpus side hash-joins") {
+    val plan = planOf("text_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast — it is fixed-K regardless of corpus size:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus word stream must never sort for the vocab probe:\n$plan")
+  }
+
+  test("substring-span dedup joins positions on the window hash, never nested-loop") {
+    val plan = planOf("dedup_substring_spans")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"dup-position recovery must key on the hash:\n$plan")
+    // span merging must stay doc-local: every gaps-and-islands window
+    // spec partitions by doc_id (a window without a partition key would
+    // drag the whole position set onto one task)
+    val windows = "Window \\[[^\\n]*".r.findAllIn(plan).toSeq
+    assert(windows.nonEmpty, s"islands need a doc-local window:\n$plan")
+    assert(windows.forall(_.contains("doc_id")),
+      s"every window must partition by doc_id:\n${windows.mkString("\n")}")
+  }
 }
