@@ -830,22 +830,32 @@ object DedupOps {
     substringDupSpans(t.documents, SubstringW)
   }
 
-  /** Parameterized core of [[dedupSubstringSpans]] — the window length is
-    * the only knob; specs drive it with synthetic overlap shapes.
+  /** W-word window hashes with positions — shared by the span REPORT
+    * ([[substringDupSpans]]) and the span CUT ([[substringDupCut]]) so
+    * the cut provably removes exactly the spans the report flags. The
+    * (pos, h64) pairs are computed by `transform` BEFORE the explode:
+    * shuffles downstream carry (doc_id, pos, hash), never words/arrays.
     */
-  private[graft] def substringDupSpans(docs: DataFrame, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ww = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
-    val h = ww
-      .filter(col("n_words") >= w)
+  private def windowHashes(ww: DataFrame, w: Int): DataFrame =
+    ww.filter(col("n_words") >= w)
       .select(col("doc_id"), col("n_words"),
         explode(transform(sequence(lit(1), size(col("ws")) - (w - 1)),
           i => struct(i.cast("long").as("pos"),
             h64(array_join(slice(col("ws"), i, lit(w)), " ")).as("h")))).as("ph"))
       .select(col("doc_id"), col("n_words"),
         col("ph.pos").as("pos"), col("ph.h").as("h"))
+
+  private def splitDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
+
+  /** Parameterized core of [[dedupSubstringSpans]] — the window length is
+    * the only knob; specs drive it with synthetic overlap shapes.
+    */
+  private[graft] def substringDupSpans(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ww = splitDocs(docs)
+    val h = windowHashes(ww, w)
     val dup = h.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("h")
     val d = h.join(dup, Seq("h")).select("doc_id", "n_words", "pos")
@@ -879,8 +889,100 @@ object DedupOps {
           .as("is_substring_dup"))
   }
 
+  /** Position packing for the keep-first rule in [[substringDupCut]]:
+    * a window occurrence (doc_id, pos) is ordered by doc_id*2^20 + pos,
+    * so the corpus-wide first occurrence of a hash is one skew-free
+    * `min` aggregate (2^20 bounds a document at ~1M words — beyond any
+    * training document; a deployment with longer docs widens the shift).
+    */
+  private val PosBits = 20
+
+  /** Exact-substring CUT — Lee et al.'s remove-and-rejoin, the operator
+    * that actually edits the corpus: every duplicated W-word window
+    * keeps its corpus-wide FIRST occurrence (lowest doc_id, then
+    * position) and is cut everywhere else; the kept words are re-joined
+    * in order and the result fingerprinted. Emits per document the
+    * original and surviving word counts and the md5 of the rebuilt text
+    * — the downstream pipeline consumes exactly these (the text itself
+    * at scale is written, not collected).
+    *
+    * Scale shape, beyond what [[dedupSubstringSpans]] already bounds:
+    *  - keep-first is `min(packed)` per hash — a pure partial-aggregate,
+    *    so a hash repeated a million times still resolves its canonical
+    *    occurrence with map-side combines, never a per-key sort (the
+    *    row_number-over-hash formulation would drag the hot key onto one
+    *    task);
+    *  - redundant windows fan out into AT MOST W covered positions each
+    *    — bounded, no pair expansion;
+    *  - reconstruction is doc-local: the anti-join on (doc_id, p) and
+    *    the ordered re-join both partition by doc_id.
+    */
+  val dedupSubstringCut: QueryDef = QueryDef(
+    "dedup_substring_cut",
+    s"""WITH ww AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |            FROM documents),
+       |g AS (SELECT doc_id, n_words, unnest(range(1, n_words - ${SubstringW - 2})) AS pos, ws
+       |      FROM ww WHERE n_words >= $SubstringW),
+       |h AS (SELECT doc_id, n_words, pos,
+       |             ${h64Sql(s"array_to_string(ws[pos:pos+${SubstringW - 1}], ' ')")} AS h,
+       |             doc_id * ${1L << PosBits} + pos AS packed
+       |      FROM g),
+       |m AS (SELECT h, min(packed) AS keep_packed, count(*) AS cnt
+       |      FROM h GROUP BY h),
+       |r AS (SELECT h.doc_id, h.pos FROM h JOIN m ON m.h = h.h
+       |      WHERE m.cnt >= 2 AND h.packed <> m.keep_packed),
+       |cov AS (SELECT DISTINCT doc_id, p FROM
+       |        (SELECT doc_id, unnest(range(pos, pos + $SubstringW)) AS p FROM r)),
+       |wp AS (SELECT doc_id, n_words, unnest(range(1, n_words + 1)) AS p, ws
+       |       FROM ww),
+       |kept AS (SELECT wp.doc_id, wp.p, wp.ws[wp.p] AS word
+       |         FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.p = wp.p
+       |         WHERE cov.p IS NULL),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words_kept,
+       |              md5(string_agg(word, ' ' ORDER BY p)) AS cut_text_hash
+       |       FROM kept GROUP BY doc_id)
+       |SELECT ww.doc_id, ww.n_words,
+       |       coalesce(pd.n_words_kept, 0) AS n_words_kept,
+       |       coalesce(pd.cut_text_hash, md5('')) AS cut_text_hash,
+       |       coalesce(pd.n_words_kept, 0) < ww.n_words AS is_modified
+       |FROM ww LEFT JOIN pd ON pd.doc_id = ww.doc_id""".stripMargin) { t =>
+    substringDupCut(t.documents, SubstringW)
+  }
+
+  /** Parameterized core of [[dedupSubstringCut]]. */
+  private[graft] def substringDupCut(docs: DataFrame, w: Int): DataFrame = {
+    val ww = splitDocs(docs)
+    val h = windowHashes(ww, w)
+      .withColumn("packed", col("doc_id") * (1L << PosBits) + col("pos"))
+    val m = h.groupBy(col("h"))
+      .agg(min(col("packed")).as("keep_packed"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val r = h.join(m, Seq("h"))
+      .filter(col("packed") =!= col("keep_packed"))
+      .select(col("doc_id"), col("pos"))
+    val cov = r
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .distinct()
+    val wp = ww.select(col("doc_id"), col("n_words"),
+      explode(transform(sequence(lit(1), size(col("ws"))),
+        i => struct(i.cast("long").as("p"), element_at(col("ws"), i).as("word")))).as("pw"))
+      .select(col("doc_id"), col("n_words"), col("pw.p").as("p"), col("pw.word").as("word"))
+    val kept = wp.join(cov, Seq("doc_id", "p"), "left_anti")
+    val pd = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words_kept"),
+        md5(array_join(transform(array_sort(collect_list(struct(col("p"), col("word")))),
+          s => s.getField("word")), " ")).as("cut_text_hash"))
+    ww.select(col("doc_id"), col("n_words"))
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
+        coalesce(col("cut_text_hash"), md5(lit(""))).as("cut_text_hash"),
+        (coalesce(col("n_words_kept"), lit(0L)) < col("n_words")).as("is_modified"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupKeepBest, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupEmbeddingCosine, dedupSemantic, dedupClusters,
-      dedupSubstringSpans)
+      dedupSubstringSpans, dedupSubstringCut)
 }

@@ -171,4 +171,14 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.forall(_.contains("doc_id")),
       s"every window must partition by doc_id:\n${windows.mkString("\n")}")
   }
+
+  test("substring cut picks keep-first via min-aggregate, never a per-hash window sort") {
+    val plan = planOf("dedup_substring_cut")
+    // a row_number-over-hash formulation would drag a hot hash (the
+    // million-fold repeated span) onto one task; min(packed) combines
+    // map-side. The only acceptable plan has NO window operator at all.
+    assert(!plan.contains("Window"),
+      s"keep-first must be an aggregate, not a window function:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -49,6 +49,39 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(n == 12L && spans == 1L && wins == 2L && dup == 5L)
   }
 
+  private def runCut(docs: Seq[(Long, String)], w: Int): Map[Long, (Long, Long, String, Boolean)] = {
+    import spark.implicits._
+    DedupOps.substringDupCut(docs.toDF("doc_id", "text"), w)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+      .toMap
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("cut keeps the corpus-wide first occurrence and removes the rest") {
+    val out = runCut(Seq(
+      1L -> "x1 x2 x3 z1 z2",  // first occurrence of x1x2x3: kept whole
+      2L -> "y0 x1 x2 x3 y1",  // second occurrence: words 2-4 cut
+      3L -> "u1 u2 u3"), w = 3)
+    assert(out(1L) == ((5L, 5L, md5Hex("x1 x2 x3 z1 z2"), false)))
+    assert(out(2L) == ((5L, 2L, md5Hex("y0 y1"), true)))
+    assert(out(3L) == ((3L, 3L, md5Hex("u1 u2 u3"), false)))
+  }
+
+  test("within-doc repeat keeps the first copy; an exact dup doc is cut to empty") {
+    val out = runCut(Seq(
+      10L -> "a b c t1 a b c",   // internal repeat at pos 5: cut 5-7
+      20L -> "m1 m2 m3 m4",      // exact duplicate pair: doc 20 keeps,
+      21L -> "m1 m2 m3 m4"), w = 3) //                    doc 21 fully cut
+    assert(out(10L) == ((7L, 4L, md5Hex("a b c t1"), true)))
+    assert(out(20L) == ((4L, 4L, md5Hex("m1 m2 m3 m4"), false)))
+    assert(out(21L) == ((4L, 0L, md5Hex(""), true)))
+  }
+
   test("documents shorter than the window emit zero counts, not nothing") {
     val out = run(Seq(30L -> "s1 s2", 31L -> "s1 s2 s3 s1 s2 s3"), w = 3)
     assert(out(30L) == ((2L, 0L, 0L, 0L, false)))
