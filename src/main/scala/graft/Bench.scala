@@ -48,11 +48,23 @@ object Bench {
           "persistent RDDs survived a blocking drain")
     }
 
+    // Force FULL output materialization with the noop sink, not count():
+    // count() lets Catalyst optimize the counting plan — a query ending
+    // in a LEFT JOIN against an aggregate keyed uniquely (the
+    // per-doc-diagnostics tail several corpus operators share) has the
+    // join ELIMINATED and the whole pipeline pruned to a metadata scan,
+    // so the recorded time measures nothing (observed: substring-span
+    // dedup flat at 0.2 s from 1x to 100x corpus). The noop sink
+    // consumes every output row and column — what a real consumer pays
+    // — with no write cost.
     val results = defs.map { q =>
       drainState()
       val t0 = System.nanoTime()
       val ok =
-        try { q.fn(spark, sfDir).count(); true }
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
@@ -66,8 +78,13 @@ object Bench {
       .mkString("[", ",", "]")
     val nFailed = results.count(!_._3)
     val total = results.collect { case (_, v, true) => v }.sum
+    // "harness":"noop-sink" marks the round-8 action change (count() →
+    // full noop-sink materialization): numbers before the mark
+    // undercount any query whose tail Catalyst could prune under
+    // count(), so cross-round per-query ratios are only meaningful
+    // within the same harness mark.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","harness":"noop-sink","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed}"""
     println(json)
     // Also write the full record to a file: the driver's stdout scrape
     // truncates long tails, which cut the first queries out of the

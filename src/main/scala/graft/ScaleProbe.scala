@@ -129,7 +129,8 @@ object ScaleProbe {
         "dedup_clusters" -> (t => functions.DedupOps.dedupClusters.fn(t.spark, t.dir)))
       for (dir <- Seq(s"$outRoot/x10", hotDir)) {
         println(s"== ${dir.substring(dir.lastIndexOf('/') + 1)} ==")
-        skewStages.foreach { case (l, fn) => timed(spark, l)(fn(Tables(spark, dir)).count()) }
+        skewStages.foreach { case (l, fn) => timed(spark, l)(
+          fn(Tables(spark, dir)).write.format("noop").mode("overwrite").save()) }
       }
       val nCand = functions.DedupOps.dedupMinhashLsh.fn(spark, hotDir).count()
       println(s"hot candidate pairs (capped): $nCand")
@@ -266,7 +267,8 @@ object ScaleProbe {
       }
       println(s"== ${k}x ==")
       k -> stages.map { case (label, fn) =>
-        timed(spark, label)(fn(Tables(spark, dir)).count())
+        timed(spark, label)(
+          fn(Tables(spark, dir)).write.format("noop").mode("overwrite").save())
       }
     }
 

@@ -836,7 +836,7 @@ object DedupOps {
     * (pos, h64) pairs are computed by `transform` BEFORE the explode:
     * shuffles downstream carry (doc_id, pos, hash), never words/arrays.
     */
-  private def windowHashes(ww: DataFrame, w: Int): DataFrame =
+  private[graft] def windowHashes(ww: DataFrame, w: Int): DataFrame =
     ww.filter(col("n_words") >= w)
       .select(col("doc_id"), col("n_words"),
         explode(transform(sequence(lit(1), size(col("ws")) - (w - 1)),
@@ -845,7 +845,7 @@ object DedupOps {
       .select(col("doc_id"), col("n_words"),
         col("ph.pos").as("pos"), col("ph.h").as("h"))
 
-  private def splitDocs(docs: DataFrame): DataFrame =
+  private[graft] def splitDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_words"))
 
@@ -895,7 +895,7 @@ object DedupOps {
     * `min` aggregate (2^20 bounds a document at ~1M words — beyond any
     * training document; a deployment with longer docs widens the shift).
     */
-  private val PosBits = 20
+  private[graft] val PosBits = 20
 
   /** Exact-substring CUT — Lee et al.'s remove-and-rejoin, the operator
     * that actually edits the corpus: every duplicated W-word window
@@ -961,7 +961,20 @@ object DedupOps {
     val r = h.join(m, Seq("h"))
       .filter(col("packed") =!= col("keep_packed"))
       .select(col("doc_id"), col("pos"))
-    val cov = r
+    substringCutStats(ww, r, w)
+  }
+
+  /** Per-document cut statistics given the REDUNDANT window set
+    * `(doc_id, pos)` — the tail both [[substringDupCut]] and the
+    * streamed gate (graft.streaming.SubstringIngest) share, so the
+    * stream provably cuts exactly what the batch operator cuts.
+    * Doc-local throughout: the covered-position expansion is ≤w rows
+    * per redundant window, and the anti-join + ordered re-join key on
+    * doc_id.
+    */
+  private[graft] def substringCutStats(ww: DataFrame, redundant: DataFrame,
+      w: Int): DataFrame = {
+    val cov = redundant
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
       .distinct()
     val wp = ww.select(col("doc_id"), col("n_words"),

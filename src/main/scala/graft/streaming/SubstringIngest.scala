@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.functions.DedupOps
+import graft.tables.{GraftTable, IdentityTransform, TableDef}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streamed exact-substring gate — the continuous form of the batch
+  * `dedup_substring_cut`: arriving documents are checked for W-word
+  * windows already seen ANYWHERE in the ingested corpus, their cut
+  * statistics (surviving word count + rebuilt-text fingerprint) land in
+  * an append-only stats table, and the windows they contribute first
+  * are appended to a shard-partitioned hash index.
+  *
+  * Keep-first is the arrival order: a window occurrence is redundant if
+  * its hash is already in the index (an earlier batch saw it) or an
+  * earlier occurrence exists in the same batch (packed (doc_id, pos)
+  * ordering — the identical rule the batch operator applies, via the
+  * shared [[DedupOps.substringCutStats]] tail). With doc ids assigned
+  * in arrival order — the standing ingestion contract — the streamed
+  * stats are row-identical to running the batch operator over the whole
+  * corpus at once, which is what the spec pins. Keep-first also makes
+  * every stats row FINAL at emit time: later arrivals can never change
+  * an earlier document's cut, so the stats table is append-only with no
+  * repair pass.
+  *
+  * Scale shape:
+  *  - the index stores (shard, h, first_doc_id) — 20 bytes per distinct
+  *    window, no text; shards are independent maintenance units
+  *    (compact/expire per shard) and the probe join co-locates on them;
+  *  - per batch, the only thing that MOVES is the batch's distinct-hash
+  *    set (broadcast); the index is scanned in place, never shuffled.
+  *    At 100 TB the scan is the cost to beat — the production add-on is
+  *    a per-shard Bloom sidecar consulted before the scan, which this
+  *    schema (uniform hash sharding) is laid out for;
+  *  - everything after the probe is batch-local and bounded exactly as
+  *    the batch operator bounds it (≤W covered positions per redundant
+  *    window, doc-local reconstruction).
+  *
+  * Replay: the gate reads the index MINUS rows first contributed by
+  * this batch's own doc ids, so a partial-commit replay (index append
+  * committed, stats append not) recomputes against the pre-batch index
+  * state and emits identical rows — same discipline as
+  * [[TrainingIngest]]'s historical probe.
+  */
+object SubstringIngest {
+
+  /** Index shard count. A deployment sizes this to its maintenance
+    * granularity (shards compact independently); probes touch every
+    * shard regardless — uniform hashing means a batch's windows spread
+    * across all of them — so the count trades file-size against
+    * parallelism, not probe cost.
+    */
+  val NShards = 32
+
+  val windowIndexDef: TableDef = TableDef("substr_windows",
+    StructType(Seq(
+      StructField("shard", IntegerType),
+      StructField("h", LongType),
+      StructField("first_doc_id", LongType))),
+    partitions = Seq(IdentityTransform("shard")),
+    keys = Seq("shard", "h"))
+
+  val cutStatsDef: TableDef = TableDef("substr_cut_stats",
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_words", LongType),
+      StructField("n_words_kept", LongType),
+      StructField("cut_text_hash", StringType),
+      StructField("is_modified", BooleanType))))
+
+  /** One micro-batch through the gate against the PRE-batch index.
+    * Pure — no writes. Returns (cut stats rows, new index rows).
+    */
+  private[streaming] def gate(batch: DataFrame, index: GraftTable,
+      w: Int): (DataFrame, DataFrame) = {
+    val ww = DedupOps.splitDocs(batch)
+    val hWin = DedupOps.windowHashes(ww, w)
+      .withColumn("packed",
+        col("doc_id") * (1L << DedupOps.PosBits) + col("pos"))
+    val ids = batch.select(col("doc_id").as("first_doc_id"))
+    // historical hit set: index hashes that match this batch, excluding
+    // rows this batch itself first contributed (replay) — the batch's
+    // distinct hashes broadcast, the index never shuffles
+    val histHit = index.readLogical()
+      .join(broadcast(ids), Seq("first_doc_id"), "left_anti")
+      .join(broadcast(hWin.select("h").distinct()), Seq("h"), "left_semi")
+      .select(col("h")).distinct()
+    val m = hWin.groupBy(col("h")).agg(min(col("packed")).as("keep_packed"))
+    val withHist = hWin.join(m, Seq("h"))
+      .join(histHit.withColumn("in_hist", lit(true)), Seq("h"), "left")
+    val redundant = withHist
+      .filter(col("in_hist").isNotNull || col("packed") =!= col("keep_packed"))
+      .select(col("doc_id"), col("pos"))
+    val stats = DedupOps.substringCutStats(ww, redundant, w)
+    val newRows = withHist
+      .filter(col("in_hist").isNull && col("packed") === col("keep_packed"))
+      .select(pmod(col("h"), lit(NShards.toLong)).cast(IntegerType).as("shard"),
+        col("h"), col("doc_id").as("first_doc_id"))
+    (stats, newRows)
+  }
+
+  /** `(doc_id, text)` stream → cut-stats + window-index appends,
+    * exactly-once per sink. Both outputs are pinned (eager
+    * localCheckpoint) BEFORE either append commits, so neither sink can
+    * observe the other's post-append state.
+    */
+  def run(docs: DataFrame, index: GraftTable, stats: GraftTable,
+      checkpoint: String, w: Int = DedupOps.SubstringW): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.persist()
+        try {
+          val (statsLazy, newRowsLazy) = gate(batch.toDF(), index, w)
+          val statsDf = statsLazy.localCheckpoint()
+          val newRows = newRowsLazy.localCheckpoint()
+          Sinks.exactlyOnce(stats, "substr.stats", batchId) {
+            if (!batch.isEmpty) stats.append(statsDf)
+          }
+          Sinks.exactlyOnce(index, "substr.index", batchId) {
+            if (!batch.isEmpty) index.append(newRows)
+          }
+        } finally { batch.unpersist() }
+        ()
+      }
+      .start()
+}
