@@ -168,15 +168,30 @@ object CorpusOps {
   private val BloomM = 1L << 20 // bloom bits — 16384 packed words, 128 KB
   private val BloomK = 4        // hash functions per shingle
 
-  /** Position j of a shingle hash in the bloom bit space — identical
-    * formula both engines (decimal rendering of the 60-bit hash, salted
-    * per hash function).
+  /** Per-hash-function multipliers/offsets for the bloom positions —
+    * classic full-period LCG multipliers, all < 2^31 so the modular
+    * product below never overflows a signed 64-bit value in either
+    * engine (DuckDB ERRORS on BIGINT overflow rather than wrapping).
+    */
+  private val BloomA = Seq(1103515245L, 766245317L, 69621L, 48271L)
+  private val BloomB = Seq(12345L, 1013904223L, 0L, 11L)
+  private val BloomP = 2147483647L // 2^31 - 1, Mersenne prime
+
+  /** Position j of a shingle hash in the bloom bit space — a universal
+    * multiply-add hash mod a Mersenne prime, derived from the 60-bit
+    * gram hash the pipeline already carries. Deliberately NOT a fresh
+    * salted md5 per position: k new digests per corpus gram made the
+    * bloom probe 2× the cost of the exact broadcast form it exists to
+    * beat; integer ops keep the probe a cheap codegen'd map. Identical
+    * formula both engines (gh < 2^60 and gh % P < 2^31, so every
+    * intermediate fits signed 64-bit).
     */
   private def bloomPos(j: Int): Column =
-    pmod(h64(concat(col("gh").cast("string"), lit(s"-b$j"))), lit(BloomM))
+    pmod(pmod(col("gh"), lit(BloomP)) * lit(BloomA(j)) + lit(BloomB(j)),
+      lit(BloomP)) % BloomM
 
   private def bloomPosSql(j: Int): String =
-    s"${h64Sql(s"CAST(gh AS VARCHAR) || '-b$j'")} % $BloomM"
+    s"((gh % $BloomP) * ${BloomA(j)} + ${BloomB(j)}) % $BloomP % $BloomM"
 
   /** Bloom-filter decontamination — the scale twin of [[textDecontam]].
     * The exact form broadcasts the eval set's distinct gram hashes,

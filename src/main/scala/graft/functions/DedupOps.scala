@@ -968,30 +968,32 @@ object DedupOps {
     * `(doc_id, pos)` — the tail both [[substringDupCut]] and the
     * streamed gate (graft.streaming.SubstringIngest) share, so the
     * stream provably cuts exactly what the batch operator cuts.
-    * Doc-local throughout: the covered-position expansion is ≤w rows
-    * per redundant window, and the anti-join + ordered re-join key on
-    * doc_id.
+    *
+    * Reconstruction never explodes words: the redundant START positions
+    * collect into one small per-doc array (one doc-keyed shuffle of
+    * longs), and the surviving text is rebuilt by a codegen'd indexed
+    * `filter` over the already-split word array — a word survives when
+    * no redundant window [p, p+w) covers it. Per-doc cost is
+    * n_words × redundant-window-count, both bounded by the document's
+    * own length, so the heaviest task is the longest single document —
+    * the same doc-local bound every stage here has. (The first form of
+    * this tail exploded every corpus word into rows and anti-joined
+    * covered positions: measured 2× slower and its shuffle carried
+    * words instead of longs.)
     */
   private[graft] def substringCutStats(ww: DataFrame, redundant: DataFrame,
       w: Int): DataFrame = {
-    val cov = redundant
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
-      .distinct()
-    val wp = ww.select(col("doc_id"), col("n_words"),
-      explode(transform(sequence(lit(1), size(col("ws"))),
-        i => struct(i.cast("long").as("p"), element_at(col("ws"), i).as("word")))).as("pw"))
-      .select(col("doc_id"), col("n_words"), col("pw.p").as("p"), col("pw.word").as("word"))
-    val kept = wp.join(cov, Seq("doc_id", "p"), "left_anti")
-    val pd = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words_kept"),
-        md5(array_join(transform(array_sort(collect_list(struct(col("p"), col("word")))),
-          s => s.getField("word")), " ")).as("cut_text_hash"))
-    ww.select(col("doc_id"), col("n_words"))
-      .join(pd, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
-        coalesce(col("cut_text_hash"), md5(lit(""))).as("cut_text_hash"),
-        (coalesce(col("n_words_kept"), lit(0L)) < col("n_words")).as("is_modified"))
+    val rl = redundant.groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("rps"))
+    val kept = ww.join(rl, Seq("doc_id"), "left")
+      .withColumn("kept_ws",
+        when(col("rps").isNull, col("ws")).otherwise(
+          filter(col("ws"), (_, i) =>
+            !exists(col("rps"), p => i + 1 >= p && i + 1 < p + w))))
+    kept.select(col("doc_id"), col("n_words"),
+      size(col("kept_ws")).cast("long").as("n_words_kept"),
+      md5(array_join(col("kept_ws"), " ")).as("cut_text_hash"),
+      (size(col("kept_ws")).cast("long") < col("n_words")).as("is_modified"))
   }
 
   val all: Seq[QueryDef] =
