@@ -169,29 +169,38 @@ object CorpusOps {
   private val BloomK = 4        // hash functions per shingle
 
   /** Per-hash-function multipliers/offsets for the bloom positions —
-    * classic full-period LCG multipliers, all < 2^31 so the modular
-    * product below never overflows a signed 64-bit value in either
+    * classic full-period LCG multipliers, all < 2^31 so every modular
+    * product below stays under 2^62 in a signed 64-bit value in either
     * engine (DuckDB ERRORS on BIGINT overflow rather than wrapping).
     */
   private val BloomA = Seq(1103515245L, 766245317L, 69621L, 48271L)
   private val BloomB = Seq(12345L, 1013904223L, 0L, 11L)
+  private val BloomC = Seq(2027107999L, 1181783497L, 630360016L, 397204094L)
   private val BloomP = 2147483647L // 2^31 - 1, Mersenne prime
 
-  /** Position j of a shingle hash in the bloom bit space — a universal
-    * multiply-add hash mod a Mersenne prime, derived from the 60-bit
-    * gram hash the pipeline already carries. Deliberately NOT a fresh
+  /** Position j of a shingle hash in the bloom bit space — a
+    * Kirsch-Mitzenmacher-style double hash over TWO independent
+    * residues of the 60-bit gram hash (low: gh mod P, high: gh >> 31),
+    * combined affinely mod a Mersenne prime. Deliberately NOT a fresh
     * salted md5 per position: k new digests per corpus gram made the
     * bloom probe 2× the cost of the exact broadcast form it exists to
-    * beat; integer ops keep the probe a cheap codegen'd map. Identical
-    * formula both engines (gh < 2^60 and gh % P < 2^31, so every
-    * intermediate fits signed 64-bit).
+    * beat; integer ops keep the probe a cheap codegen'd map. Two
+    * residues matter: positions affine in ONE residue would make any
+    * gram pair colliding mod P collide on ALL k bloom bits — a
+    * precision floor no m/k sizing could reduce; with independent
+    * (A_j, C_j) coefficients an all-bits collision needs both residues
+    * equal (~2^-60). Identical formula both engines; every
+    * intermediate < 2^62.
     */
   private def bloomPos(j: Int): Column =
-    pmod(pmod(col("gh"), lit(BloomP)) * lit(BloomA(j)) + lit(BloomB(j)),
+    pmod(
+      pmod(pmod(col("gh"), lit(BloomP)) * lit(BloomA(j)), lit(BloomP)) +
+        pmod(shiftright(col("gh"), 31) * lit(BloomC(j)), lit(BloomP)) +
+        lit(BloomB(j)),
       lit(BloomP)) % BloomM
 
   private def bloomPosSql(j: Int): String =
-    s"((gh % $BloomP) * ${BloomA(j)} + ${BloomB(j)}) % $BloomP % $BloomM"
+    s"(((gh % $BloomP) * ${BloomA(j)} % $BloomP + (gh >> 31) * ${BloomC(j)} % $BloomP + ${BloomB(j)}) % $BloomP) % $BloomM"
 
   /** Bloom-filter decontamination — the scale twin of [[textDecontam]].
     * The exact form broadcasts the eval set's distinct gram hashes,

@@ -795,28 +795,28 @@ object DedupOps {
        |            FROM documents),
        |g AS (SELECT doc_id, n_words, unnest(range(1, n_words - ${SubstringW - 2})) AS pos, ws
        |      FROM ww WHERE n_words >= $SubstringW),
-       |h AS (SELECT doc_id, n_words, pos,
+       |h AS (SELECT doc_id, pos,
        |             ${h64Sql(s"array_to_string(ws[pos:pos+${SubstringW - 1}], ' ')")} AS h
        |      FROM g),
        |dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
-       |d AS (SELECT h.doc_id, h.n_words, h.pos FROM h JOIN dup ON dup.h = h.h),
-       |i AS (SELECT doc_id, n_words, pos,
+       |d AS (SELECT h.doc_id, h.pos FROM h JOIN dup ON dup.h = h.h),
+       |i AS (SELECT doc_id, pos,
        |             max(pos) OVER (PARTITION BY doc_id ORDER BY pos
        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
        |      FROM d),
-       |f AS (SELECT doc_id, n_words, pos,
+       |f AS (SELECT doc_id, pos,
        |             CASE WHEN prev_max IS NULL OR pos > prev_max + ${SubstringW - 1}
        |                  THEN 1 ELSE 0 END AS new_island
        |      FROM i),
-       |s AS (SELECT doc_id, n_words, pos,
+       |s AS (SELECT doc_id, pos,
        |             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
        |                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
        |      FROM f),
-       |sp AS (SELECT doc_id, island, max(n_words) AS n_words,
+       |sp AS (SELECT doc_id, island,
        |              max(pos) - min(pos) + $SubstringW AS span_words,
        |              count(*) AS n_windows
        |       FROM s GROUP BY doc_id, island),
-       |pd AS (SELECT doc_id, max(n_words) AS n_words,
+       |pd AS (SELECT doc_id,
        |              CAST(count(*) AS BIGINT) AS n_dup_spans,
        |              CAST(sum(n_windows) AS BIGINT) AS n_dup_windows,
        |              CAST(sum(span_words) AS BIGINT) AS dup_words
@@ -835,15 +835,31 @@ object DedupOps {
     * the cut provably removes exactly the spans the report flags. The
     * (pos, h64) pairs are computed by `transform` BEFORE the explode:
     * shuffles downstream carry (doc_id, pos, hash), never words/arrays.
+    * (Deliberately does NOT forward n_words — every consumer rejoins it
+    * from the doc side at the end; threading it through the shuffles
+    * would be dead weight readers then have to trace.)
     */
   private[graft] def windowHashes(ww: DataFrame, w: Int): DataFrame =
     ww.filter(col("n_words") >= w)
-      .select(col("doc_id"), col("n_words"),
+      .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - (w - 1)),
           i => struct(i.cast("long").as("pos"),
             h64(array_join(slice(col("ws"), i, lit(w)), " ")).as("h")))).as("ph"))
-      .select(col("doc_id"), col("n_words"),
-        col("ph.pos").as("pos"), col("ph.h").as("h"))
+      .select(col("doc_id"), col("ph.pos").as("pos"), col("ph.h").as("h"))
+
+  /** (doc_id, pos) packed into one orderable long for the keep-first
+    * rule — with a LOUD guard: a position at or beyond 2^[[PosBits]]
+    * would bleed into the doc_id field and silently corrupt the
+    * corpus-wide-first ordering (cutting the wrong document's text), so
+    * it raises instead. 2^20 bounds a document at ~1M words; a
+    * deployment with longer documents widens [[PosBits]].
+    */
+  private[graft] def packedPos: Column =
+    when(col("pos") < (1L << PosBits),
+      col("doc_id") * (1L << PosBits) + col("pos"))
+      .otherwise(raise_error(format_string(
+        s"doc %d has window position %d >= 2^$PosBits — widen DedupOps.PosBits",
+        col("doc_id"), col("pos"))).cast("long"))
 
   private[graft] def splitDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -858,7 +874,7 @@ object DedupOps {
     val h = windowHashes(ww, w)
     val dup = h.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("h")
-    val d = h.join(dup, Seq("h")).select("doc_id", "n_words", "pos")
+    val d = h.join(dup, Seq("h")).select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val islands = d
       .withColumn("prev_max",
@@ -870,17 +886,15 @@ object DedupOps {
         sum(col("new_island")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
     val spans = islands
       .groupBy(col("doc_id"), col("island"))
-      .agg(max(col("n_words")).as("n_words"),
-        (max(col("pos")) - min(col("pos")) + w).as("span_words"),
+      .agg((max(col("pos")) - min(col("pos")) + w).as("span_words"),
         count(lit(1)).as("n_windows"))
     val perDoc = spans
       .groupBy(col("doc_id"))
-      .agg(max(col("n_words")).as("n_words"),
-        count(lit(1)).as("n_dup_spans"),
+      .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("n_windows")).as("n_dup_windows"),
         sum(col("span_words")).as("dup_words"))
     ww.select(col("doc_id"), col("n_words"))
-      .join(perDoc.drop("n_words"), Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
@@ -924,7 +938,7 @@ object DedupOps {
        |            FROM documents),
        |g AS (SELECT doc_id, n_words, unnest(range(1, n_words - ${SubstringW - 2})) AS pos, ws
        |      FROM ww WHERE n_words >= $SubstringW),
-       |h AS (SELECT doc_id, n_words, pos,
+       |h AS (SELECT doc_id, pos,
        |             ${h64Sql(s"array_to_string(ws[pos:pos+${SubstringW - 1}], ' ')")} AS h,
        |             doc_id * ${1L << PosBits} + pos AS packed
        |      FROM g),
@@ -953,8 +967,7 @@ object DedupOps {
   /** Parameterized core of [[dedupSubstringCut]]. */
   private[graft] def substringDupCut(docs: DataFrame, w: Int): DataFrame = {
     val ww = splitDocs(docs)
-    val h = windowHashes(ww, w)
-      .withColumn("packed", col("doc_id") * (1L << PosBits) + col("pos"))
+    val h = windowHashes(ww, w).withColumn("packed", packedPos)
     val m = h.groupBy(col("h"))
       .agg(min(col("packed")).as("keep_packed"), count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)

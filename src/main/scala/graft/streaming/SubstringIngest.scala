@@ -40,10 +40,11 @@ import org.apache.spark.sql.types._
   *    window, doc-local reconstruction).
   *
   * Replay: the gate reads the index MINUS rows first contributed by
-  * this batch's own doc ids, so a partial-commit replay (index append
-  * committed, stats append not) recomputes against the pre-batch index
-  * state and emits identical rows — same discipline as
-  * [[TrainingIngest]]'s historical probe.
+  * this batch's own doc ids, so a replay of a batch whose index append
+  * already committed (a fully-committed batch re-fired from a fresh
+  * checkpoint) recomputes against the pre-batch index state and emits
+  * identical rows — same discipline as [[TrainingIngest]]'s historical
+  * probe. See [[run]] for the commit-order story.
   */
 object SubstringIngest {
 
@@ -72,14 +73,17 @@ object SubstringIngest {
       StructField("is_modified", BooleanType))))
 
   /** One micro-batch through the gate against the PRE-batch index.
-    * Pure — no writes. Returns (cut stats rows, new index rows).
+    * Returns (cut stats rows, new index rows). Both outputs derive from
+    * ONE pinned evaluation of the probe (`withHist` is eagerly
+    * localCheckpointed): without the pin, each output's lineage would
+    * re-scan the whole index and re-hash the batch — the per-batch cost
+    * this gate exists to bound, paid twice.
     */
   private[streaming] def gate(batch: DataFrame, index: GraftTable,
       w: Int): (DataFrame, DataFrame) = {
     val ww = DedupOps.splitDocs(batch)
     val hWin = DedupOps.windowHashes(ww, w)
-      .withColumn("packed",
-        col("doc_id") * (1L << DedupOps.PosBits) + col("pos"))
+      .withColumn("packed", DedupOps.packedPos)
     val ids = batch.select(col("doc_id").as("first_doc_id"))
     // historical hit set: index hashes that match this batch, excluding
     // rows this batch itself first contributed (replay) — the batch's
@@ -91,6 +95,7 @@ object SubstringIngest {
     val m = hWin.groupBy(col("h")).agg(min(col("packed")).as("keep_packed"))
     val withHist = hWin.join(m, Seq("h"))
       .join(histHit.withColumn("in_hist", lit(true)), Seq("h"), "left")
+      .localCheckpoint()
     val redundant = withHist
       .filter(col("in_hist").isNotNull || col("packed") =!= col("keep_packed"))
       .select(col("doc_id"), col("pos"))
@@ -103,9 +108,16 @@ object SubstringIngest {
   }
 
   /** `(doc_id, text)` stream → cut-stats + window-index appends,
-    * exactly-once per sink. Both outputs are pinned (eager
-    * localCheckpoint) BEFORE either append commits, so neither sink can
-    * observe the other's post-append state.
+    * exactly-once per sink. [[gate]] pins the probe result before
+    * either append commits, so both sinks observe the same pre-batch
+    * index state regardless of commit interleaving: stats commits
+    * FIRST, so the only reachable partial-commit state is (stats
+    * committed, index not) — a replay then recomputes against the
+    * still-pre-batch index, skips stats by its marker, and appends the
+    * identical index rows. The gate's first_doc_id anti-join exists for
+    * the OTHER replay class: a fully-committed batch replayed from a
+    * fresh checkpoint recomputes with its own rows already indexed, and
+    * must not see them as history.
     */
   def run(docs: DataFrame, index: GraftTable, stats: GraftTable,
       checkpoint: String, w: Int = DedupOps.SubstringW): StreamingQuery =
@@ -115,9 +127,7 @@ object SubstringIngest {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.persist()
         try {
-          val (statsLazy, newRowsLazy) = gate(batch.toDF(), index, w)
-          val statsDf = statsLazy.localCheckpoint()
-          val newRows = newRowsLazy.localCheckpoint()
+          val (statsDf, newRows) = gate(batch.toDF(), index, w)
           Sinks.exactlyOnce(stats, "substr.stats", batchId) {
             if (!batch.isEmpty) stats.append(statsDf)
           }
