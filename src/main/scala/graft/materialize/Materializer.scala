@@ -207,46 +207,90 @@ final class Materializer(
     advanceWatermark()
   }
 
-  /** Order-independent multiset fingerprint of a DataFrame: row count,
-    * bitwise XOR, and wraparound-free decimal SUM of per-row xxhash64.
-    * Two fingerprints differ ⇒ the multisets differ (up to 64-bit hash
-    * collision, negligible for non-adversarial data); equality is the
-    * cheap "no drift, skip the rewrite" fast path. One scan per side,
-    * partial aggregation, single-row result — no shuffle of data rows,
-    * unlike an exceptAll compare, which shuffles the whole slice twice.
+  /** Side-tagged per-row hash stream: the building block of the multiset
+    * comparisons below. Hashing over the SORTED column list keeps the
+    * two sides' hashes comparable regardless of projection order.
     */
-  private def fingerprint(df: DataFrame): org.apache.spark.sql.Row = {
+  private def sideHashed(df: DataFrame, side: Long,
+      extra: Seq[(String, Column)] = Nil): DataFrame = {
     val h = xxhash64(df.columns.sorted.map(col): _*)
-    df.select(h.as("h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
-        sum(col("h").cast("decimal(38,0)")).as("s"))
-      .collect().head
+    df.select(extra.map { case (n, c) => c.as(n) } ++
+      Seq(h.as("__h"), lit(side).as("__side")): _*)
   }
 
-  /** M4 — recompute the trailing window and replace it iff drifted.
+  /** Multiset equality of two same-schema frames in ONE job: union the
+    * side-tagged per-row hashes (+1 / −1) and aggregate a signature —
+    * count difference, XOR over BOTH sides (equal multisets XOR to the
+    * same value, so the combined XOR is zero), and wraparound-free
+    * decimal sum of side×hash. All three zero ⇔ equal up to 64-bit hash
+    * collision (negligible for non-adversarial data). Partial
+    * aggregation, single-row result — no shuffle of data rows, and one
+    * scheduler round-trip where two per-side fingerprints would cost two.
+    */
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val r = sideHashed(a, 1L).unionByName(sideHashed(b, -1L))
+      .agg(sum(col("__side")).as("n"), expr("bit_xor(__h)").as("x"),
+        sum(col("__h").cast("decimal(38,0)") * col("__side")).as("s"))
+      .collect().head
+    // null signature ⇔ zero rows on both sides ⇔ equal
+    r.isNullAt(0) ||
+      (r.getLong(0) == 0L && r.getLong(1) == 0L && r.getDecimal(2).signum == 0)
+  }
+
+  /** UTC days of `view.tsCol` whose fresh vs materialized row multisets
+    * differ — the same one-job signature as [[multisetEqual]], grouped
+    * by day. Bounded output (one row per day in the compared window), so
+    * the collect is driver-safe at any table size.
+    */
+  private def driftedDays(fresh: DataFrame, current: DataFrame): Seq[java.sql.Date] = {
+    def sig(df: DataFrame, side: Long) =
+      sideHashed(df, side, Seq("__day" -> to_date(ts)))
+    sig(fresh, 1L).unionByName(sig(current, -1L))
+      .groupBy(col("__day"))
+      .agg(sum(col("__side")).as("n"), expr("bit_xor(__h)").as("x"),
+        sum(col("__h").cast("decimal(38,0)") * col("__side")).as("s"))
+      .filter(col("n") =!= 0 || col("x") =!= 0 || col("s") =!= 0)
+      .select(col("__day"))
+      .collect().map(_.getDate(0)).toSeq
+  }
+
+  /** M4 — recompute the trailing window and replace the DRIFTED DAYS.
     * Drift = ANY full-row difference between the fresh recompute and the
     * materialized slice, in either direction — a late event that changes
     * an aggregate value for an existing key counts, not just new/removed
-    * keys. Mirrors the reference's skip logic (materialize.sh:131-135):
-    * an unchanged window costs one fingerprint comparison, not a rewrite.
+    * keys. Mirrors the reference's skip logic (materialize.sh:131-135)
+    * but at day granularity: detection is one side-tagged signature job
+    * over the whole window, and only days whose signature differs are
+    * rewritten — O(drifted days), not O(lookback window). Day is the
+    * right grain because the mat tables partition by day, so a finer
+    * row-level condition could not skip any more file IO.
     */
   def lookbackRepair(wm: Timestamp, lookback: String): Unit = {
     val windowCond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $lookback") && ts <= lit(wm)
     val wmMicros = DateTimeUtils.fromJavaTimestamp(wm)
     val loMicros = wmMicros - intervalCeilMicros(lookback)
-    // persisted for the pass: the fingerprint AND a drift rewrite both
-    // consume the slice, and each lazy re-evaluation would re-run the
-    // bounded source aggregation (small output, window-sized input)
+    // persisted for the pass: the drift signature AND a drift rewrite
+    // both consume the slice, and each lazy re-evaluation would re-run
+    // the bounded source aggregation (small output, window-sized input)
     val fresh = viewFrom(loMicros).filter(windowCond).persist()
     try {
-      // file-pruned read: the fingerprint and any rewrite only ever touch
+      // file-pruned read: the signature and any rewrite only ever touch
       // files overlapping the lookback window
       val current = mat.readRangeLogical(view.tsCol, loMicros, wmMicros).filter(windowCond)
-      val drifted = timed("lookback/driftCheck")(
-        fingerprint(fresh) != fingerprint(current))
-      if (drifted)
-        timed("lookback/replaceWhere")(mat.replaceWhere(windowCond, fresh,
-          Some(RangePrune(view.tsCol, loMicros, wmMicros))))
+      val days = timed("lookback/driftCheck")(driftedDays(fresh, current))
+      if (days.nonEmpty) {
+        val dayNums = days.map(DateTimeUtils.fromJavaDate)
+        // tightest single range enclosing the drifted days: a clean day
+        // file BETWEEN two drifted days is rewritten unchanged (extra IO,
+        // never wrong) — late data clusters, so the range is tight in
+        // practice and the prune API stays one contiguous range
+        val loD = dayNums.min.toLong * 86400000000L
+        val hiD = math.min(wmMicros, (dayNums.max.toLong + 1L) * 86400000000L - 1L)
+        val dayCond = windowCond && to_date(ts).isin(days: _*)
+        timed("lookback/replaceWhere")(mat.replaceWhere(dayCond,
+          fresh.filter(to_date(ts).isin(days: _*)),
+          Some(RangePrune(view.tsCol, loD, hiD))))
+      }
     } finally fresh.unpersist()
   }
 
@@ -317,11 +361,9 @@ final class Materializer(
   private def staleRepairOn(wm: Timestamp, loMicros: Long,
       cond: Column, fresh: DataFrame): Unit = {
     val current = mat.readRangeLogical(view.tsCol, loMicros, Long.MaxValue).filter(cond)
-    // fingerprint fast path: a clean detection window (the common case
-    // for steady-state runs) costs two scans, never a row shuffle
-    val fpF = timed("stale/fpFresh")(fingerprint(fresh))
-    val fpC = timed("stale/fpCurrent")(fingerprint(current))
-    if (fpF == fpC) return
+    // signature fast path: a clean detection window (the common case for
+    // steady-state runs) costs one both-sides scan, never a row shuffle
+    if (timed("stale/signature")(multisetEqual(fresh, current))) return
     // symmetric multiset diff in ONE shuffle: tag each side ±1, group by
     // the full row — any row whose per-side counts differ marks its key
     // stale. Two exceptAll calls would shuffle both sides twice for the

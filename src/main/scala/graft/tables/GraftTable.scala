@@ -2,6 +2,7 @@ package graft.tables
 
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.parallel.CollectionConverters._
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -117,7 +118,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       knownRows: Map[String, Long] = Map.empty): CommitMeta = {
     val prevMeta = commits.lastOption
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
-    val fileRows = files.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).toMap
+    val fileRows = files.par.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).seq.toMap
     // every commit carries the full per-sink batch watermark forward, so
     // the LATEST commit is always authoritative and expiring old
     // snapshots never loses a sink's mark
@@ -275,7 +276,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   def append(df: DataFrame): CommitMeta = {
     val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
     val prev = commits.lastOption
-    val addedRowsByFile = added.map(f => f -> footerRowCount(Seq(f))).toMap
+    val addedRowsByFile = added.par.map(f => f -> footerRowCount(Seq(f))).seq.toMap
     val addedRows = addedRowsByFile.values.sum
     prev match {
       case Some(p) if addedRows == 0 =>
@@ -427,7 +428,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     prune match {
       case None => (Nil, live)
       case Some(p) =>
-        val bounds = live.map(f => f -> fileBoundsMicros(f, p.column))
+        // independent per-file footer reads — driver-side metadata IO,
+        // parallelized so a many-file snapshot classifies in ~one read's
+        // latency rather than N of them
+        val bounds = live.par.map(f => f -> fileBoundsMicros(f, p.column)).seq
         if (bounds.exists(_._2.isEmpty)) (Nil, live)
         else {
           val (out, in) = bounds.partition {
@@ -480,7 +484,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     */
   def columnMaxMicros(colName: String): Option[Long] = {
     val live = commits.lastOption.map(_.files).getOrElse(Nil)
-    val bounds = live.map(f => fileBoundsMicros(f, colName))
+    val bounds = live.par.map(f => fileBoundsMicros(f, colName)).seq
     if (bounds.exists(_.isEmpty)) None
     else bounds.flatten.map(_._2).filter(_ != Long.MinValue) match {
       case Nil => None

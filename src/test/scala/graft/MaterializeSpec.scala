@@ -220,6 +220,48 @@ class MaterializeSpec extends AnyFunSuite {
     assertConverged(mat, view.compute(src.readLogical()), "after pruned repair")
   }
 
+  test("lookback repair rewrites only the DRIFTED days inside the window") {
+    val root = wh("daygrain")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, partitions = Seq(DayTransform("window_start")),
+        keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mat = cat.table("mat")
+    val mzr = new Materializer(spark, src, view, mat, cat.table("materialization_watermarks"))
+
+    // three days, all INSIDE the coming 10-day lookback window
+    src.append(toDf(Seq(
+      ev(1, 10, 10, 1, "view", 1.0), ev(2, 12, 11, 2, "click", 2.0),
+      ev(3, 14, 9, 3, "view", 3.0))))
+    mzr.run()
+    val cleanDayFiles = mat.commits.last.files
+      .filter(f => f.contains("2024-02-10") || f.contains("2024-02-14")).toSet
+    assert(cleanDayFiles.nonEmpty, "expected day files for 2024-02-10/14")
+
+    // straggler lands in day 12 ONLY; days 10 and 14 stay clean but are
+    // within the lookback window — the whole-window rewrite would churn
+    // them, the day-granular repair must carry them by name
+    src.append(toDf(Seq(ev(4, 12, 11, 4, "click", 4.0), ev(5, 15, 8, 5, "view", 5.0))))
+    mzr.run(lookback = "10 days")
+    val live = mat.commits.last.files.toSet
+    assert(cleanDayFiles.subsetOf(live),
+      "clean in-window day files must survive a one-day drift repair untouched")
+    assertConverged(mat, view.compute(src.readLogical()), "after day-granular repair")
+  }
+
   test("stale repair deletes phantom rows no longer derivable from the source") {
     val root = wh("phantom")
     val matSchema = StructType(Seq(
