@@ -115,12 +115,20 @@ final class Materializer(
     * their exact view-time filter on top. Without a bound, the shared
     * (cached) full view.
     */
-  private def viewFrom(loMicros: Long): DataFrame =
+  private def viewFrom(loMicros: Long, hiMicros: Long = Long.MaxValue): DataFrame =
     view.factBound match {
       case Some(fb) =>
         boundedComputeCounter += 1
-        val lo = loMicros - intervalCeilMicros(fb.slack)
+        val slack = intervalCeilMicros(fb.slack)
+        val lo = loMicros - slack
+        val hi = if (hiMicros > Long.MaxValue - slack) Long.MaxValue else hiMicros + slack
         val loTs = to_timestamp(lit(DateTimeUtils.toJavaTimestamp(lo)))
+        val rowBound = {
+          val atLeast = col(fb.sourceTsCol) >= loTs
+          if (hi == Long.MaxValue) atLeast
+          else atLeast &&
+            col(fb.sourceTsCol) <= to_timestamp(lit(DateTimeUtils.toJavaTimestamp(hi)))
+        }
         // merge-on-read sources need every file of a key for latest-wins
         // resolution, which file pruning cannot guarantee — keep the
         // resolved logical read and bound ROWS only (the filter still
@@ -128,10 +136,9 @@ final class Materializer(
         // only the scan is O(table) until the source is compacted)
         val pruned =
           if (source.defn.mergeOnRead)
-            source.readLogical().filter(col(fb.sourceTsCol) >= loTs)
+            source.readLogical().filter(rowBound)
           else
-            source.readRangeLogical(fb.sourceTsCol, lo, Long.MaxValue)
-              .filter(col(fb.sourceTsCol) >= loTs)
+            source.readRangeLogical(fb.sourceTsCol, lo, hi).filter(rowBound)
         view.compute(pruned)
       case None => viewDf
     }
@@ -169,11 +176,22 @@ final class Materializer(
   // ---- M2: watermark bookkeeping ----
 
   def readWatermark(): Option[Timestamp] =
+    readWatermarkRow().map(_._1)
+
+  /** (watermark, source snapshot version at the last run) — the version
+    * is what turns repair detection into an incremental FILE scan; None
+    * (pre-upgrade rows) falls back to signature detection for one run.
+    */
+  private def readWatermarkRow(): Option[(Timestamp, Option[Long])] =
     watermarks.readLogical()
       .filter(col("view_name") === view.name)
-      .collect().headOption.map(_.getAs[Timestamp]("watermark_ts"))
+      .collect().headOption.map { r =>
+        val v = r.fieldIndex("source_version")
+        (r.getAs[Timestamp]("watermark_ts"),
+          if (r.isNullAt(v)) None else Some(r.getLong(v)))
+      }
 
-  private def advanceWatermark(): Unit = {
+  private def advanceWatermark(srcVersion: Long): Unit = {
     // metadata-only when possible: max(ts) from the mat table's parquet
     // footer stats, never a table scan (falls back to one if stats are
     // unusable, e.g. ts is a partition column absent from data files)
@@ -185,7 +203,7 @@ final class Materializer(
       }
     mx.foreach { m =>
       import scala.jdk.CollectionConverters._
-      val row = org.apache.spark.sql.Row(view.name, m)
+      val row = org.apache.spark.sql.Row(view.name, m, srcVersion)
       watermarks.upsert(spark.createDataFrame(Seq(row).asJava, watermarks.defn.schema))
     }
   }
@@ -203,8 +221,60 @@ final class Materializer(
 
   /** M1 — full materialization (first run). */
   def fullMaterialize(): Unit = {
+    val v = source.currentVersion.toLong
     mat.overwrite(viewDf)
-    advanceWatermark()
+    advanceWatermark(v)
+  }
+
+  // ---- incremental file-delta detection (Iceberg incremental-scan
+  // analog): which source files arrived since the last run, and which
+  // view DAYS can they have touched? ----
+
+  /** Files the source gained since snapshot `sinceVersion`, IFF the
+    * delta is purely appends. None ⇒ unknowable — the base snapshot was
+    * expired, a non-append commit (replace/compact/overwrite) rewrote
+    * files, or the source is merge-on-read (an upsert shadows an OLD
+    * row whose day the new file does not reveal) — and callers fall
+    * back to signature detection, which is correct for any history.
+    * Some(Nil) ⇒ provably no new facts.
+    */
+  private def sourceAppendsSince(sinceVersion: Long): Option[Seq[String]] = {
+    if (source.defn.mergeOnRead) return None
+    val cs = source.commits
+    cs.find(_.version.toLong == sinceVersion) match {
+      case None => None
+      case Some(base) =>
+        val later = cs.filter(_.version.toLong > sinceVersion)
+        if (later.exists(_.op != "append")) None
+        else {
+          val baseFiles = base.files.toSet
+          val cur = cs.last.files.toSet
+          if ((baseFiles -- cur).nonEmpty) None
+          else Some((cur -- baseFiles).toSeq.sorted)
+        }
+    }
+  }
+
+  /** UTC days of view rows (tsCol ≤ the watermark day) that the newly
+    * appended source files can have changed, via the FactBound: a fact
+    * at ts touches view rows in [ts − slack, ts + slack], so its
+    * candidate days are every day that range overlaps. One small job
+    * over ONLY the new files — O(new data), independent of table size.
+    * The result is a provable superset of the drifted days for an
+    * append-only source, so rewriting exactly these days (and no
+    * signature comparison at all) converges the table.
+    */
+  private def candidateDays(added: Seq[String], fb: FactBound,
+      wm: Timestamp): Seq[java.sql.Date] = {
+    if (added.isEmpty) return Nil
+    val slackIv = expr(s"INTERVAL ${fb.slack}")
+    val srcTs = col(fb.sourceTsCol)
+    source.readFilesLogical(added)
+      .filter(srcTs <= lit(wm) + slackIv)
+      .select(explode(sequence(to_date(srcTs - slackIv), to_date(srcTs + slackIv)))
+        .as("__day"))
+      .filter(col("__day") <= to_date(lit(wm)))
+      .distinct().collect().map(_.getDate(0)).toSeq
   }
 
   /** Side-tagged per-row hash stream: the building block of the multiset
@@ -265,33 +335,64 @@ final class Materializer(
     * right grain because the mat tables partition by day, so a finer
     * row-level condition could not skip any more file IO.
     */
-  def lookbackRepair(wm: Timestamp, lookback: String): Unit = {
+  def lookbackRepair(wm: Timestamp, lookback: String,
+      candidates: Option[Seq[java.sql.Date]] = None): Unit = {
     val windowCond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $lookback") && ts <= lit(wm)
     val wmMicros = DateTimeUtils.fromJavaTimestamp(wm)
     val loMicros = wmMicros - intervalCeilMicros(lookback)
-    // persisted for the pass: the drift signature AND a drift rewrite
-    // both consume the slice, and each lazy re-evaluation would re-run
-    // the bounded source aggregation (small output, window-sized input)
-    val fresh = viewFrom(loMicros).filter(windowCond).persist()
-    try {
-      // file-pruned read: the signature and any rewrite only ever touch
-      // files overlapping the lookback window
-      val current = mat.readRangeLogical(view.tsCol, loMicros, wmMicros).filter(windowCond)
-      val days = timed("lookback/driftCheck")(driftedDays(fresh, current))
-      if (days.nonEmpty) {
-        val dayNums = days.map(DateTimeUtils.fromJavaDate)
-        // tightest single range enclosing the drifted days: a clean day
-        // file BETWEEN two drifted days is rewritten unchanged (extra IO,
-        // never wrong) — late data clusters, so the range is tight in
-        // practice and the prune API stays one contiguous range
-        val loD = dayNums.min.toLong * 86400000000L
-        val hiD = math.min(wmMicros, (dayNums.max.toLong + 1L) * 86400000000L - 1L)
-        val dayCond = windowCond && to_date(ts).isin(days: _*)
-        timed("lookback/replaceWhere")(mat.replaceWhere(dayCond,
-          fresh.filter(to_date(ts).isin(days: _*)),
-          Some(RangePrune(view.tsCol, loD, hiD))))
-      }
-    } finally fresh.unpersist()
+    candidates match {
+      case Some(days) =>
+        // file-delta path: the days are a provable superset of the
+        // drifted days, so rewrite exactly them — no window recompute,
+        // no signature scan. An empty set means the window provably has
+        // no late data and the pass costs zero jobs.
+        if (days.nonEmpty)
+          timed("lookback/candidateRewrite")(rewriteDays(days, windowCond, wmMicros))
+      case None =>
+        // signature path (no usable file history): recompute the whole
+        // window, compare per-day signatures, rewrite the drifted days.
+        // Persisted because the signature AND a drift rewrite both
+        // consume the slice, and each lazy re-evaluation would re-run
+        // the bounded source aggregation
+        val fresh = viewFrom(loMicros).filter(windowCond).persist()
+        try {
+          // file-pruned read: the signature and any rewrite only ever
+          // touch files overlapping the lookback window
+          val current = mat.readRangeLogical(view.tsCol, loMicros, wmMicros).filter(windowCond)
+          val days = timed("lookback/driftCheck")(driftedDays(fresh, current))
+          if (days.nonEmpty) {
+            val dayNums = days.map(DateTimeUtils.fromJavaDate)
+            // tightest single range enclosing the drifted days: a clean
+            // day file BETWEEN two drifted days is rewritten unchanged
+            // (extra IO, never wrong) — late data clusters, so the range
+            // is tight in practice and the prune API stays one
+            // contiguous range
+            val loD = dayNums.min.toLong * 86400000000L
+            val hiD = math.min(wmMicros, (dayNums.max.toLong + 1L) * 86400000000L - 1L)
+            val dayCond = windowCond && to_date(ts).isin(days: _*)
+            timed("lookback/replaceWhere")(mat.replaceWhere(dayCond,
+              fresh.filter(to_date(ts).isin(days: _*)),
+              Some(RangePrune(view.tsCol, loD, hiD))))
+          }
+        } finally fresh.unpersist()
+    }
+  }
+
+  /** Recompute exactly `days` of the view — a bounded source read
+    * clipped to the days ± slack — and replace those days' rows
+    * matching `rowCond`. The prune range is the tightest single range
+    * enclosing the days: a clean day file BETWEEN two candidate days is
+    * rewritten unchanged (extra IO, never wrong) — late data clusters,
+    * so the range is tight in practice.
+    */
+  private def rewriteDays(days: Seq[java.sql.Date], rowCond: Column,
+      hiClipMicros: Long): Unit = {
+    val dayNums = days.map(DateTimeUtils.fromJavaDate)
+    val loD = dayNums.min.toLong * 86400000000L
+    val hiD = math.min(hiClipMicros, (dayNums.max.toLong + 1L) * 86400000000L - 1L)
+    val dayCond = rowCond && to_date(ts).isin(days: _*)
+    val fresh = viewFrom(loD, hiD).filter(dayCond)
+    mat.replaceWhere(dayCond, fresh, Some(RangePrune(view.tsCol, loD, hiD)))
   }
 
   /** M5 — re-enrich rows whose dimension key gained a new version after
@@ -347,15 +448,27 @@ final class Materializer(
     * one-directional detection would leave it in place forever, every
     * later run re-flagging the same fingerprint drift without converging.
     */
-  def staleRepair(wm: Timestamp, detectionWindow: String): Unit = {
+  def staleRepair(wm: Timestamp, detectionWindow: String,
+      candidates: Option[Seq[java.sql.Date]] = None): Unit = {
     val cond = ts > to_timestamp(lit(wm)) - expr(s"INTERVAL $detectionWindow")
     val loMicros = DateTimeUtils.fromJavaTimestamp(wm) - intervalCeilMicros(detectionWindow)
-    // persisted for the pass: fingerprint, symmetric diff, and the
-    // replacement semi-join all consume `fresh` — three bounded source
-    // aggregations without the persist, one with it
-    val fresh = viewFrom(loMicros).filter(cond).persist()
-    try staleRepairOn(wm, loMicros, cond, fresh)
-    finally fresh.unpersist()
+    candidates match {
+      case Some(days) =>
+        // file-delta path: rewrite exactly the candidate days (already
+        // clipped to beyond-lookback ∩ detection window by run()). Rows
+        // past the watermark belong to the append pass that just ran.
+        if (days.nonEmpty)
+          timed("stale/candidateRewrite")(rewriteDays(days,
+            cond && ts <= lit(wm), DateTimeUtils.fromJavaTimestamp(wm)))
+      case None =>
+        // signature path: persisted because the signature, the
+        // symmetric diff, and the replacement semi-join all consume
+        // `fresh` — three bounded source aggregations without the
+        // persist, one with it
+        val fresh = viewFrom(loMicros).filter(cond).persist()
+        try staleRepairOn(wm, loMicros, cond, fresh)
+        finally fresh.unpersist()
+    }
   }
 
   private def staleRepairOn(wm: Timestamp, loMicros: Long,
@@ -414,14 +527,50 @@ final class Materializer(
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    try readWatermark() match {
+    try readWatermarkRow() match {
       case None => timed("fullMaterialize")(fullMaterialize())
-      case Some(wm) => withCachedView {
-        timed("lookbackRepair")(lookbackRepair(wm, lookback))
-        changedDimKeys.foreach(k => timed("dimensionRepair")(dimensionRepair(wm, k)))
-        timed("appendNew")(appendNew(wm))
-        staleDetectionWindow.foreach(w => timed("staleRepair")(staleRepair(wm, w)))
-        timed("advanceWatermark")(advanceWatermark())
+      case Some((wm, lastVersion)) => withCachedView {
+        val srcVersion = source.currentVersion.toLong
+        val wmMicros = DateTimeUtils.fromJavaTimestamp(wm)
+        // file-delta candidates: Some(days) = exactly the view days the
+        // newly appended source files can have touched (repair passes
+        // rewrite those and skip all detection scans); None = no usable
+        // file history → signature detection; Some(Nil) = provably no
+        // new facts anywhere.
+        val addedFiles: Option[Seq[String]] =
+          for {
+            _ <- view.factBound
+            v0 <- lastVersion
+            added <- sourceAppendsSince(v0)
+          } yield added
+        // "no new facts" must come from the FILE delta, not the candidate
+        // days: appends entirely past the watermark yield zero candidate
+        // repair days but absolutely require the append pass
+        val noNewFacts = addedFiles.exists(_.isEmpty)
+        val candidates: Option[Seq[java.sql.Date]] =
+          addedFiles.map(a =>
+            timed("candidateScan")(candidateDays(a, view.factBound.get, wm)))
+        if (noNewFacts && changedDimKeys.isEmpty) {
+          // true no-op: no new source facts, no dim change — zero jobs,
+          // zero commits (the watermark and version are unchanged too)
+        } else {
+          def dayLo(d: java.sql.Date) = DateTimeUtils.fromJavaDate(d).toLong * 86400000000L
+          def dayHi(d: java.sql.Date) = dayLo(d) + 86400000000L - 1L
+          val lbLo = wmMicros - intervalCeilMicros(lookback)
+          val lbDays = candidates.map(_.filter(d => dayHi(d) > lbLo && dayLo(d) <= wmMicros))
+          timed("lookbackRepair")(lookbackRepair(wm, lookback, lbDays))
+          changedDimKeys.foreach(k => timed("dimensionRepair")(dimensionRepair(wm, k)))
+          if (!noNewFacts) timed("appendNew")(appendNew(wm))
+          staleDetectionWindow.foreach { w =>
+            // beyond-lookback days only (the in-window part was already
+            // repaired), clipped to the detection window — the caller's
+            // bound on how far back stale repair may reach
+            val detLo = wmMicros - intervalCeilMicros(w)
+            val stDays = candidates.map(_.filter(d => dayHi(d) > detLo && dayLo(d) < lbLo))
+            timed("staleRepair")(staleRepair(wm, w, stDays))
+          }
+          timed("advanceWatermark")(advanceWatermark(srcVersion))
+        }
       }
     } finally {
       spark.sparkContext.removeSparkListener(listener)
@@ -438,10 +587,14 @@ final class Materializer(
 object Materializer {
   import org.apache.spark.sql.types._
 
-  /** Schema of the watermark bookkeeping table (M2). */
+  /** Schema of the watermark bookkeeping table (M2). `source_version`
+    * is the source table's snapshot version at the last run — the
+    * anchor for the file-delta (incremental-scan) repair detection.
+    */
   val watermarkSchema: StructType = StructType(Seq(
     StructField("view_name", StringType),
-    StructField("watermark_ts", TimestampType)))
+    StructField("watermark_ts", TimestampType),
+    StructField("source_version", LongType)))
 
   /** Merge-on-read: advancing a watermark writes ONE row and a commit —
     * no read, anti-join, or rewrite of the bookkeeping table inside the

@@ -529,6 +529,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       snap.files.map(firstSeenByFile(cs)).distinct.size).getOrElse(0)
   }
 
+  /** Raw read of specific data files, projected to the logical columns —
+    * the incremental-scan primitive: the materializer reads ONLY the
+    * files a snapshot delta added, O(new data) regardless of table size.
+    * Append-only file sets only (a merge-on-read file does not carry its
+    * shadowed rows); the caller asserts that by knowing the delta's ops.
+    */
+  private[graft] def readFilesLogical(files: Seq[String]): DataFrame =
+    readFilesAs(files)
+      .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+
   private def readFilesAs(files: Seq[String]): DataFrame =
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), physicalSchema)
     else spark.read.option("basePath", dataDir).schema(physicalSchema)

@@ -133,10 +133,14 @@ class MaterializeSpec extends AnyFunSuite {
     assert(row.getLong(0) == 2 && row.getDouble(1) == 6.0)
   }
 
-  for (seed <- Seq(7L, 99L)) {
-    test(s"randomized arrival order converges to the full recompute (seed $seed)") {
+  // both detection regimes: fb=None → cached-view + signature detection;
+  // fb=Some → bounded computes + file-delta candidate-day repairs
+  for (seed <- Seq(7L, 99L);
+       fb <- Seq(None, Some(FactBound("ts", "1 hour")))) {
+    test(s"randomized arrival order converges to the full recompute " +
+        s"(seed $seed, factBound=${fb.isDefined})") {
       val rnd = new scala.util.Random(seed)
-      val root = wh(s"rand$seed")
+      val root = wh(s"rand$seed${if (fb.isDefined) "fb" else ""}")
       val matSchema = StructType(Seq(
         StructField("window_start", TimestampType),
         StructField("event_type", StringType),
@@ -147,7 +151,8 @@ class MaterializeSpec extends AnyFunSuite {
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
           .select(col("window.start").as("window_start"),
-            col("event_type"), col("n"), col("total_value")))
+            col("event_type"), col("n"), col("total_value")),
+        factBound = fb)
       val cat = new TableCatalog(spark, root, Seq(
         TableDef("src", eventsSchema),
         TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
@@ -395,9 +400,53 @@ class MaterializeSpec extends AnyFunSuite {
     mzr.run(lookback = "24 hours", staleDetectionWindow = Some("30 days"))
     assert(mzr.lastRunViewComputes == 0,
       s"bounded repair run did ${mzr.lastRunViewComputes} FULL view computes — source pruning lost")
-    assert(mzr.lastRunBoundedComputes == 3,
-      s"expected 3 bounded computes (lookback/append/stale), got ${mzr.lastRunBoundedComputes}")
+    // file-delta candidates: the appended files touch no in-lookback day,
+    // so the lookback pass computes NOTHING; append (1) and the stale
+    // candidate-day rewrite (1) are the only bounded computes
+    assert(mzr.lastRunBoundedComputes == 2,
+      s"expected 2 bounded computes (append + stale candidate rewrite), got ${mzr.lastRunBoundedComputes}")
     assertConverged(cat.table("mat"), view.compute(src.readLogical()), "bounded convergence")
+
+    // a run with NO new source data and no dim change is a true no-op:
+    // zero view computes, zero commits on the mat table
+    val matCommitsBefore = cat.table("mat").commits.size
+    mzr.run(lookback = "24 hours", staleDetectionWindow = Some("30 days"))
+    assert(mzr.lastRunViewComputes == 0 && mzr.lastRunBoundedComputes == 0,
+      s"no-op run computed: full=${mzr.lastRunViewComputes} bounded=${mzr.lastRunBoundedComputes}")
+    assert(cat.table("mat").commits.size == matCommitsBefore,
+      "no-op run must not commit to the mat table")
+  }
+
+  test("an append entirely past the watermark still lands via the append pass") {
+    // regression pin: zero candidate REPAIR days (nothing late) must not
+    // be read as "no new facts" — that skipped the append pass
+    val root = wh("tailonly")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")),
+      factBound = Some(FactBound("ts", "1 hour")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mzr = new Materializer(spark, src, view, cat.table("mat"),
+      cat.table("materialization_watermarks"))
+
+    src.append(toDf(Seq(ev(1, 1, 10, 1, "view", 1.0), ev(2, 2, 11, 2, "click", 2.0))))
+    mzr.run()
+    // tail-only batch: strictly after the watermark, hours past the slack
+    src.append(toDf(Seq(ev(3, 5, 9, 3, "view", 3.0), ev(4, 6, 14, 4, "click", 4.0))))
+    mzr.run(lookback = "48 hours", staleDetectionWindow = Some("30 days"))
+    assertConverged(cat.table("mat"), view.compute(src.readLogical()), "tail-only append")
   }
 
   test("a full-protocol repair run computes the view once and stays under the job budget") {
