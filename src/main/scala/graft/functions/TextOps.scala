@@ -241,7 +241,92 @@ object TextOps {
         (col("n_oov") * 5 > col("n_words")).as("is_high_oov"))
   }
 
+  /** Sources the bigram LM trains on — the pipeline's "trusted tier"
+    * (the same first tier `sample_weighted_mix` upweights): the CCNet
+    * pattern of scoring the whole crawl with a model fit on curated
+    * text, so cross-domain docs genuinely hit unseen bigrams.
+    */
+  private val LmTrainTier = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** Bigram stupid-backoff language-model scoring — the LM-based quality
+    * signal (CCNet-style perplexity filtering, Wenzek et al. 2020) with
+    * all-integer arithmetic so the oracle compare is exact:
+    *
+    *   seen bigram:   p = 1e6·c2(w1,w2) / c1(w1)        (scaled MLE)
+    *   unseen bigram: p = 0.4·1e6·c1(w2) / N            (backoff)
+    *
+    * `lm_score` = integer mean of p over a doc's transitions; low score
+    * or high `n_unseen` = disfluent/cross-domain text. Scale shape: the
+    * corpus-side token stream joins two corpus-level DICTIONARIES
+    * (bigram counts keyed (w1,w2), unigram counts keyed word) — hash
+    * joins on the dictionary keys, never doc×doc; the train-tier total
+    * is a broadcast single row. Dictionary size is O(train vocab),
+    * independent of the scored corpus.
+    */
+  val textLmScore: QueryDef = {
+    val tierIn = LmTrainTier.map("'" + _ + "'").mkString(", ")
+    QueryDef(
+      "text_lm_score",
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr
+         |             FROM documents),
+         |train_w AS (SELECT unnest(arr) AS word FROM tok
+         |            WHERE source IN ($tierIn)),
+         |uni AS (SELECT word, count(*) AS c1 FROM train_w GROUP BY word),
+         |tot AS (SELECT count(*) AS n FROM train_w),
+         |train_b AS (SELECT p[1] AS w1, p[2] AS w2
+         |            FROM (SELECT unnest(list_zip(arr, arr[2:])) AS p FROM tok
+         |                  WHERE source IN ($tierIn))
+         |            WHERE p[2] IS NOT NULL),
+         |big AS (SELECT w1, w2, count(*) AS c2 FROM train_b GROUP BY w1, w2),
+         |tr AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+         |       FROM (SELECT doc_id, unnest(list_zip(arr, arr[2:])) AS p FROM tok)
+         |       WHERE p[2] IS NOT NULL),
+         |sc AS (SELECT tr.doc_id, big.c2,
+         |              CASE WHEN big.c2 IS NOT NULL
+         |                   THEN 1000000 * big.c2 // u1.c1
+         |                   ELSE 400000 * COALESCE(u2.c1, 0) // tot.n END AS p
+         |       FROM tr
+         |       LEFT JOIN big ON big.w1 = tr.w1 AND big.w2 = tr.w2
+         |       LEFT JOIN uni u1 ON u1.word = tr.w1
+         |       LEFT JOIN uni u2 ON u2.word = tr.w2
+         |       CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+         |       sum(p) // count(*) AS lm_score
+         |FROM sc GROUP BY doc_id""".stripMargin) { t =>
+      val tok = t.documents
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+      // adjacent pairs as one codegen'd pure map: no posexplode self-join
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))"))
+            .as("pair"))
+        .select(col("doc_id"), col("pair.w1").as("w1"), col("pair.w2").as("w2"))
+      val train = tok.filter(col("source").isin(LmTrainTier: _*))
+      val trainW = train.select(explode(col("arr")).as("word"))
+      val uni = trainW.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+      val tot = trainW.agg(count(lit(1)).as("n"))
+      val big = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      bigrams(tok)
+        .join(big, Seq("w1", "w2"), "left")
+        .join(uni.select(col("word").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
+        .join(uni.select(col("word").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("c2"),
+          when(col("c2").isNotNull, expr("1000000 * c2 div c1w1"))
+            .otherwise(expr("400000 * coalesce(c1w2, 0L) div n")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          sum(col("p")).as("sp"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+          expr("sp div n_bigrams").as("lm_score"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(textTokens, textQuality, textLangId, textFingerprint, textPack,
-      sampleStratified, textOovRate)
+      sampleStratified, textOovRate, textLmScore)
 }

@@ -159,6 +159,16 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus word stream must never sort for the vocab probe:\n$plan")
   }
 
+  test("LM scoring joins its dictionaries by hash; only the 1-row total nested-loops") {
+    val plan = planOf("text_lm_score")
+    // the train-tier token total is a broadcast single row — the one
+    // legitimate nested-loop; bigram/unigram dictionaries must hash-join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"expected at most the 1-row total as nested-loop, got $bnlj:\n$plan")
+    assert(plan.contains("HashJoin"),
+      s"dictionary probes must be hash joins:\n$plan")
+  }
+
   test("substring-span dedup joins positions on the window hash, never nested-loop") {
     val plan = planOf("dedup_substring_spans")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
