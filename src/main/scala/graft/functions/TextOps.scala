@@ -241,13 +241,6 @@ object TextOps {
         (col("n_oov") * 5 > col("n_words")).as("is_high_oov"))
   }
 
-  /** Sources the bigram LM trains on — the pipeline's "trusted tier"
-    * (the same first tier `sample_weighted_mix` upweights): the CCNet
-    * pattern of scoring the whole crawl with a model fit on curated
-    * text, so cross-domain docs genuinely hit unseen bigrams.
-    */
-  private val LmTrainTier = Seq("src0", "src1", "src2", "src3", "src4")
-
   /** Bigram stupid-backoff language-model scoring — the LM-based quality
     * signal (CCNet-style perplexity filtering, Wenzek et al. 2020) with
     * all-integer arithmetic so the oracle compare is exact:
@@ -264,7 +257,7 @@ object TextOps {
     * independent of the scored corpus.
     */
   val textLmScore: QueryDef = {
-    val tierIn = LmTrainTier.map("'" + _ + "'").mkString(", ")
+    val tierIn = LmScoring.TrainTier.map("'" + _ + "'").mkString(", ")
     QueryDef(
       "text_lm_score",
       s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr
@@ -294,35 +287,10 @@ object TextOps {
          |       sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
          |       sum(p) // count(*) AS lm_score
          |FROM sc GROUP BY doc_id""".stripMargin) { t =>
-      val tok = t.documents
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("arr"))
-        .filter(size(col("arr")) >= 2)
-      // adjacent pairs as one codegen'd pure map: no posexplode self-join
-      def bigrams(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))"))
-            .as("pair"))
-        .select(col("doc_id"), col("pair.w1").as("w1"), col("pair.w2").as("w2"))
-      val train = tok.filter(col("source").isin(LmTrainTier: _*))
-      val trainW = train.select(explode(col("arr")).as("word"))
-      val uni = trainW.groupBy(col("word")).agg(count(lit(1)).as("c1"))
-      val tot = trainW.agg(count(lit(1)).as("n"))
-      val big = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      bigrams(tok)
-        .join(big, Seq("w1", "w2"), "left")
-        .join(uni.select(col("word").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
-        .join(uni.select(col("word").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("c2"),
-          when(col("c2").isNotNull, expr("1000000 * c2 div c1w1"))
-            .otherwise(expr("400000 * coalesce(c1w2, 0L) div n")).as("p"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"),
-          sum(col("p")).as("sp"))
-        .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
-          expr("sp div n_bigrams").as("lm_score"))
+      val tok = LmScoring.tokenize(t.documents)
+      val train = LmScoring.trainSlice(tok)
+      LmScoring.score(tok,
+        LmScoring.unigramCounts(train), LmScoring.bigramCounts(train))
     }
   }
 
