@@ -214,6 +214,38 @@ object RelationalOps {
         countDistinct(col("user_id")).as("d_users"))
   }
 
+  /** A2 rewritten without Expand: the multi-COUNT(DISTINCT) plan
+    * replicates every input row once per distinct aggregate (4× here)
+    * before the shuffle; this form pre-aggregates per (day, user) —
+    * one shuffle carrying each pair ONCE with three boolean flags —
+    * then folds the flags per day. Same oracle, same output; at 100 TB
+    * the expanded stream is the difference between shuffling the table
+    * and shuffling 4× the table. PlanSpec pins the no-Expand plan.
+    */
+  val a2FunnelOnepass: QueryDef = QueryDef(
+    "a2_funnel_onepass",
+    """SELECT CAST(ts AS DATE) AS day,
+      |       count(DISTINCT CASE WHEN event_type = 'view'     THEN user_id END) AS d_view_users,
+      |       count(DISTINCT CASE WHEN event_type = 'click'    THEN user_id END) AS d_click_users,
+      |       count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS d_purchase_users,
+      |       count(DISTINCT user_id) AS d_users
+      |FROM events GROUP BY 1""".stripMargin) { t =>
+    // NULL users count toward no distinct aggregate (COUNT DISTINCT
+    // skips NULL) but their rows must still surface their day group
+    val liveUser = col("user_id").isNotNull
+    t.events
+      .groupBy(col("ts").cast("date").as("day"), col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view" && liveUser, 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "click" && liveUser, 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase" && liveUser, 1L).otherwise(0L)).as("p"))
+      .groupBy(col("day"))
+      .agg(sum(col("v")).as("d_view_users"),
+        sum(col("c")).as("d_click_users"),
+        sum(col("p")).as("d_purchase_users"),
+        sum(when(liveUser, 1L).otherwise(0L)).as("d_users"))
+  }
+
   /** A3 — dedup-by-key via GROUP BY key + MAX(payload)
     * (aggregation_jobs.sql:31-50 pre-join dedup).
     */
@@ -458,7 +490,7 @@ object RelationalOps {
 
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, p5RejectFilter, p8CurrencyCase, j5DimEnrich,
-    j6MultikeyJoin, j9ExistsSemi, j10InSemi, a2FunnelCounts,
+    j6MultikeyJoin, j9ExistsSemi, j10InSemi, a2FunnelCounts, a2FunnelOnepass,
     a3DedupGroupby, a4ConditionalDistinct, a5UnionSpine, a5SpineOnepass,
     u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend, a9Rollup,
     a10Quantiles)

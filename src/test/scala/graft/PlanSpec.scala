@@ -159,6 +159,15 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus word stream must never sort for the vocab probe:\n$plan")
   }
 
+  test("one-pass funnel counts never Expand the input stream") {
+    val plan = planOf("a2_funnel_onepass")
+    assert(!plan.contains("Expand"),
+      s"the one-pass rewrite must not replicate rows per distinct aggregate:\n$plan")
+    // the multi-distinct original DOES expand — the pair documents the trade
+    assert(planOf("a2_funnel_counts").contains("Expand"),
+      "a2_funnel_counts no longer expands — fold the one-pass variant back in?")
+  }
+
   test("LM scoring joins its dictionaries by hash; only the 1-row total nested-loops") {
     val plan = planOf("text_lm_score")
     // the train-tier token total is a broadcast single row — the one
