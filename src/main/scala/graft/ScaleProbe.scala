@@ -251,7 +251,12 @@ object ScaleProbe {
         // groupBy grow k× with the corpus (replica word-prefixes keep
         // copies from colliding, so dup structure replicates too); the
         // curve should track dedup_exact's shape, not the pair ops'
-        "dedup_substring_spans" -> (t => functions.DedupOps.dedupSubstringSpans.fn(t.spark, t.dir)))
+        "dedup_substring_spans" -> (t => functions.DedupOps.dedupSubstringSpans.fn(t.spark, t.dir)),
+        // LM scoring: the token stream grows k× but the dictionaries
+        // stay O(train vocab) (replica word-prefixes add new words at a
+        // constant factor) — the curve should track the scan-shaped
+        // stages, not the pair ops'
+        "text_lm_score" -> (t => functions.TextOps.textLmScore.fn(t.spark, t.dir)))
 
     // sf0.1 is only 5k docs — the 1×..10× range turned out to be fully
     // overhead-dominated on local[32] (flat ~0.3-3 s per stage), so the

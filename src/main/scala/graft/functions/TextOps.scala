@@ -261,7 +261,8 @@ object TextOps {
     QueryDef(
       "text_lm_score",
       s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr
-         |             FROM documents),
+         |             FROM documents
+         |             WHERE len(string_split(text, ' ')) >= 2),
          |train_w AS (SELECT unnest(arr) AS word FROM tok
          |            WHERE source IN ($tierIn)),
          |uni AS (SELECT word, count(*) AS c1 FROM train_w GROUP BY word),

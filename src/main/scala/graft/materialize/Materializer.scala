@@ -217,6 +217,19 @@ final class Materializer(
     (iv.months.toLong * 31 + iv.days) * 86400000000L + iv.microseconds
   }
 
+  /** `micros − interval` with CALENDAR month arithmetic — the exact
+    * value `ts > wm - INTERVAL x` compares against in UTC. Candidate-day
+    * classification must use THIS (an over-estimated ceil would assign a
+    * day to the lookback pass whose row condition then excludes it, and
+    * the stale pass would skip it too — unrepaired forever); the ceil
+    * stays correct for file pruning only.
+    */
+  private def minusIntervalMicros(micros: Long, interval: String): Long = {
+    val iv = IntervalUtils.stringToInterval(UTF8String.fromString(interval))
+    DateTimeUtils.timestampAddInterval(
+      micros, -iv.months, -iv.days, -iv.microseconds, java.time.ZoneOffset.UTC)
+  }
+
   // ---- the passes ----
 
   /** M1 — full materialization (first run). */
@@ -360,38 +373,28 @@ final class Materializer(
           // touch files overlapping the lookback window
           val current = mat.readRangeLogical(view.tsCol, loMicros, wmMicros).filter(windowCond)
           val days = timed("lookback/driftCheck")(driftedDays(fresh, current))
-          if (days.nonEmpty) {
-            val dayNums = days.map(DateTimeUtils.fromJavaDate)
-            // tightest single range enclosing the drifted days: a clean
-            // day file BETWEEN two drifted days is rewritten unchanged
-            // (extra IO, never wrong) — late data clusters, so the range
-            // is tight in practice and the prune API stays one
-            // contiguous range
-            val loD = dayNums.min.toLong * 86400000000L
-            val hiD = math.min(wmMicros, (dayNums.max.toLong + 1L) * 86400000000L - 1L)
-            val dayCond = windowCond && to_date(ts).isin(days: _*)
-            timed("lookback/replaceWhere")(mat.replaceWhere(dayCond,
-              fresh.filter(to_date(ts).isin(days: _*)),
-              Some(RangePrune(view.tsCol, loD, hiD))))
-          }
+          if (days.nonEmpty)
+            timed("lookback/replaceWhere")(
+              rewriteDays(days, windowCond, wmMicros, freshSlice = Some(fresh)))
         } finally fresh.unpersist()
     }
   }
 
-  /** Recompute exactly `days` of the view — a bounded source read
-    * clipped to the days ± slack — and replace those days' rows
-    * matching `rowCond`. The prune range is the tightest single range
-    * enclosing the days: a clean day file BETWEEN two candidate days is
-    * rewritten unchanged (extra IO, never wrong) — late data clusters,
-    * so the range is tight in practice.
+  /** Replace exactly `days` of the view with fresh rows matching
+    * `rowCond` — from `freshSlice` when the caller already holds the
+    * window's recompute (the signature path persists it), else from a
+    * bounded source read clipped to the days ± slack. The prune range
+    * is the tightest single range enclosing the days: a clean day file
+    * BETWEEN two candidate days is rewritten unchanged (extra IO, never
+    * wrong) — late data clusters, so the range is tight in practice.
     */
   private def rewriteDays(days: Seq[java.sql.Date], rowCond: Column,
-      hiClipMicros: Long): Unit = {
+      hiClipMicros: Long, freshSlice: Option[DataFrame] = None): Unit = {
     val dayNums = days.map(DateTimeUtils.fromJavaDate)
     val loD = dayNums.min.toLong * 86400000000L
     val hiD = math.min(hiClipMicros, (dayNums.max.toLong + 1L) * 86400000000L - 1L)
     val dayCond = rowCond && to_date(ts).isin(days: _*)
-    val fresh = viewFrom(loD, hiD).filter(dayCond)
+    val fresh = freshSlice.getOrElse(viewFrom(loD, hiD)).filter(dayCond)
     mat.replaceWhere(dayCond, fresh, Some(RangePrune(view.tsCol, loD, hiD)))
   }
 
@@ -429,13 +432,21 @@ final class Materializer(
     } finally keys.unpersist()
   }
 
-  /** M3 — append view rows strictly after the watermark. No emptiness
-    * pre-check: that would evaluate the slice once to decide and again to
-    * write; [[GraftTable.append]] skips the commit itself when the write
-    * produced no files.
+  /** M3 — land view rows strictly after the watermark, as a REPLACE of
+    * the `(wm, ∞)` range rather than a bare append: idempotent under a
+    * crash between this commit and the watermark advance (the re-run
+    * deletes the previously landed > wm rows before re-inserting them —
+    * a bare append would double-count them, and the file-delta stale
+    * pass, unlike the signature one, never compares above-watermark
+    * rows, so nothing downstream would heal the duplicates). On a clean
+    * run no live file overlaps the range and this degrades to a pure
+    * append of the fresh slice.
     */
-  def appendNew(wm: Timestamp): Unit =
-    mat.append(viewFrom(DateTimeUtils.fromJavaTimestamp(wm)).filter(ts > lit(wm)))
+  def appendNew(wm: Timestamp): Unit = {
+    val wmMicros = DateTimeUtils.fromJavaTimestamp(wm)
+    mat.replaceWhere(ts > lit(wm), viewFrom(wmMicros).filter(ts > lit(wm)),
+      Some(RangePrune(view.tsCol, wmMicros + 1L, Long.MaxValue)))
+  }
 
   /** M6 — stale-row repair: inside the detection window, any key whose
     * freshly computed row differs from the materialized row (a late
@@ -556,16 +567,26 @@ final class Materializer(
         } else {
           def dayLo(d: java.sql.Date) = DateTimeUtils.fromJavaDate(d).toLong * 86400000000L
           def dayHi(d: java.sql.Date) = dayLo(d) + 86400000000L - 1L
-          val lbLo = wmMicros - intervalCeilMicros(lookback)
-          val lbDays = candidates.map(_.filter(d => dayHi(d) > lbLo && dayLo(d) <= wmMicros))
+          // CALENDAR boundaries — must match the passes' row conditions
+          // exactly, or boundary days fall between the two passes
+          val lbLo = minusIntervalMicros(wmMicros, lookback)
+          // a day straddling the lookback boundary goes to ONE pass:
+          // stale when it runs (its row condition reaches through wm, so
+          // one rewrite covers both sides of the boundary), else lookback
+          // (in-window rows only — beyond-lookback drift without a stale
+          // window is out of remit, matching the signature-path contract)
+          val straddleToStale = staleDetectionWindow.isDefined
+          val lbDays = candidates.map(_.filter(d =>
+            dayHi(d) > lbLo && dayLo(d) <= wmMicros &&
+              !(straddleToStale && dayLo(d) < lbLo)))
           timed("lookbackRepair")(lookbackRepair(wm, lookback, lbDays))
           changedDimKeys.foreach(k => timed("dimensionRepair")(dimensionRepair(wm, k)))
           if (!noNewFacts) timed("appendNew")(appendNew(wm))
           staleDetectionWindow.foreach { w =>
-            // beyond-lookback days only (the in-window part was already
-            // repaired), clipped to the detection window — the caller's
-            // bound on how far back stale repair may reach
-            val detLo = wmMicros - intervalCeilMicros(w)
+            // beyond-lookback days (including the boundary straddler),
+            // clipped to the detection window — the caller's bound on
+            // how far back stale repair may reach
+            val detLo = minusIntervalMicros(wmMicros, w)
             val stDays = candidates.map(_.filter(d => dayHi(d) > detLo && dayLo(d) < lbLo))
             timed("staleRepair")(staleRepair(wm, w, stDays))
           }

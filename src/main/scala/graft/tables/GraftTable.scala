@@ -358,7 +358,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
     val added = writeFiles(merged)
-    writeCommit("replace", untouched ++ added)
+    val prev = commits.lastOption
+    // nothing deleted (no file overlapped the condition) and nothing
+    // inserted ⇒ a no-op: skip the commit, mirroring append()'s zero-row
+    // skip (any schema-only stub file stays unreferenced for
+    // removeOrphans, same as there)
+    prev match {
+      case Some(p) if toRewrite.isEmpty && footerRowCount(added) == 0 => p
+      case _ => writeCommit("replace", untouched ++ added)
+    }
   }
 
   /** Keyed delete+re-insert: drop live rows whose `keyCols` tuple appears

@@ -39,8 +39,10 @@ final class TableCatalog(spark: SparkSession, val root: String, defs: Seq[TableD
   private def diffSchemas(declared: StructType, live: StructType): Seq[String] = {
     val dm = declared.fields.map(f => f.name -> f).toMap
     val lm = live.fields.map(f => f.name -> f).toMap
-    val missing = declared.fieldNames.filterNot(lm.contains)
-      .map(c => s"declared column '$c' missing from live schema")
+    // a declared column absent from live files is ADDITIVE evolution,
+    // not drift: reads null-fill it (Iceberg's add-optional-column is
+    // the same compatible change — e.g. the watermark table gaining
+    // source_version must not brick pre-upgrade warehouses)
     val extra = live.fieldNames.filterNot(dm.contains)
       .map(c => s"live column '$c' not declared")
     val typeDrift = declared.fields.flatMap { f =>
@@ -49,7 +51,7 @@ final class TableCatalog(spark: SparkSession, val root: String, defs: Seq[TableD
           s"column '${f.name}' type drift: declared ${f.dataType.sql}, live ${l.dataType.sql}"
       }
     }
-    missing ++ extra ++ typeDrift
+    extra ++ typeDrift
   }
 
   /** S7 — assert every materialized table matches its declaration. */
