@@ -256,11 +256,12 @@ object TextOps {
     * is a broadcast single row. Dictionary size is O(train vocab),
     * independent of the scored corpus.
     */
-  val textLmScore: QueryDef = {
+  /** The `text_lm_score` oracle SQL — also the scores CTE of
+    * `text_lm_buckets`, so the two queries cannot drift apart.
+    */
+  private val lmScoreSql: String = {
     val tierIn = LmScoring.TrainTier.map("'" + _ + "'").mkString(", ")
-    QueryDef(
-      "text_lm_score",
-      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr
          |             FROM documents
          |             WHERE len(string_split(text, ' ')) >= 2),
          |train_w AS (SELECT unnest(arr) AS word FROM tok
@@ -287,15 +288,60 @@ object TextOps {
          |SELECT doc_id, count(*) AS n_bigrams,
          |       sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
          |       sum(p) // count(*) AS lm_score
-         |FROM sc GROUP BY doc_id""".stripMargin) { t =>
-      val tok = LmScoring.tokenize(t.documents)
-      val train = LmScoring.trainSlice(tok)
-      LmScoring.score(tok,
-        LmScoring.unigramCounts(train), LmScoring.bigramCounts(train))
-    }
+         |FROM sc GROUP BY doc_id""".stripMargin
+  }
+
+  /** The Spark side of [[lmScoreSql]] — shared by score and buckets. */
+  private def lmScores(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    val tok = LmScoring.tokenize(t.documents)
+    val train = LmScoring.trainSlice(tok)
+    LmScoring.score(tok,
+      LmScoring.unigramCounts(train), LmScoring.bigramCounts(train))
+  }
+
+  val textLmScore: QueryDef =
+    QueryDef("text_lm_score", lmScoreSql)(lmScores)
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): docs
+    * bucketed by LM-score terciles — `tail` is what perplexity
+    * filtering drops. The cuts are EXACT without any global sort of
+    * the corpus: scores are bounded integers (0..1e6), so the tercile
+    * thresholds come from a cumulative window over the score HISTOGRAM
+    * — O(distinct scores) rows, independent of corpus size — and docs
+    * with equal scores always share a bucket (no row_number over the
+    * corpus, which would drag N rows onto one task).
+    */
+  val textLmBuckets: QueryDef = QueryDef(
+    "text_lm_buckets",
+    s"""WITH scores AS ($lmScoreSql),
+       |hist AS (SELECT lm_score, count(*) AS c FROM scores GROUP BY lm_score),
+       |cum AS (SELECT lm_score, sum(c) OVER (ORDER BY lm_score) AS cum FROM hist),
+       |tot AS (SELECT sum(c) AS n FROM hist),
+       |cuts AS (SELECT min(CASE WHEN cum * 3 >= n THEN lm_score END) AS t1,
+       |                min(CASE WHEN cum * 3 >= 2 * n THEN lm_score END) AS t2
+       |         FROM cum CROSS JOIN tot)
+       |SELECT doc_id, lm_score,
+       |       CASE WHEN lm_score < t1 THEN 'tail'
+       |            WHEN lm_score < t2 THEN 'middle'
+       |            ELSE 'head' END AS bucket
+       |FROM scores CROSS JOIN cuts""".stripMargin) { t =>
+    val scores = lmScores(t)
+    val hist = scores.groupBy(col("lm_score")).agg(count(lit(1)).as("c"))
+    // single-partition window over the HISTOGRAM only — bounded rows
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("lm_score"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val cuts = cum.crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("lm_score"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("lm_score"))).as("t2"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("lm_score"),
+        when(col("lm_score") < col("t1"), "tail")
+          .when(col("lm_score") < col("t2"), "middle")
+          .otherwise("head").as("bucket"))
   }
 
   val all: Seq[QueryDef] =
     Seq(textTokens, textQuality, textLangId, textFingerprint, textPack,
-      sampleStratified, textOovRate, textLmScore)
+      sampleStratified, textOovRate, textLmScore, textLmBuckets)
 }
