@@ -449,6 +449,84 @@ class MaterializeSpec extends AnyFunSuite {
     assertConverged(cat.table("mat"), view.compute(src.readLogical()), "tail-only append")
   }
 
+  test("a crash between the append pass and the watermark advance cannot double-count") {
+    // regression pin: appendNew is a REPLACE of (wm, inf), so re-running
+    // the protocol after a partial run that already landed the tail
+    // converges instead of appending the tail twice
+    val root = wh("crashappend")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")),
+      factBound = Some(FactBound("ts", "1 hour")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mzr = new Materializer(spark, src, view, cat.table("mat"),
+      cat.table("materialization_watermarks"))
+
+    src.append(toDf(Seq(ev(1, 1, 10, 1, "view", 1.0), ev(2, 2, 11, 2, "click", 2.0))))
+    mzr.run()
+    src.append(toDf(Seq(ev(3, 4, 9, 3, "view", 3.0))))
+    // the "crashed" partial run: append committed, watermark NOT advanced
+    mzr.appendNew(mzr.readWatermark().get)
+    // the retry replays the whole protocol from the stale watermark
+    mzr.run(lookback = "48 hours", staleDetectionWindow = Some("30 days"))
+    assertConverged(cat.table("mat"), view.compute(src.readLogical()),
+      "retry after crash between append and watermark advance")
+  }
+
+  test("a straggler inside the calendar-vs-ceil month gap is still repaired") {
+    // regression pin: candidate-day classification must use the same
+    // CALENDAR interval arithmetic as the row conditions — with the
+    // 31-day ceil, a late day between wm-31d and wm-1month was assigned
+    // to the lookback pass whose condition excluded all its rows
+    val root = wh("monthgap")
+    val matSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType)))
+    val view = MatView("hourly", "window_start", Seq("window_start", "event_type"),
+      facts => facts
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value")),
+      factBound = Some(FactBound("ts", "1 hour")))
+    val cat = new TableCatalog(spark, root, Seq(
+      TableDef("src", eventsSchema),
+      TableDef("mat", matSchema, keys = Seq("window_start", "event_type")),
+      Materializer.watermarkTableDef))
+    val src = cat.table("src")
+    val mzr = new Materializer(spark, src, view, cat.table("mat"),
+      cat.table("materialization_watermarks"))
+
+    def at(s: String, id: Long, typ: String) =
+      (id, Timestamp.valueOf(s), id % 5, typ, 1.0)
+    // February facts → wm = 2024-03-28 12:00; Feb has 29 days in 2024,
+    // so wm - 1 month (2024-02-28 12:00) != wm - 31 days (2024-02-26 12:00)
+    src.append(toDf(Seq(
+      at("2024-02-01 08:00:00", 1, "view"),
+      at("2024-03-28 12:00:00", 2, "view"))))
+    mzr.run()
+    // straggler lands 2024-02-27 — inside [wm-31d, wm-1month): beyond the
+    // calendar lookback window, so ONLY the stale pass may repair it
+    src.append(toDf(Seq(at("2024-02-27 06:00:00", 3, "click"))))
+    mzr.run(lookback = "1 month", staleDetectionWindow = Some("60 days"))
+    assertConverged(cat.table("mat"), view.compute(src.readLogical()),
+      "straggler in the month-arithmetic gap")
+  }
+
   test("a full-protocol repair run computes the view once and stays under the job budget") {
     val root = wh("budget")
     val matSchema = StructType(Seq(
