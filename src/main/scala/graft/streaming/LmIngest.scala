@@ -69,6 +69,17 @@ object LmIngest {
   def mergedBigrams(big: GraftTable): DataFrame =
     big.readLogical().groupBy(col("w1"), col("w2")).agg(sum(col("c2")).as("c2"))
 
+  /** Maintenance cadence: pre-merge the per-batch partials so reads
+    * stop re-summing history — replaces each dictionary's live
+    * snapshot with its merged form (one row per key). Read-equivalent
+    * before and after by construction (the merge IS the read
+    * semantics); old snapshots stay time-travelable until expiry.
+    */
+  def compactDictionaries(uni: GraftTable, big: GraftTable): Unit = {
+    uni.overwrite(mergedUnigrams(uni))
+    big.overwrite(mergedBigrams(big))
+  }
+
   /** Serve-side gate: score any doc set against the CURRENT streamed
     * dictionaries — identical math (and code) to the batch operator, so
     * streamed-trained == batch-trained is pinned row-for-row by

@@ -58,6 +58,17 @@ class LmIngestSpec extends AnyFunSuite {
       s"streamed ${streamed.size} rows vs batch ${batch.size}; " +
         s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
     assert(batch.exists(_._3 > 0), "no unseen bigrams anywhere — backoff untested")
+
+    // maintenance merge-compaction: physical rows collapse to one per
+    // key, reads (and therefore scores) are unchanged
+    val physBefore = uni.readLogical().count()
+    LmIngest.compactDictionaries(uni, big)
+    val physAfter = uni.readLogical().count()
+    val distinctWords = LmIngest.mergedUnigrams(uni).count()
+    assert(physAfter == distinctWords && physAfter < physBefore,
+      s"expected $distinctWords merged rows < $physBefore partials, got $physAfter")
+    assert(rows(LmIngest.score(docsDf, uni, big)) == batch,
+      "scores changed after dictionary compaction")
   }
 
   test("a replayed batch changes neither dictionary") {
