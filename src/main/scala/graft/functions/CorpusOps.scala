@@ -282,15 +282,17 @@ object CorpusOps {
   /** The curation pipeline COMPOSED as one plan — what a training-data
     * user actually runs, not the stages in isolation: length gate →
     * Gopher repetition gate → benchmark decontamination (broadcast gram
-    * hashes) → cross-source keep-best dedup → per-(source, lang) corpus
-    * accounting. One documents scan feeds the word/gram derivations;
-    * the only corpus-wide shuffles are the bigram histogram, the
-    * keep-best hash `groupBy`, and the final rollup — the benchmark
-    * side stays broadcast, so composing the stages adds NO join of
-    * corpus against corpus. All-integer output (doc/token/char counts),
-    * so the cross-engine compare is exact. A wrong gate order, a dedup
-    * that sees pre-filter rows, or a contamination check applied after
-    * dedup all change the counts and fail the hash.
+    * hashes) → CCNet LM-tail gate (bottom score tercile dropped, one
+    * shared definition with `text_lm_buckets`) → cross-source keep-best
+    * dedup → per-(source, lang) corpus accounting. One documents scan
+    * feeds the word/gram derivations; the corpus-wide shuffles are the
+    * bigram histogram, the LM dictionary joins (O(train vocab) build
+    * sides), the keep-best hash `groupBy`, and the final rollup — the
+    * benchmark side stays broadcast, so composing the stages adds NO
+    * join of corpus against corpus. All-integer output (doc/token/char
+    * counts), so the cross-engine compare is exact. A wrong gate order,
+    * a dedup that sees pre-filter rows, or a contamination check
+    * applied after dedup all change the counts and fail the hash.
     */
   val corpusCurationE2e: QueryDef = QueryDef(
     "corpus_curation_e2e",
@@ -311,14 +313,18 @@ object CorpusOps {
        |b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
        |contaminated AS (SELECT DISTINCT g.doc_id
        |                 FROM g JOIN b ON b.gh = g.gh WHERE g.doc_id % 97 <> 0),
+       |lmtail AS (SELECT doc_id FROM (${TextOps.lmBucketsSql})
+       |           WHERE bucket = 'tail'),
        |eligible AS (
        |  SELECT w.* FROM w
        |  JOIN rep ON rep.doc_id = w.doc_id
        |  LEFT JOIN contaminated c ON c.doc_id = w.doc_id
+       |  LEFT JOIN lmtail lt ON lt.doc_id = w.doc_id
        |  WHERE len(w.ws) >= 50
        |    AND rep.topc * 5 <= rep.nb
        |    AND w.doc_id % 97 <> 0
-       |    AND c.doc_id IS NULL),
+       |    AND c.doc_id IS NULL
+       |    AND lt.doc_id IS NULL),
        |kept AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY md5(text)
@@ -345,9 +351,15 @@ object CorpusOps {
     val bench = g.filter(col("doc_id") % 97 === 0).select("gh").distinct()
     val contaminated = g.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), Seq("gh")).select("doc_id").distinct()
+    // CCNet LM-tail gate: the bottom score tercile (computed over the
+    // whole corpus, one shared definition with text_lm_buckets) is
+    // dropped before keep-best dedup, like the other gates
+    val lmTail = TextOps.lmBuckets(t)
+      .filter(col("bucket") === "tail").select("doc_id")
     val eligible = w
       .join(rep, Seq("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(lmTail, Seq("doc_id"), "left_anti")
       .filter(size(col("ws")) >= 50 &&
         col("topc") * 5 <= col("nb") &&
         col("doc_id") % 97 =!= 0)

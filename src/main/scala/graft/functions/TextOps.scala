@@ -302,17 +302,10 @@ object TextOps {
   val textLmScore: QueryDef =
     QueryDef("text_lm_score", lmScoreSql)(lmScores)
 
-  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): docs
-    * bucketed by LM-score terciles — `tail` is what perplexity
-    * filtering drops. The cuts are EXACT without any global sort of
-    * the corpus: scores are bounded integers (0..1e6), so the tercile
-    * thresholds come from a cumulative window over the score HISTOGRAM
-    * — O(distinct scores) rows, independent of corpus size — and docs
-    * with equal scores always share a bucket (no row_number over the
-    * corpus, which would drag N rows onto one task).
+  /** The `text_lm_buckets` oracle SQL — also the LM-tail gate CTE of
+    * `corpus_curation_e2e` ([[CorpusOps]]), one definition for both.
     */
-  val textLmBuckets: QueryDef = QueryDef(
-    "text_lm_buckets",
+  private[functions] val lmBucketsSql: String =
     s"""WITH scores AS ($lmScoreSql),
        |hist AS (SELECT lm_score, count(*) AS c FROM scores GROUP BY lm_score),
        |cum AS (SELECT lm_score, sum(c) OVER (ORDER BY lm_score) AS cum FROM hist),
@@ -324,7 +317,10 @@ object TextOps {
        |       CASE WHEN lm_score < t1 THEN 'tail'
        |            WHEN lm_score < t2 THEN 'middle'
        |            ELSE 'head' END AS bucket
-       |FROM scores CROSS JOIN cuts""".stripMargin) { t =>
+       |FROM scores CROSS JOIN cuts""".stripMargin
+
+  /** The Spark side of [[lmBucketsSql]] — shared with the e2e gate. */
+  private[functions] def lmBuckets(t: graft.Tables): org.apache.spark.sql.DataFrame = {
     val scores = lmScores(t)
     val hist = scores.groupBy(col("lm_score")).agg(count(lit(1)).as("c"))
     // single-partition window over the HISTOGRAM only — bounded rows
@@ -340,6 +336,18 @@ object TextOps {
           .when(col("lm_score") < col("t2"), "middle")
           .otherwise("head").as("bucket"))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): docs
+    * bucketed by LM-score terciles — `tail` is what perplexity
+    * filtering drops. The cuts are EXACT without any global sort of
+    * the corpus: scores are bounded integers (0..1e6), so the tercile
+    * thresholds come from a cumulative window over the score HISTOGRAM
+    * — O(distinct scores) rows, independent of corpus size — and docs
+    * with equal scores always share a bucket (no row_number over the
+    * corpus, which would drag N rows onto one task).
+    */
+  val textLmBuckets: QueryDef =
+    QueryDef("text_lm_buckets", lmBucketsSql)(lmBuckets)
 
   val all: Seq[QueryDef] =
     Seq(textTokens, textQuality, textLangId, textFingerprint, textPack,
