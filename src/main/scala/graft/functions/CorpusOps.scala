@@ -260,7 +260,12 @@ object CorpusOps {
       .groupBy()
       .agg(map_from_entries(sort_array(collect_list(struct(col("w"), col("bits")))))
         .as("bloom"))
-    val cg = g.filter(col("doc_id") % 97 =!= 0).distinct()
+    // probe BEFORE any dedup: the bloom test is a pure map, so running
+    // it on raw gram occurrences keeps the whole probe inside one
+    // codegen stage, and the per-doc distinct moves into the aggregate
+    // over HIT grams only — the shuffle carries the (rare) hits, not
+    // every (doc, gram) pair in the corpus
+    val cg = g.filter(col("doc_id") % 97 =!= 0)
     val withPos = cg.select(
       col("doc_id") +: col("gh") +:
         (0 until BloomK).map(j => bloomPos(j).as(s"p$j")): _*)
@@ -269,9 +274,10 @@ object CorpusOps {
         .bitwiseAND(expr(s"shiftleft(1L, cast(p$j % 64 as int))")) =!= lit(0L)
     }.reduce(_ && _)
     val hits = withPos.crossJoin(broadcast(bloomRow))
-      .withColumn("hit", hitCol)
+      .filter(hitCol)
+      .select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("doc_id"))
-      .agg(count(when(col("hit"), lit(1))).as("n_hit_grams"))
+      .agg(count(lit(1)).as("n_hit_grams"))
     t.documents.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
