@@ -172,6 +172,37 @@ object TextOps {
         .cast("long").as("chunk_pos"))
   }
 
+  /** Token-budget mixing: keep each source's documents in doc_id order
+    * until the source's token budget is spent — the "N tokens per
+    * domain" step of assembling a training mix (the quota is on TOKENS,
+    * not documents, which is what the loss actually sees). The window
+    * partitions by source, so sources fill their budgets in parallel
+    * and the greedy prefix is deterministic (doc_id order). Past a
+    * single task per source, the 100 TB form is the standard two-pass
+    * distributed prefix sum (per-range partial sums, then offsets);
+    * the greedy-prefix semantics are unchanged.
+    */
+  val sampleTokenBudget: QueryDef = QueryDef(
+    "sample_token_budget",
+    """WITH tk AS (SELECT doc_id, source,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |            FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |      FROM tk)
+      |SELECT doc_id, source, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 700""".stripMargin) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 700)
+  }
+
   /** Deterministic stratified sampling: per-language Bernoulli keep
     * decision from a salted content-free hash of the doc id — 10% of
     * 'en', 50% of everything else. Hash-based sampling is reproducible
@@ -351,5 +382,5 @@ object TextOps {
 
   val all: Seq[QueryDef] =
     Seq(textTokens, textQuality, textLangId, textFingerprint, textPack,
-      sampleStratified, textOovRate, textLmScore, textLmBuckets)
+      sampleStratified, sampleTokenBudget, textOovRate, textLmScore, textLmBuckets)
 }
