@@ -380,7 +380,107 @@ object TextOps {
   val textLmBuckets: QueryDef =
     QueryDef("text_lm_buckets", lmBucketsSql)(lmBuckets)
 
+  /** Temperature-scaled multilingual sampling (the α-sampling of
+    * multilingual LM training, α = 1/2): the kept corpus follows
+    * p(lang) ∝ √n(lang), flattening the head language's dominance
+    * without discarding it. Each language keeps docs at rate
+    * √(n_min/n_lang) — the rarest language survives whole, every
+    * larger one is hash-downsampled by its √-excess. All integer:
+    * isq = ⌊√(n·10⁶)⌋ (exact in IEEE double for n·10⁶ < 2⁵², which
+    * holds through the gate scales; at larger n swap in an exact
+    * integer Newton √ over the SAME tiny per-language table), the
+    * per-million threshold is an integer division of two isq values,
+    * and the keep decision is a salted content-free hash — so the
+    * sample is reproducible across engines, runs, and incremental
+    * ingestion (a doc's fate never changes as the corpus grows only
+    * if rates are pinned per release, which is how deployments run
+    * it). Scale shape: the per-language count is a map-side-combined
+    * agg to ≤|langs| rows, the threshold table BROADCASTS, and the
+    * corpus side is a pure codegen'd filter — no corpus shuffle.
+    */
+  val sampleTemperature: QueryDef = QueryDef(
+    "sample_temperature",
+    s"""WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+       |isq AS (SELECT lang, n_lang,
+       |          CAST(floor(sqrt(CAST(n_lang AS DOUBLE) * 1000000)) AS BIGINT) AS isq
+       |        FROM n),
+       |th AS (SELECT lang, n_lang,
+       |         (1000000 * (SELECT min(isq) FROM isq)) // isq AS keep_th
+       |       FROM isq)
+       |SELECT d.doc_id, d.lang, d.source, th.keep_th
+       |FROM documents d JOIN th ON th.lang = d.lang
+       |WHERE ${h64Sql("concat('temp|', CAST(d.doc_id AS VARCHAR))")} % 1000000
+       |      < th.keep_th""".stripMargin) { t =>
+    val n = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val isq = n.withColumn("isq",
+      floor(sqrt(col("n_lang").cast("double") * 1000000L)).cast("long"))
+    val minIsq = isq.agg(min(col("isq")).as("min_isq"))
+    val th = isq.crossJoin(broadcast(minIsq))
+      .select(col("lang"), expr("1000000 * min_isq div isq").as("keep_th"))
+    t.documents
+      .join(broadcast(th), Seq("lang"))
+      .filter(h64(concat(lit("temp|"), col("doc_id").cast("string"))) % 1000000L
+        < col("keep_th"))
+      .select(col("doc_id"), col("lang"), col("source"), col("keep_th"))
+  }
+
+  /** Discriminative quality classifier (the GPT-3/LLaMA "trusted-vs-web"
+    * filter, Brown et al. 2020 App. A) in integer-exact form: every
+    * word carries the ppm-scaled likelihood ratio of appearing in the
+    * trusted tier vs the whole corpus,
+    *
+    *   r(w) = 10⁶ · c_trusted(w)·N_all / (c_all(w)·N_trusted)
+    *
+    * and a document scores the integer mean of its words' ratios —
+    * above 10⁶ means "reads more like the curated tier than the
+    * average document". Complementary to [[textLmScore]]: the LM
+    * grades FLUENCY (bigram transitions), this grades VOCABULARY
+    * affinity (unigram discrimination); CCNet-style pipelines run
+    * both. Scale shape identical to the LM: the word stream
+    * hash-joins one corpus-level dictionary keyed by word (O(vocab),
+    * never doc×doc); the two totals ride along as a broadcast single
+    * row. The dictionary is a pair of additive counts, so the
+    * streamed-partials maintenance story of the LM dictionaries
+    * (graft.streaming.LmIngest) applies unchanged.
+    */
+  val textClassifierScore: QueryDef = QueryDef(
+    "text_classifier_score", {
+      val tierIn = LmScoring.TrainTier.map("'" + _ + "'").mkString(", ")
+      s"""WITH ws AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+         |            FROM documents),
+         |dict AS (SELECT word, count(*) AS c_all,
+         |                sum(CASE WHEN source IN ($tierIn) THEN 1 ELSE 0 END) AS c_tr
+         |         FROM ws GROUP BY word),
+         |tot AS (SELECT sum(c_all) AS n_all, sum(c_tr) AS n_tr FROM dict)
+         |SELECT ws.doc_id, count(*) AS n_words,
+         |       CAST(sum((1000000 * dict.c_tr * tot.n_all) // (dict.c_all * tot.n_tr))
+         |         // count(*) AS BIGINT) AS classifier_score,
+         |       sum((1000000 * dict.c_tr * tot.n_all) // (dict.c_all * tot.n_tr))
+         |         // count(*) > 1000000 AS is_high_quality
+         |FROM ws JOIN dict ON dict.word = ws.word CROSS JOIN tot
+         |GROUP BY ws.doc_id""".stripMargin
+    }) { t =>
+    val ws = t.documents
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+    val dict = ws.groupBy(col("word"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("source").isin(LmScoring.TrainTier: _*), 1L).otherwise(0L))
+          .as("c_tr"))
+    val tot = dict.agg(sum(col("c_all")).as("n_all"), sum(col("c_tr")).as("n_tr"))
+    ws.join(dict, Seq("word"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr("1000000 * c_tr * n_all div (c_all * n_tr)").as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("r")).as("sr"))
+      .select(col("doc_id"), col("n_words"),
+        expr("sr div n_words").as("classifier_score"),
+        expr("sr div n_words > 1000000").as("is_high_quality"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(textTokens, textQuality, textLangId, textFingerprint, textPack,
-      sampleStratified, sampleTokenBudget, textOovRate, textLmScore, textLmBuckets)
+      sampleStratified, sampleTokenBudget, sampleTemperature,
+      textOovRate, textLmScore, textLmBuckets, textClassifierScore)
 }

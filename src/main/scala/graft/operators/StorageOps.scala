@@ -163,6 +163,58 @@ object StorageOps {
     tbl.readLogical()
   }
 
+  /** S11 — bucketed co-located join: both fact tables are written
+    * bucketed on the join key (Spark's `bucketBy` + sorted buckets), so
+    * the join AND the follow-on per-key aggregation run with ZERO
+    * Exchange — the layout carries the partitioning across jobs. This
+    * is the storage-side answer to the biggest 100 TB shuffle: a
+    * fact-to-fact join on a shared key (order enrichment, funnel
+    * stitching) re-shuffles terabytes on EVERY query unless the layout
+    * already agrees; bucketing moves that shuffle to write time, once.
+    * PlanSpec pins the no-Exchange property. The oracle reproduces the
+    * join from the source parquet — bucketing must not change a row.
+    * (The snapshot-log tables solve orthogonal problems — commits,
+    * time travel, repair; bucketing is Spark's native co-location seam
+    * and composes with them at the file layout level.)
+    */
+  val s11BucketedJoin: QueryDef = QueryDef(
+    "s11_bucketed_join",
+    """SELECT o.o_orderkey, o.o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |GROUP BY o.o_orderkey, o.o_orderpriority""".stripMargin) { t =>
+    val wh = scratch("s11")
+    val spark = t.spark
+    val B = 8
+    def bucketed(df: DataFrame, name: String, key: String): DataFrame = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.mode("overwrite")
+        .option("path", s"$wh/$name")
+        .bucketBy(B, key).sortBy(key)
+        .saveAsTable(name)
+      spark.table(name)
+    }
+    val o = bucketed(
+      t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_b_orders", "o_orderkey")
+    val l = bucketed(
+      t.lineitem.select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")),
+      "graft_b_lineitem", "l_orderkey")
+    // "merge" hint: at test scale the tiny orders side would
+    // auto-broadcast, hiding the property under test; at 100 TB both
+    // sides are facts and sort-merge over agreeing buckets IS the plan.
+    // The join's output keeps both sides' HashPartitioning, so the
+    // groupBy on the bucket key needs no Exchange either.
+    o.hint("merge").join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots)
+    Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
+      s11BucketedJoin)
 }

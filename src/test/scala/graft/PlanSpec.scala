@@ -168,6 +168,35 @@ class PlanSpec extends AnyFunSuite {
       "a2_funnel_counts no longer expands — fold the one-pass variant back in?")
   }
 
+  test("bucketed co-located join plans zero Exchange end to end") {
+    // both sides are bucketed on the join key and the follow-on agg
+    // groups by that key — the layout must carry the partitioning
+    // through join AND aggregation with no shuffle anywhere
+    val plan = planOf("s11_bucketed_join")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join+agg must not shuffle — the write-time layout is the point:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scan must report bucketed reading:\n$plan")
+  }
+
+  test("temperature sampling broadcasts the per-language rate table") {
+    val plan = planOf("sample_temperature")
+    // the threshold table is <=|langs| rows — the corpus side must
+    // probe it by broadcast, never shuffle for the rate lookup
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never sort-merge against a <=|langs|-row table:\n$plan")
+  }
+
+  test("classifier scoring hash-joins the word dictionary; only the 1-row total nested-loops") {
+    val plan = planOf("text_classifier_score")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"expected at most the 1-row totals as nested-loop, got $bnlj:\n$plan")
+    assert(plan.contains("HashJoin"),
+      s"dictionary probe must be a hash join:\n$plan")
+  }
+
   test("LM scoring joins its dictionaries by hash; only the 1-row total nested-loops") {
     val plan = planOf("text_lm_score")
     // the train-tier token total is a broadcast single row — the one

@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for temperature sampling and the discriminative
+  * quality classifier — properties the DuckDB hash gate can't express
+  * (it pins exact values; these pin WHY those values are right).
+  */
+class SamplingScoringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("temperature sampling keeps the rarest language whole") {
+    val t = Tables(spark, sf)
+    val counts = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = counts.minBy { case (l, n) => (n, l) }._1
+    val kept = TextOps.sampleTemperature.run(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("k"), max(col("keep_th")).as("th"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the min-count language's threshold is exactly 1e6 => every doc kept
+    assert(kept(minLang)._2 == 1000000L,
+      s"rarest language $minLang must have threshold 1e6, got ${kept(minLang)}")
+    assert(kept(minLang)._1 == counts(minLang),
+      s"rarest language must survive whole: kept ${kept(minLang)._1} of ${counts(minLang)}")
+  }
+
+  test("temperature thresholds decrease as language frequency increases") {
+    val t = Tables(spark, sf)
+    val counts = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ths = TextOps.sampleTemperature.run(spark, sf)
+      .select(col("lang"), col("keep_th")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l1, th1) <- ths; (l2, th2) <- ths if counts(l1) < counts(l2))
+      assert(th1 >= th2,
+        s"$l1 (n=${counts(l1)}) th=$th1 must be >= $l2 (n=${counts(l2)}) th=$th2")
+  }
+
+  test("classifier score is exactly 1e6 for every doc when the tier is the whole corpus") {
+    // with c_tr == c_all and N_tr == N_all every word ratio is exactly
+    // 10^6, so every doc's integer mean is exactly 10^6 — the neutral
+    // point the is_high_quality flag cuts at
+    val t = Tables(spark, sf)
+    val ws = t.documents
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("word"))
+    val dict = ws.groupBy(col("word"))
+      .agg(count(lit(1)).as("c_all"), count(lit(1)).as("c_tr"))
+    val tot = dict.agg(sum(col("c_all")).as("n_all"), sum(col("c_tr")).as("n_tr"))
+    val scored = ws.join(dict, Seq("word"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr("1000000 * c_tr * n_all div (c_all * n_tr)").as("r"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(r) div count(1)").as("score"))
+    assert(scored.filter(col("score") =!= 1000000L).count() == 0)
+  }
+
+  test("classifier flags are consistent with the score cut") {
+    val df = TextOps.textClassifierScore.run(spark, sf)
+    assert(df.filter(
+      (col("is_high_quality") && col("classifier_score") <= 1000000L) ||
+      (!col("is_high_quality") && col("classifier_score") > 1000000L)).count() == 0)
+    // scores are nonnegative and bounded by the max possible ratio
+    assert(df.filter(col("classifier_score") < 0).count() == 0)
+  }
+}
