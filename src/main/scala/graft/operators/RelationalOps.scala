@@ -488,10 +488,37 @@ object RelationalOps {
         count(lit(1)).as("n"))
   }
 
+  /** A11 — pivoted day × event-type matrix (the dashboard "wide" form
+    * of the hourly/daily rollups): one hash aggregate with the pivot
+    * values expanded as conditional sums — Spark's `pivot` with an
+    * explicit value list plans exactly that, no per-column rescan and
+    * no second shuffle. The value list is PINNED (the reference's
+    * five funnel event types): an unpinned pivot first runs a
+    * distinct-scan to discover columns — a schema decided by the data
+    * is both a second pass over 100 TB and a drifting contract.
+    * Money through exact cents.
+    */
+  val a11Pivot: QueryDef = QueryDef(
+    "a11_pivot",
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+      |       CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS view,
+      |       CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS click,
+      |       CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS signup,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS purchase,
+      |       CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS error
+      |FROM events GROUP BY 1""".stripMargin) { t =>
+    t.events
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+      .agg(sum(col("cents")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, p5RejectFilter, p8CurrencyCase, j5DimEnrich,
     j6MultikeyJoin, j9ExistsSemi, j10InSemi, a2FunnelCounts, a2FunnelOnepass,
     a3DedupGroupby, a4ConditionalDistinct, a5UnionSpine, a5SpineOnepass,
     u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend, a9Rollup,
-    a10Quantiles)
+    a10Quantiles, a11Pivot)
 }

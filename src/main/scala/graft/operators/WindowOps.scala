@@ -91,5 +91,44 @@ object WindowOps {
         col("ts"), round(col("value"), 2).as("value"))
   }
 
-  val all: Seq[QueryDef] = Seq(w1SlidingWindow, w2TumblingWindow, wDedupRownum)
+  /** W7 — rolling RANGE-frame window: per-user trailing-1-hour event
+    * count and spend at EVERY event (the "velocity" feature of fraud/
+    * engagement scoring — how much did this user do in the last hour
+    * as of now). A RANGE frame differs from both the hop/tumble
+    * aggregations (W1/W2: per-bucket, not per-event) and ROWS frames
+    * (a fixed row count, not a time horizon): peers at the same
+    * timestamp always share a frame, so the result is deterministic
+    * under any intra-timestamp order — which is what makes it
+    * oracle-exact. Money through exact cents. Scale shape: the window
+    * partitions by user_id — per-user state streams through one task
+    * at a time in timestamp order, no all-to-one window, and the
+    * streaming twin is the horizon-bounded state the funnel already
+    * uses (arrival rate × 1 h per user).
+    */
+  val w3RollingRange: QueryDef = QueryDef(
+    "w3_rolling_range",
+    """SELECT event_id, user_id,
+      |       CAST(ts AS TIMESTAMP) AS ts,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) // 1000
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin) { t =>
+    // integer SECONDS on both sides (epoch_ms//1000 there, cast long
+    // here): a fractional-seconds ordering key would put the same event
+    // in different frames in the two engines at the horizon boundary
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, Window.currentRow)
+    t.events
+      .withColumn("epoch_s", col("ts").cast("long"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(w1SlidingWindow, w2TumblingWindow, wDedupRownum, w3RollingRange)
 }

@@ -168,6 +168,22 @@ class PlanSpec extends AnyFunSuite {
       "a2_funnel_counts no longer expands — fold the one-pass variant back in?")
   }
 
+  test("pinned-values pivot is one scan and one aggregate, no discovery pass") {
+    val plan = planOf("a11_pivot")
+    val nScans = "Scan parquet".r.findAllIn(plan).size
+    assert(nScans == 1, s"pivot must not rescan to discover columns, got $nScans scans:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Expand"),
+      s"pivot with pinned values is conditional aggregation, nothing more:\n$plan")
+  }
+
+  test("rolling range window partitions by user — never a global window") {
+    val plan = planOf("w3_rolling_range")
+    val windows = "Window \\[[^\\n]*".r.findAllIn(plan).toSeq
+    assert(windows.nonEmpty, s"expected a window operator:\n$plan")
+    assert(windows.forall(_.contains("user_id")),
+      s"every window must partition by user_id:\n${windows.mkString("\n")}")
+  }
+
   test("bucketed co-located join plans zero Exchange end to end") {
     // both sides are bucketed on the join key and the follow-on agg
     // groups by that key — the layout must carry the partitioning
