@@ -515,10 +515,91 @@ object RelationalOps {
       .agg(sum(col("cents")))
   }
 
+  /** A9b — CUBE grouping sets: the full (returnflag × linestatus)
+    * lattice including BOTH one-dimension margins, where ROLLUP
+    * ([[a9Rollup]]) drills only along its declared hierarchy. Same
+    * single-pass shape — Spark expands the four grouping sets inside
+    * one hash aggregate (no per-level rescan, no union of aggs) — and
+    * the same exact-integer money discipline, because the margin rows
+    * sum large slices of the table where double accumulation order
+    * diverges across engines.
+    */
+  val a9Cube: QueryDef = QueryDef(
+    "a9_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INT) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { t =>
+    t.lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
+  /** O3 — INTERSECT / EXCEPT set semantics (the §2.7 members O2's
+    * UNION left out): user-days with a purchase AND an error, minus
+    * user-days with a signup. Spark plans both as aggregated semi/anti joins on
+    * the full row — distinct-by-key with map-side partial dedup, the
+    * same scale shape as the UNION spine, never a sort.
+    */
+  val o3IntersectExcept: QueryDef = QueryDef(
+    "o3_intersect_except",
+    """(SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+      | FROM events WHERE event_type = 'purchase'
+      | INTERSECT
+      | SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+      | FROM events WHERE event_type = 'error')
+      |EXCEPT
+      |SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+      |FROM events WHERE event_type = 'signup'""".stripMargin) { t =>
+    def of(et: String) =
+      t.events.filter(col("event_type") === et)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    of("purchase").intersect(of("error")).except(of("signup"))
+  }
+
+  /** J12 — band (range) join: each order priced against a static value
+    * band (non-equi lower <= x < upper). The band table is definitionally
+    * tiny (a pricing/tier sheet), so the right plan at ANY corpus scale
+    * is a broadcast non-equi join — the fact side never shuffles and
+    * the probe is a codegen'd comparison, not a cartesian expansion.
+    * (A fact-to-fact range join would instead bucket both sides by
+    * band-aligned keys — the interval-join operators J1/J11 carry that
+    * shape; this row pins the broadcast-dim form.)
+    */
+  val j12BandJoin: QueryDef = QueryDef(
+    "j12_band_join",
+    """WITH bands(tier, lo, hi) AS (VALUES
+      |  ('small',  0.0,      50000.0),
+      |  ('mid',    50000.0,  150000.0),
+      |  ('large',  150000.0, 1e18))
+      |SELECT b.tier, count(*) AS n_orders,
+      |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+      |GROUP BY b.tier""".stripMargin) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val bands = Seq(
+      ("small", 0.0, 50000.0),
+      ("mid", 50000.0, 150000.0),
+      ("large", 150000.0, 1e18)).toDF("tier", "lo", "hi")
+    t.orders
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, p5RejectFilter, p8CurrencyCase, j5DimEnrich,
     j6MultikeyJoin, j9ExistsSemi, j10InSemi, a2FunnelCounts, a2FunnelOnepass,
     a3DedupGroupby, a4ConditionalDistinct, a5UnionSpine, a5SpineOnepass,
     u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend, a9Rollup,
-    a10Quantiles, a11Pivot)
+    a9Cube, a10Quantiles, a11Pivot, o3IntersectExcept, j12BandJoin)
 }
