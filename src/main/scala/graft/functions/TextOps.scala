@@ -460,23 +460,9 @@ object TextOps {
          |FROM ws JOIN dict ON dict.word = ws.word CROSS JOIN tot
          |GROUP BY ws.doc_id""".stripMargin
     }) { t =>
-    val ws = t.documents
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("word"))
-    val dict = ws.groupBy(col("word"))
-      .agg(count(lit(1)).as("c_all"),
-        sum(when(col("source").isin(LmScoring.TrainTier: _*), 1L).otherwise(0L))
-          .as("c_tr"))
-    val tot = dict.agg(sum(col("c_all")).as("n_all"), sum(col("c_tr")).as("n_tr"))
-    ws.join(dict, Seq("word"))
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
-        expr("1000000 * c_tr * n_all div (c_all * n_tr)").as("r"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("r")).as("sr"))
-      .select(col("doc_id"), col("n_words"),
-        expr("sr div n_words").as("classifier_score"),
-        expr("sr div n_words > 1000000").as("is_high_quality"))
+    // ONE shared definition with the streamed twin (ClassifierIngest):
+    // the dictionary here is trained in-query over the scored corpus
+    ClassifierScoring.score(t.documents, ClassifierScoring.dictionary(t.documents))
   }
 
   val all: Seq[QueryDef] =
