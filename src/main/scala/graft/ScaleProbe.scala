@@ -256,7 +256,13 @@ object ScaleProbe {
         // stay O(train vocab) (replica word-prefixes add new words at a
         // constant factor) — the curve should track the scan-shaped
         // stages, not the pair ops'
-        "text_lm_score" -> (t => functions.TextOps.textLmScore.fn(t.spark, t.dir)))
+        "text_lm_score" -> (t => functions.TextOps.textLmScore.fn(t.spark, t.dir)),
+        // classifier scoring: same dictionary-join shape as the LM but
+        // unigram-only — the word stream grows k×, the dictionary
+        // O(vocab); temperature sampling is a ≤|langs|-row broadcast
+        // over a pure filter, the cheapest curve in the set
+        "text_classifier_score" -> (t => functions.TextOps.textClassifierScore.fn(t.spark, t.dir)),
+        "sample_temperature" -> (t => functions.TextOps.sampleTemperature.fn(t.spark, t.dir)))
 
     // sf0.1 is only 5k docs — the 1×..10× range turned out to be fully
     // overhead-dominated on local[32] (flat ~0.3-3 s per stage), so the

@@ -165,6 +165,14 @@ object CorpusOps {
           .cast("long").as("shard_pos"))
   }
 
+  /** Classifier gate for the composed pipeline: docs scoring this far
+    * below the 10⁶ neutral point read markedly more web-like than the
+    * trusted tier. A deployment tunes this against labeled data; the
+    * pinned value fires at every gate scale on the synthetic corpus
+    * (73 / 74 / 2 docs at sf0.001 / 0.01 / 0.1) without emptying it.
+    */
+  private val ClfGateCut = 990000L
+
   private val BloomM = 1L << 20 // bloom bits — 16384 packed words, 128 KB
   private val BloomK = 4        // hash functions per shingle
 
@@ -289,11 +297,13 @@ object CorpusOps {
     * user actually runs, not the stages in isolation: length gate →
     * Gopher repetition gate → benchmark decontamination (broadcast gram
     * hashes) → CCNet LM-tail gate (bottom score tercile dropped, one
-    * shared definition with `text_lm_buckets`) → cross-source keep-best
+    * shared definition with `text_lm_buckets`) → discriminative
+    * classifier gate (strongly web-flavored docs dropped, one shared
+    * definition with `text_classifier_score`) → cross-source keep-best
     * dedup → per-(source, lang) corpus accounting. One documents scan
     * feeds the word/gram derivations; the corpus-wide shuffles are the
-    * bigram histogram, the LM dictionary joins (O(train vocab) build
-    * sides), the keep-best hash `groupBy`, and the final rollup — the
+    * bigram histogram, the LM and classifier dictionary joins (O(vocab)
+    * build sides), the keep-best hash `groupBy`, and the final rollup — the
     * benchmark side stays broadcast, so composing the stages adds NO
     * join of corpus against corpus. All-integer output (doc/token/char
     * counts), so the cross-engine compare is exact. A wrong gate order,
@@ -321,16 +331,20 @@ object CorpusOps {
        |                 FROM g JOIN b ON b.gh = g.gh WHERE g.doc_id % 97 <> 0),
        |lmtail AS (SELECT doc_id FROM (${TextOps.lmBucketsSql})
        |           WHERE bucket = 'tail'),
+       |clflow AS (SELECT doc_id FROM (${TextOps.classifierScoreSql})
+       |           WHERE classifier_score < $ClfGateCut),
        |eligible AS (
        |  SELECT w.* FROM w
        |  JOIN rep ON rep.doc_id = w.doc_id
        |  LEFT JOIN contaminated c ON c.doc_id = w.doc_id
        |  LEFT JOIN lmtail lt ON lt.doc_id = w.doc_id
+       |  LEFT JOIN clflow cf ON cf.doc_id = w.doc_id
        |  WHERE len(w.ws) >= 50
        |    AND rep.topc * 5 <= rep.nb
        |    AND w.doc_id % 97 <> 0
        |    AND c.doc_id IS NULL
-       |    AND lt.doc_id IS NULL),
+       |    AND lt.doc_id IS NULL
+       |    AND cf.doc_id IS NULL),
        |kept AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY md5(text)
@@ -362,10 +376,19 @@ object CorpusOps {
     // dropped before keep-best dedup, like the other gates
     val lmTail = TextOps.lmBuckets(t)
       .filter(col("bucket") === "tail").select("doc_id")
+    // discriminative-classifier gate (the GPT-3 pipeline's second
+    // quality signal, stacked with the LM tercile the way modern
+    // curation stacks filters): docs scoring far below the neutral
+    // point are dropped; one shared definition with
+    // text_classifier_score, and another O(vocab) dictionary join —
+    // still no corpus-vs-corpus join anywhere in the composed plan
+    val clfLow = TextOps.classifierScores(t)
+      .filter(col("classifier_score") < ClfGateCut).select("doc_id")
     val eligible = w
       .join(rep, Seq("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(lmTail, Seq("doc_id"), "left_anti")
+      .join(clfLow, Seq("doc_id"), "left_anti")
       .filter(size(col("ws")) >= 50 &&
         col("topc") * 5 <= col("nb") &&
         col("doc_id") % 97 =!= 0)

@@ -443,27 +443,35 @@ object TextOps {
     * streamed-partials maintenance story of the LM dictionaries
     * (graft.streaming.LmIngest) applies unchanged.
     */
-  val textClassifierScore: QueryDef = QueryDef(
-    "text_classifier_score", {
-      val tierIn = LmScoring.TrainTier.map("'" + _ + "'").mkString(", ")
-      s"""WITH ws AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
-         |            FROM documents),
-         |dict AS (SELECT word, count(*) AS c_all,
-         |                sum(CASE WHEN source IN ($tierIn) THEN 1 ELSE 0 END) AS c_tr
-         |         FROM ws GROUP BY word),
-         |tot AS (SELECT sum(c_all) AS n_all, sum(c_tr) AS n_tr FROM dict)
-         |SELECT ws.doc_id, count(*) AS n_words,
-         |       CAST(sum((1000000 * dict.c_tr * tot.n_all) // (dict.c_all * tot.n_tr))
-         |         // count(*) AS BIGINT) AS classifier_score,
-         |       sum((1000000 * dict.c_tr * tot.n_all) // (dict.c_all * tot.n_tr))
-         |         // count(*) > 1000000 AS is_high_quality
-         |FROM ws JOIN dict ON dict.word = ws.word CROSS JOIN tot
-         |GROUP BY ws.doc_id""".stripMargin
-    }) { t =>
-    // ONE shared definition with the streamed twin (ClassifierIngest):
-    // the dictionary here is trained in-query over the scored corpus
-    ClassifierScoring.score(t.documents, ClassifierScoring.dictionary(t.documents))
+  /** The `text_classifier_score` oracle SQL — also the low-quality gate
+    * CTE of `corpus_curation_e2e` ([[CorpusOps]]), one definition for
+    * both.
+    */
+  private[functions] val classifierScoreSql: String = {
+    val tierIn = LmScoring.TrainTier.map("'" + _ + "'").mkString(", ")
+    s"""WITH ws AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+       |            FROM documents),
+       |dict AS (SELECT word, count(*) AS c_all,
+       |                sum(CASE WHEN source IN ($tierIn) THEN 1 ELSE 0 END) AS c_tr
+       |         FROM ws GROUP BY word),
+       |tot AS (SELECT sum(c_all) AS n_all, sum(c_tr) AS n_tr FROM dict)
+       |SELECT ws.doc_id, count(*) AS n_words,
+       |       CAST(sum((1000000 * dict.c_tr * tot.n_all) // (dict.c_all * tot.n_tr))
+       |         // count(*) AS BIGINT) AS classifier_score,
+       |       sum((1000000 * dict.c_tr * tot.n_all) // (dict.c_all * tot.n_tr))
+       |         // count(*) > 1000000 AS is_high_quality
+       |FROM ws JOIN dict ON dict.word = ws.word CROSS JOIN tot
+       |GROUP BY ws.doc_id""".stripMargin
   }
+
+  /** The Spark side of [[classifierScoreSql]] — shared with the e2e
+    * gate (and, through [[ClassifierScoring]], with the streamed twin).
+    */
+  private[functions] def classifierScores(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    ClassifierScoring.score(t.documents, ClassifierScoring.dictionary(t.documents))
+
+  val textClassifierScore: QueryDef = QueryDef(
+    "text_classifier_score", classifierScoreSql)(classifierScores)
 
   val all: Seq[QueryDef] =
     Seq(textTokens, textQuality, textLangId, textFingerprint, textPack,
