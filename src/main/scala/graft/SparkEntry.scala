@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.functions.{AnnOps, CorpusOps, DedupOps, MultimodalOps, PrepOps, SearchOps, SketchOps, TextOps}
+import graft.functions.{AnnOps, BpeOps, CorpusOps, DedupOps, MultimodalOps, PrepOps, SearchOps, SketchOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] = {
     val r =
       RelationalOps.all ++ FunnelOps.all ++ WindowOps.all ++ SessionOps.all ++
-        DedupOps.all ++ TextOps.all ++ PrepOps.all ++ SketchOps.all ++ CorpusOps.all ++ AnnOps.all ++
+        DedupOps.all ++ TextOps.all ++ PrepOps.all ++ SketchOps.all ++ CorpusOps.all ++ BpeOps.all ++ AnnOps.all ++
         SearchOps.all ++
         StorageOps.all ++ Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all ++
         RunnerOps.all ++ RtbOracleOps.all

@@ -1,0 +1,133 @@
+package graft.functions
+
+import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training over the corpus — the byte-pair-encoding
+  * merge loop (Sennrich et al. 2016) every LLM data pipeline runs to
+  * fit its tokenizer.
+  *
+  * The scale decomposition is the whole design: the CORPUS-sized job is
+  * only the word-frequency count (one map-side-combined `groupBy` —
+  * the same shape as `topk_terms`); the merge loop then runs over the
+  * O(distinct words) frequency dictionary, never touching the corpus
+  * again. Each round is: weighted adjacent-pair count over the vocab
+  * (a few aggregate rows), a 1-row argmax collect (constant, like the
+  * `kmeans_refine` centroid collect), and a leftmost-greedy merge
+  * applied as a codegen'd fold over each word's symbol array — no UDF,
+  * no corpus rescan, rounds ∝ target vocab size.
+  *
+  * `bpe_pair_counts` is the oracle-checked single step (exactly as
+  * `kmeans_refine` oracle-checks one Lloyd step); [[train]] is the
+  * iterated trainer, pinned against a reference implementation by
+  * BpeSpec.
+  */
+object BpeOps {
+
+  /** `(word, freq)` — the corpus-sized job, everything after is O(vocab). */
+  private[functions] def wordFreq(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("word"))
+    .filter(length(col("word")) > 0)
+    .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol pairs of `syms` (array column), one row per
+    * position — overlapping occurrences each count ("aaa" yields
+    * (a,a) twice), which both engines compute identically.
+    */
+  private def pairsOf(syms: Column): Column =
+    expr(s"transform(sequence(1, size(${syms.toString}) - 1), " +
+      s"i -> struct(element_at(${syms.toString}, i) AS a, element_at(${syms.toString}, i + 1) AS b))")
+
+  /** Weighted pair counts over a `(syms, freq)` vocabulary. */
+  private[functions] def pairCounts(vocab: DataFrame): DataFrame = vocab
+    .filter(size(col("syms")) >= 2)
+    .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("freq")).as("cnt"))
+
+  /** The first BPE merge step, oracle-checked: character-level symbol
+    * sequences per distinct word, pair counts weighted by word
+    * frequency, top-20 by (count desc, pair asc). The single-partition
+    * ranking window only ever sees the 20 survivors of a
+    * TakeOrderedAndProject — the aggregate itself carries O(distinct
+    * pairs) rows, bounded by the symbol alphabet squared.
+    */
+  /** Character symbols of a word column — Spark's regex split can emit
+    * a trailing empty string where DuckDB's `string_split(w, '')` never
+    * does, so empties are filtered on this side to keep the two
+    * engines' symbol sequences identical.
+    */
+  private[functions] def charSyms(word: Column): Column =
+    filter(split(word, ""), x => x =!= "")
+
+  val bpePairCounts: QueryDef = QueryDef(
+    "bpe_pair_counts",
+    """WITH wf AS (SELECT word, count(*) AS freq
+      |            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |            WHERE length(word) > 0 GROUP BY word),
+      |cs AS (SELECT string_split(word, '') AS syms, freq FROM wf),
+      |pc AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      |       FROM (SELECT unnest(list_transform(range(1, len(syms)),
+      |                      i -> [syms[i], syms[i + 1]])) AS p, freq
+      |             FROM cs WHERE len(syms) >= 2)
+      |       GROUP BY 1, 2)
+      |SELECT a, b, cnt,
+      |       row_number() OVER (ORDER BY cnt DESC, a, b) AS rank
+      |FROM pc ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin) { t =>
+    val vocab = wordFreq(t.documents)
+      .select(charSyms(col("word")).as("syms"), col("freq"))
+    import org.apache.spark.sql.expressions.Window
+    pairCounts(vocab)
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("a"), col("b"))))
+      .select(col("a"), col("b"), col("cnt"), col("rank"))
+  }
+
+  /** Apply one merge (a, b) → "ab" leftmost-greedily to a symbol
+    * array, as a pure codegen'd fold: "aaa" under (a,a) becomes
+    * ["aa", "a"], exactly the reference algorithm's scan order.
+    */
+  private[functions] def mergeExpr(a: String, b: String): Column = {
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    expr(
+      s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+         |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}' AND x = '${q(b)}'
+         |       THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a)}${q(b)}'))
+         |       ELSE concat(acc, array(x)) END)""".stripMargin)
+  }
+
+  /** The iterated trainer: `n` merge rounds over the word-frequency
+    * dictionary. Per round: one O(vocab) pair-count aggregate, one
+    * 1-row argmax collect (ties broken (count desc, pair asc) so the
+    * result is deterministic), one fold-merge projection. Returns the
+    * learned merges in order plus the final `(word, syms, freq)`
+    * vocabulary. `localCheckpoint` truncates the growing lineage every
+    * few rounds — the same discipline as the connected-components
+    * loop; without it round r re-executes rounds 1..r-1.
+    */
+  def train(spark: SparkSession, docs: DataFrame, n: Int): (Seq[(String, String)], DataFrame) = {
+    var vocab = wordFreq(docs)
+      .select(col("word"), charSyms(col("word")).as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    var round = 0
+    while (round < n && continue) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) continue = false
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        vocab = vocab.withColumn("syms", mergeExpr(a, b))
+        if ((round + 1) % 4 == 0) vocab = vocab.localCheckpoint()
+        round += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  val all: Seq[QueryDef] = Seq(bpePairCounts)
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The iterated BPE trainer against a from-first-principles reference
+  * implementation: the learned merge sequence and the final vocabulary
+  * must match exactly (ties broken (count desc, pair asc) on both
+  * sides), and merged symbols must always concatenate back to their
+  * word. The oracle row `bpe_pair_counts` pins the single-step counts
+  * cross-engine; this spec pins the loop.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  // ---- reference implementation (independent of the Spark code) ----
+
+  private def refMerge(syms: List[String], a: String, b: String): List[String] =
+    syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: refMerge(rest, a, b)
+      case x :: rest                          => x :: refMerge(rest, a, b)
+      case Nil                                => Nil
+    }
+
+  private def refTrain(words: Map[String, Long], n: Int): (Seq[(String, String)], Map[String, List[String]]) = {
+    var vocab: Map[String, (List[String], Long)] =
+      words.map { case (w, f) => w -> (w.toList.map(_.toString), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (merges.size < n && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (syms, f)) <- vocab; Seq(a, b) <- syms.sliding(2).toSeq if syms.size >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      if (counts.isEmpty) continue = false
+      else {
+        val ((a, b), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b))
+        vocab = vocab.map { case (w, (syms, f)) => w -> (refMerge(syms, a, b), f) }
+      }
+    }
+    (merges.toSeq, vocab.map { case (w, (syms, _)) => w -> syms })
+  }
+
+  // ---- specs ----
+
+  test("trainer matches the reference merge-for-merge and symbol-for-symbol") {
+    import spark.implicits._
+    val docs = Seq(
+      "low lower lowest low low",
+      "new newer newest new wide wider",
+      "low newer low wide").toDF("text")
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val (refMerges, refVocab) = refTrain(words, 12)
+    val (gotMerges, gotVocabDf) = BpeOps.train(spark, docs, 12)
+    assert(gotMerges == refMerges,
+      s"merge sequences diverge:\n got $gotMerges\n ref $refMerges")
+    val gotVocab = gotVocabDf.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(gotVocab == refVocab,
+      s"vocabularies diverge: ${gotVocab.toSeq.diff(refVocab.toSeq).take(3)}")
+  }
+
+  test("merged symbols always concatenate back to the word") {
+    val t = Tables(spark, sf)
+    val (_, vocab) = BpeOps.train(spark, t.documents, 8)
+    val broken = vocab
+      .filter(concat_ws("", col("syms")) =!= col("word")).count()
+    assert(broken == 0, s"$broken words no longer reconstruct from their symbols")
+  }
+
+  test("overlapping pairs count with multiplicity and rank 1 is the max") {
+    val rows = BpeOps.bpePairCounts.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y },
+      "top-20 must be count-descending")
+    assert(rows.head.get(3).toString == "1")
+  }
+}
