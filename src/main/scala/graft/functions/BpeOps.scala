@@ -129,5 +129,37 @@ object BpeOps {
     (merges.toSeq, vocab)
   }
 
+  /** Apply a trained merge list to a document set: per-word symbol
+    * split, then the merges folded IN TRAINING ORDER — each merge is
+    * one codegen'd array fold, so the whole encoder is a pure map over
+    * the corpus with the merge list baked into the plan (the broadcast
+    * is the expression tree itself — no join, no shuffle, no UDF).
+    * Returns `(doc_id, n_words, n_tokens)` plus the tokens per doc;
+    * compression = n_tokens / n_chars is the quality signal trainers
+    * track. Plan depth grows with the merge count — fine for the
+    * hundreds-of-merges regime this targets; a production tokenizer
+    * with 50k merges would swap the fold chain for one generated
+    * expression, same shape.
+    */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // posexplode keeps the word position: collect_list gives no order
+    // guarantee after a shuffle, so the token stream is reassembled by
+    // an explicit sort on the in-doc position
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .withColumn("syms", charSyms(col("word")))
+    val encoded = merges.foldLeft(words) { case (df, (a, b)) =>
+      df.withColumn("syms", mergeExpr(a, b))
+    }
+    encoded
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_tokens"),
+        flatten(expr("transform(sort_array(collect_list(struct(pos, syms))), s -> s.syms)"))
+          .as("tokens"))
+  }
+
   val all: Seq[QueryDef] = Seq(bpePairCounts)
 }

@@ -73,6 +73,32 @@ class BpeSpec extends AnyFunSuite {
     assert(broken == 0, s"$broken words no longer reconstruct from their symbols")
   }
 
+  test("encoding applies merges in training order and preserves the word stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new wide wider")).toDF("doc_id", "text")
+    val (merges, _) = BpeOps.train(spark, docs, 10)
+    val enc = BpeOps.encode(docs, merges).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[String](3).toList)).toMap
+
+    // reference: tokenize each word with the same merges, same order
+    def refEncode(w: String): List[String] =
+      merges.foldLeft(w.toList.map(_.toString)) { case (s, (a, b)) => refMerge(s, a, b) }
+    for ((id, text) <- Seq(1L -> "low lower lowest low low",
+                           2L -> "new newer newest new wide wider")) {
+      val words = text.split(" ").toList
+      val refTokens = words.flatMap(refEncode)
+      val (nWords, nTokens, tokens) = enc(id)
+      assert(nWords == words.size)
+      assert(tokens == refTokens, s"doc $id: $tokens vs $refTokens")
+      assert(nTokens == refTokens.size.toLong)
+      // tokens concatenate back to the original character stream
+      assert(tokens.mkString == words.mkString)
+    }
+  }
+
   test("overlapping pairs count with multiplicity and rank 1 is the max") {
     val rows = BpeOps.bpePairCounts.fn(spark, sf).collect()
     assert(rows.nonEmpty)
