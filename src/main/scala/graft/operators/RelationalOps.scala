@@ -515,6 +515,33 @@ object RelationalOps {
       .agg(sum(col("cents")))
   }
 
+  /** P14 — semi-structured (JSON) extraction: the `props` payload
+    * column parsed per event and aggregated by type. At 100 TB the
+    * discipline is parse-ONCE-per-row into typed columns at the
+    * earliest stage (here: one `get_json_object` in the projection
+    * feeding the aggregate, so the string never crosses a shuffle) —
+    * never re-parse per downstream expression; an ingest pipeline
+    * would materialize the typed column at write time and drop the
+    * raw string from hot paths.
+    */
+  val p14JsonExtract: QueryDef = QueryDef(
+    "p14_json_extract",
+    """SELECT event_type,
+      |       count(*) AS n,
+      |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin) { t =>
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k_val")).as("n_with_k"),
+        sum(col("k_val")).as("sum_k"),
+        max(col("k_val")).as("max_k"))
+  }
+
   /** A9b — CUBE grouping sets: the full (returnflag × linestatus)
     * lattice including BOTH one-dimension margins, where ROLLUP
     * ([[a9Rollup]]) drills only along its declared hierarchy. Same
@@ -601,5 +628,6 @@ object RelationalOps {
     j6MultikeyJoin, j9ExistsSemi, j10InSemi, a2FunnelCounts, a2FunnelOnepass,
     a3DedupGroupby, a4ConditionalDistinct, a5UnionSpine, a5SpineOnepass,
     u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend, a9Rollup,
-    a9Cube, a10Quantiles, a11Pivot, o3IntersectExcept, j12BandJoin)
+    a9Cube, a10Quantiles, a11Pivot, o3IntersectExcept, j12BandJoin,
+    p14JsonExtract)
 }

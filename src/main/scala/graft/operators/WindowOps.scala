@@ -129,6 +129,33 @@ object WindowOps {
         sum(col("cents")).over(w).as("cents_1h"))
   }
 
+  /** W8 — LAG/LEAD offset windows: per-user inter-event gap (seconds
+    * since the previous event) and the next event's type — the
+    * session-boundary / think-time features. Deterministic total order
+    * inside each user partition via the (ts, event_id) tie-break;
+    * integer-seconds arithmetic so both engines subtract identical
+    * values. Partitioned by user_id like [[w3RollingRange]] — per-user
+    * streams, never a global window.
+    */
+  val w4LagDelta: QueryDef = QueryDef(
+    "w4_lag_delta",
+    """SELECT event_id, user_id, event_type,
+      |       CAST(ts AS TIMESTAMP) AS ts,
+      |       CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000
+      |            - lag(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000)
+      |              OVER w AS BIGINT) AS gap_s,
+      |       lead(event_type) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { t =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("epoch_s", col("ts").cast("long"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        (col("epoch_s") - lag(col("epoch_s"), 1).over(w)).as("gap_s"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(w1SlidingWindow, w2TumblingWindow, wDedupRownum, w3RollingRange)
+    Seq(w1SlidingWindow, w2TumblingWindow, wDedupRownum, w3RollingRange,
+      w4LagDelta)
 }
