@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.QueryDef
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BPE tokenizer training over the corpus — the byte-pair-encoding
@@ -31,28 +31,24 @@ object BpeOps {
     .filter(length(col("word")) > 0)
     .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  /** Adjacent symbol pairs of `syms` (array column), one row per
-    * position — overlapping occurrences each count ("aaa" yields
-    * (a,a) twice), which both engines compute identically.
+  /** Adjacent symbol pairs of the column named `colName` (an
+    * array<string>), one row per position — overlapping occurrences
+    * each count ("aaa" yields (a,a) twice), which both engines compute
+    * identically. Takes the NAME, not a Column: the expression is
+    * built as SQL text, where a qualified/derived Column's rendering
+    * would not parse back.
     */
-  private def pairsOf(syms: Column): Column =
-    expr(s"transform(sequence(1, size(${syms.toString}) - 1), " +
-      s"i -> struct(element_at(${syms.toString}, i) AS a, element_at(${syms.toString}, i + 1) AS b))")
+  private def pairsOf(colName: String): Column =
+    expr(s"transform(sequence(1, size($colName) - 1), " +
+      s"i -> struct(element_at($colName, i) AS a, element_at($colName, i + 1) AS b))")
 
   /** Weighted pair counts over a `(syms, freq)` vocabulary. */
   private[functions] def pairCounts(vocab: DataFrame): DataFrame = vocab
     .filter(size(col("syms")) >= 2)
-    .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+    .select(col("freq"), explode(pairsOf("syms")).as("p"))
     .groupBy(col("p.a").as("a"), col("p.b").as("b"))
     .agg(sum(col("freq")).as("cnt"))
 
-  /** The first BPE merge step, oracle-checked: character-level symbol
-    * sequences per distinct word, pair counts weighted by word
-    * frequency, top-20 by (count desc, pair asc). The single-partition
-    * ranking window only ever sees the 20 survivors of a
-    * TakeOrderedAndProject — the aggregate itself carries O(distinct
-    * pairs) rows, bounded by the symbol alphabet squared.
-    */
   /** Character symbols of a word column — Spark's regex split can emit
     * a trailing empty string where DuckDB's `string_split(w, '')` never
     * does, so empties are filtered on this side to keep the two
@@ -61,6 +57,13 @@ object BpeOps {
   private[functions] def charSyms(word: Column): Column =
     filter(split(word, ""), x => x =!= "")
 
+  /** The first BPE merge step, oracle-checked: character-level symbol
+    * sequences per distinct word, pair counts weighted by word
+    * frequency, top-20 by (count desc, pair asc). The single-partition
+    * ranking window only ever sees the 20 survivors of a
+    * TakeOrderedAndProject — the aggregate itself carries O(distinct
+    * pairs) rows, bounded by the symbol alphabet squared.
+    */
   val bpePairCounts: QueryDef = QueryDef(
     "bpe_pair_counts",
     """WITH wf AS (SELECT word, count(*) AS freq
@@ -107,7 +110,7 @@ object BpeOps {
     * few rounds — the same discipline as the connected-components
     * loop; without it round r re-executes rounds 1..r-1.
     */
-  def train(spark: SparkSession, docs: DataFrame, n: Int): (Seq[(String, String)], DataFrame) = {
+  def train(docs: DataFrame, n: Int): (Seq[(String, String)], DataFrame) = {
     var vocab = wordFreq(docs)
       .select(col("word"), charSyms(col("word")).as("syms"), col("freq"))
       .localCheckpoint()

@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
   * counts (occurrences in the whole corpus / in the trusted tier), so
   * per-batch dictionaries merge by read-time SUM. All scoring is
   * integer ppm arithmetic: r(w) = 10⁶·c_tr·N_all / (c_all·N_tr),
-  * doc score = integer mean of its words' ratios.
+  * doc score = integer mean of its words' ratios. The ratio's
+  * numerator is computed in 128-bit (Spark DECIMAL(38,0), DuckDB
+  * HUGEINT) — in 64-bit it overflows once c_tr·N_all > 9.2×10¹²,
+  * i.e. for every common word of a ~10⁷-token trusted tier, silently
+  * in Spark and as a hard error in DuckDB. The QUOTIENT is bounded by
+  * 10⁶·N_all/N_tr (the inverse trusted-tier fraction in ppm), so it
+  * casts back to BIGINT for any corpus whose trusted tier is at least
+  * ~10⁻¹⁰ of it.
   */
 private[graft] object ClassifierScoring {
 
@@ -47,7 +54,8 @@ private[graft] object ClassifierScoring {
     words(docs).join(dict, Seq("word"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
-        expr("1000000 * c_tr * n_all div (c_all * n_tr)").as("r"))
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * c_tr * n_all)
+                div (CAST(c_all AS DECIMAL(38,0)) * n_tr) AS BIGINT)""").as("r"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("r")).as("sr"))
       .select(col("doc_id"), col("n_words"),

@@ -456,9 +456,11 @@ object TextOps {
        |         FROM ws GROUP BY word),
        |tot AS (SELECT sum(c_all) AS n_all, sum(c_tr) AS n_tr FROM dict)
        |SELECT ws.doc_id, count(*) AS n_words,
-       |       CAST(sum((1000000 * dict.c_tr * tot.n_all) // (dict.c_all * tot.n_tr))
+       |       CAST(sum(CAST((1000000::HUGEINT * dict.c_tr * tot.n_all)
+       |                // (dict.c_all::HUGEINT * tot.n_tr) AS BIGINT))
        |         // count(*) AS BIGINT) AS classifier_score,
-       |       sum((1000000 * dict.c_tr * tot.n_all) // (dict.c_all * tot.n_tr))
+       |       sum(CAST((1000000::HUGEINT * dict.c_tr * tot.n_all)
+       |                // (dict.c_all::HUGEINT * tot.n_tr) AS BIGINT))
        |         // count(*) > 1000000 AS is_high_quality
        |FROM ws JOIN dict ON dict.word = ws.word CROSS JOIN tot
        |GROUP BY ws.doc_id""".stripMargin

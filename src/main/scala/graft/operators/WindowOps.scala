@@ -91,7 +91,8 @@ object WindowOps {
         col("ts"), round(col("value"), 2).as("value"))
   }
 
-  /** W7 — rolling RANGE-frame window: per-user trailing-1-hour event
+  /** Rolling RANGE-frame window (extension beyond the reference's §2.6
+    * rows, which stop at W6): per-user trailing-1-hour event
     * count and spend at EVERY event (the "velocity" feature of fraud/
     * engagement scoring — how much did this user do in the last hour
     * as of now). A RANGE frame differs from both the hop/tumble
@@ -106,7 +107,7 @@ object WindowOps {
     * uses (arrival rate × 1 h per user).
     */
   val w3RollingRange: QueryDef = QueryDef(
-    "w3_rolling_range",
+    "w_rolling_range",
     """SELECT event_id, user_id,
       |       CAST(ts AS TIMESTAMP) AS ts,
       |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
@@ -129,7 +130,8 @@ object WindowOps {
         sum(col("cents")).over(w).as("cents_1h"))
   }
 
-  /** W8 — LAG/LEAD offset windows: per-user inter-event gap (seconds
+  /** LAG/LEAD offset windows (extension beyond §2.6, like
+    * [[w3RollingRange]]): per-user inter-event gap (seconds
     * since the previous event) and the next event's type — the
     * session-boundary / think-time features. Deterministic total order
     * inside each user partition via the (ts, event_id) tie-break;
@@ -138,7 +140,7 @@ object WindowOps {
     * streams, never a global window.
     */
   val w4LagDelta: QueryDef = QueryDef(
-    "w4_lag_delta",
+    "w_lag_delta",
     """SELECT event_id, user_id, event_type,
       |       CAST(ts AS TIMESTAMP) AS ts,
       |       CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000

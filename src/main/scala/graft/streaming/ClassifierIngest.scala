@@ -58,8 +58,18 @@ object ClassifierIngest {
   /** Serve-side gate: score any doc set against the CURRENT streamed
     * dictionary — identical math (and code) to the batch operator, so
     * streamed-trained == batch-trained is pinned row-for-row by
-    * ClassifierIngestSpec.
+    * ClassifierIngestSpec. Fails LOUDLY on a cold/empty trusted tier:
+    * with n_tr = 0 every ratio would divide by zero to NULL, and a
+    * downstream `score < cut` gate would silently keep everything —
+    * the one failure mode worse than no gate. (One tiny aggregate over
+    * the O(vocab) dictionary, negligible next to the scoring join.)
     */
-  def score(docs: DataFrame, dict: GraftTable): DataFrame =
-    ClassifierScoring.score(docs, mergedDictionary(dict))
+  def score(docs: DataFrame, dict: GraftTable): DataFrame = {
+    val merged = mergedDictionary(dict)
+    val nTr = merged.agg(sum(col("c_tr"))).first()
+    require(!nTr.isNullAt(0) && nTr.getLong(0) > 0,
+      "classifier dictionary has no trusted-tier counts yet - " +
+        "scoring now would NULL every ratio and silently disable downstream gates")
+    ClassifierScoring.score(docs, merged)
+  }
 }

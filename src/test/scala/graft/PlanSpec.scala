@@ -177,7 +177,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("rolling range window partitions by user — never a global window") {
-    val plan = planOf("w3_rolling_range")
+    val plan = planOf("w_rolling_range")
     val windows = "Window \\[[^\\n]*".r.findAllIn(plan).toSeq
     assert(windows.nonEmpty, s"expected a window operator:\n$plan")
     assert(windows.forall(_.contains("user_id")),

@@ -56,7 +56,7 @@ class BpeSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val (refMerges, refVocab) = refTrain(words, 12)
-    val (gotMerges, gotVocabDf) = BpeOps.train(spark, docs, 12)
+    val (gotMerges, gotVocabDf) = BpeOps.train(docs, 12)
     assert(gotMerges == refMerges,
       s"merge sequences diverge:\n got $gotMerges\n ref $refMerges")
     val gotVocab = gotVocabDf.select("word", "syms").collect()
@@ -67,7 +67,7 @@ class BpeSpec extends AnyFunSuite {
 
   test("merged symbols always concatenate back to the word") {
     val t = Tables(spark, sf)
-    val (_, vocab) = BpeOps.train(spark, t.documents, 8)
+    val (_, vocab) = BpeOps.train(t.documents, 8)
     val broken = vocab
       .filter(concat_ws("", col("syms")) =!= col("word")).count()
     assert(broken == 0, s"$broken words no longer reconstruct from their symbols")
@@ -78,7 +78,7 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "low lower lowest low low"),
       (2L, "new newer newest new wide wider")).toDF("doc_id", "text")
-    val (merges, _) = BpeOps.train(spark, docs, 10)
+    val (merges, _) = BpeOps.train(docs, 10)
     val enc = BpeOps.encode(docs, merges).collect()
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getSeq[String](3).toList)).toMap

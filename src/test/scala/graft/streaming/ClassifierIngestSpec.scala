@@ -72,6 +72,21 @@ class ClassifierIngestSpec extends AnyFunSuite {
       "scores changed after dictionary compaction")
   }
 
+  test("scoring against a dictionary with no trusted counts fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dict = new GraftTable(spark, ClassifierIngest.dictDef, fresh("cold"))
+    val docs = Seq(CDoc(1L, "src9", "a b a")) // nothing from the trusted tier
+    val src = MemoryStream[CDoc]
+    val q = ClassifierIngest.dictionaryAppend(src.toDF(), dict, fresh("coldck"))
+    src.addData(docs); q.processAllAvailable(); q.stop()
+    val e = intercept[IllegalArgumentException] {
+      ClassifierIngest.score(docs.toDF(), dict)
+    }
+    assert(e.getMessage.contains("trusted-tier"),
+      s"expected the cold-start guard, got: ${e.getMessage}")
+  }
+
   test("a replayed batch does not change the dictionary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
