@@ -658,4 +658,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(qrows.agg(sum("n_total")).head.getLong(0) == (good.size + bad.size).toLong)
     assert(qrows.agg(sum("n_rejected")).head.getLong(0) == 2L)
   }
+
+  test("streamed velocity equals the batch rolling-range twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents()
+    // sentinels advance the watermark far past every real event
+    def flush(id: Long) = Ev(-900 - id, at(100000 + id), -1L, "view", 0.0)
+
+    val src = MemoryStream[Ev]
+    val out = graft.streaming.VelocityState.velocity(src.toDF())
+      .writeStream.format("memory").queryName("velocity_out").outputMode("append")
+      .option("checkpointLocation", ckpt("velocity")).start()
+    src.addData(events.sortBy(_.ts.getTime) :+ flush(1))
+    out.processAllAvailable()
+    src.addData(flush(2)) // watermark from flush(1) finalizes all real events
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("velocity_out").filter(col("user_id") >= 0)
+
+    // batch twin: the exact w_rolling_range frame over the same events
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s")).rangeBetween(-3600L, Window.currentRow)
+    val batchTwin = spark.createDataset(events).toDF()
+      .withColumn("epoch_s", col("ts").cast("long"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+    assertSameRows(got, batchTwin, "rolling velocity")
+  }
 }
