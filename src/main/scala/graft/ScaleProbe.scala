@@ -262,7 +262,11 @@ object ScaleProbe {
         // O(vocab); temperature sampling is a ≤|langs|-row broadcast
         // over a pure filter, the cheapest curve in the set
         "text_classifier_score" -> (t => functions.TextOps.textClassifierScore.fn(t.spark, t.dir)),
-        "sample_temperature" -> (t => functions.TextOps.sampleTemperature.fn(t.spark, t.dir)))
+        "sample_temperature" -> (t => functions.TextOps.sampleTemperature.fn(t.spark, t.dir)),
+        // BPE pair counting: the corpus-sized half of tokenizer
+        // training — word-freq groupBy then an O(alphabet²) aggregate;
+        // should track dedup_exact's scan-shaped curve
+        "bpe_pair_counts" -> (t => functions.BpeOps.bpePairCounts.fn(t.spark, t.dir)))
 
     // sf0.1 is only 5k docs — the 1×..10× range turned out to be fully
     // overhead-dominated on local[32] (flat ~0.3-3 s per stage), so the

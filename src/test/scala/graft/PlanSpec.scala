@@ -168,6 +168,14 @@ class PlanSpec extends AnyFunSuite {
       "a2_funnel_counts no longer expands — fold the one-pass variant back in?")
   }
 
+  test("filtered ANN pushes the metadata predicate into the candidate scan") {
+    val plan = planOf("ann_filtered_topk")
+    // pre-filtering, not post-filtering: the label predicate must reach
+    // the parquet scan so a selective filter prunes the index read
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(label".r.findFirstIn(plan).isDefined,
+      s"label predicate must be pushed to the scan:\n$plan")
+  }
+
   test("pinned-values pivot is one scan and one aggregate, no discovery pass") {
     val plan = planOf("a11_pivot")
     val nScans = "Scan parquet".r.findAllIn(plan).size
