@@ -61,11 +61,13 @@ object ClassifierIngest {
     * ClassifierIngestSpec. Fails LOUDLY on a cold/empty trusted tier:
     * with n_tr = 0 every ratio would divide by zero to NULL, and a
     * downstream `score < cut` gate would silently keep everything —
-    * the one failure mode worse than no gate. (One tiny aggregate over
-    * the O(vocab) dictionary, negligible next to the scoring join.)
+    * the one failure mode worse than no gate. The merged dictionary is
+    * localCheckpoint-materialized ONCE and shared by the guard's sum,
+    * the scoring totals, and the scoring join — without it each of the
+    * three would re-run the full partial-merge groupBy.
     */
   def score(docs: DataFrame, dict: GraftTable): DataFrame = {
-    val merged = mergedDictionary(dict)
+    val merged = mergedDictionary(dict).localCheckpoint()
     val nTr = merged.agg(sum(col("c_tr"))).first()
     require(!nTr.isNullAt(0) && nTr.getLong(0) > 0,
       "classifier dictionary has no trusted-tier counts yet - " +

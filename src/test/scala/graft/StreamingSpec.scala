@@ -659,34 +659,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(qrows.agg(sum("n_rejected")).head.getLong(0) == 2L)
   }
 
-  test("streamed velocity equals the batch rolling-range twin") {
+  private def velocityBatchTwin(events: Seq[Ev]): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val events = mkEvents()
-    // sentinels advance the watermark far past every real event
-    def flush(id: Long) = Ev(-900 - id, at(100000 + id), -1L, "view", 0.0)
-
-    val src = MemoryStream[Ev]
-    val out = graft.streaming.VelocityState.velocity(src.toDF())
-      .writeStream.format("memory").queryName("velocity_out").outputMode("append")
-      .option("checkpointLocation", ckpt("velocity")).start()
-    src.addData(events.sortBy(_.ts.getTime) :+ flush(1))
-    out.processAllAvailable()
-    src.addData(flush(2)) // watermark from flush(1) finalizes all real events
-    out.processAllAvailable()
-    out.stop()
-    val got = spark.table("velocity_out").filter(col("user_id") >= 0)
-
-    // batch twin: the exact w_rolling_range frame over the same events
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("epoch_s")).rangeBetween(-3600L, Window.currentRow)
-    val batchTwin = spark.createDataset(events).toDF()
+    spark.createDataset(events).toDF()
       .withColumn("epoch_s", col("ts").cast("long"))
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .select(col("event_id"), col("user_id"), col("ts"),
         count(lit(1)).over(w).as("n_1h"),
         sum(col("cents")).over(w).as("cents_1h"))
-    assertSameRows(got, batchTwin, "rolling velocity")
+  }
+
+  private def runVelocity(name: String, batches: Seq[Seq[Ev]]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = graft.streaming.VelocityState.velocity(src.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ckpt(name)).start()
+    batches.foreach { b => src.addData(b); out.processAllAvailable() }
+    out.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
+  test("streamed velocity equals the batch rolling-range twin") {
+    val events = mkEvents()
+    // sentinels advance the watermark far past every real event
+    def flush(id: Long) = Ev(-900 - id, at(100000 + id), -1L, "view", 0.0)
+    val got = runVelocity("velocity_out",
+      Seq(events.sortBy(_.ts.getTime) :+ flush(1), Seq(flush(2))))
+    assertSameRows(got, velocityBatchTwin(events), "rolling velocity")
+  }
+
+  test("velocity keeps microsecond timestamps and waits for same-second cross-batch peers") {
+    // fixture-realistic timestamps: nonzero MICROSECONDS, and a
+    // same-second peer that arrives in a LATER micro-batch while the
+    // watermark already sits INSIDE the shared second (10.5s here) —
+    // the naive `ts < watermark` finalization emits E1 without E2 and
+    // a ms-precision buffer would emit a truncated ts; both must not
+    def ts(s: String) = Timestamp.valueOf(s)
+    val e1 = Ev(1L, ts("2024-01-01 00:00:10.000123"), 1L, "view", 1.0)
+    val e2 = Ev(2L, ts("2024-01-01 00:00:10.950456"), 1L, "view", 2.0)
+    val push1 = Ev(-901L, ts("2024-01-01 00:00:40.5"), -1L, "view", 0.0)   // wm -> 10.5s
+    val push2 = Ev(-902L, ts("2024-01-01 00:00:41.6"), -1L, "view", 0.0)   // wm -> 11.6s
+    def flush(id: Long) = Ev(-900 - id, ts("2024-01-02 00:00:00"), -1L, "view", 0.0)
+
+    val got = runVelocity("velocity_micro_out",
+      Seq(Seq(e1, push1), Seq(e2, push2), Seq(flush(3)), Seq(flush(4))))
+    assertSameRows(got, velocityBatchTwin(Seq(e1, e2)), "sub-second velocity")
   }
 }
