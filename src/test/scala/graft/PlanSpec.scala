@@ -168,6 +168,17 @@ class PlanSpec extends AnyFunSuite {
       "a2_funnel_counts no longer expands — fold the one-pass variant back in?")
   }
 
+  test("rollup and cube lattices are one scan each, no per-level union") {
+    for (name <- Seq("a9_rollup", "a9_cube")) {
+      val plan = planOf(name)
+      val nScans = "Scan parquet".r.findAllIn(plan).size
+      assert(nScans == 1, s"$name: grouping sets must expand inside one aggregate, " +
+        s"not rescan per level — got $nScans scans:\n$plan")
+      assert(!plan.contains("Union"),
+        s"$name must not union per-level aggregates:\n$plan")
+    }
+  }
+
   test("filtered ANN pushes the metadata predicate into the candidate scan") {
     val plan = planOf("ann_filtered_topk")
     // pre-filtering, not post-filtering: the label predicate must reach
