@@ -214,7 +214,67 @@ object StorageOps {
       .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
   }
 
+  /** M7 — compaction round trip, oracle-checked: many small commits
+    * (one per event-type — the streaming-sink sliver pattern), then a
+    * bin-packing compact, then read through the snapshot log. The
+    * oracle reproduces the selection straight from the source, so
+    * compaction must preserve every row and value while physically
+    * rewriting the layout; the file-count collapse itself is asserted
+    * in-query (a compaction that didn't compact would still
+    * hash-match). Upgrades M7 from spec-only to a named oracle row.
+    */
+  val s12CompactRoundtrip: QueryDef = QueryDef(
+    "s12_compact_roundtrip",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s12")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("compact_t", eventsSchema)))
+    val tbl = cat.table("compact_t")
+    val src = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), round(col("value"), 2).as("value"))
+    for (et <- Seq("view", "click", "signup", "purchase", "error"))
+      tbl.append(src.filter(col("event_type") === et))
+    val before = tbl.readLogical().inputFiles.length
+    tbl.compact()
+    val after = tbl.readLogical().inputFiles.length
+    require(after < before,
+      s"compaction did not reduce the file count ($before -> $after)")
+    tbl.readLogical()
+  }
+
+  /** S10/M8 read side — TIME TRAVEL, oracle-checked: version 1 is the
+    * pre-2024-01-16 slice, version 2 appends the rest; reading AS OF
+    * each version must reproduce exactly the slice each commit saw,
+    * tagged and unioned so one hash covers both. The oracle rebuilds
+    * the same union from the source with the same cutoff — a time
+    * travel that leaked post-cutoff rows into version 1 (or lost any
+    * in version 2) fails the compare.
+    */
+  val s13TimeTravel: QueryDef = QueryDef(
+    "s13_time_travel",
+    """SELECT 1 AS as_of, event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |       event_type, round(value, 2) AS value
+      |FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      |UNION ALL
+      |SELECT 2, event_id, CAST(ts AS TIMESTAMP), user_id,
+      |       event_type, round(value, 2)
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s13")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("travel_t", eventsSchema)))
+    val tbl = cat.table("travel_t")
+    val src = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), round(col("value"), 2).as("value"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.append(src.filter(col("ts") < cut))
+    tbl.append(src.filter(col("ts") >= cut))
+    tbl.readLogical(Some(1)).withColumn("as_of", lit(1))
+      .unionByName(tbl.readLogical(Some(2)).withColumn("as_of", lit(2)))
+      .select(col("as_of"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
-      s11BucketedJoin)
+      s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel)
 }
