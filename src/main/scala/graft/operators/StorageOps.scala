@@ -274,7 +274,30 @@ object StorageOps {
         col("event_type"), col("value"))
   }
 
+  /** M7 (z-order form) — clustering rewrite round trip: the z-order
+    * compaction REORDERS every row (interleaved user_id/event_id bits)
+    * to give footer pruning a second effective column, which makes it
+    * the rewrite most worth value-pinning — a bit-interleave bug that
+    * dropped or duplicated rows at a cluster boundary would hash-fail
+    * here. File-level pruning effects are TablesSpec's; this row pins
+    * "rewrite touches nothing but layout" cross-engine.
+    */
+  val s14ZOrderRoundtrip: QueryDef = QueryDef(
+    "s14_zorder_roundtrip",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s14")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("zorder_t", eventsSchema)))
+    val tbl = cat.table("zorder_t")
+    val src = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), round(col("value"), 2).as("value"))
+    tbl.append(src)
+    tbl.compactZOrder(Seq("user_id", "event_id"), targetBytes = 64L * 1024)
+    tbl.readLogical()
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
-      s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel)
+      s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip)
 }
