@@ -629,16 +629,18 @@ object RelationalOps {
   }
 
   /** A12 — second-moment statistics (covariance/correlation building
-    * blocks) in EXACT integer form: per group the five power sums
-    * (n, Σx, Σy, Σxy, Σx², Σy²) and from them the integer covariance
+    * blocks) in EXACT integer form: per group the count n and the
+    * power sums (Σx, Σy, Σxy, Σx², Σy²), and from them the integer covariance
     * and variance NUMERATORS n·Σxy − Σx·Σy etc. The five sums are the
     * canonical MERGEABLE PARTIAL of corr/cov — partials from disjoint
     * data ADD, which is both why Spark's map-side combine applies and
     * why a float `corr()` (whose accumulation order differs per
     * engine) can never be oracle-exact while this form is. Products
-    * of sums go through 128-bit (DECIMAL(38,0)/HUGEINT — the
-    * classifier's overflow lesson applied from the start); the final
-    * float correlation, if a consumer wants it, is one well-defined
+    * of sums are computed AND emitted in 128-bit (DECIMAL(38,0) /
+    * HUGEINT→DECIMAL) — n²·var(y) exceeds BIGINT from ~sf0.04 on
+    * this data, so a narrowing cast would silently NULL in Spark and
+    * hard-error in DuckDB at bench scale; the final float
+    * correlation, if a consumer wants it, is one well-defined
     * division of these exact integers.
     */
   val a12CorrExact: QueryDef = QueryDef(
@@ -652,9 +654,9 @@ object RelationalOps {
       |             CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
       |           FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n, sx, sy, sxy,
-      |       CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS BIGINT) AS cov_num,
-      |       CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS BIGINT) AS varx_num,
-      |       CAST(n::HUGEINT * syy - sy::HUGEINT * sy AS BIGINT) AS vary_num
+      |       CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DECIMAL(38,0)) AS cov_num,
+      |       CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DECIMAL(38,0)) AS varx_num,
+      |       CAST(n::HUGEINT * syy - sy::HUGEINT * sy AS DECIMAL(38,0)) AS vary_num
       |FROM s""".stripMargin) { t =>
     val x = col("l_quantity").cast("long")
     val y = round(col("l_extendedprice")).cast("long")
@@ -664,9 +666,9 @@ object RelationalOps {
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(col("l_returnflag"), col("n"), col("sx"), col("sy"), col("sxy"),
-        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT)").as("cov_num"),
-        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)").as("varx_num"),
-        expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)").as("vary_num"))
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))").as("cov_num"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))").as("varx_num"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))").as("vary_num"))
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -29,6 +29,14 @@ object StorageOps {
     p.toString
   }
 
+  /** The events round-trip projection shared by s4/s12/s13/s14 — one
+    * definition of the column set and money rounding for every
+    * write-path oracle row.
+    */
+  private def eventsSrc(t: graft.Tables): DataFrame =
+    t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), round(col("value"), 2).as("value"))
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -54,8 +62,7 @@ object StorageOps {
     val cat = new TableCatalog(t.spark, wh, Seq(
       TableDef("clicks_purchases", eventsSchema, Seq(DayTransform("ts")))))
     val tbl = cat.table("clicks_purchases")
-    val src = t.events.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), round(col("value"), 2).as("value"))
+    val src = eventsSrc(t)
     tbl.append(src.filter(col("event_type") === "click"))
     tbl.append(src.filter(col("event_type") === "purchase"))
     cat.checkDrift() // S7: declared schema still matches the live files
@@ -231,10 +238,13 @@ object StorageOps {
     val wh = scratch("s12")
     val cat = new TableCatalog(t.spark, wh, Seq(TableDef("compact_t", eventsSchema)))
     val tbl = cat.table("compact_t")
-    val src = t.events.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), round(col("value"), 2).as("value"))
-    for (et <- Seq("view", "click", "signup", "purchase", "error"))
-      tbl.append(src.filter(col("event_type") === et))
+    val src = eventsSrc(t)
+    // a total split (hash of the key mod 5), NOT a filter per known
+    // event-type value: an unanticipated sixth type or a NULL would
+    // silently vanish from a value-keyed split, and this row's job is
+    // exactly "compaction loses nothing"
+    for (i <- 0 until 5)
+      tbl.append(src.filter(pmod(col("event_id"), lit(5)) === i))
     val before = tbl.readLogical().inputFiles.length
     tbl.compact()
     val after = tbl.readLogical().inputFiles.length
@@ -263,8 +273,7 @@ object StorageOps {
     val wh = scratch("s13")
     val cat = new TableCatalog(t.spark, wh, Seq(TableDef("travel_t", eventsSchema)))
     val tbl = cat.table("travel_t")
-    val src = t.events.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), round(col("value"), 2).as("value"))
+    val src = eventsSrc(t)
     val cut = lit("2024-01-16").cast("timestamp")
     tbl.append(src.filter(col("ts") < cut))
     tbl.append(src.filter(col("ts") >= cut))
@@ -290,8 +299,7 @@ object StorageOps {
     val wh = scratch("s14")
     val cat = new TableCatalog(t.spark, wh, Seq(TableDef("zorder_t", eventsSchema)))
     val tbl = cat.table("zorder_t")
-    val src = t.events.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), round(col("value"), 2).as("value"))
+    val src = eventsSrc(t)
     tbl.append(src)
     tbl.compactZOrder(Seq("user_id", "event_id"), targetBytes = 64L * 1024)
     tbl.readLogical()
