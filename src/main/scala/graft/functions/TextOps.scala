@@ -411,17 +411,10 @@ object TextOps {
        |FROM documents d JOIN th ON th.lang = d.lang
        |WHERE ${h64Sql("concat('temp|', CAST(d.doc_id AS VARCHAR))")} % 1000000
        |      < th.keep_th""".stripMargin) { t =>
+    // ONE shared threshold/gate definition with the streamed twin
+    // (TemperatureIngest): counts here come from an in-query groupBy
     val n = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val isq = n.withColumn("isq",
-      floor(sqrt(col("n_lang").cast("double") * 1000000L)).cast("long"))
-    val minIsq = isq.agg(min(col("isq")).as("min_isq"))
-    val th = isq.crossJoin(broadcast(minIsq))
-      .select(col("lang"), expr("1000000 * min_isq div isq").as("keep_th"))
-    t.documents
-      .join(broadcast(th), Seq("lang"))
-      .filter(h64(concat(lit("temp|"), col("doc_id").cast("string"))) % 1000000L
-        < col("keep_th"))
-      .select(col("doc_id"), col("lang"), col("source"), col("keep_th"))
+    TemperatureSampling.gate(t.documents, TemperatureSampling.thresholds(n))
   }
 
   /** Discriminative quality classifier (the GPT-3/LLaMA "trusted-vs-web"
