@@ -28,10 +28,18 @@ private[graft] object TemperatureSampling {
   }
 
   /** The deterministic hash-Bernoulli keep gate against a threshold
-    * table (broadcast — it is ≤|langs| rows at any corpus size).
+    * table (broadcast — it is ≤|langs| rows at any corpus size). A
+    * language ABSENT from the table keeps everything (threshold 10⁶):
+    * in the batch operator the table always covers every language (it
+    * is derived from the gated corpus itself), but a streamed serve
+    * can meet a brand-new language before its counts land — and a
+    * never-seen language is by definition the rarest, whose documented
+    * rate is "survives whole". An inner join here would instead drop
+    * it silently, the gate-disabling failure mode.
     */
   def gate(docs: DataFrame, th: DataFrame): DataFrame =
-    docs.join(broadcast(th), Seq("lang"))
+    docs.join(broadcast(th), Seq("lang"), "left")
+      .withColumn("keep_th", coalesce(col("keep_th"), lit(1000000L)))
       .filter(h64(concat(lit("temp|"), col("doc_id").cast("string"))) % 1000000L
         < col("keep_th"))
       .select(col("doc_id"), col("lang"), col("source"), col("keep_th"))

@@ -36,9 +36,13 @@ object ClassifierIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        Sinks.exactlyOnce(dict, "clfDictAppend", batchId) {
-          dict.append(ClassifierScoring.dictionary(batch.toDF()))
-        }
+        // skip empty micro-batches at the source (Sinks.scala
+        // discipline): an unguarded append still runs a write job and
+        // leaves a schema-only orphan file per idle batch
+        if (!batch.isEmpty)
+          Sinks.exactlyOnce(dict, "clfDictAppend", batchId) {
+            dict.append(ClassifierScoring.dictionary(batch.toDF()))
+          }
       }
       .start()
 

@@ -50,6 +50,10 @@ object LmIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // skip empty micro-batches at the source (Sinks.scala
+        // discipline) — see TemperatureIngest.countsAppend
+        if (batch.isEmpty) ()
+        else {
         val tok = LmScoring.trainSlice(LmScoring.tokenize(batch.toDF())).cache()
         try {
           Sinks.exactlyOnce(uni, "lmUniAppend", batchId) {
@@ -59,6 +63,7 @@ object LmIngest {
             big.append(LmScoring.bigramCounts(tok))
           }
         } finally { tok.unpersist(); () }
+        }
       }
       .start()
 

@@ -28,17 +28,22 @@ object TemperatureIngest {
       StructField("lang", StringType),
       StructField("n_lang", LongType))))
 
-  /** `(doc_id, lang, …)` stream → per-batch count partials. */
+  /** `(doc_id, lang, …)` stream → per-batch count partials. Empty
+    * micro-batches are skipped at the SOURCE (the Sinks.scala
+    * discipline) — an unguarded append would still run a write job
+    * and leave a schema-only orphan file per idle batch.
+    */
   def countsAppend(docs: DataFrame, counts: GraftTable,
       checkpoint: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        Sinks.exactlyOnce(counts, "tempCountsAppend", batchId) {
-          counts.append(
-            batch.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))
-        }
+        if (!batch.isEmpty)
+          Sinks.exactlyOnce(counts, "tempCountsAppend", batchId) {
+            counts.append(
+              batch.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))
+          }
       }
       .start()
 
@@ -48,12 +53,24 @@ object TemperatureIngest {
       .agg(sum(col("n_lang")).as("n_lang"))
 
   /** Current thresholds from the streamed counts — the shared
-    * derivation, so streamed == batch by construction.
+    * derivation, so streamed == batch by construction. The merged
+    * counts are localCheckpoint-materialized once: the derivation
+    * references them twice (under the min and as the join side), and
+    * without it each reference re-reads the whole partial history.
     */
   def thresholds(counts: GraftTable): DataFrame =
-    TemperatureSampling.thresholds(mergedCounts(counts))
+    TemperatureSampling.thresholds(mergedCounts(counts).localCheckpoint())
 
-  /** Apply the current gate to any document set. */
-  def sample(docs: DataFrame, counts: GraftTable): DataFrame =
-    TemperatureSampling.gate(docs, thresholds(counts))
+  /** Apply the current gate to any document set. Fails LOUDLY on a
+    * cold/empty counts table — every language would fall to the
+    * unknown-language keep-whole default and the sample would silently
+    * stop sampling (the [[ClassifierIngest]] guard discipline).
+    */
+  def sample(docs: DataFrame, counts: GraftTable): DataFrame = {
+    val th = thresholds(counts)
+    require(!th.isEmpty,
+      "temperature counts table is empty - sampling now would keep every " +
+        "document at the unknown-language default instead of the derived rates")
+    TemperatureSampling.gate(docs, th)
+  }
 }

@@ -61,6 +61,27 @@ class TemperatureIngestSpec extends AnyFunSuite {
     assert(streamed.size < docs.size, "no language was downsampled — gate untested")
   }
 
+  test("a cold counts table fails loudly; an unseen language keeps everything") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val counts = new GraftTable(spark, TemperatureIngest.countsDef, fresh("cold"))
+    val docsDf = Seq(TsDoc(1, "xx", "src0")).toDF()
+    val e = intercept[IllegalArgumentException] {
+      TemperatureIngest.sample(docsDf, counts)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+
+    // counts know only 'en'; an arriving never-seen language is by
+    // definition the rarest and must keep everything, not vanish
+    val src = MemoryStream[TsDoc]
+    val q = TemperatureIngest.countsAppend(src.toDF(), counts, fresh("coldck"))
+    src.addData(Seq(TsDoc(10, "en", "src0"), TsDoc(11, "en", "src1")))
+    q.processAllAvailable(); q.stop()
+    val got = TemperatureIngest.sample(docsDf, counts).collect()
+    assert(got.length == 1 && got.head.getLong(3) == 1000000L,
+      s"unseen language must keep whole at threshold 1e6: ${got.toSeq}")
+  }
+
   test("a replayed batch does not change the counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
