@@ -317,8 +317,8 @@ object TextOps {
          |       LEFT JOIN uni u2 ON u2.word = tr.w2
          |       CROSS JOIN tot)
          |SELECT doc_id, count(*) AS n_bigrams,
-         |       sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
-         |       sum(p) // count(*) AS lm_score
+         |       CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+         |       CAST(sum(p) // count(*) AS BIGINT) AS lm_score
          |FROM sc GROUP BY doc_id""".stripMargin
   }
 

@@ -635,13 +635,16 @@ object RelationalOps {
     * canonical MERGEABLE PARTIAL of corr/cov — partials from disjoint
     * data ADD, which is both why Spark's map-side combine applies and
     * why a float `corr()` (whose accumulation order differs per
-    * engine) can never be oracle-exact while this form is. Products
-    * of sums are computed AND emitted in 128-bit (DECIMAL(38,0) /
-    * HUGEINT→DECIMAL) — n²·var(y) exceeds BIGINT from ~sf0.04 on
-    * this data, so a narrowing cast would silently NULL in Spark and
-    * hard-error in DuckDB at bench scale; the final float
-    * correlation, if a consumer wants it, is one well-defined
-    * division of these exact integers.
+    * engine) can never be oracle-exact while this form is. The power
+    * sums sxy/sxx/syy and every product-of-sums are both ACCUMULATED
+    * and combined in 128-bit (DECIMAL(38,0) / HUGEINT) — syy adds
+    * ~1e10 per row, so a 64-bit sum would silently wrap past ~9e8
+    * rows, and n²·var(y) exceeds BIGINT from ~sf0.04 already. Every
+    * 128-bit value is EMITTED as its canonical integer string (both
+    * engines render DECIMAL(38,0)/HUGEINT as the same plain digits),
+    * because wide-integer output types hash differently across
+    * engines; the final float correlation, if a consumer wants it,
+    * is one well-defined division of these exact integers.
     */
   val a12CorrExact: QueryDef = QueryDef(
     "a12_corr_exact",
@@ -649,26 +652,31 @@ object RelationalOps {
       |             count(*) AS n,
       |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
       |             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
-      |             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
-      |             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
-      |             CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+      |             sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS sxy,
+      |             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+      |             sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS syy
       |           FROM lineitem GROUP BY l_returnflag)
-      |SELECT l_returnflag, n, sx, sy, sxy,
-      |       CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DECIMAL(38,0)) AS cov_num,
-      |       CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DECIMAL(38,0)) AS varx_num,
-      |       CAST(n::HUGEINT * syy - sy::HUGEINT * sy AS DECIMAL(38,0)) AS vary_num
+      |SELECT l_returnflag, n, sx, sy,
+      |       CAST(sxy AS VARCHAR) AS sxy,
+      |       CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS VARCHAR) AS cov_num,
+      |       CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS VARCHAR) AS varx_num,
+      |       CAST(n::HUGEINT * syy - sy::HUGEINT * sy AS VARCHAR) AS vary_num
       |FROM s""".stripMargin) { t =>
     val x = col("l_quantity").cast("long")
     val y = round(col("l_extendedprice")).cast("long")
+    val d128 = "decimal(38,0)"
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"), col("sxy"),
-        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))").as("cov_num"),
-        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))").as("varx_num"),
-        expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))").as("vary_num"))
+        sum((x * y).cast(d128)).as("sxy"),
+        sum((x * x).cast(d128)).as("sxx"),
+        sum((y * y).cast(d128)).as("syy"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        col("sxy").cast("string").as("sxy"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS STRING)").as("cov_num"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS STRING)").as("varx_num"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS STRING)").as("vary_num"))
   }
 
   val all: Seq[QueryDef] = Seq(

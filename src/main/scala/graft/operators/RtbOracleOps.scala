@@ -1030,7 +1030,7 @@ object RtbOracleOps {
        |SELECT date_trunc('hour', $tsSql) AS hour_start,
        |       imp.bidder_id, db.bidder_name,
        |       count(*) AS impressions,
-       |       coalesce(sum(cl.click_count), 0) AS clicks,
+       |       CAST(coalesce(sum(cl.click_count), 0) AS BIGINT) AS clicks,
        |       CAST(sum(CAST(round(win_price * 100) AS BIGINT)) AS DOUBLE) / 100.0
        |         AS revenue,
        |       CASE WHEN count(*) > 0

@@ -22,6 +22,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query emits a wide-integer (Decimal) output column") {
+    // The driver's oracle hasher does not canonicalize DECIMAL/HUGEINT
+    // across engines (rounds 6 and 8 each lost rows to exactly this), so
+    // wide integers must be emitted as BIGINT or canonical VARCHAR. The
+    // DuckDB side of the same discipline is enforced in
+    // tools/compare_oracle.py's schema guard.
+    for (q <- SparkEntry.registry) {
+      val bad = q.run(spark, sf).schema.fields.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      assert(bad.isEmpty,
+        s"${q.name} emits driver-unhashable decimal column(s): ${bad.map(_.name).mkString(", ")}")
+    }
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val plan = planOf("p5_reject_filter")
     assert(plan.contains("PushedFilters: ["), plan)

@@ -58,6 +58,24 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {str(e)[:200]}")
             n_fail += 1
             continue
+        # Driver-hashability guard: the driver's comparator hashes raw cell
+        # bytes without normalizing wide-integer types, so a DuckDB HUGEINT
+        # (sum(BIGINT)) or DECIMAL output column hash-mismatches a Spark
+        # LongType/StringType twin even when every value is identical (the
+        # round-6 and round-8 RED rows were exactly this). Reject such
+        # schemas here, in pre-flight, regardless of value equality below —
+        # the fix belongs in the oracle SQL (CAST ... AS BIGINT / VARCHAR).
+        import pyarrow.types as _pt
+        wide = [f.name for f in odf.schema
+                if _pt.is_decimal(f.type)]
+        wide += [f"spark:{f.name}" for f in sdf.schema
+                 if _pt.is_decimal(f.type)]
+        if wide:
+            print(f"FAIL {name}: driver-unhashable wide-integer output "
+                  f"column(s) {wide} (DuckDB HUGEINT/DECIMAL or Spark "
+                  f"DecimalType) — CAST to BIGINT or VARCHAR in the query")
+            n_fail += 1
+            continue
         scols = sorted(sdf.column_names)
         ocols = sorted(odf.column_names)
         if scols != ocols:
