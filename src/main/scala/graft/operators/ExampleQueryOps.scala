@@ -1,0 +1,393 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.rtb.RtbIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's 19 analytical example queries, one named oracle row
+  * each for the ones not already pinned one-for-one elsewhere — the
+  * closest thing the reference has to an acceptance suite
+  * (scripts/query-examples.sh:25-214). Already covered by existing rows:
+  * #6 `v_auction_type_distribution`, #8 `s10_snapshots`/`s13_time_travel`,
+  * #13 `j7_funnel_chain`/`a2_funnel_counts`, #15 `p5_reject_filter`,
+  * #16-#19 the `v_*` upsert-aggregate views. This file adds the rest:
+  * #1-#5, #7, #9-#12, #14.
+  *
+  * Semantics are literal — same grain, same filters, same joins:
+  *  - the single-table queries run on the CLEAN flat per-imp request
+  *    rows (insert_jobs.sql:17-62 excludes test publishers, RFC1918
+  *    IPs, and non-positive floors before landing `bid_requests`);
+  *  - the join queries use the per-bid flat `bid_responses` grain
+  *    (double UNNEST, insert_jobs.sql:176-200) and the flat
+  *    impressions/clicks streams, joining exactly the reference's keys
+  *    so the reference's fan-out semantics (a multi-imp request
+  *    double-joins its impression in #12, every bid of a response
+  *    matches its impression in #10/#14) are preserved bit-for-bit.
+  *
+  * Two deliberate deviations, both the repo's standing oracle
+  * discipline rather than semantic changes:
+  *  - money/ratio outputs are emitted EXACT instead of ROUND(x, n)
+  *    display-rounded: averages route through integer cents and one
+  *    double division (round-half ties on binary doubles are
+  *    engine-divergent — the same reason `imp_bidfloor_usd` is excluded
+  *    from `rtb_ingest_enrich`); `min_floor`/`max_floor` are raw
+  *    because the generator emits exact cents, where ROUND(x, 4) is
+  *    the identity.
+  *  - every ORDER BY ... LIMIT gets the full group key appended as a
+  *    deterministic tiebreaker (Trino's tied top-10 is
+  *    engine-nondeterministic; the driver hashes the surviving SET).
+  *    DuckDB tiebreakers say NULLS FIRST explicitly to match Spark's
+  *    ascending default.
+  *
+  * Scale shape: every row is scan → hash-agg (map-side partial) or
+  * scan → equi hash-join → hash-agg, with top-k as
+  * TakeOrderedAndProject — nothing here shuffles more than once per
+  * aggregation at any corpus size.
+  */
+object ExampleQueryOps {
+
+  import RtbOracleOps.{root, ensureData, tsSql}
+
+  /** The clean flat bid_requests CTE — insert_jobs.sql:17-62 one-for-one
+    * (per-imp grain, test/private/zero-floor rows excluded).
+    */
+  private val brSql =
+    s"""WITH x AS (
+       |  SELECT id, unnest(imp) AS imp_t, site, app, device, regs, "at",
+       |         event_timestamp
+       |  FROM read_parquet('$root/requests/*.parquet')
+       |),
+       |br AS (
+       |  SELECT id AS request_id,
+       |         imp_t['id'] AS imp_id,
+       |         imp_t['banner']['w'] AS imp_banner_w,
+       |         imp_t['banner']['h'] AS imp_banner_h,
+       |         imp_t['bidfloor'] AS imp_bidfloor,
+       |         coalesce(site['publisher']['id'], app['publisher']['id']) AS publisher_id,
+       |         device['devicetype'] AS device_type,
+       |         device['os'] AS device_os,
+       |         device['geo']['country'] AS device_geo_country,
+       |         device['geo']['region'] AS device_geo_region,
+       |         regs['ext']['gdpr'] = 1 AS is_gdpr,
+       |         regs['coppa'] = 1 AS is_coppa,
+       |         $tsSql AS event_ts
+       |  FROM x
+       |  WHERE coalesce(site['publisher']['id'], app['publisher']['id']) > 0
+       |    AND device['ip'] NOT LIKE '10.%' AND device['ip'] NOT LIKE '192.168.%'
+       |    AND device['ip'] NOT LIKE '172.16.%' AND device['ip'] NOT LIKE '172.2_.%'
+       |    AND device['ip'] NOT LIKE '172.3_.%'
+       |    AND imp_t['bidfloor'] > 0
+       |)""".stripMargin
+
+  /** Spark twin of [[brSql]] — the same predicate written explicitly
+    * (not via `reject_reason IS NULL`) so the two engines share one
+    * three-valued-logic reading of NULL publishers/floors.
+    */
+  private def br(spark: SparkSession): DataFrame =
+    RtbIngest.flattenRequests(spark.read.parquet(s"$root/requests"))
+      .filter(col("publisher_id") > 0 && !col("is_private_ip") &&
+        col("imp_bidfloor") > 0)
+      .withColumnRenamed("banner_w", "imp_banner_w")
+      .withColumnRenamed("banner_h", "imp_banner_h")
+      .withColumnRenamed("devicetype", "device_type")
+
+  private def bids(spark: SparkSession): DataFrame =
+    RtbIngest.flattenBids(spark.read.parquet(s"$root/responses"))
+
+  /** Exact average of a cents-precision double column: integer-cents sum,
+    * then one double division chain written identically in both engines.
+    */
+  private def centsAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 100).cast("long")).cast("double") / 100.0 / count(lit(1))
+
+  private def centsAvgSql(c: String): String =
+    s"CAST(sum(CAST(round($c * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)"
+
+  /** query-examples.sh #1: request volume by country, top 10. */
+  val qx1VolumeByCountry: QueryDef = QueryDef(
+    "qx1_volume_by_country",
+    s"""$brSql
+       |SELECT device_geo_country, count(*) AS request_count
+       |FROM br GROUP BY 1
+       |ORDER BY request_count DESC, device_geo_country NULLS FIRST
+       |LIMIT 10""".stripMargin) { t =>
+    ensureData(t.spark)
+    br(t.spark)
+      .groupBy(col("device_geo_country"))
+      .agg(count(lit(1)).as("request_count"))
+      .orderBy(col("request_count").desc, col("device_geo_country"))
+      .limit(10)
+  }
+
+  /** query-examples.sh #2: average bid floor by country/region, top 10. */
+  val qx2AvgFloorByRegion: QueryDef = QueryDef(
+    "qx2_avg_floor_by_region",
+    s"""$brSql
+       |SELECT device_geo_country, device_geo_region,
+       |       ${centsAvgSql("imp_bidfloor")} AS avg_bidfloor,
+       |       count(*) AS request_count
+       |FROM br GROUP BY 1, 2
+       |ORDER BY avg_bidfloor DESC, device_geo_country NULLS FIRST,
+       |         device_geo_region NULLS FIRST
+       |LIMIT 10""".stripMargin) { t =>
+    ensureData(t.spark)
+    br(t.spark)
+      .groupBy(col("device_geo_country"), col("device_geo_region"))
+      .agg(centsAvg(col("imp_bidfloor")).as("avg_bidfloor"),
+        count(lit(1)).as("request_count"))
+      .orderBy(col("avg_bidfloor").desc, col("device_geo_country"),
+        col("device_geo_region"))
+      .limit(10)
+  }
+
+  /** query-examples.sh #3: bid floor distribution by ad size, top 10.
+    * min/max are raw (exact cents in, so ROUND(x,4) is the identity).
+    */
+  val qx3FloorByAdSize: QueryDef = QueryDef(
+    "qx3_floor_by_ad_size",
+    s"""$brSql
+       |SELECT imp_banner_w, imp_banner_h,
+       |       min(imp_bidfloor) AS min_floor,
+       |       ${centsAvgSql("imp_bidfloor")} AS avg_floor,
+       |       max(imp_bidfloor) AS max_floor,
+       |       count(*) AS request_count
+       |FROM br GROUP BY 1, 2
+       |ORDER BY request_count DESC, imp_banner_w NULLS FIRST,
+       |         imp_banner_h NULLS FIRST
+       |LIMIT 10""".stripMargin) { t =>
+    ensureData(t.spark)
+    br(t.spark)
+      .groupBy(col("imp_banner_w"), col("imp_banner_h"))
+      .agg(min(col("imp_bidfloor")).as("min_floor"),
+        centsAvg(col("imp_bidfloor")).as("avg_floor"),
+        max(col("imp_bidfloor")).as("max_floor"),
+        count(lit(1)).as("request_count"))
+      .orderBy(col("request_count").desc, col("imp_banner_w"),
+        col("imp_banner_h"))
+      .limit(10)
+  }
+
+  /** query-examples.sh #4: device OS and type breakdown (full set). */
+  val qx4DeviceOsType: QueryDef = QueryDef(
+    "qx4_device_os_type",
+    s"""$brSql
+       |SELECT device_os, device_type, count(*) AS request_count
+       |FROM br GROUP BY 1, 2""".stripMargin) { t =>
+    ensureData(t.spark)
+    br(t.spark)
+      .groupBy(col("device_os"), col("device_type"))
+      .agg(count(lit(1)).as("request_count"))
+  }
+
+  /** query-examples.sh #5: hourly request volume, last 24 hours. */
+  val qx5HourlyVolume: QueryDef = QueryDef(
+    "qx5_hourly_volume",
+    s"""$brSql
+       |SELECT date_trunc('hour', event_ts) AS "hour", count(*) AS request_count
+       |FROM br GROUP BY 1
+       |ORDER BY "hour" DESC
+       |LIMIT 24""".stripMargin) { t =>
+    ensureData(t.spark)
+    br(t.spark)
+      .groupBy(date_trunc("hour", col("event_ts")).as("hour"))
+      .agg(count(lit(1)).as("request_count"))
+      .orderBy(col("hour").desc)
+      .limit(24)
+  }
+
+  /** query-examples.sh #7: GDPR/COPPA flag distribution (full set). */
+  val qx7GdprCoppa: QueryDef = QueryDef(
+    "qx7_gdpr_coppa",
+    s"""$brSql
+       |SELECT is_gdpr, is_coppa, count(*) AS request_count
+       |FROM br GROUP BY 1, 2""".stripMargin) { t =>
+    ensureData(t.spark)
+    br(t.spark)
+      .groupBy(col("is_gdpr"), col("is_coppa"))
+      .agg(count(lit(1)).as("request_count"))
+  }
+
+  /** query-examples.sh #9: fill rate by country — clean requests LEFT
+    * JOIN per-bid responses on request_id, the reference's fan-out
+    * grain. Rate is the exact double ratio (ROUND(x,2) display dropped).
+    */
+  val qx9FillRateByCountry: QueryDef = QueryDef(
+    "qx9_fill_rate_by_country",
+    s"""$brSql,
+       |resp AS (
+       |  SELECT ext['request_id'] AS r_request_id, unnest(seatbid) AS sb
+       |  FROM read_parquet('$root/responses/*.parquet')
+       |),
+       |respb AS (SELECT r_request_id, unnest(sb['bid']) AS b FROM resp)
+       |SELECT br.device_geo_country,
+       |       count(br.request_id) AS requests,
+       |       count(respb.r_request_id) AS responses,
+       |       CAST(count(respb.r_request_id) AS DOUBLE)
+       |         / count(br.request_id) * 100 AS fill_rate_pct
+       |FROM br LEFT JOIN respb ON br.request_id = respb.r_request_id
+       |GROUP BY 1
+       |ORDER BY requests DESC, device_geo_country NULLS FIRST
+       |LIMIT 10""".stripMargin) { t =>
+    ensureData(t.spark)
+    val resp = bids(t.spark).select(col("request_id").as("r_request_id"))
+    br(t.spark)
+      .join(resp, col("request_id") === col("r_request_id"), "left")
+      .groupBy(col("device_geo_country"))
+      .agg(count(col("request_id")).as("requests"),
+        count(col("r_request_id")).as("responses"),
+        (count(col("r_request_id")).cast("double")
+          / count(col("request_id")) * 100).as("fill_rate_pct"))
+      .orderBy(col("requests").desc, col("device_geo_country"))
+      .limit(10)
+  }
+
+  /** query-examples.sh #10: win rate by bidder — per-bid responses LEFT
+    * JOIN impressions on response_id (every bid of a winning response
+    * matches its impression — the reference's join, preserved).
+    */
+  val qx10WinRateByBidder: QueryDef = QueryDef(
+    "qx10_win_rate_by_bidder",
+    s"""WITH s AS (
+       |  SELECT id AS response_id, unnest(seatbid) AS sb
+       |  FROM read_parquet('$root/responses/*.parquet')
+       |),
+       |resp AS (SELECT response_id, sb['seat'] AS bidder, unnest(sb['bid']) AS b
+       |         FROM s),
+       |imp AS (SELECT impression_id, response_id AS i_response_id
+       |        FROM read_parquet('$root/impressions/*.parquet'))
+       |SELECT resp.bidder,
+       |       count(resp.response_id) AS bids,
+       |       count(imp.impression_id) AS wins,
+       |       CAST(count(imp.impression_id) AS DOUBLE)
+       |         / count(resp.response_id) * 100 AS win_rate_pct
+       |FROM resp LEFT JOIN imp ON resp.response_id = imp.i_response_id
+       |GROUP BY 1""".stripMargin) { t =>
+    ensureData(t.spark)
+    val resp = bids(t.spark)
+      .select(col("response_id"), col("bidder_id").as("bidder"))
+    val imp = t.spark.read.parquet(s"$root/impressions")
+      .select(col("impression_id"), col("response_id").as("i_response_id"))
+    resp.join(imp, col("response_id") === col("i_response_id"), "left")
+      .groupBy(col("bidder"))
+      .agg(count(col("response_id")).as("bids"),
+        count(col("impression_id")).as("wins"),
+        (count(col("impression_id")).cast("double")
+          / count(col("response_id")) * 100).as("win_rate_pct"))
+  }
+
+  /** query-examples.sh #11: CTR by creative — impressions LEFT JOIN
+    * clicks on impression_id, top 10 by impressions.
+    */
+  val qx11CtrByCreative: QueryDef = QueryDef(
+    "qx11_ctr_by_creative",
+    s"""WITH imp AS (SELECT impression_id, creative_id
+       |             FROM read_parquet('$root/impressions/*.parquet')),
+       |clk AS (SELECT click_id, impression_id AS c_impression_id
+       |        FROM read_parquet('$root/clicks/*.parquet'))
+       |SELECT imp.creative_id,
+       |       count(imp.impression_id) AS impressions,
+       |       count(clk.click_id) AS clicks,
+       |       CAST(count(clk.click_id) AS DOUBLE)
+       |         / count(imp.impression_id) * 100 AS ctr_pct
+       |FROM imp LEFT JOIN clk ON imp.impression_id = clk.c_impression_id
+       |GROUP BY 1
+       |ORDER BY impressions DESC, creative_id NULLS FIRST
+       |LIMIT 10""".stripMargin) { t =>
+    ensureData(t.spark)
+    val imp = t.spark.read.parquet(s"$root/impressions")
+      .select(col("impression_id"), col("creative_id"))
+    val clk = t.spark.read.parquet(s"$root/clicks")
+      .select(col("click_id"), col("impression_id").as("c_impression_id"))
+    imp.join(clk, col("impression_id") === col("c_impression_id"), "left")
+      .groupBy(col("creative_id"))
+      .agg(count(col("impression_id")).as("impressions"),
+        count(col("click_id")).as("clicks"),
+        (count(col("click_id")).cast("double")
+          / count(col("impression_id")) * 100).as("ctr_pct"))
+      .orderBy(col("impressions").desc, col("creative_id"))
+      .limit(10)
+  }
+
+  /** query-examples.sh #12: revenue by publisher — clean per-imp
+    * requests INNER JOIN impressions on request_id (a multi-imp request
+    * fans out its impression — the reference's grain, preserved). Top
+    * 10 by total revenue; revenue exact through cents.
+    */
+  val qx12RevenueByPublisher: QueryDef = QueryDef(
+    "qx12_revenue_by_publisher",
+    s"""$brSql,
+       |imp AS (SELECT impression_id, request_id AS i_request_id, win_price
+       |        FROM read_parquet('$root/impressions/*.parquet'))
+       |SELECT br.publisher_id,
+       |       count(imp.impression_id) AS wins,
+       |       CAST(sum(CAST(round(imp.win_price * 100) AS BIGINT)) AS DOUBLE)
+       |         / 100.0 AS total_revenue,
+       |       ${centsAvgSql("imp.win_price")} AS avg_win_price
+       |FROM br JOIN imp ON br.request_id = imp.i_request_id
+       |GROUP BY 1
+       |ORDER BY total_revenue DESC, publisher_id NULLS FIRST
+       |LIMIT 10""".stripMargin) { t =>
+    ensureData(t.spark)
+    val imp = t.spark.read.parquet(s"$root/impressions")
+      .select(col("impression_id"), col("request_id").as("i_request_id"),
+        col("win_price"))
+    br(t.spark)
+      .join(imp, col("request_id") === col("i_request_id"))
+      .groupBy(col("publisher_id"))
+      .agg(count(col("impression_id")).as("wins"),
+        (sum(round(col("win_price") * 100).cast("long")).cast("double")
+          / 100.0).as("total_revenue"),
+        centsAvg(col("win_price")).as("avg_win_price"))
+      .orderBy(col("total_revenue").desc, col("publisher_id"))
+      .limit(10)
+  }
+
+  /** query-examples.sh #14: average bid-to-win spread — per-bid
+    * responses INNER JOIN impressions on response_id. AVG(bid - win) is
+    * emitted as (Σbid_cents − Σwin_cents)/n — algebraically identical,
+    * exact in both engines (a possibly-negative numerator is why this
+    * avoids the half-up integer-division form the positive averages
+    * use: DuckDB `//` floors while Spark DIV truncates, which diverge
+    * below zero).
+    */
+  val qx14BidToWinSpread: QueryDef = QueryDef(
+    "qx14_bid_to_win_spread",
+    s"""WITH s AS (
+       |  SELECT id AS response_id, unnest(seatbid) AS sb
+       |  FROM read_parquet('$root/responses/*.parquet')
+       |),
+       |resp AS (SELECT response_id, sb['seat'] AS bidder, unnest(sb['bid']) AS b
+       |         FROM s),
+       |respf AS (SELECT response_id, bidder, b['price'] AS bid_price FROM resp),
+       |imp AS (SELECT response_id AS i_response_id, win_price
+       |        FROM read_parquet('$root/impressions/*.parquet'))
+       |SELECT bidder,
+       |       ${centsAvgSql("bid_price")} AS avg_bid_price,
+       |       ${centsAvgSql("win_price")} AS avg_win_price,
+       |       CAST(sum(CAST(round(bid_price * 100) AS BIGINT))
+       |            - sum(CAST(round(win_price * 100) AS BIGINT)) AS DOUBLE)
+       |         / 100.0 / count(*) AS avg_spread
+       |FROM respf JOIN imp ON respf.response_id = imp.i_response_id
+       |GROUP BY 1""".stripMargin) { t =>
+    ensureData(t.spark)
+    val resp = bids(t.spark)
+      .select(col("response_id"), col("bidder_id").as("bidder"),
+        col("bid_price"))
+    val imp = t.spark.read.parquet(s"$root/impressions")
+      .select(col("response_id").as("i_response_id"), col("win_price"))
+    resp.join(imp, col("response_id") === col("i_response_id"))
+      .groupBy(col("bidder"))
+      .agg(centsAvg(col("bid_price")).as("avg_bid_price"),
+        centsAvg(col("win_price")).as("avg_win_price"),
+        ((sum(round(col("bid_price") * 100).cast("long"))
+          - sum(round(col("win_price") * 100).cast("long"))).cast("double")
+          / 100.0 / count(lit(1))).as("avg_spread"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qx1VolumeByCountry, qx2AvgFloorByRegion, qx3FloorByAdSize,
+    qx4DeviceOsType, qx5HourlyVolume, qx7GdprCoppa, qx9FillRateByCountry,
+    qx10WinRateByBidder, qx11CtrByCreative, qx12RevenueByPublisher,
+    qx14BidToWinSpread)
+}

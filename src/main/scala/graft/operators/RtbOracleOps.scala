@@ -29,7 +29,7 @@ object RtbOracleOps {
 
   // literal path shared with the oracle SQL — must be identical text on
   // both engines, so no tmpdir indirection
-  private val root = "/tmp/graft_rtb_oracle"
+  private[operators] val root = "/tmp/graft_rtb_oracle"
 
   private val Seed = 987654321L
   private val N = 1500
@@ -47,7 +47,7 @@ object RtbOracleOps {
   private[graft] def warm(spark: org.apache.spark.sql.SparkSession): Unit =
     ensureData(spark)
 
-  private def ensureData(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+  private[operators] def ensureData(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     // the marker must encode EVERY generation parameter — a partial key
     // (seed+N only) would silently reuse stale data after a parameter edit
     val marker = Paths.get(s"$root/_complete-$Seed-$N-$StartMs-$SpanMs-dup03x4")
@@ -67,7 +67,7 @@ object RtbOracleOps {
     Files.createFile(marker)
   }
 
-  private val tsSql = "strptime(substr(event_timestamp, 1, 26), '%Y-%m-%dT%H:%M:%S.%f')"
+  private[operators] val tsSql = "strptime(substr(event_timestamp, 1, 26), '%Y-%m-%dT%H:%M:%S.%f')"
 
   /** Shared oracle SQL for the enrichment shape — used verbatim by both
     * the direct parquet path and the Avro wire round-trip (the point of
