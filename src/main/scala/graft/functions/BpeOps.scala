@@ -101,16 +101,111 @@ object BpeOps {
          |       ELSE concat(acc, array(x)) END)""".stripMargin)
   }
 
-  /** The iterated trainer: `n` merge rounds over the word-frequency
-    * dictionary. Per round: one O(vocab) pair-count aggregate, one
-    * 1-row argmax collect (ties broken (count desc, pair asc) so the
-    * result is deterministic), one fold-merge projection. Returns the
-    * learned merges in order plus the final `(word, syms, freq)`
-    * vocabulary. `localCheckpoint` truncates the growing lineage every
-    * few rounds — the same discipline as the connected-components
-    * loop; without it round r re-executes rounds 1..r-1.
+  /** The production trainer: ONE corpus-sized Spark job (the word-
+    * frequency aggregate, map-side combined), one bounded collect of
+    * the O(distinct words) dictionary, then the whole merge loop runs
+    * DRIVER-LOCAL with indexed incremental pair counts — train(50k)
+    * issues 2 Spark jobs total, not 50k (the round-8 design note,
+    * graduated). Ties break (count desc, pair asc) exactly like the
+    * per-round argmax of [[trainDistributed]], which BpeSpec pins
+    * merge-for-merge identical.
+    *
+    * Scale shape: the collect is the trainer's working set — the same
+    * dictionary every BPE implementation must hold somewhere. At 100 TB
+    * corpus scale set `minFreq` ≥ 2 to prune the long singleton tail
+    * (URLs, typos) before it ships to the driver; the merge loop itself
+    * is O(rounds × affected-words) because each merge re-counts ONLY
+    * the words containing the merged pair (a pair→word-id index), never
+    * the full vocabulary.
+    *
+    * Returns the learned merges in order plus the final
+    * `(word, syms, freq)` vocabulary as a DataFrame (rebuilt from the
+    * driver-local result — bounded, same size as the collect).
     */
-  def train(docs: DataFrame, n: Int): (Seq[(String, String)], DataFrame) = {
+  def train(docs: DataFrame, n: Int, minFreq: Long = 1L): (Seq[(String, String)], DataFrame) = {
+    val spark = docs.sparkSession
+    val words = wordFreq(docs)
+      .filter(col("freq") >= minFreq)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val (merges, vocab) = trainLocal(words, n)
+    import spark.implicits._
+    val vocabDf = vocab.toSeq.toDF("word", "syms", "freq")
+    (merges, vocabDf)
+  }
+
+  /** Code-point symbol split — the driver-side twin of [[charSyms]]
+    * (surrogate-pair safe, like Spark's codepoint-stepping empty-regex
+    * split; a code-UNIT split would cut astral chars into lone
+    * surrogates that no longer survive a UTF-8 parquet round trip).
+    */
+  private[functions] def localSyms(w: String): List[String] =
+    w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
+
+  /** Driver-local BPE merge loop over a collected `(word, freq)`
+    * dictionary (Sennrich et al. 2016, the indexed variant): maintain
+    * global pair counts plus a pair→word-id index; each round takes the
+    * argmax pair ((cnt desc, a, b) — same total order as the
+    * distributed argmax and BpeSpec's reference) and re-counts only the
+    * indexed words. Exposed for the spec's job-count pin.
+    */
+  private[functions] def trainLocal(
+      words: Array[(String, Long)], n: Int): (Seq[(String, String)], Array[(String, List[String], Long)]) = {
+    import scala.collection.mutable
+    val syms = words.map { case (w, _) => localSyms(w) }
+    val freq = words.map(_._2)
+    val counts = mutable.Map.empty[(String, String), Long]
+    val index = mutable.Map.empty[(String, String), mutable.Set[Int]]
+
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      if (s.size >= 2) s.zip(s.tail).foreach { p =>
+        val c = counts.getOrElse(p, 0L) + sign * freq(i)
+        if (c == 0L) { counts.remove(p); index.get(p).foreach(_.remove(i)) }
+        else {
+          counts(p) = c
+          if (sign > 0) index.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+      }
+    }
+    syms.indices.foreach(addWord(_, 1L))
+
+    def localMerge(s: List[String], a: String, b: String): List[String] = s match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: localMerge(rest, a, b)
+      case x :: rest                          => x :: localMerge(rest, a, b)
+      case Nil                                => Nil
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (merges.size < n && continue) {
+      // argmax scan over the live pair map — O(distinct pairs), the
+      // same bound as one distributed pair-count aggregate's result
+      val live = counts.iterator.filter(_._2 > 0L)
+      if (!live.hasNext) continue = false
+      else {
+        val (pair @ (a, b), _) = live.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += pair
+        // re-count ONLY the words that contain the merged pair
+        val affected = index.getOrElse(pair, mutable.Set.empty).toArray
+        affected.foreach { i =>
+          addWord(i, -1L)
+          syms(i) = localMerge(syms(i), a, b)
+          addWord(i, 1L)
+        }
+        counts.remove(pair); index.remove(pair)
+      }
+    }
+    (merges.toSeq, words.indices.map(i => (words(i)._1, syms(i), freq(i))).toArray)
+  }
+
+  /** The original all-on-cluster loop — one O(vocab) pair-count
+    * aggregate + 1-row argmax collect + fold-merge projection PER
+    * ROUND (`localCheckpoint` truncating lineage every few rounds).
+    * Kept as the cross-check twin: BpeSpec pins [[train]] ==
+    * [[trainDistributed]] merge-for-merge and symbol-for-symbol. Use
+    * [[train]] — round-per-job does not survive a 50k-merge vocabulary.
+    */
+  private[functions] def trainDistributed(docs: DataFrame, n: Int): (Seq[(String, String)], DataFrame) = {
     var vocab = wordFreq(docs)
       .select(col("word"), charSyms(col("word")).as("syms"), col("freq"))
       .localCheckpoint()

@@ -65,6 +65,52 @@ class BpeSpec extends AnyFunSuite {
       s"vocabularies diverge: ${gotVocab.toSeq.diff(refVocab.toSeq).take(3)}")
   }
 
+  test("driver-local trainer matches the distributed twin merge-for-merge") {
+    import spark.implicits._
+    val docs = Seq(
+      "low lower lowest low low",
+      "new newer newest new wide wider",
+      "low newer low wide").toDF("text")
+    val (localMerges, localVocabDf) = BpeOps.train(docs, 15)
+    val (distMerges, distVocabDf) = BpeOps.trainDistributed(docs, 15)
+    assert(localMerges == distMerges,
+      s"merge sequences diverge:\n local $localMerges\n dist  $distMerges")
+    def vocabOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(vocabOf(localVocabDf) == vocabOf(distVocabDf))
+  }
+
+  test("train issues a bounded job count regardless of merge count") {
+    import spark.implicits._
+    val docs = Seq(
+      "aa bb aa cc dd ee aa bb cc",
+      "ff gg hh ff gg aa bb").toDF("text").localCheckpoint()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (merges, _) = BpeOps.train(docs, 50)
+      // listener delivery is async — poll until the count is stable
+      var prev = -1
+      var stable = 0
+      var iters = 0
+      while (stable < 3 && iters < 50) {
+        Thread.sleep(100)
+        val c = jobs.get()
+        if (c == prev) stable += 1 else { stable = 0; prev = c }
+        iters += 1
+      }
+      assert(merges.nonEmpty)
+      // one word-frequency collect — NOT one job per merge round (the
+      // round-per-job shape would be 50+ here)
+      assert(jobs.get() <= 4, s"train(50) ran ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("merged symbols always concatenate back to the word") {
     val t = Tables(spark, sf)
     val (_, vocab) = BpeOps.train(t.documents, 8)
