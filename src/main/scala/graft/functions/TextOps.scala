@@ -290,7 +290,7 @@ object TextOps {
   /** The `text_lm_score` oracle SQL — also the scores CTE of
     * `text_lm_buckets`, so the two queries cannot drift apart.
     */
-  private val lmScoreSql: String = {
+  private[graft] val lmScoreSql: String = {
     val tierIn = LmScoring.TrainTier.map("'" + _ + "'").mkString(", ")
     s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr
          |             FROM documents
