@@ -86,13 +86,16 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","harness":"noop-sink","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed}"""
     println(json)
-    // Also write the full record to a file: the driver's stdout scrape
-    // truncates long tails, which cut the first queries out of the
-    // round-5 record. Stdout stays the contract; the file is the
-    // untruncated copy.
+    // Also write the full record to a COMMITTED artifact: the driver's
+    // stdout scrape truncates long tails (round 5 lost the first
+    // queries, round 8 kept only ~75 of 126 per-query times), so
+    // cross-round A/Bs need a file that always carries the complete
+    // map. Stdout stays the contract; BENCH_FULL.json is the
+    // untruncated copy, tracked in git so every round's full per-query
+    // record survives in history.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "bench_local.json")), json + "\n")
+        "BENCH_FULL.json")), json + "\n")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

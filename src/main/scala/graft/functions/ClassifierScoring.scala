@@ -42,24 +42,32 @@ private[graft] object ClassifierScoring {
           .as("c_tr"))
 
   /** Score every doc against dictionary `dict`:
-    * `(doc_id, n_words, classifier_score, is_high_quality)`. The word
-    * stream hash-joins the dictionary (O(vocab), never doc×doc); the
-    * two totals ride along as one broadcast row. Words absent from the
-    * dictionary contribute nothing (inner join) — irrelevant when the
-    * dictionary was built over the scored corpus, the serving-time
-    * convention for unseen vocabulary.
+    * `(doc_id, n_words, n_scored, classifier_score, is_high_quality)`.
+    * The word stream hash-joins the dictionary (O(vocab), never
+    * doc×doc); the two totals ride along as one broadcast row. The
+    * dictionary join is LEFT: a word absent from the dictionary
+    * contributes a NULL ratio (`n_scored` counts only covered words),
+    * and a doc whose vocabulary is ENTIRELY unseen still emits a row —
+    * with NULL score and NULL quality flag, so a downstream gate
+    * decides deliberately instead of the doc silently bypassing it (the
+    * serving-time case: ClassifierIngest scoring new docs against an
+    * older dictionary). Irrelevant for the batch oracle, where the
+    * dictionary covers the scored corpus and n_scored == n_words.
     */
   def score(docs: DataFrame, dict: DataFrame): DataFrame = {
     val tot = dict.agg(sum(col("c_all")).as("n_all"), sum(col("c_tr")).as("n_tr"))
-    words(docs).join(dict, Seq("word"))
+    words(docs).join(dict, Seq("word"), "left")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
+        // NULL dictionary counts propagate to a NULL ratio
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * c_tr * n_all)
                 div (CAST(c_all AS DECIMAL(38,0)) * n_tr) AS BIGINT)""").as("r"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("r")).as("sr"))
-      .select(col("doc_id"), col("n_words"),
-        expr("sr div n_words").as("classifier_score"),
-        expr("sr div n_words > 1000000").as("is_high_quality"))
+      .agg(count(lit(1)).as("n_words"), count(col("r")).as("n_scored"),
+        sum(col("r")).as("sr"))
+      .select(col("doc_id"), col("n_words"), col("n_scored"),
+        expr("CASE WHEN n_scored > 0 THEN sr div n_scored END").as("classifier_score"),
+        expr("CASE WHEN n_scored > 0 THEN sr div n_scored > 1000000 END")
+          .as("is_high_quality"))
   }
 }

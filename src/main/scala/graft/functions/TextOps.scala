@@ -407,10 +407,11 @@ object TextOps {
        |th AS (SELECT lang, n_lang,
        |         (1000000 * (SELECT min(isq) FROM isq)) // isq AS keep_th
        |       FROM isq)
-       |SELECT d.doc_id, d.lang, d.source, th.keep_th
-       |FROM documents d JOIN th ON th.lang = d.lang
+       |SELECT d.doc_id, d.lang, d.source,
+       |       COALESCE(th.keep_th, 1000000) AS keep_th
+       |FROM documents d LEFT JOIN th ON th.lang = d.lang
        |WHERE ${h64Sql("concat('temp|', CAST(d.doc_id AS VARCHAR))")} % 1000000
-       |      < th.keep_th""".stripMargin) { t =>
+       |      < COALESCE(th.keep_th, 1000000)""".stripMargin) { t =>
     // ONE shared threshold/gate definition with the streamed twin
     // (TemperatureIngest): counts here come from an in-query groupBy
     val n = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
@@ -449,13 +450,16 @@ object TextOps {
        |         FROM ws GROUP BY word),
        |tot AS (SELECT sum(c_all) AS n_all, sum(c_tr) AS n_tr FROM dict)
        |SELECT ws.doc_id, count(*) AS n_words,
-       |       CAST(sum(CAST((1000000::HUGEINT * dict.c_tr * tot.n_all)
-       |                // (dict.c_all::HUGEINT * tot.n_tr) AS BIGINT))
-       |         // count(*) AS BIGINT) AS classifier_score,
-       |       sum(CAST((1000000::HUGEINT * dict.c_tr * tot.n_all)
-       |                // (dict.c_all::HUGEINT * tot.n_tr) AS BIGINT))
-       |         // count(*) > 1000000 AS is_high_quality
-       |FROM ws JOIN dict ON dict.word = ws.word CROSS JOIN tot
+       |       CAST(count(dict.word) AS BIGINT) AS n_scored,
+       |       CAST(CASE WHEN count(dict.word) > 0 THEN
+       |         sum(CAST((1000000::HUGEINT * dict.c_tr * tot.n_all)
+       |                  // (dict.c_all::HUGEINT * tot.n_tr) AS BIGINT))
+       |           // count(dict.word) END AS BIGINT) AS classifier_score,
+       |       CASE WHEN count(dict.word) > 0 THEN
+       |         sum(CAST((1000000::HUGEINT * dict.c_tr * tot.n_all)
+       |                  // (dict.c_all::HUGEINT * tot.n_tr) AS BIGINT))
+       |           // count(dict.word) > 1000000 END AS is_high_quality
+       |FROM ws LEFT JOIN dict ON dict.word = ws.word CROSS JOIN tot
        |GROUP BY ws.doc_id""".stripMargin
   }
 

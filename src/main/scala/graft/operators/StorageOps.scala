@@ -192,11 +192,17 @@ object StorageOps {
       |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |WHERE o.o_orderstatus = 'F'
       |GROUP BY o.o_orderkey, o.o_orderpriority""".stripMargin) { t =>
-    val wh = scratch("s11")
+    // per-call unique catalog names AND scratch dir: bucketBy must go
+    // through the session catalog, and a FIXED name would let two
+    // concurrent runs (parallel suites, bench + verify sharing a
+    // metastore) clobber each other's table entry or files mid-read —
+    // the only storage row whose footprint would otherwise escape its
+    // run's isolation
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val wh = scratch(s"s11_$runId")
     val spark = t.spark
     val B = 8
     def bucketed(df: DataFrame, name: String, key: String): DataFrame = {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
       df.write.mode("overwrite")
         .option("path", s"$wh/$name")
         .bucketBy(B, key).sortBy(key)
@@ -206,11 +212,11 @@ object StorageOps {
     val o = bucketed(
       t.orders.filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_b_orders", "o_orderkey")
+      s"graft_b_orders_$runId", "o_orderkey")
     val l = bucketed(
       t.lineitem.select(col("l_orderkey"),
         round(col("l_extendedprice") * 100).cast("long").as("cents")),
-      "graft_b_lineitem", "l_orderkey")
+      s"graft_b_lineitem_$runId", "l_orderkey")
     // "merge" hint: at test scale the tiny orders side would
     // auto-broadcast, hiding the property under test; at 100 TB both
     // sides are facts and sort-merge over agreeing buckets IS the plan.

@@ -87,6 +87,34 @@ class ClassifierIngestSpec extends AnyFunSuite {
       s"expected the cold-start guard, got: ${e.getMessage}")
   }
 
+  test("a doc with fully-unseen vocabulary emits an explicit NULL-score row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dict = new GraftTable(spark, ClassifierIngest.dictDef, fresh("unseen"))
+    val trainDocs = Seq(CDoc(1L, "src0", "a b a b c"))
+    val src = MemoryStream[CDoc]
+    val q = ClassifierIngest.dictionaryAppend(src.toDF(), dict, fresh("unseenck"))
+    src.addData(trainDocs); q.processAllAvailable(); q.stop()
+
+    // serve NEW docs against the older dictionary: doc 2's vocabulary
+    // is entirely absent — it must still get a row (NULL score, NULL
+    // flag) so downstream gates decide deliberately, not silently
+    // bypass (the gate-disabled failure mode)
+    val serveDocs = Seq(CDoc(1L, "src0", "a b c"), CDoc(2L, "src9", "q r s")).toDF()
+    val out = ClassifierIngest.score(serveDocs, dict)
+      .select("doc_id", "n_words", "n_scored", "classifier_score", "is_high_quality")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L), s"expected both docs scored: ${out.keySet}")
+    val u = out(2L)
+    assert(u.getLong(1) == 3L && u.getLong(2) == 0L,
+      s"expected n_words=3 n_scored=0 for the unseen doc, got $u")
+    assert(u.isNullAt(3) && u.isNullAt(4),
+      "fully-unseen doc must carry NULL score and NULL quality flag")
+    val s = out(1L)
+    assert(s.getLong(2) == 3L && !s.isNullAt(3),
+      s"covered doc must score normally, got $s")
+  }
+
   test("a replayed batch does not change the dictionary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
