@@ -628,6 +628,49 @@ object RelationalOps {
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
   }
 
+  /** J13 — the fact-to-fact RANGE join, bucketed (the shape the
+    * `j12_band_join` Scaladoc delegates to J1/J11 — pinned directly
+    * here): for each purchase event, the platform-wide count of error
+    * events in the preceding 30 minutes. No equality key exists, so
+    * Spark's naive plan for the pure range predicate is a
+    * BroadcastNestedLoopJoin — O(|P|·|E|) comparisons, the classic
+    * 100 TB scale-killer. The bucketed rewrite derives one: both sides
+    * key on `ts div W` (W = the band width), the bounded side explodes
+    * into its own and the NEXT bucket (any interval of width W spans at
+    * most two W-buckets, and each error matches a purchase bucket
+    * through exactly ONE of the two copies — no dedup needed), and the
+    * range check remains as a residual filter on a plain shuffled
+    * equi-join. Cost: 2× the error rows shuffled, joins hash-local,
+    * work ∝ matches — the standard interval-bucketing rewrite every
+    * range-join engine (and J1's stream-stream interval join) uses
+    * under the hood. The oracle states the UNREWRITTEN range join, so
+    * the bucketing must be invisible row-for-row.
+    */
+  val j13RangeJoinFacts: QueryDef = QueryDef(
+    "j13_range_join_facts",
+    """WITH p AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |           FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+      |      FROM events WHERE event_type = 'error')
+      |SELECT p.event_id, CAST(count(e.e_us) AS BIGINT) AS n_recent_errors
+      |FROM p LEFT JOIN e ON e.e_us > p.p_us - 1800000000 AND e.e_us <= p.p_us
+      |GROUP BY p.event_id""".stripMargin) { t =>
+    val W = 1800000000L // 30 min in µs — band width == lookback width
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bkt", expr(s"p_us div $W"))
+    val e = t.events.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("e_us"))
+      .select(explode(expr(s"array(e_us div $W, e_us div $W + 1)")).as("bkt"),
+        col("e_us"))
+    p.join(e,
+        p("bkt") === e("bkt") &&
+          col("e_us") > col("p_us") - W && col("e_us") <= col("p_us"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("e_us")).as("n_recent_errors"))
+  }
+
   /** A12 — second-moment statistics (covariance/correlation building
     * blocks) in EXACT integer form: per group the count n and the
     * power sums (Σx, Σy, Σxy, Σx², Σy²), and from them the integer covariance
@@ -685,5 +728,6 @@ object RelationalOps {
     a3DedupGroupby, a4ConditionalDistinct, a5UnionSpine, a5SpineOnepass,
     u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend, a9Rollup,
     a9Cube, a10Quantiles, a11Pivot, o3IntersectExcept, j12BandJoin,
+    j13RangeJoinFacts,
     p14JsonExtract, a12CorrExact)
 }

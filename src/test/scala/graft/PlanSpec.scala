@@ -36,6 +36,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fact-to-fact range join is a bucketed equi-join, never nested-loop") {
+    // the naive plan for a pure range predicate is a
+    // BroadcastNestedLoopJoin — O(|P|·|E|); the bucketing rewrite must
+    // surface as a plain shuffled equi-join on the derived band key
+    val plan = planOf("j13_range_join_facts")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    // a KEYED join on the derived bucket must exist (at test scale the
+    // tiny error side auto-broadcasts to a BroadcastHashJoin; at fact
+    // scale the same plan shape shuffles both sides on bkt)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bkt".r
+      .findFirstIn(plan).isDefined,
+      s"expected an equi-join keyed on the bucket:\n$plan")
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val plan = planOf("p5_reject_filter")
     assert(plan.contains("PushedFilters: ["), plan)
