@@ -25,8 +25,8 @@ object SearchOps {
   /** Fixed query-term set for the BM25 oracle query (a runtime query
     * string tokenizes to exactly this shape).
     */
-  private val QueryTerms = Seq("vector", "stream", "merge", "window", "hash")
-  private val BmTopK     = 20
+  private[graft] val QueryTerms = Seq("vector", "stream", "merge", "window", "hash")
+  private[graft] val BmTopK     = 20
   private val NQueries   = 5  // fusion query docs: doc_id < 5, same ids as the ANN query set
   private val RrfK       = 60 // the standard RRF dampening constant
   private val FusedTopK  = 10

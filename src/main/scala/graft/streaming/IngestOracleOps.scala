@@ -3,58 +3,155 @@ package graft.streaming
 import java.nio.file.Files
 
 import graft.QueryDef
-import graft.functions.TextOps
+import graft.functions.{SearchOps, TextOps}
 import graft.tables.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Driver-gate oracle rows for the streamed-index twins — the first
-  * streaming-maintained state checked by the cross-engine hash gate,
-  * not just by ScalaTest parity pins.
+/** Driver-gate oracle rows for the streamed-index twins — streaming-
+  * maintained state checked by the cross-engine hash gate, not just by
+  * ScalaTest parity pins.
   *
-  * `lm_ingest_scores` runs the REAL Structured Streaming maintenance
-  * path end-to-end inside the query: the corpus is staged as a
-  * multi-file parquet directory, read back as a file-source stream
-  * (`maxFilesPerTrigger 1`, so the dictionaries accumulate over several
+  * Each row runs the REAL Structured Streaming maintenance path
+  * end-to-end inside the query: the corpus is staged as a multi-file
+  * parquet directory, read back as a file-source stream
+  * (`maxFilesPerTrigger 1`, so the state accumulates over several
   * genuine micro-batches with exactly-once sink markers), compacted by
-  * the maintenance cadence, and then served through
-  * [[LmIngest.score]]. The DuckDB oracle is the UNCHANGED batch
-  * `text_lm_score` SQL — the partial-aggregate design claim ("streamed
-  * dictionaries are indistinguishable from batch training") stated as
-  * a hash equality between a streamed Spark state and an independent
-  * one-shot DuckDB recompute.
+  * the maintenance cadence where the twin has one, then served through
+  * the twin's own serve entry point. The DuckDB oracle is the UNCHANGED
+  * batch SQL of the corresponding batch operator — the
+  * partial-aggregate design claim ("streamed maintenance is
+  * indistinguishable from batch recompute") stated as a hash equality
+  * between a streamed Spark state and an independent one-shot DuckDB
+  * recompute.
   *
-  * Scale shape: identical to the batch operator's (the stream adds
-  * only O(batch vocab) append work per micro-batch); the staging
+  * Scale shape: identical to each batch operator's (the stream adds
+  * only O(batch partial) append work per micro-batch); the staging
   * directory is unique per call so concurrent verify/bench/test runs
   * never share state (the `s11` catalog-clobber lesson).
   */
 object IngestOracleOps {
 
-  val lmIngestScores: QueryDef = QueryDef(
-    "lm_ingest_scores", TextOps.lmScoreSql) { t =>
-    val spark = t.spark
-    val stage = Files.createTempDirectory("graft_lm_ingest").toString
-    val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
-
-    // stage the corpus as 4 files → 4 real micro-batches
-    docs.repartition(4).write.mode("overwrite").parquet(s"$stage/corpus")
-
-    val uni = new GraftTable(spark, LmIngest.unigramsDef, s"$stage/uni")
-    val big = new GraftTable(spark, LmIngest.bigramsDef, s"$stage/big")
+  /** Stage `df` as `nFiles` parquet files and replay it as a genuine
+    * file-source stream through `job`; returns after the stream has
+    * fully drained and stopped.
+    */
+  private def streamCorpus(spark: SparkSession, df: DataFrame, stage: String,
+      nFiles: Int)(job: DataFrame => StreamingQuery): Unit = {
+    df.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/corpus")
     val stream = spark.readStream
-      .schema(docs.schema)
+      .schema(df.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$stage/corpus")
-    val q = LmIngest.dictionaryAppend(stream, uni, big, s"$stage/ck")
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
+    val q = job(stream)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 
+  private def stageDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Streamed bigram-LM dictionaries ([[LmIngest]]) vs the batch
+    * `text_lm_score` SQL.
+    */
+  val lmIngestScores: QueryDef = QueryDef(
+    "lm_ingest_scores", TextOps.lmScoreSql) { t =>
+    val stage = stageDir("graft_lm_ingest")
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+    val uni = new GraftTable(t.spark, LmIngest.unigramsDef, s"$stage/uni")
+    val big = new GraftTable(t.spark, LmIngest.bigramsDef, s"$stage/big")
+    streamCorpus(t.spark, docs, stage, 4)(
+      LmIngest.dictionaryAppend(_, uni, big, s"$stage/ck"))
     // maintenance cadence on the accumulated partials, then serve —
     // the scores must be invariant under the pre-merge by construction
     LmIngest.compactDictionaries(uni, big)
     LmIngest.score(docs, uni, big)
   }
 
-  val all: Seq[QueryDef] = Seq(lmIngestScores)
+  /** Streamed classifier dictionary ([[ClassifierIngest]]) vs the
+    * batch `text_classifier_score` SQL.
+    */
+  val clfIngestScores: QueryDef = QueryDef(
+    "clf_ingest_scores", TextOps.textClassifierScore.oracle.get) { t =>
+    val stage = stageDir("graft_clf_ingest")
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+    val dict = new GraftTable(t.spark, ClassifierIngest.dictDef, s"$stage/dict")
+    streamCorpus(t.spark, docs, stage, 4)(
+      ClassifierIngest.dictionaryAppend(_, dict, s"$stage/ck"))
+    ClassifierIngest.compactDictionary(dict)
+    ClassifierIngest.score(docs, dict)
+  }
+
+  /** Streamed per-language counts ([[TemperatureIngest]]) vs the batch
+    * `sample_temperature` SQL — the served gate must keep exactly the
+    * batch-derived sample.
+    */
+  val tempIngestSample: QueryDef = QueryDef(
+    "temp_ingest_sample", TextOps.sampleTemperature.oracle.get) { t =>
+    val stage = stageDir("graft_temp_ingest")
+    val docs = t.documents.select(col("doc_id"), col("lang"), col("source"))
+    val counts = new GraftTable(t.spark, TemperatureIngest.countsDef, s"$stage/counts")
+    streamCorpus(t.spark, docs, stage, 4)(
+      TemperatureIngest.countsAppend(_, counts, s"$stage/ck"))
+    TemperatureIngest.sample(docs, counts)
+  }
+
+  /** Streamed postings + doc-stats index ([[PostingsIngest]]) vs the
+    * batch `bm25_topk` SQL — serving from the maintained index (with
+    * its per-term partition pruning) must rank identically to the
+    * raw-text one-shot query.
+    */
+  val bm25IngestTopk: QueryDef = QueryDef(
+    "bm25_ingest_topk", SearchOps.bm25Topk.oracle.get) { t =>
+    val stage = stageDir("graft_bm25_ingest")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val postings = new GraftTable(t.spark, PostingsIngest.postingsDef, s"$stage/idx")
+    val docStats = new GraftTable(t.spark, PostingsIngest.docStatsDef, s"$stage/idx")
+    streamCorpus(t.spark, docs, stage, 4)(
+      PostingsIngest.indexAppend(_, postings, docStats, s"$stage/ck"))
+    PostingsIngest.bm25TopK(postings, docStats, SearchOps.QueryTerms, SearchOps.BmTopK)
+  }
+
+  /** Streamed cell-partitioned IVF index ([[VectorIngest]]) vs the
+    * batch `ann_ivf_topk` SQL — probe-pruned serving from the streamed
+    * index must rank identically to the one-shot build.
+    */
+  val annIngestTopk: QueryDef = QueryDef(
+    "ann_ingest_topk", graft.functions.AnnOps.annIvfTopk.oracle.get) { t =>
+    import graft.functions.AnnOps
+    import org.apache.spark.sql.functions.sqrt
+    val stage = stageDir("graft_ann_ingest")
+    val base = t.embeddings.select(col("vec_id"), col("embedding"))
+    val e = base.withColumn("nrm",
+      sqrt(AnnOps.dot(col("embedding"), col("embedding"))))
+    // frozen codebook, materialized once — shared by ingestion and serve
+    val codebook = AnnOps.centroids(e, AnnOps.NCentroids).localCheckpoint()
+    val table = new GraftTable(t.spark, VectorIngest.indexDef, s"$stage/idx")
+    streamCorpus(t.spark, base, stage, 4)(
+      VectorIngest.cellAppend(_, codebook, table, s"$stage/ck"))
+    VectorIngest.probeTopK(table,
+      base.filter(col("vec_id") < AnnOps.NQueries), codebook,
+      nprobe = 2, k = AnnOps.TopK)
+  }
+
+  /** Streamed cross-source keep-best partials ([[KeepBestIngest]]) vs
+    * the batch `dedup_keep_best` SQL — the resolved winners from
+    * compacted streamed partials must equal the one-shot group-by.
+    */
+  val keepbestIngestResolve: QueryDef = QueryDef(
+    "keepbest_ingest_resolve",
+    graft.functions.DedupOps.dedupKeepBest.oracle.get) { t =>
+    val stage = stageDir("graft_kb_ingest")
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+    val partials = new GraftTable(t.spark, KeepBestIngest.partialsDef, s"$stage/kb")
+    streamCorpus(t.spark, docs, stage, 4)(
+      KeepBestIngest.run(_, partials, s"$stage/ck"))
+    KeepBestIngest.compactPartials(partials)
+    KeepBestIngest.resolve(partials)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    lmIngestScores, clfIngestScores, tempIngestSample, bm25IngestTopk,
+    annIngestTopk, keepbestIngestResolve)
 }

@@ -25,6 +25,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object VectorIngest {
 
+  /** The canonical cell-partitioned index layout (one directory per
+    * cell — the partition-pruned serving seam).
+    */
+  val indexDef: graft.tables.TableDef = graft.tables.TableDef("vec_index",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("nrm",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType))),
+    partitions = Seq(graft.tables.IdentityTransform("cell")))
+
   /** (vec_id, embedding) stream → (vec_id, embedding, nrm, cell) rows
     * appended into `table` (declared with `IdentityTransform("cell")`).
     */
