@@ -108,7 +108,10 @@ object IngestOracleOps {
     val docs = t.documents.select(col("doc_id"), col("text"))
     val postings = new GraftTable(t.spark, PostingsIngest.postingsDef, s"$stage/idx")
     val docStats = new GraftTable(t.spark, PostingsIngest.docStatsDef, s"$stage/idx")
-    streamCorpus(t.spark, docs, stage, 4)(
+    // 2 micro-batches, not 4: each append writes O(vocabulary)
+    // term-partition directories, and two batches already prove the
+    // cross-batch additive merge at half the file churn
+    streamCorpus(t.spark, docs, stage, 2)(
       PostingsIngest.indexAppend(_, postings, docStats, s"$stage/ck"))
     PostingsIngest.bm25TopK(postings, docStats, SearchOps.QueryTerms, SearchOps.BmTopK)
   }
@@ -128,7 +131,9 @@ object IngestOracleOps {
     // frozen codebook, materialized once — shared by ingestion and serve
     val codebook = AnnOps.centroids(e, AnnOps.NCentroids).localCheckpoint()
     val table = new GraftTable(t.spark, VectorIngest.indexDef, s"$stage/idx")
-    streamCorpus(t.spark, base, stage, 4)(
+    // 2 micro-batches (cell-partitioned appends — the bm25 file-churn
+    // note applies)
+    streamCorpus(t.spark, base, stage, 2)(
       VectorIngest.cellAppend(_, codebook, table, s"$stage/ck"))
     VectorIngest.probeTopK(table,
       base.filter(col("vec_id") < AnnOps.NQueries), codebook,

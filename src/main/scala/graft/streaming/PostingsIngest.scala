@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.SearchOps
-import graft.tables.{GraftTable, IdentityTransform, TableDef}
+import graft.tables.{BucketTransform, GraftTable, TableDef}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -13,13 +13,17 @@ import org.apache.spark.sql.types._
   * microbatch tokenizes ONCE (the exact [[SearchOps.tokenize]] rules)
   * and lands exactly-once as postings `(term, doc_id, tf)` plus a
   * doc-length sidecar `(doc_id, dl)`. The postings table is
-  * identity-partitioned by `term`, so a BM25 query opens ONLY its query
-  * terms' partition directories — bounded I/O per query term, never the
-  * corpus, the same partition-pruned serving layout the IVF vector
-  * index uses for cells ([[VectorIngest]]). At 100 TB the real
-  * partition key is a hash bucket of the term (vocabulary is unbounded;
-  * a per-term directory is not), which changes only the `partitions`
-  * spec here — the pruning mechanics are identical.
+  * partitioned by a HASH BUCKET of the term ([[BucketTransform]] —
+  * Iceberg's `bucket(n, term)`): vocabulary is unbounded, so an
+  * identity partition would mint one directory per distinct term and
+  * drown the filesystem in tiny files per micro-batch; 64 bucket
+  * directories bound the layout at any vocabulary size. A BM25 query
+  * computes its terms' buckets DRIVER-SIDE (the engine-portable hash
+  * has a JVM twin) and opens ONLY those bucket directories — bounded
+  * I/O per query term, never the corpus, the same partition-pruned
+  * serving layout the IVF vector index uses for cells
+  * ([[VectorIngest]]); the exact-term predicate still pushes down into
+  * the pruned files' row groups.
   *
   * Corpus is append-only (the training-data regime: docs are added,
   * never edited); re-delivered batches are dropped whole by the sink
@@ -27,13 +31,23 @@ import org.apache.spark.sql.types._
   */
 object PostingsIngest {
 
+  /** Bucket count — a layout CONSTANT (like the IVF codebook size):
+    * directories per micro-batch stay ≤ this at any vocabulary.
+    */
+  val TermBuckets = 64
+
+  private val termBucket = BucketTransform("term", TermBuckets)
+
   val postingsDef: TableDef = TableDef("postings",
     StructType(Seq(
       StructField("term", StringType),
       StructField("doc_id", LongType),
       StructField("tf", LongType))),
-    partitions = Seq(IdentityTransform("term")),
+    partitions = Seq(termBucket),
     keys = Seq("term", "doc_id"))
+
+  /** Driver-side bucket of a literal query term — the pruning key. */
+  def bucketOf(term: String): Long = termBucket.bucketOf(term)
 
   val docStatsDef: TableDef = TableDef("doc_stats",
     StructType(Seq(
@@ -126,17 +140,21 @@ object PostingsIngest {
       }
       .start()
 
-  /** BM25 top-k over the maintained index: the per-term partition
-    * filter prunes the postings read to the query terms' directories
-    * (`df.inputFiles` proves it — PostingsIngestSpec pins that), the
-    * corpus totals come from the KB-sized sidecar, and ranking goes
-    * through the SAME [[SearchOps.bm25Rank]] body as the raw-text
-    * query, so serving can never drift from the oracle-checked math.
+  /** BM25 top-k over the maintained index: the query terms' buckets
+    * (computed driver-side — no Spark job) prune the postings read to
+    * those bucket DIRECTORIES, the exact-term predicate then pushes
+    * down into the surviving files' row groups
+    * (PostingsIngestSpec pins the pruning), the corpus totals come
+    * from the KB-sized sidecar, and ranking goes through the SAME
+    * [[SearchOps.bm25Rank]] body as the raw-text query, so serving can
+    * never drift from the oracle-checked math.
     */
   def bm25TopK(postings: GraftTable, docStats: GraftTable,
       terms: Seq[String], k: Int): DataFrame = {
+    val buckets = terms.map(bucketOf).distinct
     val tf = postings.read()
-      .filter(col("p_term").isin(terms: _*))
+      .filter(col(termBucket.name).isin(buckets: _*) &&
+        col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val stats = docStats.readLogical()
     val dl = stats.select(col("doc_id"), col("dl"))

@@ -44,7 +44,11 @@ object VectorIngest {
     * appended into `table` (declared with `IdentityTransform("cell")`).
     */
   def cellAppend(vectors: DataFrame, codebook: DataFrame, table: GraftTable,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    // the codebook is FROZEN for the index's lifetime, so its
+    // single-row broadcast form is materialized ONCE here — not
+    // re-aggregated as a fresh Spark job inside every micro-batch
+    val centArr = AnnOps.centroidArr(codebook).localCheckpoint()
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -53,7 +57,7 @@ object VectorIngest {
           if (!batch.isEmpty) {
             val e = batch.toDF()
               .withColumn("nrm", sqrt(AnnOps.dot(col("embedding"), col("embedding"))))
-            val assigned = e.crossJoin(broadcast(AnnOps.centroidArr(codebook)))
+            val assigned = e.crossJoin(broadcast(centArr))
               .select(col("vec_id"), col("embedding"), col("nrm"),
                 AnnOps.cellFold.as("cell"))
             table.append(assigned)
@@ -62,6 +66,7 @@ object VectorIngest {
         ()
       }
       .start()
+  }
 
   /** Cosine top-k over the streamed index: score queries against the
     * codebook (queries × cells — tiny), pick `nprobe` cells each, read

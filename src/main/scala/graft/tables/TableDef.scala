@@ -28,6 +28,28 @@ final case class IdentityTransform(source: String) extends PartitionTransform {
   def expr: Column = col(source)
 }
 
+/** `bucket(n, col)` — partition by a deterministic hash bucket of the
+  * column (Iceberg's `bucket` transform): the layout for unbounded-
+  * cardinality keys (terms, user ids), where `identity` would mint one
+  * directory per distinct value. The hash is the repo's engine-portable
+  * [[graft.functions.SharedHash.h64]], so a serving layer can compute a
+  * literal's bucket DRIVER-SIDE ([[bucketOf]]) and prune the read to
+  * the handful of bucket directories its keys hash into.
+  */
+final case class BucketTransform(source: String, n: Int) extends PartitionTransform {
+  require(n > 0, s"bucket($source): bucket count must be positive")
+  val name = s"p_${source}_bucket"
+  // h64 is non-negative (60-bit), so % n is already in [0, n)
+  def expr: Column =
+    graft.functions.SharedHash.h64(col(source).cast("string")) % n
+
+  /** Driver-side twin of [[expr]] for literal keys — bit-identical to
+    * the Column form on the same UTF-8 bytes.
+    */
+  def bucketOf(value: String): Long =
+    graft.functions.SharedHash.h64Jvm(value.getBytes("UTF-8")) % n
+}
+
 /** `day(tsCol)` — daily partitions from a timestamp column. */
 final case class DayTransform(source: String) extends PartitionTransform {
   val name = s"p_${source}_day"

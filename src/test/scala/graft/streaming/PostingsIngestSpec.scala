@@ -56,8 +56,11 @@ class PostingsIngestSpec extends AnyFunSuite {
     assert(served.collect().toSeq.map(_.toSeq) == direct.collect().toSeq.map(_.toSeq),
       "postings-served BM25 must equal the raw-text ranking row for row")
 
-    // the pruned read touches only the query terms' partition dirs
-    val pruned = postings.read().filter(col("p_term").isin(terms: _*))
+    // the pruned read touches only the query terms' BUCKET dirs
+    // (buckets computed driver-side — the serving-path pruning key)
+    val buckets = terms.map(PostingsIngest.bucketOf).distinct
+    val pruned = postings.read()
+      .filter(col("p_term_bucket").isin(buckets: _*))
     pruned.collect()
     val opened = pruned.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -66,6 +69,11 @@ class PostingsIngestSpec extends AnyFunSuite {
     val allFiles = postings.read().inputFiles.length
     assert(opened < allFiles,
       s"pruned scan opened $opened of $allFiles files — no partition pruning")
+    // bucket layout is BOUNDED: directories never exceed the constant
+    // bucket count regardless of vocabulary size
+    val bucketDirs = postings.read().select("p_term_bucket").distinct().count()
+    assert(bucketDirs <= PostingsIngest.TermBuckets,
+      s"$bucketDirs bucket dirs exceed the ${PostingsIngest.TermBuckets} layout bound")
 
     // re-delivery of a whole batch must not double-count tf
     val tfBefore = postings.readLogical().agg(sum("tf")).head.getLong(0)
