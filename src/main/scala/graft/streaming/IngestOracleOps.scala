@@ -156,7 +156,29 @@ object IngestOracleOps {
     KeepBestIngest.resolve(partials)
   }
 
+  /** Streamed LSH band index ([[NearDupIngest]]) vs the batch
+    * `dedup_minhash_lsh` SQL — bucket-local pair expansion over the
+    * streamed band table must emit exactly the batch candidate pairs
+    * (band sets are additive across batches, so arrival order cannot
+    * matter). The one streamed twin NOT given a row here is
+    * SubstringIngest: its keep-first rule is arrival-order-defined, so
+    * its batch equivalence is pinned by a spec that controls arrival
+    * order (TrainingIngestSpec), not by a file-source replay whose
+    * inter-file order the oracle cannot fix.
+    */
+  val neardupIngestPairs: QueryDef = QueryDef(
+    "neardup_ingest_pairs",
+    graft.functions.DedupOps.dedupMinhashLsh.oracle.get) { t =>
+    val stage = stageDir("graft_nd_ingest")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val bands = new GraftTable(t.spark, NearDupIngest.bandTableDef, s"$stage/bands")
+    streamCorpus(t.spark, docs, stage, 4)(
+      NearDupIngest.bandAppend(_, bands, s"$stage/ck"))
+    graft.functions.DedupOps.bandPairsOfKeys(
+      bands.readLogical().select(col("doc_id"), col("band"), col("key")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     lmIngestScores, clfIngestScores, tempIngestSample, bm25IngestTopk,
-    annIngestTopk, keepbestIngestResolve)
+    annIngestTopk, keepbestIngestResolve, neardupIngestPairs)
 }
