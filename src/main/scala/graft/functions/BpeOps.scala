@@ -133,6 +133,13 @@ object BpeOps {
     (merges, vocabDf)
   }
 
+  /** Driver-side leftmost-greedy merge — the JVM twin of [[mergeExpr]]. */
+  private def localMerge(s: List[String], a: String, b: String): List[String] = s match {
+    case x :: y :: rest if x == a && y == b => (a + b) :: localMerge(rest, a, b)
+    case x :: rest                          => x :: localMerge(rest, a, b)
+    case Nil                                => Nil
+  }
+
   /** Code-point symbol split — the driver-side twin of [[charSyms]]
     * (surrogate-pair safe, like Spark's codepoint-stepping empty-regex
     * split; a code-UNIT split would cut astral chars into lone
@@ -168,12 +175,6 @@ object BpeOps {
       }
     }
     syms.indices.foreach(addWord(_, 1L))
-
-    def localMerge(s: List[String], a: String, b: String): List[String] = s match {
-      case x :: y :: rest if x == a && y == b => (a + b) :: localMerge(rest, a, b)
-      case x :: rest                          => x :: localMerge(rest, a, b)
-      case Nil                                => Nil
-    }
 
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
@@ -256,6 +257,41 @@ object BpeOps {
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("syms"))).as("n_tokens"),
         flatten(expr("transform(sort_array(collect_list(struct(pos, syms))), s -> s.syms)"))
+          .as("tokens"))
+  }
+
+  /** The production encoder: a WORD→TOKENS dictionary computed
+    * driver-local over the corpus's distinct words (the same bounded
+    * collect the trainer pays — and the memoization every real BPE
+    * tokenizer keeps), broadcast-joined back to the word stream. Plan
+    * depth is O(1) at ANY merge count, where [[encode]]'s fold chain
+    * nests one `aggregate` expression per merge — fine at hundreds,
+    * codegen-hostile at a production 50k. Same output contract as
+    * [[encode]] (BpeSpec pins them token-identical); `minFreq`-style
+    * pruning is deliberately absent — an unseen word must still encode,
+    * so the dictionary covers every distinct word of the TARGET corpus,
+    * not the training one.
+    */
+  def encodeViaDictionary(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeList = merges.toList
+    def encodeWord(w: String): List[String] =
+      mergeList.foldLeft(localSyms(w)) { case (s, (a, b)) => localMerge(s, a, b) }
+    val dict = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct().collect().map(r => r.getString(0))
+      .map(w => (w, encodeWord(w))).toSeq.toDF("word", "toks")
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("toks"))).as("n_tokens"),
+        flatten(expr("transform(sort_array(collect_list(struct(pos, toks))), s -> s.toks)"))
           .as("tokens"))
   }
 

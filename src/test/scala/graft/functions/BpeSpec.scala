@@ -145,6 +145,19 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary encoder is token-identical to the fold-chain encoder") {
+    val t = Tables(spark, sf)
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val (merges, _) = BpeOps.train(docs, 12)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getSeq[String](3).toList))).toMap
+    val fold = rows(BpeOps.encode(docs, merges))
+    val dict = rows(BpeOps.encodeViaDictionary(docs, merges))
+    assert(dict == fold,
+      s"encoders diverge on ${dict.keySet.union(fold.keySet).count(k => dict.get(k) != fold.get(k))} docs")
+  }
+
   test("overlapping pairs count with multiplicity and rank 1 is the max") {
     val rows = BpeOps.bpePairCounts.fn(spark, sf).collect()
     assert(rows.nonEmpty)
