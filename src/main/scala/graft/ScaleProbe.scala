@@ -212,6 +212,56 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE=twin: the streamed-twin protocol probe. The
+    // twin rows' bench cost is claimed to be FIXED protocol overhead
+    // (staging write, micro-batch planning, exactly-once commits,
+    // serve-time probes) rather than data cost — so their wall time at
+    // 10x the corpus must stay near 1x. Also probes j13 (the bucketed
+    // fact-to-fact range join) on 1x/10x/100x events: the rewrite's
+    // claim is work ∝ matches through a keyed join, so the curve must
+    // track the scan-shaped stages, never the naive O(|P|·|E|).
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("twin")) {
+      val twins = Seq(
+        "lm_ingest_scores" -> streaming.IngestOracleOps.lmIngestScores,
+        "keepbest_ingest_resolve" -> streaming.IngestOracleOps.keepbestIngestResolve,
+        "bm25_ingest_topk" -> streaming.IngestOracleOps.bm25IngestTopk,
+        "ann_ingest_topk" -> streaming.IngestOracleOps.annIngestTopk)
+      val twinRows = for (k <- Seq(1, 10)) yield {
+        val dir = s"$outRoot/x$k"
+        buildReplica(spark, sfDir, dir, k)
+        buildEmbReplica(spark, sfDir, dir, k)
+        println(s"== twin ${k}x ==")
+        k -> twins.map { case (l, q) => timed(spark, l)(
+          q.fn(spark, dir).write.format("noop").mode("overwrite").save()) }
+      }
+      val j13Rows = for (k <- Seq(1, 10, 100)) yield {
+        val dir = s"$outRoot/ev_x$k"
+        if (!Files.exists(Paths.get(s"$dir/events.parquet"))) {
+          val base = Tables(spark, sfDir).events
+            .select("event_id", "ts", "user_id", "event_type", "value")
+          (0 until k).map(c => base.select(
+            (col("event_id") + lit(c * 100_000_000L)).as("event_id"),
+            (col("ts") + expr(s"INTERVAL ${c * 31} DAYS")).as("ts"),
+            col("user_id"), col("event_type"), col("value")))
+            .reduce(_ unionByName _)
+            .repartitionByRange(math.max(8, 2 * k), col("ts"))
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        }
+        println(s"== j13 ${k}x ==")
+        k -> timed(spark, "j13_range_join_facts")(
+          operators.RelationalOps.j13RangeJoinFacts.fn(spark, dir)
+            .write.format("noop").mode("overwrite").save())._2
+      }
+      println("\n| stage | " + twinRows.map(r => s"${r._1}x |").mkString(" "))
+      twins.map(_._1).zipWithIndex.foreach { case (l, i) =>
+        println(s"| $l | " + twinRows.map(r => f"${r._2(i)._2}%.2f s |").mkString(" "))
+      }
+      println("| j13_range_join_facts | " +
+        j13Rows.map { case (k, s) => f"${k}x $s%.2f s |" }.mkString(" "))
+      spark.stop()
+      return
+    }
+
     val annProbe = sys.env.get("SPARK_GRAFT_PROBE").contains("ann")
     val embRows = scala.collection.mutable.Map[String, Long]()
     val stages =
