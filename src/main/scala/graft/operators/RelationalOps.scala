@@ -646,6 +646,28 @@ object RelationalOps {
     * under the hood. The oracle states the UNREWRITTEN range join, so
     * the bucketing must be invisible row-for-row.
     */
+  /** The bucketing-rewrite body of `j13_range_join_facts`, reusable so
+    * the property spec can drive it with adversarial boundary-heavy
+    * inputs: per probe row (event_id, p_us), count right rows whose
+    * e_us ∈ (p_us − w, p_us] — via the band-keyed equi-join, never a
+    * nested loop.
+    */
+  private[graft] def bucketedRangeCount(
+      probes: org.apache.spark.sql.DataFrame,
+      events: org.apache.spark.sql.DataFrame,
+      w: Long): org.apache.spark.sql.DataFrame = {
+    val p = probes.withColumn("bkt", expr(s"p_us div $w"))
+    val e = events
+      .select(explode(expr(s"array(e_us div $w, e_us div $w + 1)")).as("bkt"),
+        col("e_us"))
+    p.join(e,
+        p("bkt") === e("bkt") &&
+          col("e_us") > col("p_us") - w && col("e_us") <= col("p_us"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("e_us")).as("n_recent_errors"))
+  }
+
   val j13RangeJoinFacts: QueryDef = QueryDef(
     "j13_range_join_facts",
     """WITH p AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
@@ -656,19 +678,12 @@ object RelationalOps {
       |FROM p LEFT JOIN e ON e.e_us > p.p_us - 1800000000 AND e.e_us <= p.p_us
       |GROUP BY p.event_id""".stripMargin) { t =>
     val W = 1800000000L // 30 min in µs — band width == lookback width
-    val p = t.events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
-      .withColumn("bkt", expr(s"p_us div $W"))
-    val e = t.events.filter(col("event_type") === "error")
-      .select(unix_micros(col("ts")).as("e_us"))
-      .select(explode(expr(s"array(e_us div $W, e_us div $W + 1)")).as("bkt"),
-        col("e_us"))
-    p.join(e,
-        p("bkt") === e("bkt") &&
-          col("e_us") > col("p_us") - W && col("e_us") <= col("p_us"),
-        "left")
-      .groupBy(col("event_id"))
-      .agg(count(col("e_us")).as("n_recent_errors"))
+    bucketedRangeCount(
+      t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us")),
+      t.events.filter(col("event_type") === "error")
+        .select(unix_micros(col("ts")).as("e_us")),
+      W)
   }
 
   /** A12 — second-moment statistics (covariance/correlation building
