@@ -463,6 +463,32 @@ object RelationalOps {
           .as("sum_price"))
   }
 
+  /** A9c — GROUPING SETS with a lattice neither ROLLUP nor CUBE can
+    * express: the two single-column marginals and NOTHING else (no
+    * pair level, no grand total). Same one-scan Expand execution as
+    * the rollup/cube rows — grouping sets is the general form those
+    * two specialize; `gid` disambiguates which marginal a row belongs
+    * to (and keeps the NULL-valued key columns hashable).
+    */
+  val a9GroupingSets: QueryDef = QueryDef(
+    "a9_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INT) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin) { t =>
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
   /** A10 — exact interpolated percentiles per group. Both engines use
     * the same linear-interpolation formula (pos = p·(n−1); lo +
     * (hi−lo)·frac) over integral quantity values, so the doubles agree
@@ -742,7 +768,7 @@ object RelationalOps {
     j6MultikeyJoin, j9ExistsSemi, j10InSemi, a2FunnelCounts, a2FunnelOnepass,
     a3DedupGroupby, a4ConditionalDistinct, a5UnionSpine, a5SpineOnepass,
     u1Explode, u2NestedExplode, o1TopK, m3IncrementalAppend, a9Rollup,
-    a9Cube, a10Quantiles, a11Pivot, o3IntersectExcept, j12BandJoin,
+    a9Cube, a9GroupingSets, a10Quantiles, a11Pivot, o3IntersectExcept, j12BandJoin,
     j13RangeJoinFacts,
     p14JsonExtract, a12CorrExact)
 }

@@ -65,6 +65,31 @@ class BpeSpec extends AnyFunSuite {
       s"vocabularies diverge: ${gotVocab.toSeq.diff(refVocab.toSeq).take(3)}")
   }
 
+  test("trainer matches the reference on random small-alphabet corpora") {
+    // a 4-letter alphabet makes pair-count TIES the common case, so the
+    // (count desc, a, b) total order is stressed on every round; seeds
+    // fixed — failures reproduce exactly
+    import spark.implicits._
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rnd = new scala.util.Random(seed)
+      def word() = (1 to 1 + rnd.nextInt(6))
+        .map(_ => "abcd"(rnd.nextInt(4))).mkString
+      val docs = (1 to 20)
+        .map(_ => (1 to 3 + rnd.nextInt(10)).map(_ => word()).mkString(" "))
+        .toDF("text")
+      val words = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (refMerges, refVocab) = refTrain(words, 25)
+      val (gotMerges, gotVocabDf) = BpeOps.train(docs, 25)
+      assert(gotMerges == refMerges, s"seed=$seed merge sequences diverge")
+      val gotVocab = gotVocabDf.select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(gotVocab == refVocab, s"seed=$seed vocabularies diverge")
+    }
+  }
+
   test("driver-local trainer matches the distributed twin merge-for-merge") {
     import spark.implicits._
     val docs = Seq(
