@@ -133,11 +133,41 @@ object BpeOps {
     (merges, vocabDf)
   }
 
-  /** Driver-side leftmost-greedy merge — the JVM twin of [[mergeExpr]]. */
-  private def localMerge(s: List[String], a: String, b: String): List[String] = s match {
-    case x :: y :: rest if x == a && y == b => (a + b) :: localMerge(rest, a, b)
-    case x :: rest                          => x :: localMerge(rest, a, b)
-    case Nil                                => Nil
+  /** Driver-side leftmost-greedy merge — the JVM twin of [[mergeExpr]].
+    * Iterative: a recursive cons-chain would overflow the driver stack
+    * on a single pathologically long unbroken token (the data-URI /
+    * minified-blob long tail real web corpora carry).
+    */
+  private def localMerge(s: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var rest = s
+    while (rest.nonEmpty) rest match {
+      case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+      case x :: tail                          => out += x; rest = tail
+      case Nil                                => ()
+    }
+    out.toList
+  }
+
+  /** Spark's string ordering is UTF8String BINARY order (unsigned
+    * UTF-8 bytes), which differs from Java's UTF-16 `compareTo` for
+    * supplementary-plane code points (a surrogate pair's 0xD8xx units
+    * sort BELOW U+E000.. in UTF-16 but its UTF-8 bytes sort above) —
+    * the driver-local argmax must break count ties exactly like the
+    * distributed `orderBy`, so tie comparison goes through UTF-8
+    * bytes.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Code-point symbol split — the driver-side twin of [[charSyms]]
@@ -184,7 +214,17 @@ object BpeOps {
       val live = counts.iterator.filter(_._2 > 0L)
       if (!live.hasNext) continue = false
       else {
-        val (pair @ (a, b), _) = live.minBy { case ((x, y), c) => (-c, x, y) }
+        // argmax with ties broken (count desc, a asc, b asc) under
+        // UTF-8 byte order — the same total order as the distributed
+        // orderBy (see utf8Lt)
+        val (pair @ (a, b), _) = live.reduceLeft { (best, cand) =>
+          val ((ba, bb), bc) = best
+          val ((ca, cb), cc) = cand
+          val candWins = cc > bc ||
+            (cc == bc && (utf8Lt(ca, ba) ||
+              (ca == ba && utf8Lt(cb, bb))))
+          if (candWins) cand else best
+        }
         merges += pair
         // re-count ONLY the words that contain the merged pair
         val affected = index.getOrElse(pair, mutable.Set.empty).toArray

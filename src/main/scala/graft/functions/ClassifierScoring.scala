@@ -58,12 +58,16 @@ private[graft] object ClassifierScoring {
     val tot = dict.agg(sum(col("c_all")).as("n_all"), sum(col("c_tr")).as("n_tr"))
     words(docs).join(dict, Seq("word"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("c_all"),
         // NULL dictionary counts propagate to a NULL ratio
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * c_tr * n_all)
                 div (CAST(c_all AS DECIMAL(38,0)) * n_tr) AS BIGINT)""").as("r"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), count(col("r")).as("n_scored"),
+      // n_scored counts MATCHED words (the dict-side column), exactly
+      // like the SQL twin's count(dict.word) — counting `r` would
+      // diverge on a matched word whose ratio is NULL (n_tr = 0, where
+      // Spark's div NULLs and DuckDB's // errors)
+      .agg(count(lit(1)).as("n_words"), count(col("c_all")).as("n_scored"),
         sum(col("r")).as("sr"))
       .select(col("doc_id"), col("n_words"), col("n_scored"),
         expr("CASE WHEN n_scored > 0 THEN sr div n_scored END").as("classifier_score"),

@@ -25,8 +25,16 @@ import org.apache.spark.sql.functions._
   *    double-joins its impression in #12, every bid of a response
   *    matches its impression in #10/#14) are preserved bit-for-bit.
   *
-  * Two deliberate deviations, both the repo's standing oracle
+  * Three deliberate deviations, all the repo's standing oracle
   * discipline rather than semantic changes:
+  *  - each stream is first collapsed to one row per event id: the
+  *    reference's DEFAULT generator emits zero duplicates
+  *    (BASELINE.md `DUPLICATE_*_RATE=0.00`), while the shared fixture
+  *    here injects 3% exact-copy re-deliveries on all four streams to
+  *    exercise the dedup operators — without the collapse every join
+  *    row would double-count an injected copy (a win_rate over 100%),
+  *    metrics the reference's examples never see. Copies are
+  *    byte-identical, so id-dedup is deterministic in both engines;
   *  - money/ratio outputs are emitted EXACT instead of ROUND(x, n)
   *    display-rounded: averages route through integer cents and one
   *    double division (round-half ties on binary doubles are
@@ -56,7 +64,9 @@ object ExampleQueryOps {
     s"""WITH x AS (
        |  SELECT id, unnest(imp) AS imp_t, site, app, device, regs, "at",
        |         event_timestamp
-       |  FROM read_parquet('$root/requests/*.parquet')
+       |  FROM (SELECT DISTINCT id, imp, site, app, device, regs, "at",
+       |               event_timestamp
+       |        FROM read_parquet('$root/requests/*.parquet'))
        |),
        |br AS (
        |  SELECT id AS request_id,
@@ -85,7 +95,8 @@ object ExampleQueryOps {
     * three-valued-logic reading of NULL publishers/floors.
     */
   private def br(spark: SparkSession): DataFrame =
-    RtbIngest.flattenRequests(spark.read.parquet(s"$root/requests"))
+    RtbIngest.flattenRequests(
+        spark.read.parquet(s"$root/requests").dropDuplicates("id"))
       .filter(col("publisher_id") > 0 && !col("is_private_ip") &&
         col("imp_bidfloor") > 0)
       .withColumnRenamed("banner_w", "imp_banner_w")
@@ -93,7 +104,8 @@ object ExampleQueryOps {
       .withColumnRenamed("devicetype", "device_type")
 
   private def bids(spark: SparkSession): DataFrame =
-    RtbIngest.flattenBids(spark.read.parquet(s"$root/responses"))
+    RtbIngest.flattenBids(
+      spark.read.parquet(s"$root/responses").dropDuplicates("id"))
 
   /** Exact average of a cents-precision double column: integer-cents sum,
     * then one double division chain written identically in both engines.
@@ -217,7 +229,8 @@ object ExampleQueryOps {
     s"""$brSql,
        |resp AS (
        |  SELECT ext['request_id'] AS r_request_id, unnest(seatbid) AS sb
-       |  FROM read_parquet('$root/responses/*.parquet')
+       |  FROM (SELECT DISTINCT id, ext, seatbid
+       |        FROM read_parquet('$root/responses/*.parquet'))
        |),
        |respb AS (SELECT r_request_id, unnest(sb['bid']) AS b FROM resp)
        |SELECT br.device_geo_country,
@@ -250,11 +263,12 @@ object ExampleQueryOps {
     "qx10_win_rate_by_bidder",
     s"""WITH s AS (
        |  SELECT id AS response_id, unnest(seatbid) AS sb
-       |  FROM read_parquet('$root/responses/*.parquet')
+       |  FROM (SELECT DISTINCT id, seatbid
+       |        FROM read_parquet('$root/responses/*.parquet'))
        |),
        |resp AS (SELECT response_id, sb['seat'] AS bidder, unnest(sb['bid']) AS b
        |         FROM s),
-       |imp AS (SELECT impression_id, response_id AS i_response_id
+       |imp AS (SELECT DISTINCT impression_id, response_id AS i_response_id
        |        FROM read_parquet('$root/impressions/*.parquet'))
        |SELECT resp.bidder,
        |       count(resp.response_id) AS bids,
@@ -267,6 +281,7 @@ object ExampleQueryOps {
     val resp = bids(t.spark)
       .select(col("response_id"), col("bidder_id").as("bidder"))
     val imp = t.spark.read.parquet(s"$root/impressions")
+      .dropDuplicates("impression_id")
       .select(col("impression_id"), col("response_id").as("i_response_id"))
     resp.join(imp, col("response_id") === col("i_response_id"), "left")
       .groupBy(col("bidder"))
@@ -281,9 +296,9 @@ object ExampleQueryOps {
     */
   val qx11CtrByCreative: QueryDef = QueryDef(
     "qx11_ctr_by_creative",
-    s"""WITH imp AS (SELECT impression_id, creative_id
+    s"""WITH imp AS (SELECT DISTINCT impression_id, creative_id
        |             FROM read_parquet('$root/impressions/*.parquet')),
-       |clk AS (SELECT click_id, impression_id AS c_impression_id
+       |clk AS (SELECT DISTINCT click_id, impression_id AS c_impression_id
        |        FROM read_parquet('$root/clicks/*.parquet'))
        |SELECT imp.creative_id,
        |       count(imp.impression_id) AS impressions,
@@ -296,8 +311,10 @@ object ExampleQueryOps {
        |LIMIT 10""".stripMargin) { t =>
     ensureData(t.spark)
     val imp = t.spark.read.parquet(s"$root/impressions")
+      .dropDuplicates("impression_id")
       .select(col("impression_id"), col("creative_id"))
     val clk = t.spark.read.parquet(s"$root/clicks")
+      .dropDuplicates("click_id")
       .select(col("click_id"), col("impression_id").as("c_impression_id"))
     imp.join(clk, col("impression_id") === col("c_impression_id"), "left")
       .groupBy(col("creative_id"))
@@ -317,7 +334,7 @@ object ExampleQueryOps {
   val qx12RevenueByPublisher: QueryDef = QueryDef(
     "qx12_revenue_by_publisher",
     s"""$brSql,
-       |imp AS (SELECT impression_id, request_id AS i_request_id, win_price
+       |imp AS (SELECT DISTINCT impression_id, request_id AS i_request_id, win_price
        |        FROM read_parquet('$root/impressions/*.parquet'))
        |SELECT br.publisher_id,
        |       count(imp.impression_id) AS wins,
@@ -330,6 +347,7 @@ object ExampleQueryOps {
        |LIMIT 10""".stripMargin) { t =>
     ensureData(t.spark)
     val imp = t.spark.read.parquet(s"$root/impressions")
+      .dropDuplicates("impression_id")
       .select(col("impression_id"), col("request_id").as("i_request_id"),
         col("win_price"))
     br(t.spark)
@@ -355,13 +373,15 @@ object ExampleQueryOps {
     "qx14_bid_to_win_spread",
     s"""WITH s AS (
        |  SELECT id AS response_id, unnest(seatbid) AS sb
-       |  FROM read_parquet('$root/responses/*.parquet')
+       |  FROM (SELECT DISTINCT id, seatbid
+       |        FROM read_parquet('$root/responses/*.parquet'))
        |),
        |resp AS (SELECT response_id, sb['seat'] AS bidder, unnest(sb['bid']) AS b
        |         FROM s),
        |respf AS (SELECT response_id, bidder, b['price'] AS bid_price FROM resp),
        |imp AS (SELECT response_id AS i_response_id, win_price
-       |        FROM read_parquet('$root/impressions/*.parquet'))
+       |        FROM (SELECT DISTINCT impression_id, response_id, win_price
+       |              FROM read_parquet('$root/impressions/*.parquet')))
        |SELECT bidder,
        |       ${centsAvgSql("bid_price")} AS avg_bid_price,
        |       ${centsAvgSql("win_price")} AS avg_win_price,
@@ -375,6 +395,7 @@ object ExampleQueryOps {
       .select(col("response_id"), col("bidder_id").as("bidder"),
         col("bid_price"))
     val imp = t.spark.read.parquet(s"$root/impressions")
+      .dropDuplicates("impression_id")
       .select(col("response_id").as("i_response_id"), col("win_price"))
     resp.join(imp, col("response_id") === col("i_response_id"))
       .groupBy(col("bidder"))

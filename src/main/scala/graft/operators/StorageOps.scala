@@ -192,17 +192,25 @@ object StorageOps {
       |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |WHERE o.o_orderstatus = 'F'
       |GROUP BY o.o_orderkey, o.o_orderpriority""".stripMargin) { t =>
-    // per-call unique catalog names AND scratch dir: bucketBy must go
-    // through the session catalog, and a FIXED name would let two
-    // concurrent runs (parallel suites, bench + verify sharing a
-    // metastore) clobber each other's table entry or files mid-read —
-    // the only storage row whose footprint would otherwise escape its
-    // run's isolation
-    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    // PER-PROCESS unique catalog names AND scratch dir: bucketBy must
+    // go through the session catalog, and a globally FIXED name would
+    // let two concurrent runs (parallel suites, bench + verify sharing
+    // a metastore) clobber each other's table entry or files mid-read.
+    // Process-stable (pid + start time) rather than per-call: repeat
+    // calls in one JVM DROP-and-reuse the same pair, so the metastore
+    // and scratch footprint stay bounded at one pair per process
+    // instead of growing per call forever.
+    val runId = {
+      val ph = java.lang.ProcessHandle.current()
+      val t0 = ph.info().startInstant()
+        .map[Long](_.toEpochMilli).orElse(0L)
+      s"${ph.pid()}_${java.lang.Long.toHexString(t0)}"
+    }
     val wh = scratch(s"s11_$runId")
     val spark = t.spark
     val B = 8
     def bucketed(df: DataFrame, name: String, key: String): DataFrame = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
       df.write.mode("overwrite")
         .option("path", s"$wh/$name")
         .bucketBy(B, key).sortBy(key)

@@ -49,8 +49,23 @@ object IngestOracleOps {
     finally q.stop()
   }
 
-  private def stageDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** A fresh staging dir, reclaimed at JVM exit: the row's returned
+    * DataFrame lazily reads the staged tables, so the dir must outlive
+    * the query — but bench/verify/probe runs would otherwise each leave
+    * a full corpus copy + index + checkpoint in /tmp forever.
+    */
+  private def stageDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        if (Files.exists(p))
+          Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+      } catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
 
   /** Streamed bigram-LM dictionaries ([[LmIngest]]) vs the batch
     * `text_lm_score` SQL.

@@ -106,6 +106,19 @@ class BpeSpec extends AnyFunSuite {
     assert(vocabOf(localVocabDf) == vocabOf(distVocabDf))
   }
 
+  test("tie-breaking matches Spark's UTF-8 binary order on astral symbols") {
+    import spark.implicits._
+    // U+1F600 (astral, UTF-16 lead surrogate 0xD83D) vs U+E000 (BMP
+    // private use): Java's UTF-16 compareTo orders the emoji FIRST
+    // while UTF-8 bytes order U+E000 first — an equal-count tie on the
+    // two pairs forces the argmax down exactly that divergence
+    val docs = Seq("😀a", "a").toDF("text")
+    val (localM, _) = BpeOps.train(docs, 1)
+    val (distM, _) = BpeOps.trainDistributed(docs, 1)
+    assert(localM == distM,
+      s"driver-local tie order diverged from the distributed orderBy: $localM vs $distM")
+  }
+
   test("train issues a bounded job count regardless of merge count") {
     import spark.implicits._
     val docs = Seq(
