@@ -175,11 +175,7 @@ object IngestOracleOps {
     * `dedup_minhash_lsh` SQL — bucket-local pair expansion over the
     * streamed band table must emit exactly the batch candidate pairs
     * (band sets are additive across batches, so arrival order cannot
-    * matter). The one streamed twin NOT given a row here is
-    * SubstringIngest: its keep-first rule is arrival-order-defined, so
-    * its batch equivalence is pinned by a spec that controls arrival
-    * order (TrainingIngestSpec), not by a file-source replay whose
-    * inter-file order the oracle cannot fix.
+    * matter).
     */
   val neardupIngestPairs: QueryDef = QueryDef(
     "neardup_ingest_pairs",
@@ -193,7 +189,49 @@ object IngestOracleOps {
       bands.readLogical().select(col("doc_id"), col("band"), col("key")))
   }
 
+  /** Streamed exact-substring gate ([[SubstringIngest]]) vs the batch
+    * `dedup_substring_cut` SQL — the append-only cut-stats table,
+    * accumulated across micro-batches against the growing window
+    * index, must be row-identical to the one-shot batch cut. The
+    * twin's keep-first rule is ARRIVAL-ORDER-defined (earlier batch
+    * wins a shared window), so this row makes the file-source replay
+    * order deterministic and equal to doc_id order — the standing
+    * ingestion contract under which the equivalence holds: files carry
+    * ascending non-overlapping doc_id ranges (`repartitionByRange` +
+    * in-file sort), and BOTH file-source orderings agree on them
+    * (modification times are forced 10 s apart in range order, and the
+    * lexical part-file names follow range order too, covering the
+    * timestamp-tie fallback).
+    */
+  val substringIngestCut: QueryDef = QueryDef(
+    "substring_ingest_cut",
+    graft.functions.DedupOps.dedupSubstringCut.oracle.get) { t =>
+    val stage = stageDir("graft_ss_ingest")
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$stage/corpus")
+    val parts = new java.io.File(s"$stage/corpus").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    val t0 = parts.map(_.lastModified()).min
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 10000L); ()
+    }
+    val index = new GraftTable(t.spark, SubstringIngest.windowIndexDef, s"$stage/wh")
+    val stats = new GraftTable(t.spark, SubstringIngest.cutStatsDef, s"$stage/wh")
+    val stream = t.spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/corpus")
+    val q = SubstringIngest.run(stream, index, stats, s"$stage/ck")
+    try q.processAllAvailable()
+    finally q.stop()
+    stats.readLogical()
+  }
+
   val all: Seq[QueryDef] = Seq(
     lmIngestScores, clfIngestScores, tempIngestSample, bm25IngestTopk,
-    annIngestTopk, keepbestIngestResolve, neardupIngestPairs)
+    annIngestTopk, keepbestIngestResolve, neardupIngestPairs,
+    substringIngestCut)
 }
