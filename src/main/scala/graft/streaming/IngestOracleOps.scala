@@ -208,7 +208,11 @@ object IngestOracleOps {
     graft.functions.DedupOps.dedupSubstringCut.oracle.get) { t =>
     val stage = stageDir("graft_ss_ingest")
     val docs = t.documents.select(col("doc_id"), col("text"))
-    docs.repartitionByRange(4, col("doc_id"))
+    // 2 ordered micro-batches: the gate re-hashes its batch and scans
+    // the index EVERY batch, so batch count is this row's cost knob,
+    // and two batches already exercise the cross-batch keep-first
+    // (history wins) alongside the within-batch min rule
+    docs.repartitionByRange(2, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$stage/corpus")
     val parts = new java.io.File(s"$stage/corpus").listFiles()
