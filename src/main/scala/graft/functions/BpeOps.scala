@@ -154,20 +154,22 @@ object BpeOps {
     * supplementary-plane code points (a surrogate pair's 0xD8xx units
     * sort BELOW U+E000.. in UTF-16 but its UTF-8 bytes sort above) —
     * the driver-local argmax must break count ties exactly like the
-    * distributed `orderBy`, so tie comparison goes through UTF-8
-    * bytes.
+    * distributed `orderBy`. UTF-8 byte order equals CODE-POINT order,
+    * so the comparison steps code points in place — no per-call byte
+    * array in what is the argmax hot loop (called O(distinct pairs)
+    * times per merge round).
     */
   private def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
     }
-    x.length < y.length
+    a.length - i < b.length - j
   }
 
   /** Code-point symbol split — the driver-side twin of [[charSyms]]

@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 
 import graft.QueryDef
 import graft.gen.RtbGenerator
@@ -53,8 +52,7 @@ object RtbOracleOps {
     val marker = Paths.get(s"$root/_complete-$Seed-$N-$StartMs-$SpanMs-dup03x4")
     if (Files.exists(marker)) return
     val p = Paths.get(root)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    graft.FsUtil.deleteRecursively(p)
     Files.createDirectories(p)
     val funnel = RtbGenerator.generate(Seed, N, StartMs, SpanMs,
       RtbGenerator.Rates(dupRequest = 0.03, dupResponse = 0.03,

@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 
 import graft.QueryDef
 import graft.tables._
@@ -21,10 +20,14 @@ import org.apache.spark.sql.types._
   */
 object StorageOps {
 
+  // s11 deferred-cleanup state — see the runId comment in the row body
+  private val s11Calls = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val s11Previous =
+    new java.util.concurrent.atomic.AtomicReference[(Seq[String], String)](null)
+
   private def scratch(name: String): String = {
     val p = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse", name)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    graft.FsUtil.deleteRecursively(p)
     Files.createDirectories(p)
     p.toString
   }
@@ -192,25 +195,31 @@ object StorageOps {
       |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |WHERE o.o_orderstatus = 'F'
       |GROUP BY o.o_orderkey, o.o_orderpriority""".stripMargin) { t =>
-    // PER-PROCESS unique catalog names AND scratch dir: bucketBy must
-    // go through the session catalog, and a globally FIXED name would
-    // let two concurrent runs (parallel suites, bench + verify sharing
-    // a metastore) clobber each other's table entry or files mid-read.
-    // Process-stable (pid + start time) rather than per-call: repeat
-    // calls in one JVM DROP-and-reuse the same pair, so the metastore
-    // and scratch footprint stay bounded at one pair per process
-    // instead of growing per call forever.
+    // PER-CALL unique catalog names AND scratch dir (pid + start time
+    // + call counter): bucketBy must go through the session catalog,
+    // and a globally FIXED name would let two concurrent runs
+    // (parallel suites, bench + verify sharing a metastore) clobber
+    // each other's table entry or files mid-read. The footprint stays
+    // BOUNDED via deferred cleanup: each call drops the PREVIOUS
+    // call's pair and scratch dir — by then every in-repo runner
+    // (Bench, Verify, the suites) has fully consumed the previous
+    // DataFrame — so at most one pair per JVM ever survives to exit,
+    // while distinct processes use disjoint names and cannot clobber.
     val runId = {
       val ph = java.lang.ProcessHandle.current()
       val t0 = ph.info().startInstant()
         .map[Long](_.toEpochMilli).orElse(0L)
-      s"${ph.pid()}_${java.lang.Long.toHexString(t0)}"
+      s"${ph.pid()}_${java.lang.Long.toHexString(t0)}_${s11Calls.incrementAndGet()}"
     }
     val wh = scratch(s"s11_$runId")
     val spark = t.spark
+    val names = Seq(s"graft_b_orders_$runId", s"graft_b_lineitem_$runId")
+    Option(s11Previous.getAndSet((names, wh))).foreach { case (oldNames, oldWh) =>
+      oldNames.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      graft.FsUtil.deleteRecursively(Paths.get(oldWh))
+    }
     val B = 8
     def bucketed(df: DataFrame, name: String, key: String): DataFrame = {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
       df.write.mode("overwrite")
         .option("path", s"$wh/$name")
         .bucketBy(B, key).sortBy(key)
@@ -220,11 +229,11 @@ object StorageOps {
     val o = bucketed(
       t.orders.filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderpriority")),
-      s"graft_b_orders_$runId", "o_orderkey")
+      names(0), "o_orderkey")
     val l = bucketed(
       t.lineitem.select(col("l_orderkey"),
         round(col("l_extendedprice") * 100).cast("long").as("cents")),
-      s"graft_b_lineitem_$runId", "l_orderkey")
+      names(1), "l_orderkey")
     // "merge" hint: at test scale the tiny orders side would
     // auto-broadcast, hiding the property under test; at 100 TB both
     // sides are facts and sort-merge over agreeing buckets IS the plan.

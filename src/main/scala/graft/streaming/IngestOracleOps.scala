@@ -33,6 +33,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IngestOracleOps {
 
+  /** The watched file source every twin row replays through — the
+    * schema/options live in ONE place so the two drive protocols
+    * (bulk drain below, ordered move-in for the substring row) cannot
+    * drift apart.
+    */
+  private def fileSource(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
   /** Stage `df` as `nFiles` parquet files and replay it as a genuine
     * file-source stream through `job`; returns after the stream has
     * fully drained and stopped.
@@ -40,11 +52,7 @@ object IngestOracleOps {
   private def streamCorpus(spark: SparkSession, df: DataFrame, stage: String,
       nFiles: Int)(job: DataFrame => StreamingQuery): Unit = {
     df.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/corpus")
-    val stream = spark.readStream
-      .schema(df.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$stage/corpus")
-    val q = job(stream)
+    val q = job(fileSource(spark, df.schema, s"$stage/corpus"))
     try q.processAllAvailable()
     finally q.stop()
   }
@@ -57,12 +65,8 @@ object IngestOracleOps {
   private def stageDir(prefix: String): String = {
     val p = Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        if (Files.exists(p))
-          Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => Files.delete(f))
-      } catch { case _: Throwable => () }
+      try graft.FsUtil.deleteRecursively(p)
+      catch { case _: Throwable => () }
     }))
     p.toString
   }
@@ -194,42 +198,44 @@ object IngestOracleOps {
     * accumulated across micro-batches against the growing window
     * index, must be row-identical to the one-shot batch cut. The
     * twin's keep-first rule is ARRIVAL-ORDER-defined (earlier batch
-    * wins a shared window), so this row makes the file-source replay
-    * order deterministic and equal to doc_id order — the standing
-    * ingestion contract under which the equivalence holds: files carry
+    * wins a shared window), so this row forces replay order BY
+    * CONSTRUCTION rather than betting on the file source's internal
+    * ordering (which sorts by modification timestamp with an
+    * UNSPECIFIED tie fallback, and mtime forcing via setLastModified
+    * can silently no-op on some mounts): the corpus is pre-split into
     * ascending non-overlapping doc_id ranges (`repartitionByRange` +
-    * in-file sort), and BOTH file-source orderings agree on them
-    * (modification times are forced 10 s apart in range order, and the
-    * lexical part-file names follow range order too, covering the
-    * timestamp-tie fallback).
+    * in-file sort), and each range file is MOVED into the watched
+    * directory only after the stream has fully drained the previous
+    * one — the source can only ever see the files in doc_id order.
+    * 2 ordered micro-batches: the gate re-hashes its batch and scans
+    * the index every batch (batch count is the row's cost knob), and
+    * two batches already exercise the cross-batch keep-first (history
+    * wins) alongside the within-batch min rule.
     */
   val substringIngestCut: QueryDef = QueryDef(
     "substring_ingest_cut",
     graft.functions.DedupOps.dedupSubstringCut.oracle.get) { t =>
     val stage = stageDir("graft_ss_ingest")
     val docs = t.documents.select(col("doc_id"), col("text"))
-    // 2 ordered micro-batches: the gate re-hashes its batch and scans
-    // the index EVERY batch, so batch count is this row's cost knob,
-    // and two batches already exercise the cross-batch keep-first
-    // (history wins) alongside the within-batch min rule
     docs.repartitionByRange(2, col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$stage/corpus")
-    val parts = new java.io.File(s"$stage/corpus").listFiles()
+      .write.mode("overwrite").parquet(s"$stage/presplit")
+    // part-file names follow the range-partition order: part-00000
+    // holds the lowest doc_id range
+    val parts = new java.io.File(s"$stage/presplit").listFiles()
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       .sortBy(_.getName)
-    val t0 = parts.map(_.lastModified()).min
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(t0 + i * 10000L); ()
-    }
+    val corpus = java.nio.file.Paths.get(s"$stage/corpus")
+    Files.createDirectories(corpus)
     val index = new GraftTable(t.spark, SubstringIngest.windowIndexDef, s"$stage/wh")
     val stats = new GraftTable(t.spark, SubstringIngest.cutStatsDef, s"$stage/wh")
-    val stream = t.spark.readStream
-      .schema(docs.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$stage/corpus")
-    val q = SubstringIngest.run(stream, index, stats, s"$stage/ck")
-    try q.processAllAvailable()
+    val q = SubstringIngest.run(
+      fileSource(t.spark, docs.schema, s"$stage/corpus"), index, stats,
+      s"$stage/ck")
+    try parts.foreach { f =>
+      Files.move(f.toPath, corpus.resolve(f.getName))
+      q.processAllAvailable()
+    }
     finally q.stop()
     stats.readLogical()
   }
