@@ -225,7 +225,12 @@ object ScaleProbe {
         "lm_ingest_scores" -> streaming.IngestOracleOps.lmIngestScores,
         "keepbest_ingest_resolve" -> streaming.IngestOracleOps.keepbestIngestResolve,
         "bm25_ingest_topk" -> streaming.IngestOracleOps.bm25IngestTopk,
-        "ann_ingest_topk" -> streaming.IngestOracleOps.annIngestTopk)
+        "ann_ingest_topk" -> streaming.IngestOracleOps.annIngestTopk,
+        "neardup_ingest_pairs" -> streaming.IngestOracleOps.neardupIngestPairs,
+        // the gate twin genuinely re-computes per-batch stats, so its
+        // curve should track dedup_substring_cut's work-proportional
+        // shape, not the protocol-flat twins'
+        "substring_ingest_cut" -> streaming.IngestOracleOps.substringIngestCut)
       val twinRows = for (k <- Seq(1, 10)) yield {
         val dir = s"$outRoot/x$k"
         buildReplica(spark, sfDir, dir, k)
