@@ -60,7 +60,7 @@ object ExampleQueryOps {
   /** The clean flat bid_requests CTE — insert_jobs.sql:17-62 one-for-one
     * (per-imp grain, test/private/zero-floor rows excluded).
     */
-  private val brSql =
+  private[operators] val brSql =
     s"""WITH x AS (
        |  SELECT id, unnest(imp) AS imp_t, site, app, device, regs, "at",
        |         event_timestamp
@@ -94,7 +94,7 @@ object ExampleQueryOps {
     * (not via `reject_reason IS NULL`) so the two engines share one
     * three-valued-logic reading of NULL publishers/floors.
     */
-  private def br(spark: SparkSession): DataFrame =
+  private[operators] def br(spark: SparkSession): DataFrame =
     RtbIngest.flattenRequests(
         spark.read.parquet(s"$root/requests").dropDuplicates("id"))
       .filter(col("publisher_id") > 0 && !col("is_private_ip") &&
@@ -103,7 +103,7 @@ object ExampleQueryOps {
       .withColumnRenamed("banner_h", "imp_banner_h")
       .withColumnRenamed("devicetype", "device_type")
 
-  private def bids(spark: SparkSession): DataFrame =
+  private[operators] def bids(spark: SparkSession): DataFrame =
     RtbIngest.flattenBids(
       spark.read.parquet(s"$root/responses").dropDuplicates("id"))
 
