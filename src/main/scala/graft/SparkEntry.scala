@@ -23,7 +23,8 @@ object SparkEntry {
         SearchOps.all ++
         StorageOps.all ++ Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all ++
         RunnerOps.all ++ RtbOracleOps.all ++ ExampleQueryOps.all ++
-        DashboardOps.all ++ DqOps.all ++ graft.streaming.IngestOracleOps.all
+        DashboardOps.all ++ DqOps.all ++ TrinoViewOps.all ++
+        graft.streaming.IngestOracleOps.all
     val dups = r.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
     require(dups.isEmpty, s"duplicate query names in registry: ${dups.mkString(", ")}")
     r

@@ -260,19 +260,16 @@ object DashboardOps {
       .limit(20)
   }
 
-  /** Chart 8 — "Rolling Win Count by Bidder" (bar, row_limit 10, x-axis
-    * sorted by Win Count desc): SUM(win_count) and SUM(revenue) per
-    * bidder over `rolling_metrics_by_bidder` as the Flink job writes it
+  /** `rolling_metrics_by_bidder` as the Flink job writes it
     * (aggregation_jobs.sql:60-84): impressions deduped per
     * (impression_id, bidder_id), HOP 1-min slide / 5-min size — so each
-    * win lands in FIVE window rows and the chart's sums count it five
-    * times; that multiplicity IS what the dashboard shows and both
-    * engines state it identically. Spark's `window()` and the epoch
-    * arithmetic both align starts to slide multiples.
+    * win lands in FIVE window rows. Spark's `window()` and the epoch
+    * arithmetic both align starts to slide multiples. Revenue stays
+    * integer cents at this grain. Shared by the dash8 chart and the
+    * `v_realtime_rolling_metrics_by_bidder` overlay (TrinoViewOps).
     */
-  val dash8RollingWinsByBidder: QueryDef = QueryDef(
-    "dash8_rolling_wins_by_bidder",
-    s"""WITH dimp AS (
+  private[operators] val rollingTblSql: String =
+    s"""dimp AS (
        |  SELECT impression_id, bidder_id,
        |         max(win_price) AS win_price, max($tsSql) AS event_ts
        |  FROM read_parquet('$root/impressions/*.parquet')
@@ -285,24 +282,41 @@ object DashboardOps {
        |  FROM dimp, (SELECT unnest(generate_series(0, 4)) AS k)
        |),
        |tbl AS (
-       |  SELECT window_start, bidder_id, count(*) AS win_count,
+       |  SELECT window_start,
+       |         window_start + INTERVAL 5 MINUTE AS window_end,
+       |         bidder_id, count(*) AS win_count,
        |         sum(CAST(round(win_price * 100) AS BIGINT)) AS revenue_cents
-       |  FROM hopped GROUP BY 1, 2
-       |)
+       |  FROM hopped GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  private[operators] def rollingTbl(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/impressions")
+      .groupBy(col("impression_id"), col("bidder_id"))
+      .agg(max(col("win_price")).as("win_price"),
+        max(RtbIngest.parseTs(col("event_timestamp"))).as("event_ts"))
+      .groupBy(window(col("event_ts"), "5 minutes", "1 minute"), col("bidder_id"))
+      .agg(count(lit(1)).as("win_count"),
+        sum(cents(col("win_price"))).as("revenue_cents"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("bidder_id"), col("win_count"), col("revenue_cents"))
+
+  /** Chart 8 — "Rolling Win Count by Bidder" (bar, row_limit 10, x-axis
+    * sorted by Win Count desc): SUM(win_count) and SUM(revenue) per
+    * bidder over [[rollingTblSql]] — each win counts five times across
+    * its five hop windows; that multiplicity IS what the dashboard
+    * shows and both engines state it identically.
+    */
+  val dash8RollingWinsByBidder: QueryDef = QueryDef(
+    "dash8_rolling_wins_by_bidder",
+    s"""WITH $rollingTblSql
        |SELECT bidder_id, CAST(sum(win_count) AS BIGINT) AS win_count,
        |       CAST(sum(revenue_cents) AS DOUBLE) / 100.0 AS revenue
        |FROM tbl GROUP BY 1
        |ORDER BY win_count DESC, bidder_id NULLS FIRST
        |LIMIT 10""".stripMargin) { t =>
     ensureData(t.spark)
-    val dimp = t.spark.read.parquet(s"$root/impressions")
-      .groupBy(col("impression_id"), col("bidder_id"))
-      .agg(max(col("win_price")).as("win_price"),
-        max(RtbIngest.parseTs(col("event_timestamp"))).as("event_ts"))
-    dimp
-      .groupBy(window(col("event_ts"), "5 minutes", "1 minute"), col("bidder_id"))
-      .agg(count(lit(1)).as("win_count"),
-        sum(cents(col("win_price"))).as("revenue_cents"))
+    rollingTbl(t.spark)
       .groupBy(col("bidder_id"))
       .agg(sum(col("win_count")).as("win_count"),
         (sum(col("revenue_cents")).cast("double") / 100.0).as("revenue"))
@@ -310,19 +324,15 @@ object DashboardOps {
       .limit(10)
   }
 
-  /** Chart 9 — "Funnel Conversion by Publisher" (bar, row_limit 20,
-    * x-axis sorted by Bid Responses desc): the four stage SUMs per
-    * publisher over `hourly_funnel_by_publisher` as the Flink funnel
-    * job writes it (funnel_jobs.sql:28-67): deduped streams, LEFT
+  /** `hourly_funnel_by_publisher` as the Flink funnel job writes it,
+    * counts only (funnel_jobs.sql:28-67): deduped streams, LEFT
     * interval-join chain with the 5 s / 10 s / 60 s stage bounds,
-    * DISTINCT stage counts at (hour, publisher) grain — then the
-    * chart's per-publisher re-sum. The two-level aggregation matters:
-    * summing hourly DISTINCT counts is NOT a distinct count over the
-    * whole span, and the chart genuinely shows the former.
+    * DISTINCT stage counts at (hour, publisher) grain. Shared by the
+    * dash9 chart and the `v_realtime_funnel_by_publisher` overlay
+    * (TrinoViewOps), which adds the table's guarded rates.
     */
-  val dash9FunnelByPublisher: QueryDef = QueryDef(
-    "dash9_funnel_by_publisher",
-    s"""WITH r AS (SELECT DISTINCT id AS request_id,
+  private[operators] val funnelTblSql: String =
+    s"""r AS (SELECT DISTINCT id AS request_id,
        |                  coalesce(site['publisher']['id'],
        |                           app['publisher']['id']) AS publisher_id,
        |                  $tsSql AS r_ts
@@ -354,27 +364,20 @@ object DashboardOps {
        |         count(DISTINCT impression_id) AS impressions,
        |         count(DISTINCT click_id) AS clicks
        |  FROM chained GROUP BY 1, 2
-       |)
-       |SELECT publisher_id,
-       |       CAST(sum(bid_requests) AS BIGINT) AS bid_requests,
-       |       CAST(sum(bid_responses) AS BIGINT) AS bid_responses,
-       |       CAST(sum(impressions) AS BIGINT) AS impressions,
-       |       CAST(sum(clicks) AS BIGINT) AS clicks
-       |FROM tbl GROUP BY 1
-       |ORDER BY bid_responses DESC, publisher_id NULLS FIRST
-       |LIMIT 20""".stripMargin) { t =>
-    ensureData(t.spark)
-    val r = t.spark.read.parquet(s"$root/requests").dropDuplicates("id")
+       |)""".stripMargin
+
+  private[operators] def funnelTbl(spark: SparkSession): DataFrame = {
+    val r = spark.read.parquet(s"$root/requests").dropDuplicates("id")
       .select(col("id").as("request_id"),
         coalesce(col("site.publisher.id"), col("app.publisher.id")).as("publisher_id"),
         RtbIngest.parseTs(col("event_timestamp")).as("r_ts"))
-    val b = t.spark.read.parquet(s"$root/responses").dropDuplicates("id")
+    val b = spark.read.parquet(s"$root/responses").dropDuplicates("id")
       .select(col("id").as("response_id"), col("ext.request_id").as("b_request_id"),
         RtbIngest.parseTs(col("event_timestamp")).as("b_ts"))
-    val i = t.spark.read.parquet(s"$root/impressions").dropDuplicates("impression_id")
+    val i = spark.read.parquet(s"$root/impressions").dropDuplicates("impression_id")
       .select(col("impression_id"), col("response_id").as("i_response_id"),
         RtbIngest.parseTs(col("event_timestamp")).as("i_ts"))
-    val c = t.spark.read.parquet(s"$root/clicks").dropDuplicates("click_id")
+    val c = spark.read.parquet(s"$root/clicks").dropDuplicates("click_id")
       .select(col("click_id"), col("impression_id").as("c_impression_id"),
         RtbIngest.parseTs(col("event_timestamp")).as("c_ts"))
     r
@@ -393,6 +396,27 @@ object DashboardOps {
         countDistinct(col("response_id")).as("bid_responses"),
         countDistinct(col("impression_id")).as("impressions"),
         countDistinct(col("click_id")).as("clicks"))
+  }
+
+  /** Chart 9 — "Funnel Conversion by Publisher" (bar, row_limit 20,
+    * x-axis sorted by Bid Responses desc): the four stage SUMs per
+    * publisher over [[funnelTblSql]]. The two-level aggregation
+    * matters: summing hourly DISTINCT counts is NOT a distinct count
+    * over the whole span, and the chart genuinely shows the former.
+    */
+  val dash9FunnelByPublisher: QueryDef = QueryDef(
+    "dash9_funnel_by_publisher",
+    s"""WITH $funnelTblSql
+       |SELECT publisher_id,
+       |       CAST(sum(bid_requests) AS BIGINT) AS bid_requests,
+       |       CAST(sum(bid_responses) AS BIGINT) AS bid_responses,
+       |       CAST(sum(impressions) AS BIGINT) AS impressions,
+       |       CAST(sum(clicks) AS BIGINT) AS clicks
+       |FROM tbl GROUP BY 1
+       |ORDER BY bid_responses DESC, publisher_id NULLS FIRST
+       |LIMIT 20""".stripMargin) { t =>
+    ensureData(t.spark)
+    funnelTbl(t.spark)
       .groupBy(col("publisher_id"))
       .agg(sum(col("bid_requests")).as("bid_requests"),
         sum(col("bid_responses")).as("bid_responses"),

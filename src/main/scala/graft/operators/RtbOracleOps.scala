@@ -390,7 +390,7 @@ object RtbOracleOps {
     * load-bearing in all 12 joins. Both engines rebuild the identical
     * dims from integer ranges.
     */
-  private def rangeDim(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def rangeDim(spark: org.apache.spark.sql.SparkSession,
       n: Int, key: String, label: String, prefix: String): org.apache.spark.sql.DataFrame = {
     val base = spark.range(1, n + 1)
       .select(col("id").cast("int").as(key),
@@ -401,7 +401,7 @@ object RtbOracleOps {
         .withColumn("is_current", lit(false)))
   }
 
-  private def rangeDimSql(n: Int, key: String, label: String, prefix: String): String =
+  private[operators] def rangeDimSql(n: Int, key: String, label: String, prefix: String): String =
     s"""SELECT CAST(id AS INTEGER) AS $key,
        |       '$prefix-' || CAST(id AS VARCHAR) AS $label, true AS is_current
        |FROM (SELECT unnest(generate_series(1, $n)) AS id)
@@ -723,13 +723,13 @@ object RtbOracleOps {
     */
   private val formats = Seq("banner", "video", "native", "audio")
 
-  private def creativeFormatSql(dimKey: String): String =
+  private[operators] def creativeFormatSql(dimKey: String): String =
     s"""CASE WHEN $dimKey IS NULL THEN NULL
        |     ${formats.zipWithIndex.map { case (f, i) =>
               s"WHEN $dimKey % 4 = $i THEN '$f'" }.mkString(" ")}
        |END""".stripMargin
 
-  private def creativeFormatCol(dimKey: String): org.apache.spark.sql.Column =
+  private[operators] def creativeFormatCol(dimKey: String): org.apache.spark.sql.Column =
     formats.zipWithIndex.foldLeft(when(col(dimKey).isNull, lit(null))) {
       case (c, (f, i)) => c.when(col(dimKey) % 4 === i, f)
     }
