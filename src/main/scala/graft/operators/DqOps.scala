@@ -87,6 +87,7 @@ object DqOps {
       .select(col("id").as("request_id"), col("site"), col("app"),
         col("device"), explode(col("imp")).as("imp_t"),
         RtbIngest.parseTs(col("event_timestamp")).as("event_ts"))
+      .filter(pub < 0 || ipLikeCol(ip) || col("imp_t.bidfloor") <= 0)
       .select(col("request_id"), col("imp_t.id").as("imp_id"),
         pub.as("publisher_id"), ip.as("device_ip"),
         when(pub < 0, "TEST_PUBLISHER")
@@ -94,9 +95,6 @@ object DqOps {
           .when(col("imp_t.bidfloor") <= 0, "NON_POSITIVE_BIDFLOOR")
           .otherwise("UNKNOWN").as("reject_reason"),
         col("event_ts"))
-      .filter(col("publisher_id") < 0 || ipLikeCol(col("device_ip")) ||
-        col("imp_t.bidfloor") <= 0)
-      .drop("imp_t")
   }
 
   /** dq_event_quality_hourly one-for-one: per-hour total/unique/

@@ -293,4 +293,46 @@ class PlanSpec extends AnyFunSuite {
       s"keep-first must be an aggregate, not a window function:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("8-dim response enrichment broadcasts every dim join") {
+    val plan = planOf("v_event_enriched_bid_responses")
+    // same contract as the 12-dim full-funnel pin: the per-bid fact
+    // stream must never shuffle for a dim
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 8, s"expected >=8 broadcast dim joins, got $nBroadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a dim join fell back to sort-merge:\n$plan")
+  }
+
+  test("dashboard chart re-aggregations stay top-k, overlays broadcast their dim") {
+    // the chart layer re-aggregates a serving table and takes the top
+    // rows — TakeOrderedAndProject (per-partition heaps), never a
+    // global Sort+Limit of all groups
+    for (name <- Seq("dash1_requests_by_country", "dash8_rolling_wins_by_bidder",
+        "dash9_funnel_by_publisher")) {
+      val plan = planOf(name)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name does not plan a top-k:\n$plan")
+    }
+    // each realtime overlay is its base table's plan + ONE broadcast dim
+    for (name <- Seq("v_realtime_bid_landscape_hourly",
+        "v_realtime_funnel_by_publisher", "v_realtime_rolling_metrics_by_bidder")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name dim overlay does not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name dim overlay fell back to sort-merge:\n$plan")
+    }
+  }
+
+  test("dq quality rollup joins hour-grain aggregates, never raw streams") {
+    val plan = planOf("dq_event_quality_hourly")
+    // every join input is an hourly aggregate (<= |hours| rows), so all
+    // five spine joins must be broadcast-sized — a sort-merge here means
+    // a raw stream leaked past its aggregate
+    assert(!plan.contains("SortMergeJoin"),
+      s"a spine join fell back to sort-merge over raw rows:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
