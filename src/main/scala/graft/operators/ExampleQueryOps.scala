@@ -63,9 +63,9 @@ object ExampleQueryOps {
   private[operators] val brSql =
     s"""WITH x AS (
        |  SELECT id, unnest(imp) AS imp_t, site, app, device, regs, "at",
-       |         event_timestamp
+       |         "user", tmax, cur, event_timestamp, received_at
        |  FROM (SELECT DISTINCT id, imp, site, app, device, regs, "at",
-       |               event_timestamp
+       |               "user", tmax, cur, event_timestamp, received_at
        |        FROM read_parquet('$root/requests/*.parquet'))
        |),
        |br AS (
@@ -74,6 +74,8 @@ object ExampleQueryOps {
        |         imp_t['banner']['w'] AS imp_banner_w,
        |         imp_t['banner']['h'] AS imp_banner_h,
        |         imp_t['bidfloor'] AS imp_bidfloor,
+       |         coalesce(site['id'], app['id']) AS site_id,
+       |         coalesce(site['domain'], app['bundle']) AS site_domain,
        |         coalesce(site['publisher']['id'], app['publisher']['id']) AS publisher_id,
        |         device['devicetype'] AS device_type,
        |         device['os'] AS device_os,
@@ -81,7 +83,12 @@ object ExampleQueryOps {
        |         device['geo']['region'] AS device_geo_region,
        |         regs['ext']['gdpr'] = 1 AS is_gdpr,
        |         regs['coppa'] = 1 AS is_coppa,
-       |         $tsSql AS event_ts
+       |         "user"['id'] AS user_id,
+       |         "at" AS auction_type,
+       |         tmax,
+       |         cur[1] AS currency,
+       |         $tsSql AS event_ts,
+       |         ${RtbOracleOps.tsSqlOf("received_at")} AS received_ts
        |  FROM x
        |  WHERE coalesce(site['publisher']['id'], app['publisher']['id']) > 0
        |    AND device['ip'] NOT LIKE '10.%' AND device['ip'] NOT LIKE '192.168.%'

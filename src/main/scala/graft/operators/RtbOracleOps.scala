@@ -67,6 +67,10 @@ object RtbOracleOps {
 
   private[operators] val tsSql = "strptime(substr(event_timestamp, 1, 26), '%Y-%m-%dT%H:%M:%S.%f')"
 
+  /** [[tsSql]] over any ISO-µs string column, not just event_timestamp. */
+  private[operators] def tsSqlOf(c: String): String =
+    s"strptime(substr($c, 1, 26), '%Y-%m-%dT%H:%M:%S.%f')"
+
   /** Shared oracle SQL for the enrichment shape — used verbatim by both
     * the direct parquet path and the Avro wire round-trip (the point of
     * the latter: decoded bytes must be indistinguishable downstream).
@@ -74,7 +78,7 @@ object RtbOracleOps {
   private val enrichSql =
     s"""WITH x AS (
        |  SELECT id, unnest(imp) AS imp_t, site, app, cur, device, regs, "at",
-       |         event_timestamp
+       |         "user", tmax, event_timestamp, received_at
        |  FROM read_parquet('$root/requests/*.parquet')
        |),
        |flat AS (
@@ -96,7 +100,10 @@ object RtbOracleOps {
        |         regs['ext']['gdpr'] = 1 AS is_gdpr,
        |         regs['coppa'] = 1 AS is_coppa,
        |         "at" AS auction_type,
-       |         $tsSql AS event_ts
+       |         "user"['id'] AS user_id,
+       |         tmax,
+       |         $tsSql AS event_ts,
+       |         ${tsSqlOf("received_at")} AS received_ts
        |  FROM x
        |)
        |SELECT *,

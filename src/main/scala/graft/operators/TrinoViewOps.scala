@@ -478,8 +478,177 @@ object TrinoViewOps {
                 AS DOUBLE) / 100.0""").as("avg_cpm"))
   }
 
+  // ---- v_event_enriched_bid_requests: the supply-side enriched view ----
+
+  private val pubVerticals = Seq("News", "Entertainment", "Sports", "Tech",
+    "Finance", "Lifestyle", "Health", "Education", "Travel", "Automotive")
+  private val pubTiers = Seq("premium", "mid-tier", "long-tail")
+
+  /** v_event_enriched_bid_requests.sql one-for-one: the CLEAN landed
+    * bid_requests grain (insert_jobs.sql:17-62 — the same `br` CTE the
+    * qx example-query rows pin) LEFT joined to its four `is_current`
+    * supply-side SCD2 dims, projecting the reference's exact column
+    * list (v_event_enriched_bid_requests.sql:3-43). Dim content is the
+    * reference's own seed where the fixture's keys align —
+    * dim_publisher carries dimension_mapping.py:312-319 verbatim
+    * (vertical = VERTICALS[(id-1) % 10], tier = TIERS[(id-1) % 3],
+    * name = '<vertical> Publisher <id>'), dim_device_type and
+    * dim_device_os are the LITERAL 4-row seed tables
+    * (dimension_mapping.py:130-142) — so the generator's device types
+    * 3/5/6 and its 'Linux' OS genuinely MISS and surface the
+    * reference's real NULL-attribute behavior. dim_geo keeps the
+    * fixture's own 8-country × 20-region grid (the reference seeds
+    * 3-letter ISO codes its generator never emits, which would
+    * NULL-out the whole multi-key join): country_name / region_name /
+    * timezone are pure key functions per the fixture dim convention.
+    * Every third key also carries a non-current '-old' SCD2 row, so a
+    * dropped `is_current` predicate changes values, not just plans.
+    *
+    * Scale shape: a pure per-row view — scan + FOUR broadcast hash
+    * joins (one multi-key), zero shuffles at any fact size; the widest
+    * supply-side projection stays one WholeStageCodegen span.
+    */
+  val vEventEnrichedBidRequests: QueryDef = QueryDef(
+    "v_event_enriched_bid_requests", {
+      val vertsSql = pubVerticals.map("'" + _ + "'").mkString(", ")
+      val tiersSql = pubTiers.map("'" + _ + "'").mkString(", ")
+      s"""${ExampleQueryOps.brSql},
+         |pub AS (
+         |  SELECT pid,
+         |         ([$vertsSql])[(pid - 1) % 10 + 1] AS v,
+         |         ([$tiersSql])[(pid - 1) % 3 + 1] AS tier
+         |  FROM (SELECT unnest(generate_series(1, 30)) AS pid)),
+         |dim_publisher AS (
+         |  SELECT pid AS d_publisher_id,
+         |         v || ' Publisher ' || CAST(pid AS VARCHAR) AS publisher_name,
+         |         v AS publisher_vertical, tier AS publisher_tier,
+         |         true AS is_current
+         |  FROM pub
+         |  UNION ALL
+         |  SELECT pid, v || ' Publisher ' || CAST(pid AS VARCHAR) || '-old',
+         |         v, tier, false
+         |  FROM pub WHERE pid % 3 = 0),
+         |dim_device_type AS (
+         |  SELECT * FROM (VALUES
+         |    (1, 'Mobile/Tablet', 'tablet', true, true),
+         |    (2, 'Personal Computer', 'desktop', false, true),
+         |    (4, 'Phone', 'phone', true, true),
+         |    (7, 'Set Top Box', 'stb', false, true),
+         |    (1, 'Mobile/Tablet-old', 'tablet', true, false))
+         |    AS t(device_type_code, device_type_name, form_factor,
+         |         is_mobile, is_current)),
+         |dim_device_os AS (
+         |  SELECT * FROM (VALUES
+         |    ('iOS', 'Apple', true), ('Android', 'Google', true),
+         |    ('Windows', 'Microsoft', true), ('macOS', 'Apple', true),
+         |    ('iOS', 'Apple-old', false))
+         |    AS t(os_name, os_vendor, is_current)),
+         |geo AS (
+         |  SELECT c, r
+         |  FROM (SELECT unnest(['US','GB','DE','FR','JP','BR','IN','CA']) AS c),
+         |       (SELECT unnest(generate_series(0, 19)) AS r)),
+         |dim_geo AS (
+         |  SELECT c AS country_code, c || '-' || CAST(r AS VARCHAR) AS region_code,
+         |         'country-' || c AS country_name,
+         |         'region-' || c || '-' || CAST(r AS VARCHAR) AS region_name,
+         |         'tz-' || CAST(r % 12 AS VARCHAR) AS "timezone",
+         |         true AS is_current
+         |  FROM geo
+         |  UNION ALL
+         |  SELECT c, c || '-' || CAST(r AS VARCHAR), 'country-' || c,
+         |         'region-' || c || '-' || CAST(r AS VARCHAR) || '-old',
+         |         'tz-' || CAST(r % 12 AS VARCHAR), false
+         |  FROM geo WHERE r % 3 = 0)
+         |SELECT br.request_id, br.imp_id, br.imp_banner_w, br.imp_banner_h,
+         |       br.imp_bidfloor, br.site_id, br.site_domain,
+         |       br.publisher_id, dp.publisher_name, dp.publisher_vertical,
+         |       dp.publisher_tier,
+         |       br.device_type, ddt.device_type_name, ddt.form_factor,
+         |       ddt.is_mobile,
+         |       br.device_os, dos.os_vendor,
+         |       br.device_geo_country, br.device_geo_region,
+         |       dg.country_name, dg.region_name, dg."timezone",
+         |       br.user_id, br.auction_type, br.tmax, br.currency,
+         |       br.is_coppa, br.is_gdpr, br.event_ts, br.received_ts
+         |FROM br
+         |LEFT JOIN dim_publisher dp
+         |  ON br.publisher_id = dp.d_publisher_id AND dp.is_current
+         |LEFT JOIN dim_device_type ddt
+         |  ON br.device_type = ddt.device_type_code AND ddt.is_current
+         |LEFT JOIN dim_device_os dos
+         |  ON br.device_os = dos.os_name AND dos.is_current
+         |LEFT JOIN dim_geo dg
+         |  ON br.device_geo_country = dg.country_code
+         |  AND br.device_geo_region = dg.region_code AND dg.is_current""".stripMargin
+    }) { t =>
+    RtbOracleOps.ensureData(t.spark)
+    val s = t.spark
+    def cur(df: DataFrame) =
+      broadcast(df.filter(col("is_current")).drop("is_current"))
+    val pub = s.range(1, 31)
+      .select(col("id").cast("int").as("d_publisher_id"))
+      .withColumn("publisher_vertical",
+        element_at(array(pubVerticals.map(lit): _*),
+          ((col("d_publisher_id") - 1) % 10 + 1).cast("int")))
+      .withColumn("publisher_tier",
+        element_at(array(pubTiers.map(lit): _*),
+          ((col("d_publisher_id") - 1) % 3 + 1).cast("int")))
+      .withColumn("publisher_name",
+        concat(col("publisher_vertical"), lit(" Publisher "),
+          col("d_publisher_id").cast("string")))
+    val dimPub = pub.withColumn("is_current", lit(true))
+      .unionByName(pub.filter(col("d_publisher_id") % 3 === 0)
+        .withColumn("publisher_name", concat(col("publisher_name"), lit("-old")))
+        .withColumn("is_current", lit(false)))
+    val dimDt = s.createDataFrame(Seq(
+      (1, "Mobile/Tablet", "tablet", true, true),
+      (2, "Personal Computer", "desktop", false, true),
+      (4, "Phone", "phone", true, true),
+      (7, "Set Top Box", "stb", false, true),
+      (1, "Mobile/Tablet-old", "tablet", true, false)))
+      .toDF("device_type_code", "device_type_name", "form_factor",
+        "is_mobile", "is_current")
+    val dimOs = s.createDataFrame(Seq(
+      ("iOS", "Apple", true), ("Android", "Google", true),
+      ("Windows", "Microsoft", true), ("macOS", "Apple", true),
+      ("iOS", "Apple-old", false)))
+      .toDF("os_name", "os_vendor", "is_current")
+    val geo = s.createDataFrame(
+      for (c <- Seq("US", "GB", "DE", "FR", "JP", "BR", "IN", "CA");
+           r <- 0 until 20)
+        yield (c, s"$c-$r", s"country-$c", s"region-$c-$r", s"tz-${r % 12}"))
+      .toDF("country_code", "region_code", "country_name", "region_name",
+        "timezone")
+    val dimGeo = geo.withColumn("is_current", lit(true))
+      .unionByName(geo
+        .filter(expr("CAST(split(region_code, '-')[1] AS INT) % 3 = 0"))
+        .withColumn("region_name", concat(col("region_name"), lit("-old")))
+        .withColumn("is_current", lit(false)))
+    ExampleQueryOps.br(s)
+      .join(cur(dimPub), col("publisher_id") === col("d_publisher_id"), "left")
+      .join(cur(dimDt), col("device_type") === col("device_type_code"), "left")
+      .join(cur(dimOs), col("device_os") === col("os_name"), "left")
+      .join(cur(dimGeo),
+        col("device_geo_country") === col("country_code") &&
+          col("device_geo_region") === col("region_code"), "left")
+      .select(col("request_id"), col("imp_id"), col("imp_banner_w"),
+        col("imp_banner_h"), col("imp_bidfloor"),
+        col("property_id").as("site_id"),
+        col("property_domain").as("site_domain"),
+        col("publisher_id"), col("publisher_name"), col("publisher_vertical"),
+        col("publisher_tier"),
+        col("device_type"), col("device_type_name"), col("form_factor"),
+        col("is_mobile"),
+        col("device_os"), col("os_vendor"),
+        col("device_geo_country"), col("device_geo_region"),
+        col("country_name"), col("region_name"), col("timezone"),
+        col("user_id"), col("auction_type"), col("tmax"), col("currency"),
+        col("is_coppa"), col("is_gdpr"), col("event_ts"), col("received_ts"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     vAggBidLandscape, vAggFunnelLeakage, vEventEnrichedBidResponses,
+    vEventEnrichedBidRequests,
     vRealtimeBidLandscapeHourly, vRealtimeFunnelByPublisher,
     vRealtimeRollingMetricsByBidder)
 }

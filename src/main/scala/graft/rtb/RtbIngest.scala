@@ -63,7 +63,10 @@ object RtbIngest {
         (col("regs.ext.gdpr") === 1).as("is_gdpr"), // P6 (+ P1 depth-2 nesting)
         (col("regs.coppa") === 1).as("is_coppa"),
         col("at").as("auction_type"),
-        parseTs(col("event_timestamp")).as("event_ts")) // P4
+        col("user.id").as("user_id"), // insert_jobs.sql:32 (landed schema)
+        col("tmax"),
+        parseTs(col("event_timestamp")).as("event_ts"), // P4
+        parseTs(col("received_at")).as("received_ts")) // insert_jobs.sql:42-45
       .withColumn("device_category", // P7
         when(col("devicetype").isin(3, 6, 7), "CTV")
           .when(col("devicetype").isin(1, 4) && col("is_app"), "Mobile App")

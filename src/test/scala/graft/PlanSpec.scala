@@ -304,6 +304,22 @@ class PlanSpec extends AnyFunSuite {
       s"a dim join fell back to sort-merge:\n$plan")
   }
 
+  test("supply-side request enrichment broadcasts all four dims, zero shuffles") {
+    val plan = planOf("v_event_enriched_bid_requests")
+    // a pure per-row view: scan + 4 broadcast joins (one multi-key) —
+    // no dim join may shuffle the fact stream. The ONE permitted
+    // exchange is the fixture's injected-duplicate collapse
+    // (dropDuplicates on request id), which the reference's
+    // zero-duplicate default never needs.
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 4, s"expected >=4 broadcast dim joins, got $nBroadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a dim join fell back to sort-merge:\n$plan")
+    val nShuffle = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nShuffle <= 1,
+      s"row-level view shuffles beyond the id-dedup ($nShuffle):\n$plan")
+  }
+
   test("dashboard chart re-aggregations stay top-k, overlays broadcast their dim") {
     // the chart layer re-aggregates a serving table and takes the top
     // rows — TakeOrderedAndProject (per-partition heaps), never a
