@@ -318,6 +318,11 @@ object ScaleProbe {
         // over a pure filter, the cheapest curve in the set
         "text_classifier_score" -> (t => functions.TextOps.textClassifierScore.fn(t.spark, t.dir)),
         "sample_temperature" -> (t => functions.TextOps.sampleTemperature.fn(t.spark, t.dir)),
+        // repetition metrics: a per-row sorted-run fold after the
+        // round-9 rewrite — ZERO shuffled bytes, so the curve should be
+        // the purest work-proportional scan shape in the set (the old
+        // explode → histogram → join form shuffled every corpus bigram)
+        "text_repetition" -> (t => functions.CorpusOps.textRepetition.fn(t.spark, t.dir)),
         // BPE pair counting: the corpus-sized half of tokenizer
         // training — word-freq groupBy then an O(alphabet²) aggregate;
         // should track dedup_exact's scan-shaped curve

@@ -21,29 +21,70 @@ import SharedHash.{h64, h64Sql}
   */
 object CorpusOps {
 
-  /** Word bigrams / hashed 5-grams as generator columns over a split-
-    * words array — ONE definition shared by the stage queries
-    * ([[textRepetition]], [[textDecontam]]) and the composed pipeline
-    * ([[corpusCurationE2e]]), so the e2e row provably runs the same
-    * gram construction as the stages it composes.
+  /** Hashed 5-grams as a generator column over a split-words array —
+    * ONE definition shared by the stage queries ([[textDecontam]]) and
+    * the composed pipeline ([[corpusCurationE2e]]), so the e2e row
+    * provably runs the same gram construction as the stages it
+    * composes.
     */
-  private def bigrams(ws: Column): Column =
-    explode(transform(sequence(lit(1), size(ws) - 1),
-      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-
   private def fiveGramHashes(ws: Column): Column =
     explode(transform(sequence(lit(1), size(ws) - 4),
       i => h64(array_join(slice(ws, i, lit(5)), " "))))
 
+  /** Per-document repetition statistics as ONE codegen'd expression:
+    * `struct(top_bigram_count, n_bigrams)`. The bigram mode count is a
+    * strictly per-document quantity, so it never needs the corpus-wide
+    * explode → histogram shuffle the obvious formulation uses (and the
+    * oracle SQL still states): sort the doc's bigram array and take the
+    * longest equal RUN — identical to the max multiplicity, because
+    * sorting makes equal grams adjacent. One `array_sort` + one
+    * `aggregate` fold per row, all inside the scan's codegen stage —
+    * the 100 TB shape is a pure map with ZERO shuffled bytes, where the
+    * histogram form shuffled one row per corpus bigram (≈ the token
+    * count of the corpus) through two hash aggregations. Shared by
+    * [[textRepetition]] and [[corpusCurationE2e]]'s Gopher gate, which
+    * therefore also drops its per-document stats join.
+    */
+  private def topRunCount(ws: Column): Column = {
+    // bigrams as concatenated strings — measured FASTER than sorting
+    // struct(w1, w2) pairs (array_sort's struct comparator is
+    // interpreted, the UTF8String comparator is not), and equality is
+    // identical because split-words carry no spaces
+    val bg = array_sort(transform(sequence(lit(1), size(ws) - 1),
+      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+    aggregate(
+      bg,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev").isNotNull && x === acc("prev"),
+          acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+  }
+
+  private[functions] def repStats(ws: Column): Column =
+    struct(topRunCount(ws).as("top_bigram_count"),
+      size(ws).cast("long").minus(1L).as("n_bigrams"))
+
+  /** The Gopher gate as ONE boolean expression referencing the fold
+    * exactly once — a Filter condition gets expressions INLINED through
+    * project boundaries by predicate pushdown and FilterExec does no
+    * subexpression elimination, so a two-field struct reference there
+    * would evaluate the whole sort+fold twice per row.
+    */
+  private[functions] def repGateOk(ws: Column): Column =
+    topRunCount(ws) * 5 <= size(ws).cast("long") - 1L
+
   /** Repetition metrics per document: word-level bigram mode count and
     * distinct-word count, with a Gopher-style "top 2-gram fraction >
-    * 20%" rejection flag. The bigram histogram is an explode →
-    * two-level aggregation; the per-doc word counts are computed once at
-    * the scan and carried through both aggregations as constants
-    * (`first`), so there is NO stats-back-to-docs join — a per-document
-    * join side can't be broadcast at corpus scale, and carrying two
-    * longs through the shuffle is cheaper than a sort-merge join and a
-    * second scan. Shuffles carry (doc_id, gram, 2 longs), never text.
+    * 20%" rejection flag. The oracle states the textbook explode →
+    * per-(doc, gram) histogram → per-doc max; the Spark side computes
+    * the same numbers per-row via [[repStats]] (sorted-run = mode
+    * multiplicity), so the operator is a single scan-projection with no
+    * shuffle at any corpus size.
     */
   val textRepetition: QueryDef = QueryDef(
     "text_repetition",
@@ -64,25 +105,18 @@ object CorpusOps {
       |       s.top_bigram_count,
       |       s.top_bigram_count * 5 > s.n_bigrams AS is_repetitive
       |FROM w JOIN s ON s.doc_id = w.doc_id""".stripMargin) { t =>
-    val grams = t.documents
+    t.documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
-        bigrams(col("ws")).as("gram"))
-    grams
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"),
-        first(col("n_words")).as("n_words"),
-        first(col("n_distinct_words")).as("n_distinct_words"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt")).as("top_bigram_count"), sum(col("cnt")).as("n_bigrams"),
-        first(col("n_words")).as("n_words"),
-        first(col("n_distinct_words")).as("n_distinct_words"))
+        repStats(col("ws")).as("s"))
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
-        col("n_bigrams"), col("top_bigram_count"),
-        (col("top_bigram_count") * 5 > col("n_bigrams")).as("is_repetitive"))
+        col("s.n_bigrams").as("n_bigrams"),
+        col("s.top_bigram_count").as("top_bigram_count"),
+        (col("s.top_bigram_count") * 5 > col("s.n_bigrams"))
+          .as("is_repetitive"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any 5-word
@@ -301,9 +335,11 @@ object CorpusOps {
     * classifier gate (strongly web-flavored docs dropped, one shared
     * definition with `text_classifier_score`) → cross-source keep-best
     * dedup → per-(source, lang) corpus accounting. One documents scan
-    * feeds the word/gram derivations; the corpus-wide shuffles are the
-    * bigram histogram, the LM and classifier dictionary joins (O(vocab)
-    * build sides), the keep-best hash `groupBy`, and the final rollup — the
+    * feeds the word/gram derivations; the Gopher gate is a per-row
+    * [[repStats]] filter (no histogram shuffle, no stats join), so the
+    * corpus-wide shuffles are only the LM and classifier dictionary
+    * joins (O(vocab) build sides), the keep-best hash `groupBy`, and
+    * the final rollup — the
     * benchmark side stays broadcast, so composing the stages adds NO
     * join of corpus against corpus. All-integer output (doc/token/char
     * counts), so the cross-engine compare is exact. A wrong gate order,
@@ -359,12 +395,12 @@ object CorpusOps {
     val w = t.documents
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         split(col("text"), " ").as("ws"))
-    // Gopher gate: top bigram must account for <= 1/5 of all bigrams
-    val rep = w.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), bigrams(col("ws")).as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt")).as("topc"), sum(col("cnt")).as("nb"))
+    // Gopher gate: top bigram must account for <= 1/5 of all bigrams —
+    // a per-row repStats filter (see repStats: sorted-run = mode
+    // multiplicity), so the composed plan carries NO bigram histogram
+    // shuffle and NO per-document stats join; the oracle's rep CTE
+    // still states the histogram form. The length-50 gate subsumes the
+    // histogram join's implicit >= 2-words requirement.
     // contamination: any 5-gram hash shared with the benchmark slice
     val g = w.filter(size(col("ws")) >= 5)
       .select(col("doc_id"), fiveGramHashes(col("ws")).as("gh"))
@@ -385,12 +421,11 @@ object CorpusOps {
     val clfLow = TextOps.classifierScores(t)
       .filter(col("classifier_score") < ClfGateCut).select("doc_id")
     val eligible = w
-      .join(rep, Seq("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(lmTail, Seq("doc_id"), "left_anti")
       .join(clfLow, Seq("doc_id"), "left_anti")
       .filter(size(col("ws")) >= 50 &&
-        col("topc") * 5 <= col("nb") &&
+        repGateOk(col("ws")) &&
         col("doc_id") % 97 =!= 0)
     // cross-source keep-best over the eligible set (filter THEN dedup);
     // same keep-rule ordering as dedup_keep_best, by construction

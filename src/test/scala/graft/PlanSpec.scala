@@ -304,6 +304,17 @@ class PlanSpec extends AnyFunSuite {
       s"a dim join fell back to sort-merge:\n$plan")
   }
 
+  test("repetition metrics plan a pure scan projection — no shuffle, no aggregate") {
+    val plan = planOf("text_repetition")
+    // the per-row sorted-run rewrite must keep the whole operator inside
+    // the scan's codegen stage: an Exchange or HashAggregate here means
+    // the corpus-bigram histogram crept back
+    assert(!plan.contains("Exchange"),
+      s"text_repetition shuffles:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"text_repetition re-grew a histogram aggregation:\n$plan")
+  }
+
   test("supply-side request enrichment broadcasts all four dims, zero shuffles") {
     val plan = planOf("v_event_enriched_bid_requests")
     // a pure per-row view: scan + 4 broadcast joins (one multi-key) —

@@ -22,6 +22,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("per-row repetition stats equal the explode-histogram reference on adversarial inputs") {
+    import spark.implicits._
+    // small vocabulary (with the empty word a double space produces) to
+    // force heavy bigram ties — the regime where sorted-run = mode
+    // multiplicity must hold exactly
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "")
+    val docs = (1 to 300).map { i =>
+      val n = 2 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val ws = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val fast = ws
+      .select(col("doc_id"), CorpusOps.repStats(col("ws")).as("s"))
+      .select(col("doc_id"), col("s.top_bigram_count").as("f_top"),
+        col("s.n_bigrams").as("f_nb"))
+    val ref = ws
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1)))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("r_top"), sum(col("cnt")).as("r_nb"))
+    val joined = fast.join(ref, Seq("doc_id")).cache()
+    assert(joined.count() == 300)
+    assert(joined.filter(col("f_top") =!= col("r_top")).count() == 0)
+    assert(joined.filter(col("f_nb") =!= col("r_nb")).count() == 0)
+    joined.unpersist()
+  }
+
   test("decontamination keeps every non-benchmark doc and flags hits monotonically") {
     val df = CorpusOps.textDecontam.run(spark, sf).cache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
