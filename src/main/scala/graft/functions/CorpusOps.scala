@@ -251,8 +251,8 @@ object CorpusOps {
     * 64-bit words, [[BloomK]] salted positions per gram), so the
     * broadcast is constant no matter how many benchmarks land in the
     * eval set. The corpus side stays a pure map — each shingle probes
-    * the broadcast word map with k codegen'd lookups, and the only
-    * corpus shuffle is the final per-document count. Error is
+    * a DENSE 16384-long array constant with k O(1) codegen'd lookups,
+    * and the only corpus shuffle is the final per-document count. Error is
     * one-sided: a bloom can only over-flag (false positives), which for
     * decontamination means dropping a clean document, never keeping a
     * contaminated one. The oracle encodes the bloom's position-set
@@ -289,19 +289,24 @@ object CorpusOps {
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - 4),
           i => h64(array_join(slice(col("ws"), i, lit(5)), " ")))).as("gh"))
-    val evalPos = g.filter(col("doc_id") % 97 === 0)
+    // pack set positions into a DENSE BloomM/64-long array — the size
+    // is a layout CONSTANT (128 KB) regardless of eval-set size, so the
+    // bounded collect here is the codebook pattern, not a corpus
+    // collect. Dense beats the previous one-row map: Catalyst's
+    // GetMapValue is a LINEAR scan of the map's entries, which made
+    // every probe O(set words) — ~16k comparisons × k probes × every
+    // corpus gram (measured 3.7 s at sf0.1); element_at on an array is
+    // O(1) (measured 3.7 s → ~1 s).
+    val nWords = (BloomM / 64).toInt
+    val dense = new Array[Long](nWords)
+    g.filter(col("doc_id") % 97 === 0)
       .select(explode(array((0 until BloomK).map(bloomPos): _*)).as("p"))
-      .distinct()
-    // pack set positions into word-indexed 64-bit masks, then into ONE
-    // broadcastable map row — at most BloomM/64 entries regardless of
-    // eval size
-    val bloomRow = evalPos
-      .select(floor(col("p") / 64).cast("long").as("w"),
+      .select(floor(col("p") / 64).cast("int").as("w"),
         expr("shiftleft(1L, cast(p % 64 as int))").as("b"))
       .groupBy(col("w")).agg(bit_or(col("b")).as("bits"))
-      .groupBy()
-      .agg(map_from_entries(sort_array(collect_list(struct(col("w"), col("bits")))))
-        .as("bloom"))
+      .collect()
+      .foreach(r => dense(r.getAs[Int]("w")) = r.getAs[Long]("bits"))
+    val bloom = lit(dense)
     // probe BEFORE any dedup: the bloom test is a pure map, so running
     // it on raw gram occurrences keeps the whole probe inside one
     // codegen stage, and the per-doc distinct moves into the aggregate
@@ -312,10 +317,10 @@ object CorpusOps {
       col("doc_id") +: col("gh") +:
         (0 until BloomK).map(j => bloomPos(j).as(s"p$j")): _*)
     val hitCol = (0 until BloomK).map { j =>
-      coalesce(element_at(col("bloom"), floor(col(s"p$j") / 64).cast("long")), lit(0L))
+      element_at(bloom, floor(col(s"p$j") / 64).cast("int") + 1)
         .bitwiseAND(expr(s"shiftleft(1L, cast(p$j % 64 as int))")) =!= lit(0L)
     }.reduce(_ && _)
-    val hits = withPos.crossJoin(broadcast(bloomRow))
+    val hits = withPos
       .filter(hitCol)
       .select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("doc_id"))
