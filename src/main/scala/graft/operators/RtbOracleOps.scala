@@ -65,11 +65,11 @@ object RtbOracleOps {
     Files.createFile(marker)
   }
 
-  private[operators] val tsSql = "strptime(substr(event_timestamp, 1, 26), '%Y-%m-%dT%H:%M:%S.%f')"
-
   /** [[tsSql]] over any ISO-µs string column, not just event_timestamp. */
   private[operators] def tsSqlOf(c: String): String =
     s"strptime(substr($c, 1, 26), '%Y-%m-%dT%H:%M:%S.%f')"
+
+  private[operators] val tsSql = tsSqlOf("event_timestamp")
 
   /** Shared oracle SQL for the enrichment shape — used verbatim by both
     * the direct parquet path and the Avro wire round-trip (the point of

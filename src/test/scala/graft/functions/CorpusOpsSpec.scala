@@ -55,6 +55,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     joined.unpersist()
   }
 
+  test("repetition fold is structurally safe on sub-bigram documents") {
+    import spark.implicits._
+    // one-word and empty-string docs: sequence(1, size-1) would
+    // generate DESCENDING [1, 0] and index element_at(ws, 0) — the
+    // when-guard must keep the fold unreached, with top run 0, for ANY
+    // caller regardless of surrounding filter conjunct order
+    val df = Seq((1L, "solo"), (2L, ""), (3L, "a a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), CorpusOps.repStats(col("ws")).as("s"),
+        CorpusOps.repGateOk(col("ws")).as("ok"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getBoolean(2))).toMap
+    assert(df(1L) == ((0L, true)))  // 1 word: no bigrams, gate passes
+    assert(df(2L) == ((0L, true)))  // splits to [""] — same
+    assert(df(3L) == ((1L, false))) // one bigram, 1*5 > 1 — gate drops
+  }
+
   test("decontamination keeps every non-benchmark doc and flags hits monotonically") {
     val df = CorpusOps.textDecontam.run(spark, sf).cache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
