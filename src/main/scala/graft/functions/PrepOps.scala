@@ -140,6 +140,83 @@ object PrepOps {
     }
   }
 
+  /** Deterministic weighted WITHOUT-replacement sampling, k docs per
+    * language with inclusion probability ∝ token count — priority
+    * sampling (Duffield/Lund/Thorup), the batch twin of the
+    * Efraimidis–Spirakis weighted reservoir: each doc gets priority
+    * p = w / u with u = (h+1)/2⁶⁰ from the salted content-free
+    * [[SharedHash.h64]], and the k highest priorities per stratum win.
+    * Completes the sampling family's gap: stratified/temperature/mix
+    * are RATE samplers (keep-probability per row), this one returns a
+    * FIXED-SIZE sample per stratum — the eval-set / ablation-slice
+    * primitive. Deterministic across engines, runs, and incremental
+    * ingestion (a doc's priority never changes as the corpus grows).
+    *
+    * Cross-engine exactness of the double priority: unlike `pow`
+    * (whose rounding is implementation-defined — why A-ES's u^(1/w)
+    * key can never be oracle-exact), every op here is IEEE
+    * correctly-rounded and identically sequenced in both engines:
+    * int→double casts, +1, an EXACT power-of-two scale (2⁻⁶⁰ shifts
+    * the exponent only), and one division — so the priority doubles
+    * are bit-identical and the top-k set and ranks hash-match.
+    *
+    * Scale shape: the oracle states the textbook per-stratum
+    * row_number window; the Spark side is one [[TopKPriorityAgg]]
+    * aggregation — a k-bounded TypedImperativeAggregate (the
+    * [[KmvSketchAgg]] partial/merge discipline), so every map task
+    * ships at most k items per language across the single exchange,
+    * no stratum is ever globally sorted, and the buffer stays k-bounded
+    * at ANY skew (a whole corpus in one language still aggregates in
+    * O(k) memory per task). A `slice(sort_array(collect_list ...))`
+    * two-phase form was rejected: top-k-correct, but its partial
+    * buffer is the whole group pre-slice — corpus-sized shuffle and
+    * unbounded task memory, the two things this row exists to bound.
+    */
+  val sampleReservoir: QueryDef = {
+    val K = 10
+    val Scale = "1152921504606846976.0" // 2^60 as a double literal
+    QueryDef(
+      "sample_reservoir",
+      s"""WITH a AS (
+         |  SELECT doc_id, lang,
+         |         len(string_split(text, ' ')) AS w,
+         |         ${h64Sql("concat('res|', CAST(doc_id AS VARCHAR))")} AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, w,
+         |         CAST(w AS DOUBLE) / ((CAST(h AS DOUBLE) + 1) / $Scale)
+         |           AS priority
+         |  FROM a),
+         |r AS (
+         |  SELECT doc_id, lang, w, priority,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY priority DESC, doc_id) AS rnk
+         |  FROM p)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id,
+         |       CAST(w AS BIGINT) AS n_tokens, priority
+         |FROM r WHERE rnk <= $K""".stripMargin) { t =>
+      val p = t.documents.select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("w"),
+        h64(concat(lit("res|"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("priority",
+          col("w").cast("double") /
+            ((col("h").cast("double") + 1) / lit(1152921504606846976.0)))
+      val item = struct(col("doc_id"), col("w"), col("priority"))
+      val topk = org.apache.spark.sql.GraftSqlBridge.column(
+        TopKPriorityAgg(
+          org.apache.spark.sql.GraftSqlBridge.expression(item), K)
+          .toAggregateExpression())
+      p.groupBy(col("lang"))
+        .agg(topk.as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.doc_id").as("doc_id"),
+          col("col.w").cast("long").as("n_tokens"),
+          col("col.priority").as("priority"))
+    }
+  }
+
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\+?\\d[\\d-]{6,}\\d"
 
@@ -175,5 +252,6 @@ object PrepOps {
   }
 
   val all: Seq[QueryDef] =
-    Seq(textChunk, topkTerms, textTfidf, sampleWeightedMix, textPiiScrub)
+    Seq(textChunk, topkTerms, textTfidf, sampleWeightedMix, sampleReservoir,
+      textPiiScrub)
 }

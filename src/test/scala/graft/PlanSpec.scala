@@ -352,6 +352,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("reservoir sample is one k-bounded aggregation — no window, no global sort") {
+    val plan = planOf("sample_reservoir")
+    // the oracle states a per-stratum row_number window; the Spark plan
+    // must instead be a single TopKPriorityAgg pass: partial
+    // ObjectHashAggregate below the exchange + final above, so map
+    // tasks ship <=k items per language and no stratum is ever
+    // buffered or sorted whole
+    val nObjAgg = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(nObjAgg >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
+    assert(plan.contains("top_k_priority"),
+      s"expected the k-bounded top_k_priority aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"reservoir sample plans a window:\n$plan")
+    assert(!"Sort \\[".r.findFirstIn(plan).isDefined,
+      s"reservoir sample plans a sort:\n$plan")
+    val nShuffle = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nShuffle <= 1,
+      s"reservoir sample shuffles more than the one agg exchange ($nShuffle):\n$plan")
+  }
+
   test("dq quality rollup joins hour-grain aggregates, never raw streams") {
     val plan = planOf("dq_event_quality_hourly")
     // every join input is an hourly aggregate (<= |hours| rows), so all

@@ -39,6 +39,38 @@ class SamplingScoringSpec extends AnyFunSuite {
         s"$l1 (n=${counts(l1)}) th=$th1 must be >= $l2 (n=${counts(l2)}) th=$th2")
   }
 
+  test("reservoir sample is the exact per-language weighted top-k, ranks gapless") {
+    val t = Tables(spark, sf)
+    val sample = PrepOps.sampleReservoir.run(spark, sf).cache()
+    // exactly min(10, |lang|) rows per language, ranks a gapless 1..n
+    val perLang = sample.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("rnk")).as("mn"), max(col("rnk")).as("mx"))
+    assert(perLang.filter(col("mn") =!= 1 || col("mx") =!= col("n") ||
+      col("n") > 10).count() == 0)
+    // the k-bounded aggregate must equal the straight window form:
+    // no unsampled doc may out-rank a sampled one (its priority must
+    // not exceed the stratum's k-th priority; ties impossible — doc_id
+    // is salted into the hash)
+    val pri = t.documents.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("double").as("w"),
+      SharedHash.h64(concat(lit("res|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("priority",
+        col("w") / ((col("h").cast("double") + 1) / lit(1152921504606846976.0)))
+    val kth = sample.groupBy(col("lang")).agg(min(col("priority")).as("kth"),
+      count(lit(1)).as("k"))
+    val unsampled = pri.join(sample.select(col("doc_id"), lit(true).as("in_s")),
+        Seq("doc_id"), "left")
+      .filter(col("in_s").isNull)
+      .join(kth, Seq("lang"))
+    assert(unsampled.filter(col("priority") > col("kth")).count() == 0,
+      "an unsampled doc out-ranks the sample — two-phase top-k lost a row")
+    // determinism: a second evaluation is bit-identical
+    val again = PrepOps.sampleReservoir.run(spark, sf)
+    assert(sample.exceptAll(again).count() == 0 &&
+      again.exceptAll(sample).count() == 0)
+    sample.unpersist()
+  }
+
   test("classifier score is exactly 1e6 for every doc when the tier is the whole corpus") {
     // with c_tr == c_all and N_tr == N_all every word ratio is exactly
     // 10^6, so every doc's integer mean is exactly 10^6 — the neutral
