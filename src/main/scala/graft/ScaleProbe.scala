@@ -318,6 +318,11 @@ object ScaleProbe {
         // over a pure filter, the cheapest curve in the set
         "text_classifier_score" -> (t => functions.TextOps.textClassifierScore.fn(t.spark, t.dir)),
         "sample_temperature" -> (t => functions.TextOps.sampleTemperature.fn(t.spark, t.dir)),
+        // priority-sampling reservoir: ONE k-bounded aggregate
+        // (TopKPriorityAgg) — map tasks ship ≤k items per (task, lang),
+        // so the exchange is layout-constant and the curve should be
+        // pure scan shape at any corpus size or language skew
+        "sample_reservoir" -> (t => functions.PrepOps.sampleReservoir.fn(t.spark, t.dir)),
         // repetition metrics: a per-row sorted-run fold after the
         // round-9 rewrite — ZERO shuffled bytes, so the curve should be
         // the purest work-proportional scan shape in the set (the old

@@ -328,7 +328,97 @@ object StorageOps {
     tbl.readLogical()
   }
 
+  /** M8 — snapshot expiry + orphan cleanup, oracle-checked (upgrades
+    * M8 from spec-only to a named driver row, the `s12` treatment):
+    * maintenance must reclaim history without disturbing the current
+    * read. Two legs under one hash, the two retention semantics:
+    *
+    *  - **cow**: the s12 sliver pattern (5 hash-split appends) +
+    *    compact, then `expireSnapshots(0)` — exactly the 5 superseded
+    *    append commits expire (the compact commit survives as
+    *    current) — and
+    *    `removeOrphans()` reclaims every pre-compact file. The leg
+    *    re-reads the collapsed log and must still serve the full
+    *    source.
+    *  - **mor**: append + two keyed revisions on a merge-on-read
+    *    table. The FIRST expire must retire NOTHING (all three commits
+    *    are first-seen versions of still-live files — dropping one
+    *    would collapse the latest-wins sequence groups and resurface
+    *    superseded rows; Iceberg's "snapshots whose delete files are
+    *    still referenced can't expire"). After compact materializes
+    *    the merge, the same call retires all three and orphan cleanup
+    *    reclaims the superseded row files. The leg must serve the
+    *    revised latest-wins content — value₂ = base+2 where
+    *    event_id%5=0 (second revision wins), else base+1 where %3=0,
+    *    else base — which the oracle restates as a CASE over the
+    *    source.
+    *
+    * The counts are `require`d in-query (an expiry that silently
+    * retired nothing — or retired a live-referenced commit without
+    * breaking THIS read — would still hash-match); the hash pins that
+    * reclamation never changes what the table serves.
+    */
+  val s15ExpireOrphans: QueryDef = QueryDef(
+    "s15_expire_orphans",
+    """SELECT 'cow' AS leg, event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |       event_type, round(value, 2) AS value
+      |FROM events
+      |UNION ALL
+      |SELECT 'mor', event_id, CAST(ts AS TIMESTAMP), user_id, event_type,
+      |       CASE WHEN event_id % 5 = 0 THEN round(value, 2) + 2
+      |            WHEN event_id % 3 = 0 THEN round(value, 2) + 1
+      |            ELSE round(value, 2) END
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s15")
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("expire_cow", eventsSchema),
+      TableDef("expire_mor", eventsSchema, keys = Seq("event_id"),
+        mergeOnRead = true)))
+    val src = eventsSrc(t)
+
+    val cow = cat.table("expire_cow")
+    for (i <- 0 until 5)
+      cow.append(src.filter(pmod(col("event_id"), lit(5)) === i))
+    cow.compact()
+    val cowFilesBefore = cow.commits.flatMap(_.files).distinct.size
+    // retention 0 expires strictly-older commits; a commit landing in
+    // the same millisecond as the expiry call would survive — park one
+    // tick so the cutoff is strictly after every commit timestamp
+    Thread.sleep(2)
+    val nCowExpired = cow.expireSnapshots(0L)
+    require(nCowExpired == 5 && cow.commits.size == 1,
+      s"cow expiry: expected 5 retired / 1 live commit, got $nCowExpired/${cow.commits.size}")
+    val nCowOrphans = cow.removeOrphans()
+    require(nCowOrphans > 0 && cowFilesBefore > cow.commits.head.files.size,
+      s"cow orphan sweep reclaimed nothing ($nCowOrphans of $cowFilesBefore)")
+
+    val mor = cat.table("expire_mor")
+    mor.append(src)
+    mor.upsert(src.filter(pmod(col("event_id"), lit(3)) === 0)
+      .withColumn("value", col("value") + 1))
+    mor.upsert(src.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("value", col("value") + 2))
+    // live-file protection: every commit is the first-seen version of a
+    // still-live file, so retention-0 expiry must retire NOTHING yet
+    Thread.sleep(2)
+    val nMorEarly = mor.expireSnapshots(0L)
+    require(nMorEarly == 0,
+      s"mor expiry retired $nMorEarly live-referenced commits before compaction")
+    mor.compact()
+    Thread.sleep(2)
+    val nMorExpired = mor.expireSnapshots(0L)
+    require(nMorExpired == 3 && mor.commits.size == 1,
+      s"mor expiry after compact: expected 3 retired / 1 live, got $nMorExpired/${mor.commits.size}")
+    require(mor.removeOrphans() > 0, "mor orphan sweep reclaimed nothing")
+
+    cow.readLogical().withColumn("leg", lit("cow"))
+      .unionByName(mor.readLogical().withColumn("leg", lit("mor")))
+      .select(col("leg"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
-      s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip)
+      s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
+      s15ExpireOrphans)
 }

@@ -6,7 +6,7 @@ import graft.QueryDef
 import graft.functions.{SearchOps, TextOps}
 import graft.tables.GraftTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, date_trunc, lit, pmod, round, when}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Driver-gate oracle rows for the streamed-index twins — streaming-
@@ -240,8 +240,199 @@ object IngestOracleOps {
     stats.readLogical()
   }
 
+  /** Streamed continuous hourly upsert ([[Sinks.hourlyUpsert]], A7/W2/
+    * W3/S5 composed) vs the batch `w2_tumbling_window` SQL — the
+    * update-mode windowed aggregation, revised across several REAL
+    * micro-batches through the exactly-once merge-on-read upsert sink
+    * and a compaction pass, must serve exactly the one-shot batch
+    * aggregate. The REAL 30 s watermark stays on (that is the operator
+    * under test), so replay order is forced time-ascending BY
+    * CONSTRUCTION (the substring row's move-in protocol over
+    * ts-range-partitioned files): production's in-order log replay, the
+    * contract under which watermarking drops nothing. Late-data
+    * dropping itself is StreamingSpec's pin; this row pins the
+    * maintenance protocol end-to-end in the cross-engine gate.
+    */
+  val a7HourlyUpsert: QueryDef = QueryDef(
+    "a7_hourly_upsert",
+    graft.operators.WindowOps.w2TumblingWindow.oracle.get) { t =>
+    import org.apache.spark.sql.types._
+    val stage = stageDir("graft_a7_ingest")
+    val events = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    events.repartitionByRange(3, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$stage/presplit")
+    val parts = new java.io.File(s"$stage/presplit").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    val corpus = java.nio.file.Paths.get(s"$stage/corpus")
+    Files.createDirectories(corpus)
+    val hourlySchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType),
+      StructField("avg_value", DoubleType)))
+    val table = new GraftTable(t.spark,
+      graft.tables.TableDef("a7_hourly", hourlySchema,
+        keys = Seq("window_start", "event_type"), mergeOnRead = true),
+      s"$stage/wh")
+    val q = Sinks.hourlyUpsert(
+      fileSource(t.spark, events.schema, s"$stage/corpus"), table, s"$stage/ck")
+    try parts.foreach { f =>
+      Files.move(f.toPath, corpus.resolve(f.getName))
+      q.processAllAvailable()
+    }
+    finally q.stop()
+    // maintenance cadence: materialize the latest-wins merge before serving
+    if (table.needsCompaction()) table.compact()
+    table.readLogical()
+  }
+
+  /** W3/W4 in the driver gate — watermark late-drop semantics as a
+    * cross-engine hash, not just a ScalaTest pin: the one streaming
+    * behavior with no batch twin is WHICH rows the engine refuses, so
+    * the row CONSTRUCTS a replay where the refusal set is exactly
+    * computable and states it in SQL. Batch 1 is the whole corpus (the
+    * watermark advances to max(ts) − 30 s); batch 2 replays copies of
+    * the OLDEST hour (their window closed long before the watermark —
+    * the engine must DROP them and, W4, must already have evicted that
+    * window's state) plus copies of the NEWEST hour (window still open
+    * — the engine must fold them in and revise the upserted row). The
+    * oracle aggregates corpus ∪ newest-hour copies: a stream that
+    * leaked a dropped row, dropped a live one, or resurrected evicted
+    * state hash-fails. Window-grain drop semantics (window.end vs
+    * watermark), not row-ts-grain — the hour-apart construction keeps
+    * every window strictly clear of the boundary.
+    */
+  val w3WatermarkDrop: QueryDef = QueryDef(
+    "w3_watermark_drop",
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, round(value, 2) AS value
+      |  FROM events),
+      |live AS (
+      |  SELECT ts, event_type, value FROM e
+      |  UNION ALL
+      |  SELECT ts, event_type, value FROM e
+      |  WHERE date_trunc('hour', ts) = (SELECT date_trunc('hour', max(ts)) FROM e))
+      |SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n, round(sum(value), 2) AS total_value,
+      |       CAST((CAST(round(round(sum(value), 2) * 100) AS BIGINT) * 200 + count(*))
+      |            // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value
+      |FROM live GROUP BY 1, 2""".stripMargin) { t =>
+    import org.apache.spark.sql.types._
+    val stage = stageDir("graft_w3_ingest")
+    val events = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), round(col("value"), 2).as("value"))
+    val (minTs, maxTs) = {
+      val r = events.agg(org.apache.spark.sql.functions.min(col("ts")),
+        org.apache.spark.sql.functions.max(col("ts"))).head
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    // the construction needs the oldest window CLOSED at batch 2 (end
+    // <= max(ts) - 30 s) and distinct from the still-open newest one
+    require(maxTs.getTime - minTs.getTime > 2L * 3600 * 1000,
+      s"w3 fixture needs >2 h of event time, got [$minTs, $maxTs]")
+    val hourOf = (c: org.apache.spark.sql.Column) => date_trunc("hour", c)
+    val oldest = hourOf(lit(minTs))
+    val newest = hourOf(lit(maxTs))
+    val late = events.filter(hourOf(col("ts")) === oldest)
+      .withColumn("event_id", col("event_id") + 1000000000L)
+    val fresh = events.filter(hourOf(col("ts")) === newest)
+      .withColumn("event_id", col("event_id") + 2000000000L)
+    events.coalesce(1).write.mode("overwrite").parquet(s"$stage/b1")
+    late.unionByName(fresh).coalesce(1).write.mode("overwrite")
+      .parquet(s"$stage/b2")
+    val corpus = java.nio.file.Paths.get(s"$stage/corpus")
+    Files.createDirectories(corpus)
+    val hourlySchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("total_value", DoubleType),
+      StructField("avg_value", DoubleType)))
+    val table = new GraftTable(t.spark,
+      graft.tables.TableDef("w3_hourly", hourlySchema,
+        keys = Seq("window_start", "event_type"), mergeOnRead = true),
+      s"$stage/wh")
+    val q = Sinks.hourlyUpsert(
+      fileSource(t.spark, events.schema, s"$stage/corpus"), table, s"$stage/ck")
+    try Seq("b1", "b2").foreach { b =>
+      val parts = new java.io.File(s"$stage/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      parts.foreach(f => Files.move(f.toPath, corpus.resolve(s"$b-${f.getName}")))
+      q.processAllAvailable()
+    }
+    finally q.stop()
+    if (table.needsCompaction()) table.compact()
+    table.readLogical()
+  }
+
+  /** Streamed statement-set fan-out ([[Sinks.multiSinkFanout]], X1) vs
+    * a one-shot split of the same source — one stream, one cached batch
+    * per trigger, three sinks with PER-TABLE exactly-once guards. The
+    * testdata events are all well-formed, so the row injects
+    * deterministic rejects (negated user on id%97, negated value on
+    * id%101 — same CASE in the oracle) and serves clean ∪ rejected
+    * under one hash: a fan-out that dropped, duplicated, or
+    * mis-classified a row across batch boundaries fails the compare.
+    * The per-batch quality table is batching-dependent by design
+    * (batch_id keyed); its invariants are StreamingSpec's pin.
+    */
+  val x1MultisinkFanout: QueryDef = QueryDef(
+    "x1_multisink_fanout",
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CASE WHEN event_id % 97 = 0 THEN -user_id - 1
+      |              ELSE user_id END AS user_id,
+      |         event_type,
+      |         CASE WHEN event_id % 101 = 0 THEN -round(value, 2) - 1
+      |              ELSE round(value, 2) END AS value
+      |  FROM events)
+      |SELECT 'clean' AS leg, event_id, ts, user_id, event_type, value,
+      |       CAST(NULL AS VARCHAR) AS reject_reason
+      |FROM e WHERE NOT (value < 0 OR user_id < 0)
+      |UNION ALL
+      |SELECT 'rejected', event_id, ts, user_id, event_type, value,
+      |       CASE WHEN user_id < 0 THEN 'TEST_USER'
+      |            ELSE 'NEGATIVE_VALUE' END
+      |FROM e WHERE value < 0 OR user_id < 0""".stripMargin) { t =>
+    import org.apache.spark.sql.types._
+    val stage = stageDir("graft_x1_fanout")
+    val events = t.events.select(col("event_id"), col("ts"),
+      when(pmod(col("event_id"), lit(97)) === 0, -col("user_id") - 1)
+        .otherwise(col("user_id")).as("user_id"),
+      col("event_type"),
+      when(pmod(col("event_id"), lit(101)) === 0, -round(col("value"), 2) - 1)
+        .otherwise(round(col("value"), 2)).as("value"))
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val rejSchema = StructType(evSchema.fields :+
+      StructField("reject_reason", StringType))
+    val qSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("n_total", LongType),
+      StructField("n_rejected", LongType), StructField("batch_id", LongType)))
+    val clean = new GraftTable(t.spark,
+      graft.tables.TableDef("x1_clean", evSchema), s"$stage/wh")
+    val rejected = new GraftTable(t.spark,
+      graft.tables.TableDef("x1_rejected", rejSchema), s"$stage/wh")
+    val quality = new GraftTable(t.spark,
+      graft.tables.TableDef("x1_quality", qSchema, keys = Seq("event_type")),
+      s"$stage/wh")
+    streamCorpus(t.spark, events, stage, 3)(
+      Sinks.multiSinkFanout(_, clean, rejected, quality, s"$stage/ck"))
+    clean.readLogical()
+      .withColumn("reject_reason", lit(null).cast("string"))
+      .withColumn("leg", lit("clean"))
+      .unionByName(rejected.readLogical().withColumn("leg", lit("rejected")))
+      .select(col("leg"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("reject_reason"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     lmIngestScores, clfIngestScores, tempIngestSample, bm25IngestTopk,
     annIngestTopk, keepbestIngestResolve, neardupIngestPairs,
-    substringIngestCut)
+    substringIngestCut, a7HourlyUpsert, x1MultisinkFanout, w3WatermarkDrop)
 }
