@@ -417,8 +417,44 @@ object StorageOps {
         col("event_type"), col("value"))
   }
 
+  /** M9 — purge isolation, oracle-checked (the last §2 maintenance
+    * operator with any checkable observable): purge wipes ONE table's
+    * data and commit log entirely and must touch NOTHING else in the
+    * shared warehouse. Two sibling tables under one catalog root; the
+    * doomed one takes extra commits (so there is real state to
+    * destroy), gets purged, and the row then requires the purged
+    * table's files/log GONE (and its read to come back empty) while
+    * serving the SURVIVOR's full content for the cross-engine hash — a
+    * purge that leaked into its sibling's directory fails the compare,
+    * one that left the doomed table readable fails the requires.
+    */
+  val m9PurgeIsolation: QueryDef = QueryDef(
+    "m9_purge_isolation",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("m9")
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("purge_keep", eventsSchema),
+      TableDef("purge_doomed", eventsSchema)))
+    val src = eventsSrc(t)
+    val keep = cat.table("purge_keep")
+    val doomed = cat.table("purge_doomed")
+    keep.append(src)
+    for (i <- 0 until 3)
+      doomed.append(src.filter(pmod(col("event_id"), lit(3)) === i))
+    doomed.compact()
+    cat.purge("purge_doomed")
+    require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(wh, "purge_doomed")),
+      "purge left the doomed table's directory behind")
+    require(cat.table("purge_doomed").commits.isEmpty,
+      "purge left commit-log entries behind")
+    keep.readLogical()
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
-      s15ExpireOrphans)
+      s15ExpireOrphans, m9PurgeIsolation)
 }
