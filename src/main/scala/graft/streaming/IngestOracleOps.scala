@@ -250,8 +250,13 @@ object IngestOracleOps {
     * CONSTRUCTION (the substring row's move-in protocol over
     * ts-range-partitioned files): production's in-order log replay, the
     * contract under which watermarking drops nothing. Late-data
-    * dropping itself is StreamingSpec's pin; this row pins the
-    * maintenance protocol end-to-end in the cross-engine gate.
+    * dropping itself is StreamingSpec's + `w3_watermark_drop`'s pin;
+    * this row pins the maintenance protocol end-to-end in the
+    * cross-engine gate. Two ordered micro-batches — the substring
+    * twin's documented cost knob: each batch pays a full state
+    * checkpoint + upsert commit, and two already exercise the
+    * cross-batch window revision that distinguishes the streamed path
+    * from a one-shot batch write.
     */
   val a7HourlyUpsert: QueryDef = QueryDef(
     "a7_hourly_upsert",
@@ -260,7 +265,7 @@ object IngestOracleOps {
     val stage = stageDir("graft_a7_ingest")
     val events = t.events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
-    events.repartitionByRange(3, col("ts")).sortWithinPartitions("ts")
+    events.repartitionByRange(2, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$stage/presplit")
     val parts = new java.io.File(s"$stage/presplit").listFiles()
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))

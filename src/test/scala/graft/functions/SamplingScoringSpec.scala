@@ -71,6 +71,39 @@ class SamplingScoringSpec extends AnyFunSuite {
     sample.unpersist()
   }
 
+  test("top-k priority aggregate == window form on adversarial ties, across partitions and merges") {
+    // the hash makes priority ties impossible in the real row, so the
+    // doc_id tiebreak and the TreeSet eviction-at-capacity path never
+    // face equal keys there — force them here: many exact duplicate
+    // priorities per group, 7 partitions so partial buffers serialize,
+    // ship, and merge, plus a stratum smaller than k
+    import spark.implicits._
+    val K = 4
+    val rows = (1L to 200L).map(i =>
+      (i, "l" + (i % 3), (i % 5).toInt, (i % 7).toDouble)) ++
+      Seq((900L, "rare", 1, 2.0), (901L, "rare", 2, 1.0))
+    val df = rows.toDF("doc_id", "lang", "w", "priority").repartition(7)
+    val item = struct(col("doc_id"), col("w"), col("priority"))
+    val topk = org.apache.spark.sql.GraftSqlBridge.column(
+      TopKPriorityAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(item), K)
+        .toAggregateExpression())
+    val got = df.groupBy(col("lang")).agg(topk.as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).as("rnk"), col("col.doc_id"),
+        col("col.w"), col("col.priority"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    val want = df
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("w"), col("priority"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "k-bounded aggregate diverges from the window form on tied priorities")
+    // the undersized stratum returns all its rows, rank order intact
+    assert(got.filter(col("lang") === "rare").count() == 2)
+  }
+
   test("classifier score is exactly 1e6 for every doc when the tier is the whole corpus") {
     // with c_tr == c_all and N_tr == N_all every word ratio is exactly
     // 10^6, so every doc's integer mean is exactly 10^6 — the neutral
