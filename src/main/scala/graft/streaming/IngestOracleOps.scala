@@ -301,8 +301,9 @@ object IngestOracleOps {
     * computable and states it in SQL. Batch 1 is the whole corpus (the
     * watermark advances to max(ts) − 30 s); batch 2 replays copies of
     * the OLDEST hour (their window closed long before the watermark —
-    * the engine must DROP them and, W4, must already have evicted that
-    * window's state) plus copies of the NEWEST hour (window still open
+    * the engine must REFUSE them, and its state for that window is
+    * evicted rather than revised, which is W4's bound) plus copies of
+    * the NEWEST hour (window still open
     * — the engine must fold them in and revise the upserted row). The
     * oracle aggregates corpus ∪ newest-hour copies: a stream that
     * leaked a dropped row, dropped a live one, or resurrected evicted
