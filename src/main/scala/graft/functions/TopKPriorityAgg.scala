@@ -22,13 +22,19 @@ import org.apache.spark.sql.types._
   *
   * "Top k of a union is computable from top k of each part", so the
   * buffer is fully mergeable — same partial/merge discipline as the KMV
-  * sketch, update cost O(log k) via a bounded TreeSet that evicts the
-  * current worst item past capacity.
+  * sketch, update cost O(log k) via a bounded ordered MULTISET (a
+  * TreeMap item → multiplicity) that evicts one copy of the current
+  * worst item past capacity. The multiset matters: a plain TreeSet
+  * silently collapses physically identical input rows into one slot,
+  * which is top-k-WRONG the moment a caller's priority is not injective
+  * per row (sample_reservoir's salted hash happens to be injective on
+  * doc_id, but the operator must not depend on its caller's key
+  * discipline — ADVICE r9 #1).
   *
-  * Ordering is (priority DESC, doc_id ASC) — ties on priority cannot
-  * occur for distinct docs (the salted content-free hash is injective
-  * on doc_id within 2⁶⁰) but the total order keeps eval deterministic
-  * anyway.
+  * Ordering is (priority DESC, doc_id ASC, w ASC) — a total order over
+  * the full item so eval is deterministic and only byte-identical rows
+  * share a multiset key (where survivor identity is immaterial and only
+  * the count matters, which the multiset preserves).
   *
   * Evaluates to the rank-ordered array<struct<doc_id,w,priority>> so
   * downstream is a plain `posexplode` and the DuckDB oracle states the
@@ -39,9 +45,9 @@ case class TopKPriorityAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[TopKPriorityAgg.Item]] {
+  extends TypedImperativeAggregate[TopKPriorityAgg.Buffer] {
 
-  import TopKPriorityAgg.Item
+  import TopKPriorityAgg.{Buffer, Item}
 
   require(k >= 1, "top-k needs k >= 1")
 
@@ -64,15 +70,24 @@ case class TopKPriorityAgg(
       s"$prettyName requires struct<bigint,int,double>, got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): java.util.TreeSet[Item] =
-    new java.util.TreeSet[Item]()
+  override def createAggregationBuffer(): Buffer = new Buffer
 
-  private def add(buf: java.util.TreeSet[Item], it: Item): Unit =
-    if (buf.size < k) { buf.add(it); () }
-    else if (it.compareTo(buf.last) < 0 && buf.add(it)) { buf.pollLast(); () }
+  private def add(buf: Buffer, it: Item): Unit =
+    if (buf.total < k) {
+      buf.m.merge(it, 1, (a, b) => a + b)
+      buf.total += 1
+    } else {
+      val worst = buf.m.lastKey()
+      if (it.compareTo(worst) < 0) {
+        // strictly better than the current worst (total order ⇒ it is a
+        // DIFFERENT key), so insert one copy and evict one of the worst
+        buf.m.merge(it, 1, (a, b) => a + b)
+        val c = buf.m.get(worst)
+        if (c == 1) buf.m.remove(worst) else buf.m.put(worst, c - 1)
+      }
+    }
 
-  override def update(buf: java.util.TreeSet[Item],
-      input: InternalRow): java.util.TreeSet[Item] = {
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
@@ -81,44 +96,54 @@ case class TopKPriorityAgg(
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[Item],
-      other: java.util.TreeSet[Item]): java.util.TreeSet[Item] = {
-    val it = other.iterator()
-    while (it.hasNext) add(buf, it.next())
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    val it = other.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var i = 0
+      while (i < e.getValue) { add(buf, e.getKey); i += 1 }
+    }
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[Item]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: Buffer): Any = {
+    val out = new Array[Any](buf.total)
+    val it = buf.m.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
       val e = it.next()
-      out(i) = new GenericInternalRow(
-        Array[Any](e.docId, e.w, e.priority))
-      i += 1
+      var c = 0
+      while (c < e.getValue) {
+        out(i) = new GenericInternalRow(
+          Array[Any](e.getKey.docId, e.getKey.w, e.getKey.priority))
+        i += 1; c += 1
+      }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[Item]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 20 * buf.size)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 24 * buf.m.size)
+    bb.putInt(buf.m.size)
+    val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      bb.putLong(e.docId); bb.putInt(e.w); bb.putDouble(e.priority)
+      bb.putLong(e.getKey.docId); bb.putInt(e.getKey.w)
+      bb.putDouble(e.getKey.priority); bb.putInt(e.getValue)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Item] = {
+  override def deserialize(bytes: Array[Byte]): Buffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
     var i = 0
     while (i < n) {
-      buf.add(Item(bb.getLong, bb.getInt, bb.getDouble))
+      val item = Item(bb.getLong, bb.getInt, bb.getDouble)
+      val c = bb.getInt
+      buf.m.put(item, c)
+      buf.total += c
       i += 1
     }
     buf
@@ -134,14 +159,27 @@ case class TopKPriorityAgg(
 }
 
 object TopKPriorityAgg {
-  /** (priority DESC, doc_id ASC) — TreeSet.first is the best item,
-    * .last the current eviction candidate.
+  /** (priority DESC, doc_id ASC, w ASC) — TreeMap.firstKey is the best
+    * item, .lastKey the current eviction candidate. Total over all three
+    * fields so distinct rows never share a multiset key.
     */
   final case class Item(docId: Long, w: Int, priority: Double)
       extends Comparable[Item] {
     override def compareTo(o: Item): Int = {
       val c = java.lang.Double.compare(o.priority, priority)
-      if (c != 0) c else java.lang.Long.compare(docId, o.docId)
+      if (c != 0) c
+      else {
+        val d = java.lang.Long.compare(docId, o.docId)
+        if (d != 0) d else java.lang.Integer.compare(w, o.w)
+      }
     }
+  }
+
+  /** Ordered multiset: item → multiplicity, plus the total item count
+    * (≤ k by the add/evict invariant). Identical rows each keep a slot.
+    */
+  final class Buffer {
+    val m = new java.util.TreeMap[Item, Int]()
+    var total: Int = 0
   }
 }

@@ -51,18 +51,39 @@ object RtbOracleOps {
     // (seed+N only) would silently reuse stale data after a parameter edit
     val marker = Paths.get(s"$root/_complete-$Seed-$N-$StartMs-$SpanMs-dup03x4")
     if (Files.exists(marker)) return
-    val p = Paths.get(root)
-    graft.FsUtil.deleteRecursively(p)
-    Files.createDirectories(p)
-    val funnel = RtbGenerator.generate(Seed, N, StartMs, SpanMs,
-      RtbGenerator.Rates(dupRequest = 0.03, dupResponse = 0.03,
-        dupImpression = 0.03, dupClick = 0.03))
-    import spark.implicits._
-    spark.createDataset(funnel.requests).write.mode("overwrite").parquet(s"$root/requests")
-    spark.createDataset(funnel.responses).write.mode("overwrite").parquet(s"$root/responses")
-    spark.createDataset(funnel.impressions).write.mode("overwrite").parquet(s"$root/impressions")
-    spark.createDataset(funnel.clicks).write.mode("overwrite").parquet(s"$root/clicks")
-    Files.createFile(marker)
+    // Cross-PROCESS mutual exclusion (the `synchronized` above only
+    // serializes this JVM): two concurrent cold runs (bench + verify,
+    // parallel drivers) would otherwise interleave deleteRecursively
+    // with the other's parquet writes under the FIXED path the oracle
+    // SQL demands. An OS file lock OUTSIDE root (so the wipe below
+    // can't delete it) serializes generation; the loser of the race
+    // re-checks the marker under the lock and finds the winner's
+    // completed fixture — the data is a pure function of the seed, so
+    // whoever generates, the bytes agree.
+    val lockPath = Paths.get(s"$root.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        if (Files.exists(marker)) return
+        val p = Paths.get(root)
+        graft.FsUtil.deleteRecursively(p)
+        Files.createDirectories(p)
+        val funnel = RtbGenerator.generate(Seed, N, StartMs, SpanMs,
+          RtbGenerator.Rates(dupRequest = 0.03, dupResponse = 0.03,
+            dupImpression = 0.03, dupClick = 0.03))
+        import spark.implicits._
+        spark.createDataset(funnel.requests).write.mode("overwrite").parquet(s"$root/requests")
+        spark.createDataset(funnel.responses).write.mode("overwrite").parquet(s"$root/responses")
+        spark.createDataset(funnel.impressions).write.mode("overwrite").parquet(s"$root/impressions")
+        spark.createDataset(funnel.clicks).write.mode("overwrite").parquet(s"$root/clicks")
+        // the marker is the COMMIT: written last, so a crash mid-write
+        // leaves no marker and the next caller regenerates from scratch
+        Files.createFile(marker)
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** [[tsSql]] over any ISO-µs string column, not just event_timestamp. */

@@ -20,10 +20,34 @@ import org.apache.spark.sql.types._
   */
 object StorageOps {
 
-  // s11 deferred-cleanup state — see the runId comment in the row body
+  // s11 deferred-cleanup state — a generation QUEUE, not a single slot:
+  // a getAndSet slot let call N+1 reclaim call N's tables while N's
+  // returned DataFrame was possibly still unconsumed (same-JVM
+  // concurrent suites, or any caller that holds the frame across a
+  // later registry pass — ADVICE r9 #3). An entry is reclaimed only
+  // once it is s11Lag generations old — every in-repo runner fully
+  // consumes a returned frame well within one generation, so lagged
+  // entries are dead by construction — and a JVM-exit hook drains the
+  // remainder, so the live footprint stays ≤ s11Lag pairs either way.
   private val s11Calls = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val s11Previous =
-    new java.util.concurrent.atomic.AtomicReference[(Seq[String], String)](null)
+  private val s11Lag = 4L
+  private val s11Live =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[String], String)]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var e = s11Live.poll()
+      while (e != null) {
+        // dirs only at exit — the session (and its in-JVM catalog) is
+        // gone with the process, so DROP TABLE would be moot
+        try graft.FsUtil.deleteRecursively(Paths.get(e._3))
+        catch { case _: Throwable => () }
+        e = s11Live.poll()
+      }
+    }, "graft-s11-scratch-reclaim"))
+  }
+
+  /** Live (not-yet-reclaimed) s11 generations — lets a spec pin the lag. */
+  private[graft] def s11LiveCount: Int = s11Live.size
 
   private def scratch(name: String): String = {
     val p = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse", name)
@@ -200,23 +224,27 @@ object StorageOps {
     // and a globally FIXED name would let two concurrent runs
     // (parallel suites, bench + verify sharing a metastore) clobber
     // each other's table entry or files mid-read. The footprint stays
-    // BOUNDED via deferred cleanup: each call drops the PREVIOUS
-    // call's pair and scratch dir — by then every in-repo runner
-    // (Bench, Verify, the suites) has fully consumed the previous
-    // DataFrame — so at most one pair per JVM ever survives to exit,
-    // while distinct processes use disjoint names and cannot clobber.
+    // BOUNDED via LAGGED deferred cleanup (see s11Live above): each
+    // call reclaims only pairs at least s11Lag generations stale, so a
+    // concurrent or still-held previous DataFrame is never yanked.
+    val gen = s11Calls.incrementAndGet()
     val runId = {
       val ph = java.lang.ProcessHandle.current()
       val t0 = ph.info().startInstant()
         .map[Long](_.toEpochMilli).orElse(0L)
-      s"${ph.pid()}_${java.lang.Long.toHexString(t0)}_${s11Calls.incrementAndGet()}"
+      s"${ph.pid()}_${java.lang.Long.toHexString(t0)}_$gen"
     }
     val wh = scratch(s"s11_$runId")
     val spark = t.spark
     val names = Seq(s"graft_b_orders_$runId", s"graft_b_lineitem_$runId")
-    Option(s11Previous.getAndSet((names, wh))).foreach { case (oldNames, oldWh) =>
-      oldNames.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
-      graft.FsUtil.deleteRecursively(Paths.get(oldWh))
+    s11Live.add((gen, names, wh))
+    var stale = s11Live.peek()
+    // remove() is the claim: if another caller already claimed the
+    // entry this loop simply stops — each pair is reclaimed exactly once
+    while (stale != null && stale._1 <= gen - s11Lag && s11Live.remove(stale)) {
+      stale._2.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      graft.FsUtil.deleteRecursively(Paths.get(stale._3))
+      stale = s11Live.peek()
     }
     val B = 8
     def bucketed(df: DataFrame, name: String, key: String): DataFrame = {

@@ -57,17 +57,33 @@ object IngestOracleOps {
     finally q.stop()
   }
 
-  /** A fresh staging dir, reclaimed at JVM exit: the row's returned
-    * DataFrame lazily reads the staged tables, so the dir must outlive
-    * the query — but bench/verify/probe runs would otherwise each leave
-    * a full corpus copy + index + checkpoint in /tmp forever.
+  /** All staging dirs created this JVM, reclaimed by ONE shutdown hook:
+    * the rows' returned DataFrames lazily read the staged tables, so the
+    * dirs must outlive their queries — but bench/verify/probe runs would
+    * otherwise each leave a full corpus copy + index + checkpoint in
+    * /tmp forever. One hook, not one per call (ADVICE r9 #2): a long
+    * bench/suite JVM invokes the twin rows dozens of times, and a
+    * per-call `addShutdownHook` leaks a Thread object per invocation
+    * into the runtime's hook table for the life of the JVM.
     */
+  private val stagedDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = stagedDirs.poll()
+      while (p != null) {
+        try graft.FsUtil.deleteRecursively(p)
+        catch { case _: Throwable => () }
+        p = stagedDirs.poll()
+      }
+    }, "graft-ingest-stage-reclaim"))
+  }
+
+  /** Count of live staged dirs — lets a spec pin the one-hook protocol. */
+  private[graft] def stagedDirCount: Int = stagedDirs.size
+
   private def stageDir(prefix: String): String = {
     val p = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try graft.FsUtil.deleteRecursively(p)
-      catch { case _: Throwable => () }
-    }))
+    stagedDirs.add(p)
     p.toString
   }
 

@@ -14,11 +14,20 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  // ONE materialization of every registry row, shared by the two
+  // registry-wide tests below (ADVICE r10 #5: constructing a streamed
+  // twin row EXECUTES its full multi-batch ingest protocol, so building
+  // each frame twice — once per test — paid the whole ~70 s twin floor
+  // twice per suite run). Constructing the frame is the expensive part;
+  // the plan/schema reads on the cached frames are driver-side-cheap.
+  private lazy val registryFrames: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.registry.map(q => (q.name, q.run(spark, sf)))
+
   test("no registered query plans a CartesianProduct") {
-    for (q <- SparkEntry.registry) {
-      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+    for ((name, df) <- registryFrames) {
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
-        s"${q.name} plans a cartesian product:\n$plan")
+        s"$name plans a cartesian product:\n$plan")
     }
   }
 
@@ -28,11 +37,11 @@ class PlanSpec extends AnyFunSuite {
     // wide integers must be emitted as BIGINT or canonical VARCHAR. The
     // DuckDB side of the same discipline is enforced in
     // tools/compare_oracle.py's schema guard.
-    for (q <- SparkEntry.registry) {
-      val bad = q.run(spark, sf).schema.fields.filter(
+    for ((name, df) <- registryFrames) {
+      val bad = df.schema.fields.filter(
         _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
       assert(bad.isEmpty,
-        s"${q.name} emits driver-unhashable decimal column(s): ${bad.map(_.name).mkString(", ")}")
+        s"$name emits driver-unhashable decimal column(s): ${bad.map(_.name).mkString(", ")}")
     }
   }
 

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shared-fixture generation protocol for the FIXED oracle path
+  * (the DuckDB SQL embeds the literal path, so per-run tmpdirs are not
+  * an option): marker-file-as-commit written LAST, idempotent
+  * short-circuit, and safe concurrent cold starts (same-JVM storm here;
+  * cross-process is the file lock in ensureData, same check-generate-
+  * commit sequence under the lock).
+  */
+class RtbOracleFixtureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val root = RtbOracleOps.root
+
+  private def markerPath = {
+    val it = Files.list(Paths.get(root))
+    try it.filter(p => p.getFileName.toString.startsWith("_complete-"))
+      .findFirst().orElse(null)
+    finally it.close()
+  }
+
+  test("a missing marker (crashed generation) forces a full regenerate") {
+    RtbOracleOps.ensureData(spark)
+    val m = markerPath
+    assert(m != null, "cold ensureData must commit a marker")
+    Files.delete(m)
+    // simulate a torn write: data present, commit marker absent
+    RtbOracleOps.ensureData(spark)
+    assert(markerPath != null, "ensureData must regenerate and re-commit")
+    assert(spark.read.parquet(s"$root/requests").count() > 0)
+  }
+
+  test("concurrent cold callers all observe a complete fixture") {
+    val m = markerPath
+    if (m != null) Files.delete(m)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try {
+          RtbOracleOps.ensureData(spark)
+          // every caller must be able to read all four slices right away
+          assert(spark.read.parquet(s"$root/requests").count() > 0)
+          assert(spark.read.parquet(s"$root/clicks").count() > 0)
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent cold start failed: ${errs.peek()}")
+    assert(markerPath != null)
+  }
+
+  test("warm calls short-circuit on the marker (no regenerate)") {
+    RtbOracleOps.ensureData(spark)
+    val t0 = Files.getLastModifiedTime(markerPath)
+    RtbOracleOps.ensureData(spark)
+    assert(Files.getLastModifiedTime(markerPath) == t0,
+      "a warm ensureData must not rewrite the fixture")
+  }
+}
