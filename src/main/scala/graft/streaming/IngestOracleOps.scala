@@ -45,6 +45,32 @@ object IngestOracleOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
+  /** Run `body` with the session shuffle-partition count lowered to `n`
+    * and restored after. The twin rows' micro-batch work is tiny —
+    * O(batch partial) rows per shuffle, a few thousand aggregate keys —
+    * so the session's core-count shuffle width (32 under Bench) is pure
+    * per-batch overhead here: 32 state-store partitions each writing a
+    * checkpoint delta per micro-batch, 32-way task launch for partials
+    * that fit in one. The conf is read at stream START (it pins the
+    * state-store partition count) and by batch-side shuffles inside
+    * foreachBatch, so the whole drive is wrapped. Production streams
+    * size this to the cluster; this knob is the test-cadence analog of
+    * that sizing decision, not a semantic change — aggregation results
+    * are partition-count-independent, which the unchanged oracle hashes
+    * prove.
+    */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** The lowered width for twin drains — comfortably parallel for
+    * O(batch partial) work, 4× fewer state/commit files per batch.
+    */
+  private val TwinShuffleWidth = 8
+
   /** Stage `df` as `nFiles` parquet files and replay it as a genuine
     * file-source stream through `job`; returns after the stream has
     * fully drained and stopped.
@@ -52,9 +78,11 @@ object IngestOracleOps {
   private def streamCorpus(spark: SparkSession, df: DataFrame, stage: String,
       nFiles: Int)(job: DataFrame => StreamingQuery): Unit = {
     df.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/corpus")
-    val q = job(fileSource(spark, df.schema, s"$stage/corpus"))
-    try q.processAllAvailable()
-    finally q.stop()
+    withShufflePartitions(spark, TwinShuffleWidth) {
+      val q = job(fileSource(spark, df.schema, s"$stage/corpus"))
+      try q.processAllAvailable()
+      finally q.stop()
+    }
   }
 
   /** All staging dirs created this JVM, reclaimed by ONE shutdown hook:
@@ -96,7 +124,7 @@ object IngestOracleOps {
     val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
     val uni = new GraftTable(t.spark, LmIngest.unigramsDef, s"$stage/uni")
     val big = new GraftTable(t.spark, LmIngest.bigramsDef, s"$stage/big")
-    streamCorpus(t.spark, docs, stage, 4)(
+    streamCorpus(t.spark, docs, stage, 2)(
       LmIngest.dictionaryAppend(_, uni, big, s"$stage/ck"))
     // maintenance cadence on the accumulated partials, then serve —
     // the scores must be invariant under the pre-merge by construction
@@ -112,7 +140,7 @@ object IngestOracleOps {
     val stage = stageDir("graft_clf_ingest")
     val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
     val dict = new GraftTable(t.spark, ClassifierIngest.dictDef, s"$stage/dict")
-    streamCorpus(t.spark, docs, stage, 4)(
+    streamCorpus(t.spark, docs, stage, 2)(
       ClassifierIngest.dictionaryAppend(_, dict, s"$stage/ck"))
     ClassifierIngest.compactDictionary(dict)
     ClassifierIngest.score(docs, dict)
@@ -127,7 +155,7 @@ object IngestOracleOps {
     val stage = stageDir("graft_temp_ingest")
     val docs = t.documents.select(col("doc_id"), col("lang"), col("source"))
     val counts = new GraftTable(t.spark, TemperatureIngest.countsDef, s"$stage/counts")
-    streamCorpus(t.spark, docs, stage, 4)(
+    streamCorpus(t.spark, docs, stage, 2)(
       TemperatureIngest.countsAppend(_, counts, s"$stage/ck"))
     TemperatureIngest.sample(docs, counts)
   }
@@ -185,7 +213,7 @@ object IngestOracleOps {
     val stage = stageDir("graft_kb_ingest")
     val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
     val partials = new GraftTable(t.spark, KeepBestIngest.partialsDef, s"$stage/kb")
-    streamCorpus(t.spark, docs, stage, 4)(
+    streamCorpus(t.spark, docs, stage, 2)(
       KeepBestIngest.run(_, partials, s"$stage/ck"))
     KeepBestIngest.compactPartials(partials)
     KeepBestIngest.resolve(partials)
@@ -203,7 +231,7 @@ object IngestOracleOps {
     val stage = stageDir("graft_nd_ingest")
     val docs = t.documents.select(col("doc_id"), col("text"))
     val bands = new GraftTable(t.spark, NearDupIngest.bandTableDef, s"$stage/bands")
-    streamCorpus(t.spark, docs, stage, 4)(
+    streamCorpus(t.spark, docs, stage, 2)(
       NearDupIngest.bandAppend(_, bands, s"$stage/ck"))
     graft.functions.DedupOps.bandPairsOfKeys(
       bands.readLogical().select(col("doc_id"), col("band"), col("key")))
@@ -245,14 +273,16 @@ object IngestOracleOps {
     Files.createDirectories(corpus)
     val index = new GraftTable(t.spark, SubstringIngest.windowIndexDef, s"$stage/wh")
     val stats = new GraftTable(t.spark, SubstringIngest.cutStatsDef, s"$stage/wh")
-    val q = SubstringIngest.run(
-      fileSource(t.spark, docs.schema, s"$stage/corpus"), index, stats,
-      s"$stage/ck")
-    try parts.foreach { f =>
-      Files.move(f.toPath, corpus.resolve(f.getName))
-      q.processAllAvailable()
+    withShufflePartitions(t.spark, TwinShuffleWidth) {
+      val q = SubstringIngest.run(
+        fileSource(t.spark, docs.schema, s"$stage/corpus"), index, stats,
+        s"$stage/ck")
+      try parts.foreach { f =>
+        Files.move(f.toPath, corpus.resolve(f.getName))
+        q.processAllAvailable()
+      }
+      finally q.stop()
     }
-    finally q.stop()
     stats.readLogical()
   }
 
@@ -298,13 +328,15 @@ object IngestOracleOps {
       graft.tables.TableDef("a7_hourly", hourlySchema,
         keys = Seq("window_start", "event_type"), mergeOnRead = true),
       s"$stage/wh")
-    val q = Sinks.hourlyUpsert(
-      fileSource(t.spark, events.schema, s"$stage/corpus"), table, s"$stage/ck")
-    try parts.foreach { f =>
-      Files.move(f.toPath, corpus.resolve(f.getName))
-      q.processAllAvailable()
+    withShufflePartitions(t.spark, TwinShuffleWidth) {
+      val q = Sinks.hourlyUpsert(
+        fileSource(t.spark, events.schema, s"$stage/corpus"), table, s"$stage/ck")
+      try parts.foreach { f =>
+        Files.move(f.toPath, corpus.resolve(f.getName))
+        q.processAllAvailable()
+      }
+      finally q.stop()
     }
-    finally q.stop()
     // maintenance cadence: materialize the latest-wins merge before serving
     if (table.needsCompaction()) table.compact()
     table.readLogical()
@@ -377,15 +409,17 @@ object IngestOracleOps {
       graft.tables.TableDef("w3_hourly", hourlySchema,
         keys = Seq("window_start", "event_type"), mergeOnRead = true),
       s"$stage/wh")
-    val q = Sinks.hourlyUpsert(
-      fileSource(t.spark, events.schema, s"$stage/corpus"), table, s"$stage/ck")
-    try Seq("b1", "b2").foreach { b =>
-      val parts = new java.io.File(s"$stage/$b").listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      parts.foreach(f => Files.move(f.toPath, corpus.resolve(s"$b-${f.getName}")))
-      q.processAllAvailable()
+    withShufflePartitions(t.spark, TwinShuffleWidth) {
+      val q = Sinks.hourlyUpsert(
+        fileSource(t.spark, events.schema, s"$stage/corpus"), table, s"$stage/ck")
+      try Seq("b1", "b2").foreach { b =>
+        val parts = new java.io.File(s"$stage/$b").listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        parts.foreach(f => Files.move(f.toPath, corpus.resolve(s"$b-${f.getName}")))
+        q.processAllAvailable()
+      }
+      finally q.stop()
     }
-    finally q.stop()
     if (table.needsCompaction()) table.compact()
     table.readLogical()
   }
@@ -443,7 +477,7 @@ object IngestOracleOps {
     val quality = new GraftTable(t.spark,
       graft.tables.TableDef("x1_quality", qSchema, keys = Seq("event_type")),
       s"$stage/wh")
-    streamCorpus(t.spark, events, stage, 3)(
+    streamCorpus(t.spark, events, stage, 2)(
       Sinks.multiSinkFanout(_, clean, rejected, quality, s"$stage/ck"))
     clean.readLogical()
       .withColumn("reject_reason", lit(null).cast("string"))

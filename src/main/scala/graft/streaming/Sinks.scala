@@ -54,9 +54,13 @@ object Sinks {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        exactlyOnce(table, "hourlyUpsert", batchId) {
+        // persist: the emptiness guard and the upsert are two actions,
+        // and each would otherwise re-execute the stateful aggregation
+        // (state-store reads included) from scratch
+        batch.persist()
+        try exactlyOnce(table, "hourlyUpsert", batchId) {
           if (!batch.isEmpty) table.upsert(batch)
-        }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -76,9 +80,10 @@ object Sinks {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        exactlyOnce(table, "slidingUpsert", batchId) {
+        batch.persist() // see hourlyUpsert: guard + upsert are two actions
+        try exactlyOnce(table, "slidingUpsert", batchId) {
           if (!batch.isEmpty) table.upsert(batch)
-        }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -94,9 +99,10 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        exactlyOnce(table, "funnelSummaryAppend", batchId) {
+        batch.persist() // see hourlyUpsert: guard + append are two actions
+        try exactlyOnce(table, "funnelSummaryAppend", batchId) {
           if (!batch.isEmpty) table.append(batch)
-        }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -121,9 +127,10 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        exactlyOnce(rollupTable, "funnelRollupFromTable", batchId) {
+        batch.persist() // see hourlyUpsert: guard + append are two actions
+        try exactlyOnce(rollupTable, "funnelRollupFromTable", batchId) {
           if (!batch.isEmpty) rollupTable.append(batch)
-        }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -136,9 +143,10 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        exactlyOnce(table, "dedupAppend", batchId) {
+        batch.persist() // see hourlyUpsert: guard + append are two actions
+        try exactlyOnce(table, "dedupAppend", batchId) {
           if (!batch.isEmpty) table.append(batch)
-        }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
