@@ -160,24 +160,33 @@ object Bench {
     // throttled window must not silently destroy the clean record
     // (this host swings ±45% on identical code; see shouldPromote).
     val root = repoRoot(java.nio.file.Paths.get(sys.props("user.dir")))
-    val artifact = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .map(java.nio.file.Paths.get(_)).getOrElse(root.resolve("BENCH_FULL.json"))
     val histDir = root.resolve("target/bench")
     java.nio.file.Files.createDirectories(histDir)
     val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
     java.nio.file.Files.writeString(histDir.resolve(s"BENCH_FULL.$ts.json"), json + "\n")
-    val prior =
-      if (java.nio.file.Files.exists(artifact))
-        Some(java.nio.file.Files.readString(artifact))
-      else None
-    if (nFailed == 0 && shouldPromote(json, prior)) {
-      java.nio.file.Files.writeString(artifact, json + "\n")
-      System.err.println(s"[bench] promoted run to $artifact")
-    } else {
-      System.err.println(s"[bench] NOT promoting over $artifact " +
-        s"(failed=$nFailed or >1.1x slower on shared queries); " +
-        s"full record kept at $histDir/BENCH_FULL.$ts.json")
+    sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(out) =>
+        // an EXPLICIT destination is the caller's contract (the driver's
+        // round artifact, the A/B harness's per-run record) — always
+        // written, never gated, or the caller silently reads stale data
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      case None =>
+        // the committed default artifact is promote-guarded: a throttled
+        // or dev-scale run must not clobber the clean-window record
+        val artifact = root.resolve("BENCH_FULL.json")
+        val prior =
+          if (java.nio.file.Files.exists(artifact))
+            Some(java.nio.file.Files.readString(artifact))
+          else None
+        if (nFailed == 0 && shouldPromote(json, prior)) {
+          java.nio.file.Files.writeString(artifact, json + "\n")
+          System.err.println(s"[bench] promoted run to $artifact")
+        } else {
+          System.err.println(s"[bench] NOT promoting over $artifact " +
+            s"(failed=$nFailed or different sf or >1.1x slower on shared " +
+            s"queries); full record kept at $histDir/BENCH_FULL.$ts.json")
+        }
     }
     spark.stop()
     if (nFailed > 0) sys.exit(1)

@@ -94,6 +94,26 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** k-replica events: each copy shifts ts by 31 days and offsets
+    * event_id, so the fact table's row count AND time span grow k×
+    * while per-hour density (and so per-window state) stays fixed —
+    * the steady-state regime of the windowed/funnel claims. Written
+    * time-ordered (repartitionByRange on ts), as streaming ingestion
+    * lands facts in production.
+    */
+  private def buildEventsReplica(spark: SparkSession, sfDir: String, dir: String, k: Int): Unit = {
+    if (Files.exists(Paths.get(s"$dir/events.parquet"))) return
+    val base = Tables(spark, sfDir).events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    (0 until k).map(c => base.select(
+      (col("event_id") + lit(c * 100_000_000L)).as("event_id"),
+      (col("ts") + expr(s"INTERVAL ${c * 31} DAYS")).as("ts"),
+      col("user_id"), col("event_type"), col("value")))
+      .reduce(_ unionByName _)
+      .repartitionByRange(math.max(8, 2 * k), col("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
@@ -164,17 +184,7 @@ object ScaleProbe {
       }
       val rows = for (k <- Seq(1, 10, 30, 100)) yield {
         val dir = s"$outRoot/mat_x$k"
-        if (!Files.exists(Paths.get(s"$dir/events.parquet"))) {
-          val base = Tables(spark, sfDir).events
-            .select("event_id", "ts", "user_id", "event_type", "value")
-          (0 until k).map(c => base.select(
-            (col("event_id") + lit(c * 100_000_000L)).as("event_id"),
-            (col("ts") + expr(s"INTERVAL ${c * 31} DAYS")).as("ts"),
-            col("user_id"), col("event_type"), col("value")))
-            .reduce(_ unionByName _)
-            .repartitionByRange(math.max(8, 2 * k), col("ts"))
-            .write.mode("overwrite").parquet(s"$dir/events.parquet")
-        }
+        buildEventsReplica(spark, sfDir, dir, k)
         val ev = spark.read.parquet(s"$dir/events.parquet")
         val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
         val cutoff = new java.sql.Timestamp(maxTs.getTime - 5L * 86400000)
@@ -241,17 +251,7 @@ object ScaleProbe {
       }
       val j13Rows = for (k <- Seq(1, 10, 100)) yield {
         val dir = s"$outRoot/ev_x$k"
-        if (!Files.exists(Paths.get(s"$dir/events.parquet"))) {
-          val base = Tables(spark, sfDir).events
-            .select("event_id", "ts", "user_id", "event_type", "value")
-          (0 until k).map(c => base.select(
-            (col("event_id") + lit(c * 100_000_000L)).as("event_id"),
-            (col("ts") + expr(s"INTERVAL ${c * 31} DAYS")).as("ts"),
-            col("user_id"), col("event_type"), col("value")))
-            .reduce(_ unionByName _)
-            .repartitionByRange(math.max(8, 2 * k), col("ts"))
-            .write.mode("overwrite").parquet(s"$dir/events.parquet")
-        }
+        buildEventsReplica(spark, sfDir, dir, k)
         println(s"== j13 ${k}x ==")
         k -> timed(spark, "j13_range_join_facts")(
           operators.RelationalOps.j13RangeJoinFacts.fn(spark, dir)
@@ -263,6 +263,90 @@ object ScaleProbe {
       }
       println("| j13_range_join_facts | " +
         j13Rows.map { case (k, s) => f"${k}x $s%.2f s |" }.mkString(" "))
+      spark.stop()
+      return
+    }
+
+    // SPARK_GRAFT_PROBE=rtb: the RTB fact-path probe. Three families:
+    //  - the testdata funnel joins (j3 chained-semi, j7 chain) and the
+    //    streamed maintenance protocols (a7 upsert twin, w3 watermark
+    //    twin) over k× events — j3/j7 are per-stage semi-joins + one
+    //    aggregation, so their curve must track the scan; a7/w3 are
+    //    claimed protocol-flat-PLUS-scan (per-batch commit cost fixed,
+    //    state bounded by windows-per-span × types, which the 31-day
+    //    replica shift keeps k-growing while per-hour density is fixed);
+    //  - the widest reference view (v_event_enriched_full_funnel's
+    //    16-join enrichment) over a GENUINELY k× generated OpenRTB
+    //    fixture (RtbGenerator at k×N over a k× span — real nested
+    //    events, not replicas): every dim join must stay broadcast and
+    //    the fact stream must shuffle only on its funnel keys, so the
+    //    curve must track the fact scan.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("rtb")) {
+      val evStages = Seq[(String, Tables => org.apache.spark.sql.DataFrame)](
+        "j3_funnel_4stage" -> (t => operators.FunnelOps.j3Funnel4Stage.fn(t.spark, t.dir)),
+        "j7_funnel_chain" -> (t => operators.FunnelOps.j7FunnelChain.fn(t.spark, t.dir)),
+        "a7_hourly_upsert" -> (t => streaming.IngestOracleOps.a7HourlyUpsert.fn(t.spark, t.dir)),
+        "w3_watermark_drop" -> (t => streaming.IngestOracleOps.w3WatermarkDrop.fn(t.spark, t.dir)))
+      val evRows = for (k <- Seq(1, 10, 100)) yield {
+        val dir = if (k == 1) sfDir else s"$outRoot/ev_x$k"
+        buildEventsReplica(spark, sfDir, dir, k)
+        println(s"== rtb events ${k}x ==")
+        k -> evStages.map { case (l, fn) => timed(spark, l)(
+          fn(Tables(spark, dir)).write.format("noop").mode("overwrite").save()) }
+      }
+      // hot-key leg: the 10x events table with ONE user remapped onto
+      // 10% of ALL rows — j3/j7 must stay near the benign 10x cost
+      // (their semi-join work is linear per key; FunnelSkewSpec pins
+      // the shape and row-level semantics)
+      val hotDir = s"$outRoot/ev_x10hot"
+      if (!Files.exists(Paths.get(s"$hotDir/events.parquet"))) {
+        buildEventsReplica(spark, sfDir, s"$outRoot/ev_x10", 10)
+        spark.read.parquet(s"$outRoot/ev_x10/events.parquet")
+          .withColumn("user_id",
+            when(col("event_id") % 10 === 0, lit(424242L)).otherwise(col("user_id")))
+          .repartitionByRange(20, col("ts"))
+          .write.mode("overwrite").parquet(s"$hotDir/events.parquet")
+        println(s"built 10x+hot events (one user on 10% of rows) at $hotDir")
+      }
+      println("== rtb events 10x HOT KEY ==")
+      val hotRows = Seq("j3_funnel_4stage", "j7_funnel_chain").map { l =>
+        val q = evStages.find(_._1 == l).get._2
+        timed(spark, s"$l(hot)")(
+          q(Tables(spark, hotDir)).write.format("noop").mode("overwrite").save())
+      }
+      val ffRows = for (k <- Seq(1, 10, 100)) yield {
+        val dir = s"$outRoot/rtb_x$k"
+        if (!Files.exists(Paths.get(s"$dir/requests"))) {
+          // same seed/rates as the oracle fixture, k× the traffic over a
+          // k× span (fixed per-hour density — the steady-state regime)
+          val funnel = gen.RtbGenerator.generate(987654321L, 1500 * k,
+            1704103200000L, 3L * 3600 * 1000 * k,
+            gen.RtbGenerator.Rates(dupRequest = 0.03, dupResponse = 0.03,
+              dupImpression = 0.03, dupClick = 0.03))
+          import spark.implicits._
+          spark.createDataset(funnel.requests).repartition(math.max(4, k))
+            .write.mode("overwrite").parquet(s"$dir/requests")
+          spark.createDataset(funnel.responses).repartition(math.max(4, k))
+            .write.mode("overwrite").parquet(s"$dir/responses")
+          spark.createDataset(funnel.impressions).repartition(math.max(4, k))
+            .write.mode("overwrite").parquet(s"$dir/impressions")
+          spark.createDataset(funnel.clicks).repartition(math.max(4, k))
+            .write.mode("overwrite").parquet(s"$dir/clicks")
+          println(s"built ${k}x rtb fixture at $dir (${1500 * k} requests)")
+        }
+        println(s"== rtb full-funnel ${k}x ==")
+        k -> timed(spark, "v_full_funnel_enriched")(
+          operators.RtbOracleOps.fullFunnelEnriched(spark, dir)
+            .write.format("noop").mode("overwrite").save())._2
+      }
+      println("\n| stage | " + evRows.map(r => s"${r._1}x |").mkString(" "))
+      evStages.map(_._1).zipWithIndex.foreach { case (l, i) =>
+        println(s"| $l | " + evRows.map(r => f"${r._2(i)._2}%.2f s |").mkString(" "))
+      }
+      println("| v_full_funnel_enriched | " +
+        ffRows.map { case (k, s) => f"${k}x $s%.2f s |" }.mkString(" "))
+      println("| hot-key (10x+hot) | " +
+        hotRows.map { case (l, s) => f"$l $s%.2f s |" }.mkString(" "))
       spark.stop()
       return
     }

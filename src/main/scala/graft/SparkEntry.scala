@@ -22,7 +22,7 @@ object SparkEntry {
         DedupOps.all ++ TextOps.all ++ PrepOps.all ++ SketchOps.all ++ CorpusOps.all ++ BpeOps.all ++ AnnOps.all ++
         SearchOps.all ++
         StorageOps.all ++ Scd2Ops.all ++ MaterializeOps.all ++ MultimodalOps.all ++
-        RunnerOps.all ++ RtbOracleOps.all ++ ExampleQueryOps.all ++
+        RunnerOps.all ++ SqlSurfaceOps.all ++ RtbOracleOps.all ++ ExampleQueryOps.all ++
         DashboardOps.all ++ DqOps.all ++ TrinoViewOps.all ++
         graft.streaming.IngestOracleOps.all
     val dups = r.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
