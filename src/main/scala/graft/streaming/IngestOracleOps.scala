@@ -73,15 +73,26 @@ object IngestOracleOps {
 
   /** Stage `df` as `nFiles` parquet files and replay it as a genuine
     * file-source stream through `job`; returns after the stream has
-    * fully drained and stopped.
+    * fully drained and stopped. `width` is the drain's shuffle width —
+    * [[TwinShuffleWidth]] for the O(batch partial) twins; a row whose
+    * per-batch APPEND fans out over many partition dirs (the bm25
+    * postings index writes O(vocabulary) term buckets per batch) keeps
+    * the session width instead, where write parallelism beats the
+    * state-file savings (measured: 8-wide drains cost bm25_ingest_topk
+    * ~1.4× in adjacent same-window pairs).
     */
   private def streamCorpus(spark: SparkSession, df: DataFrame, stage: String,
-      nFiles: Int)(job: DataFrame => StreamingQuery): Unit = {
+      nFiles: Int, width: Option[Int] = Some(TwinShuffleWidth))(
+      job: DataFrame => StreamingQuery): Unit = {
     df.repartition(nFiles).write.mode("overwrite").parquet(s"$stage/corpus")
-    withShufflePartitions(spark, TwinShuffleWidth) {
+    def drive(): Unit = {
       val q = job(fileSource(spark, df.schema, s"$stage/corpus"))
       try q.processAllAvailable()
       finally q.stop()
+    }
+    width match {
+      case Some(n) => withShufflePartitions(spark, n)(drive())
+      case None => drive()
     }
   }
 
@@ -173,8 +184,10 @@ object IngestOracleOps {
     val docStats = new GraftTable(t.spark, PostingsIngest.docStatsDef, s"$stage/idx")
     // 2 micro-batches, not 4: each append writes O(vocabulary)
     // term-partition directories, and two batches already prove the
-    // cross-batch additive merge at half the file churn
-    streamCorpus(t.spark, docs, stage, 2)(
+    // cross-batch additive merge at half the file churn. width = None:
+    // this is the one twin whose per-batch append IS a wide fan-out
+    // write (see streamCorpus's width note)
+    streamCorpus(t.spark, docs, stage, 2, width = None)(
       PostingsIngest.indexAppend(_, postings, docStats, s"$stage/ck"))
     PostingsIngest.bm25TopK(postings, docStats, SearchOps.QueryTerms, SearchOps.BmTopK)
   }

@@ -102,9 +102,13 @@ def main():
     shortB, fullB, wtB = worktree_for(args.commitB)
 
     runs = {"A": [], "B": []}
-    # strict interleave: A B A B ... so slow-window minutes hit both sides
+    # ABBA interleave: alternating the pair order per rep cancels LINEAR
+    # window drift, which plain ABAB converts into a systematic advantage
+    # for whichever side always runs first (observed: a decaying window
+    # inflated every B-side tail row in the first full run of this tool)
     for rep in range(args.reps):
-        for side, wt in (("A", wtA), ("B", wtB)):
+        pair = (("A", wtA), ("B", wtB)) if rep % 2 == 0 else (("B", wtB), ("A", wtA))
+        for side, wt in pair:
             rec = bench_once(wt, args.sf, args.only, args.cpus,
                              f"{side}{rep}")
             runs[side].append(rec)
