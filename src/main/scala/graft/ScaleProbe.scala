@@ -95,11 +95,17 @@ object ScaleProbe {
   }
 
   /** k-replica events: each copy shifts ts by 31 days and offsets
-    * event_id, so the fact table's row count AND time span grow k×
-    * while per-hour density (and so per-window state) stays fixed —
-    * the steady-state regime of the windowed/funnel claims. Written
-    * time-ordered (repartitionByRange on ts), as streaming ingestion
-    * lands facts in production.
+    * event_id AND user_id, so the fact table's row count, time span,
+    * and user population all grow k× while per-hour density and
+    * PER-USER activity stay fixed — the steady-state regime of the
+    * windowed/funnel claims ("same distribution, k× the volume").
+    * Keeping user_id fixed instead would grow every user's event count
+    * k× — a DENSITY regime that turns the user-keyed funnel joins
+    * per-key quadratic by construction (measured: j3 47.8 s at 100×
+    * under fixed users vs near-linear under k× users); that adversarial
+    * case is probed separately and deliberately by the hot-key leg.
+    * Written time-ordered (repartitionByRange on ts), as streaming
+    * ingestion lands facts in production.
     */
   private def buildEventsReplica(spark: SparkSession, sfDir: String, dir: String, k: Int): Unit = {
     if (Files.exists(Paths.get(s"$dir/events.parquet"))) return
@@ -108,7 +114,8 @@ object ScaleProbe {
     (0 until k).map(c => base.select(
       (col("event_id") + lit(c * 100_000_000L)).as("event_id"),
       (col("ts") + expr(s"INTERVAL ${c * 31} DAYS")).as("ts"),
-      col("user_id"), col("event_type"), col("value")))
+      (col("user_id") + lit(c * 10_000_000L)).as("user_id"),
+      col("event_type"), col("value")))
       .reduce(_ unionByName _)
       .repartitionByRange(math.max(8, 2 * k), col("ts"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")

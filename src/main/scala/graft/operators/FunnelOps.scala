@@ -129,6 +129,47 @@ object FunnelOps {
       col("p_ts") >= col("c_ts") &&
       col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS")
 
+  private val ClickWindowMs = 30L * 60 * 1000
+  private val PurchaseWindowMs = 2L * 3600 * 1000
+
+  /** Hot-key-safe interval semi-join: keep each `left` row that has a
+    * `right` row with the same user and rightTs ∈ [leftTs, leftTs + W].
+    * The plain formulation equi-joins on the user alone, so ONE dense
+    * key (a bot holding 10% of all events) lands on one task and pays a
+    * per-key quadratic scan — measured on the 10×+hot probe: j3 36.4 s
+    * vs 3.5 s benign, j7 24.0 s vs 1.7 s. Striping the key with the
+    * window-width time bucket fixes both failure modes at once: the
+    * right side is exploded to the (at most two) buckets whose left
+    * rows it can serve (bucket b holds left ts ∈ [bW, (b+1)W); a right
+    * row at rt serves left ts ∈ [rt−W, rt], which spans buckets
+    * ⌊rt/W⌋−1 and ⌊rt/W⌋), the left side carries its single bucket, and
+    * the join becomes an equi join on (user, bucket) with the range as
+    * residual — the hot key spreads over span/W shuffle partitions and
+    * every pair scan is bucket-bounded. The LEFT side is never exploded,
+    * so the left-semi output needs no dedup pass. Same rewrite as j13's
+    * fact-to-fact range join; SkewSpec + FunnelSkewSpec pin output
+    * equality with the naive chained-join form on hot-key data.
+    * (Fixed-duration windows under the UTC session make the
+    * millisecond bucket arithmetic exactly the INTERVAL semantics.)
+    */
+  private def bucketedIntervalSemi(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      leftUser: String, rightUser: String,
+      leftTs: String, rightTs: String,
+      windowMs: Long): org.apache.spark.sql.DataFrame = {
+    val lb = left.withColumn("l_bkt",
+      floor(unix_millis(col(leftTs)) / windowMs))
+    val rBkt = floor(unix_millis(col(rightTs)) / windowMs)
+    val rb = right.withColumn("r_bkt", explode(array(rBkt - 1, rBkt)))
+    lb.join(rb,
+        col(leftUser) === col(rightUser) && col("l_bkt") === col("r_bkt") &&
+          col(rightTs) >= col(leftTs) &&
+          unix_millis(col(rightTs)) <= unix_millis(col(leftTs)) + windowMs,
+        "left_semi")
+      .drop("l_bkt")
+  }
+
   /** Skew-safe funnel counts: the naive chained LEFT joins materialize
     * views × clicks × purchases per user before the distinct-agg
     * collapses them — a power user with V·C·P in-window events is the
@@ -145,9 +186,12 @@ object FunnelOps {
       v: org.apache.spark.sql.DataFrame,
       c: org.apache.spark.sql.DataFrame,
       p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val clickedViews = v.join(c, clickCond, "left_semi")
-    val convertingClicks = c.join(p, purchaseCond, "left_semi")
-    val convertedViews = v.join(convertingClicks, clickCond, "left_semi")
+    val clickedViews = bucketedIntervalSemi(
+      v, c, "user_id", "c_user_id", "v_ts", "c_ts", ClickWindowMs)
+    val convertingClicks = bucketedIntervalSemi(
+      c, p, "c_user_id", "p_user_id", "c_ts", "p_ts", PurchaseWindowMs)
+    val convertedViews = bucketedIntervalSemi(
+      v, convertingClicks, "user_id", "c_user_id", "v_ts", "c_ts", ClickWindowMs)
     val nv = v.groupBy(col("user_id"))
       .agg(countDistinct(col("view_id")).as("n_views"))
     val nc = clickedViews.groupBy(col("user_id"))
@@ -216,17 +260,22 @@ object FunnelOps {
     val v = stage("view", "user_id", "view_id", "v_ts")
     val c = stage("click", "c_user_id", "click_id", "c_ts")
     val p = stage("purchase", "p_user_id", "purchase_id", "p_ts")
-    val clickedViews = v.join(c, clickCond, "left_semi")
-    val convertedViews = v.join(c.join(p, purchaseCond, "left_semi"), clickCond, "left_semi")
+    val SignupWindowMs = 7L * 86400 * 1000
+    val clickedViews = bucketedIntervalSemi(
+      v, c, "user_id", "c_user_id", "v_ts", "c_ts", ClickWindowMs)
+    val convertingClicks = bucketedIntervalSemi(
+      c, p, "c_user_id", "p_user_id", "c_ts", "p_ts", PurchaseWindowMs)
+    val convertedViews = bucketedIntervalSemi(
+      v, convertingClicks, "user_id", "c_user_id", "v_ts", "c_ts", ClickWindowMs)
     def vSide(df: org.apache.spark.sql.DataFrame) =
       df.select(col("user_id").as("v_user_id"), col("v_ts"))
-    val signupCond =
-      col("user_id") === col("v_user_id") &&
-        col("v_ts") >= col("s_ts") &&
-        col("v_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS")
-    val viewed = s.join(vSide(v), signupCond, "left_semi")
-    val clicked = s.join(vSide(clickedViews), signupCond, "left_semi")
-    val converted = s.join(vSide(convertedViews), signupCond, "left_semi")
+    def viewedWithin(stage: org.apache.spark.sql.DataFrame,
+        views: org.apache.spark.sql.DataFrame) =
+      bucketedIntervalSemi(stage, vSide(views),
+        "user_id", "v_user_id", "s_ts", "v_ts", SignupWindowMs)
+    val viewed = viewedWithin(s, v)
+    val clicked = viewedWithin(s, clickedViews)
+    val converted = viewedWithin(s, convertedViews)
     def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
       df.groupBy(col("user_id")).agg(countDistinct(col("signup_id")).as(name))
     cnt(s, "n_signups")
