@@ -116,21 +116,30 @@ def main():
                   f"{rec.get('value'):.1f}s, {rec.get('n_queries')} queries, "
                   f"failed {rec.get('failed')}", file=sys.stderr)
 
-    def med(side):
+    # MIN across reps, not median: this host's throttle bursts are
+    # one-sided multi-x spikes on identical code (observed: text_quality
+    # 12.96s in one rep vs 0.28-0.33s in the other three), and with few
+    # reps a median is contaminated by a single burst while the min is
+    # the honest warm-cost estimate — the same reasoning ScaleProbe
+    # documents for its min-of-two timing. Medians are kept alongside
+    # for inspection.
+    def agg(side, f):
         qs = {}
         for rec in runs[side]:
             for q, t in rec["queries"].items():
                 qs.setdefault(q, []).append(t)
-        return {q: statistics.median(ts) for q, ts in qs.items()}
+        return {q: f(ts) for q, ts in qs.items()}
 
-    medA, medB = med("A"), med("B")
-    shared = sorted(set(medA) & set(medB))
+    minA, minB = agg("A", min), agg("B", min)
+    medA, medB = agg("A", statistics.median), agg("B", statistics.median)
+    shared = sorted(set(minA) & set(minB))
     per_query = {
-        q: {"a": medA[q], "b": medB[q],
-            "ratio": round(medB[q] / medA[q], 3) if medA[q] > 0 else None}
+        q: {"a": minA[q], "b": minB[q],
+            "a_med": medA[q], "b_med": medB[q],
+            "ratio": round(minB[q] / minA[q], 3) if minA[q] > 0 else None}
         for q in shared}
-    sumA = sum(medA[q] for q in shared)
-    sumB = sum(medB[q] for q in shared)
+    sumA = sum(minA[q] for q in shared)
+    sumB = sum(minB[q] for q in shared)
     out = {
         "commit_a": {"short": shortA, "full": fullA},
         "commit_b": {"short": shortB, "full": fullB},
