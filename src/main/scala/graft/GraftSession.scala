@@ -49,4 +49,21 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Run `body` with the session shuffle-partition count set to `n` and
+    * restored after. The multi-commit oracle protocols (streamed twins,
+    * materializer repair runs) shuffle O(batch partial) rows per pass,
+    * so the session's core-count width (32 under Bench) is pure
+    * per-pass overhead there — task launch, state/commit files — while
+    * production sizes this per job from input volume. Results are
+    * partition-count-independent (the unchanged oracle hashes prove
+    * it); callers whose per-pass WRITE fans out over many partition
+    * dirs should keep the session width instead (see the bm25 twin).
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
 }

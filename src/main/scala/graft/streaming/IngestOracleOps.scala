@@ -45,26 +45,11 @@ object IngestOracleOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
-  /** Run `body` with the session shuffle-partition count lowered to `n`
-    * and restored after. The twin rows' micro-batch work is tiny —
-    * O(batch partial) rows per shuffle, a few thousand aggregate keys —
-    * so the session's core-count shuffle width (32 under Bench) is pure
-    * per-batch overhead here: 32 state-store partitions each writing a
-    * checkpoint delta per micro-batch, 32-way task launch for partials
-    * that fit in one. The conf is read at stream START (it pins the
-    * state-store partition count) and by batch-side shuffles inside
-    * foreachBatch, so the whole drive is wrapped. Production streams
-    * size this to the cluster; this knob is the test-cadence analog of
-    * that sizing decision, not a semantic change — aggregation results
-    * are partition-count-independent, which the unchanged oracle hashes
-    * prove.
-    */
-  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
-  }
+  // The conf is read at stream START (it pins the state-store partition
+  // count) and by batch-side shuffles inside foreachBatch, so the whole
+  // drive is wrapped. See GraftSession.withShufflePartitions.
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    graft.GraftSession.withShufflePartitions(spark, n)(body)
 
   /** The lowered width for twin drains — comfortably parallel for
     * O(batch partial) work, 4× fewer state/commit files per batch.

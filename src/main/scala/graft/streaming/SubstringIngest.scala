@@ -32,9 +32,20 @@ import org.apache.spark.sql.types._
   *    (compact/expire per shard) and the probe join co-locates on them;
   *  - per batch, the only thing that MOVES is the batch's distinct-hash
   *    set (broadcast); the index is scanned in place, never shuffled.
-  *    At 100 TB the scan is the cost to beat — the production add-on is
-  *    a per-shard Bloom sidecar consulted before the scan, which this
-  *    schema (uniform hash sharding) is laid out for;
+  *    At 100 TB the scan is the cost to beat, and it is worth being
+  *    honest about the options: a Bloom sidecar (per shard or per file)
+  *    only skips units NONE of the batch's hashes might touch, and with
+  *    uniform hashing a realistic batch (≥10⁵ distinct windows) hits
+  *    every shard and almost every file with near certainty — bloom
+  *    pruning saturates and degenerates to the full scan. The shapes
+  *    that actually bound it: (a) keep micro-batches small enough that
+  *    per-FILE blooms stay unsaturated (ingestion-rate knob, not an
+  *    engine change — the (shard, h) layout is already what that needs);
+  *    (b) a point-lookup membership store beside the lake for the gate
+  *    alone (outside Spark's execution model, deliberately out of
+  *    scope). What the engine owns — scan units sized by the shard
+  *    count, per-shard independent compaction, broadcast-only probe —
+  *    is already in place;
   *  - everything after the probe is batch-local and bounded exactly as
   *    the batch operator bounds it (≤W covered positions per redundant
   *    window, doc-local reconstruction).
