@@ -85,14 +85,10 @@ object MaterializeOps {
     val late = col("ts") >= lit("2024-01-14").cast("timestamp") &&
       col("ts") < lit("2024-01-17").cast("timestamp") && col("event_id") % 7 === 0
 
-    // protocol passes shuffle O(100k facts) into a 744-window aggregate —
-    // run them at repair width, not the session's core-count width
-    graft.GraftSession.withShufflePartitions(t.spark, 8) {
-      src.append(ev.filter(col("ts") < cutoff && !late))
-      mzr.run() // first run → full CTAS + watermark
-      src.append(ev.filter(col("ts") >= cutoff || late))
-      mzr.run(lookback = "10 days") // repair the drifted windows + append the tail
-    }
+    src.append(ev.filter(col("ts") < cutoff && !late))
+    mzr.run() // first run → full CTAS + watermark
+    src.append(ev.filter(col("ts") >= cutoff || late))
+    mzr.run(lookback = "10 days") // repair the drifted windows + append the tail
     cat.table("mat_hourly").readLogical()
   }
 
@@ -126,12 +122,10 @@ object MaterializeOps {
     // from the post-cutoff watermark
     val late = col("ts") < lit("2024-01-10").cast("timestamp") && col("event_id") % 5 === 0
 
-    graft.GraftSession.withShufflePartitions(t.spark, 8) { // see m4's note
-      src.append(ev.filter(col("ts") < cutoff && !late))
-      mzr.run()
-      src.append(ev.filter(col("ts") >= cutoff || late))
-      mzr.run(lookback = "48 hours", staleDetectionWindow = Some("40 days"))
-    }
+    src.append(ev.filter(col("ts") < cutoff && !late))
+    mzr.run()
+    src.append(ev.filter(col("ts") >= cutoff || late))
+    mzr.run(lookback = "48 hours", staleDetectionWindow = Some("40 days"))
     cat.table("mat_hourly").readLogical()
   }
 
@@ -193,15 +187,13 @@ object MaterializeOps {
     val ev = t.events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
     val cutoff = lit("2024-01-20").cast("timestamp")
-    graft.GraftSession.withShufflePartitions(t.spark, 8) { // see m4's note
-      src.append(ev.filter(col("ts") < cutoff))
-      mzr.run() // materialized with the PRE-shift dim
-      shifted = true // the dim version lands
-      src.append(ev.filter(col("ts") >= cutoff))
-      val changedKeys = src.readLogical().select(col("user_id"))
-        .filter(col("user_id") % 3 === 0).distinct()
-      mzr.run(changedDimKeys = Some(changedKeys))
-    }
+    src.append(ev.filter(col("ts") < cutoff))
+    mzr.run() // materialized with the PRE-shift dim
+    shifted = true // the dim version lands
+    src.append(ev.filter(col("ts") >= cutoff))
+    val changedKeys = src.readLogical().select(col("user_id"))
+      .filter(col("user_id") % 3 === 0).distinct()
+    mzr.run(changedDimKeys = Some(changedKeys))
     cat.table("mat_enriched").readLogical()
   }
 
