@@ -58,11 +58,17 @@ object Bench {
     val old = oldJson.flatMap(queryTimes)
     (nw, old) match {
       case (Some(n), Some(o)) =>
-        sfOf(newJson) == sfOf(oldJson.get) && {
-          val shared = n.keySet intersect o.keySet
-          if (shared.isEmpty) true
-          else shared.iterator.map(n).sum <= slack * shared.iterator.map(o).sum
-        }
+        // coverage first: a SPARK_GRAFT_ONLY-narrowed run is trivially
+        // comparable on its few shared queries and would otherwise
+        // replace the full per-query record with a subset — the very
+        // truncation loss (round 8 kept 75 of 126 times) the committed
+        // artifact exists to prevent
+        sfOf(newJson) == sfOf(oldJson.get) &&
+          o.keySet.subsetOf(n.keySet) && {
+            val shared = n.keySet intersect o.keySet
+            if (shared.isEmpty) true
+            else shared.iterator.map(n).sum <= slack * shared.iterator.map(o).sum
+          }
       case _ => true
     }
   }
@@ -169,8 +175,11 @@ object Bench {
       case Some(out) =>
         // an EXPLICIT destination is the caller's contract (the driver's
         // round artifact, the A/B harness's per-run record) — always
-        // written, never gated, or the caller silently reads stale data
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+        // written, never gated, or the caller silently reads stale data.
+        // A RELATIVE destination resolves against the repo root, same as
+        // the default artifact — CWD-relative was the original stranding
+        // bug (ADVICE r10 #2) and must not survive on this path either.
+        java.nio.file.Files.writeString(root.resolve(out), json + "\n")
       case None =>
         // the committed default artifact is promote-guarded: a throttled
         // or dev-scale run must not clobber the clean-window record

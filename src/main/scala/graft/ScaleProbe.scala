@@ -108,7 +108,17 @@ object ScaleProbe {
     * ingestion lands facts in production.
     */
   private def buildEventsReplica(spark: SparkSession, sfDir: String, dir: String, k: Int): Unit = {
-    if (Files.exists(Paths.get(s"$dir/events.parquet"))) return
+    // the 1× leg reads the testdata dir directly — NEVER a build (and
+    // absolutely never the stale-rebuild delete below) against it
+    if (dir == sfDir) return
+    require(dir.startsWith(sys.props("java.io.tmpdir")),
+      s"replica build target must be a scratch dir, got $dir")
+    // the marker pins the replica SCHEME, not just existence: a replica
+    // built by the pre-v2 code (fixed user_id — the density regime)
+    // must be rebuilt, not silently reused to measure the wrong claim
+    val marker = Paths.get(s"$dir/_events_replica-v2-userOffset-x$k")
+    if (Files.exists(marker)) return
+    graft.FsUtil.deleteRecursively(Paths.get(s"$dir/events.parquet"))
     val base = Tables(spark, sfDir).events
       .select("event_id", "ts", "user_id", "event_type", "value")
     (0 until k).map(c => base.select(
@@ -119,6 +129,8 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .repartitionByRange(math.max(8, 2 * k), col("ts"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Files.createDirectories(Paths.get(dir))
+    Files.createFile(marker)
   }
 
   def main(args: Array[String]): Unit = {
@@ -306,13 +318,17 @@ object ScaleProbe {
       // (their semi-join work is linear per key; FunnelSkewSpec pins
       // the shape and row-level semantics)
       val hotDir = s"$outRoot/ev_x10hot"
-      if (!Files.exists(Paths.get(s"$hotDir/events.parquet"))) {
+      // scheme-pinned like buildEventsReplica: a hot table derived from
+      // a pre-v2 (fixed-user) replica must be rebuilt, not reused
+      val hotMarker = Paths.get(s"$hotDir/_hot-v2-userOffset")
+      if (!Files.exists(hotMarker)) {
         buildEventsReplica(spark, sfDir, s"$outRoot/ev_x10", 10)
         spark.read.parquet(s"$outRoot/ev_x10/events.parquet")
           .withColumn("user_id",
             when(col("event_id") % 10 === 0, lit(424242L)).otherwise(col("user_id")))
           .repartitionByRange(20, col("ts"))
           .write.mode("overwrite").parquet(s"$hotDir/events.parquet")
+        Files.createFile(hotMarker)
         println(s"built 10x+hot events (one user on 10% of rows) at $hotDir")
       }
       println("== rtb events 10x HOT KEY ==")
@@ -323,7 +339,10 @@ object ScaleProbe {
       }
       val ffRows = for (k <- Seq(1, 10, 100)) yield {
         val dir = s"$outRoot/rtb_x$k"
-        if (!Files.exists(Paths.get(s"$dir/requests"))) {
+        // parameter-pinned marker (the RtbOracleOps discipline): a
+        // seed/N/span/rate edit must regenerate, never silently reuse
+        val ffMarker = Paths.get(s"$dir/_complete-987654321-${1500 * k}-dup03x4")
+        if (!Files.exists(ffMarker)) {
           // same seed/rates as the oracle fixture, k× the traffic over a
           // k× span (fixed per-hour density — the steady-state regime)
           val funnel = gen.RtbGenerator.generate(987654321L, 1500 * k,
@@ -339,6 +358,7 @@ object ScaleProbe {
             .write.mode("overwrite").parquet(s"$dir/impressions")
           spark.createDataset(funnel.clicks).repartition(math.max(4, k))
             .write.mode("overwrite").parquet(s"$dir/clicks")
+          Files.createFile(ffMarker) // the commit: written after all four slices
           println(s"built ${k}x rtb fixture at $dir (${1500 * k} requests)")
         }
         println(s"== rtb full-funnel ${k}x ==")

@@ -45,8 +45,16 @@ class BenchSpec extends AnyFunSuite {
     // new run added a heavy query — its time must not count against it
     val old = rec("q1" -> 10.0)
     assert(Bench.shouldPromote(rec("q1" -> 10.0, "q_new" -> 100.0), Some(old)))
-    // and a run that DROPPED queries still compares on what remains
-    assert(!Bench.shouldPromote(rec("q1" -> 20.0), Some(rec("q1" -> 10.0, "q2" -> 10.0))))
+  }
+
+  test("a run that does not COVER the committed query set never promotes") {
+    // a SPARK_GRAFT_ONLY-narrowed run is trivially fast on its subset —
+    // promoting it would replace the full per-query record with a
+    // fragment (the round-8 truncation loss, self-inflicted)
+    val old = rec("q1" -> 10.0, "q2" -> 10.0)
+    assert(!Bench.shouldPromote(rec("q1" -> 0.1), Some(old)),
+      "a subset run must never clobber the full committed record")
+    assert(!Bench.shouldPromote(rec("q1" -> 20.0), Some(old)))
   }
 
   test("a run at a DIFFERENT scale factor never promotes") {

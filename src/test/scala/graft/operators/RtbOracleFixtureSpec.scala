@@ -17,10 +17,14 @@ class RtbOracleFixtureSpec extends AnyFunSuite {
   private val root = RtbOracleOps.root
 
   private def markerPath = {
-    val it = Files.list(Paths.get(root))
-    try it.filter(p => p.getFileName.toString.startsWith("_complete-"))
-      .findFirst().orElse(null)
-    finally it.close()
+    // fresh machine: no fixture root yet — "no marker", not an error
+    if (!Files.isDirectory(Paths.get(root))) null
+    else {
+      val it = Files.list(Paths.get(root))
+      try it.filter(p => p.getFileName.toString.startsWith("_complete-"))
+        .findFirst().orElse(null)
+      finally it.close()
+    }
   }
 
   test("a missing marker (crashed generation) forces a full regenerate") {
