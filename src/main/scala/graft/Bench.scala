@@ -193,7 +193,8 @@ object Bench {
           System.err.println(s"[bench] promoted run to $artifact")
         } else {
           System.err.println(s"[bench] NOT promoting over $artifact " +
-            s"(failed=$nFailed or different sf or >1.1x slower on shared " +
+            s"(failed=$nFailed, or different sf, or narrowed run not " +
+            s"covering the committed query set, or >1.1x slower on shared " +
             s"queries); full record kept at $histDir/BENCH_FULL.$ts.json")
         }
     }
