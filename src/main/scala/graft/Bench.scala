@@ -149,8 +149,21 @@ object Bench {
     // undercount any query whose tail Catalyst could prune under
     // count(), so cross-round per-query ratios are only meaningful
     // within the same harness mark.
+    // Provenance: every record carries the HEAD commit + UTC run
+    // timestamp so a round artifact is self-evidently a fresh run, not
+    // a hand-edit (VERDICT r11 #4). Additive fields — the driver reads
+    // metric/value/queries and ignores the rest.
+    val root = repoRoot(java.nio.file.Paths.get(sys.props("user.dir")))
+    val commit =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .directory(root.toFile).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    val runTs = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","harness":"noop-sink","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","harness":"noop-sink","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"commit":"$commit","ts":"$runTs"}"""
     println(json)
     // Also write the full record to a COMMITTED artifact: the driver's
     // stdout scrape truncates long tails (round 5 lost the first
@@ -165,12 +178,25 @@ object Bench {
     // when it is comparable-or-faster on the shared queries — a
     // throttled window must not silently destroy the clean record
     // (this host swings ±45% on identical code; see shouldPromote).
-    val root = repoRoot(java.nio.file.Paths.get(sys.props("user.dir")))
     val histDir = root.resolve("target/bench")
     java.nio.file.Files.createDirectories(histDir)
     val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
-    java.nio.file.Files.writeString(histDir.resolve(s"BENCH_FULL.$ts.json"), json + "\n")
+    // pid in the name: two runs starting within the same second must not
+    // overwrite each other's audit record (ADVICE r11 #3); prune to the
+    // most recent 50 so the dir doesn't grow without bound across dev
+    // loops (history survives in the committed artifact + git anyway)
+    val pid = ProcessHandle.current().pid()
+    java.nio.file.Files.writeString(
+      histDir.resolve(s"BENCH_FULL.$ts.$pid.json"), json + "\n")
+    try {
+      val listing = java.nio.file.Files.list(histDir)
+      val records =
+        try listing.filter(p => p.getFileName.toString.startsWith("BENCH_FULL."))
+          .sorted().toArray(Array.ofDim[java.nio.file.Path](_))
+        finally listing.close()
+      records.dropRight(50).foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Throwable => () } // pruning is best-effort hygiene
     sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
       case Some(out) =>
         // an EXPLICIT destination is the caller's contract (the driver's

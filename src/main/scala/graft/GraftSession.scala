@@ -59,11 +59,30 @@ object GraftSession {
     * partition-count-independent (the unchanged oracle hashes prove
     * it); callers whose per-pass WRITE fans out over many partition
     * dirs should keep the session width instead (see the bm25 twin).
+    *
+    * NOT reentrant and NOT safe under concurrent queries: the wrap
+    * mutates the SESSION-global conf, so anything else running on the
+    * same SparkSession during `body` silently executes at width `n`,
+    * and two overlapping wraps would restore each other's value (ADVICE
+    * r11 #2). All current callers (Verify/Bench/tests) run queries
+    * strictly sequentially on the session; the guard below turns a
+    * future violation of that assumption into a loud failure instead
+    * of a silent mis-measurement. (The alternative — running twins on
+    * `spark.newSession()` — was rejected: the twins register temp views
+    * and read session state that would then need re-plumbing.)
     */
+  private val shufflePartitionsWrapActive =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    require(shufflePartitionsWrapActive.compareAndSet(false, true),
+      "withShufflePartitions is not reentrant: an overlapping wrap would " +
+        "restore the wrong prior width — serialize the callers")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    try body finally {
+      spark.conf.set(key, prev)
+      shufflePartitionsWrapActive.set(false)
+    }
   }
 }

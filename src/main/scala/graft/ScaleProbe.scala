@@ -339,10 +339,16 @@ object ScaleProbe {
       }
       val ffRows = for (k <- Seq(1, 10, 100)) yield {
         val dir = s"$outRoot/rtb_x$k"
-        // parameter-pinned marker (the RtbOracleOps discipline): a
-        // seed/N/span/rate edit must regenerate, never silently reuse
-        val ffMarker = Paths.get(s"$dir/_complete-987654321-${1500 * k}-dup03x4")
+        // parameter-pinned marker (the RtbOracleOps discipline): EVERY
+        // generation parameter — seed, N, start, span, rates — is in the
+        // name, and the dir is wiped (stale markers included) before a
+        // regenerate, so editing a parameter and later reverting can
+        // never find an old marker and silently reuse data generated
+        // under the other values (ADVICE r11 #1: the partial-key trap)
+        val ffMarker = Paths.get(
+          s"$dir/_complete-987654321-${1500 * k}-1704103200000-${3L * 3600 * 1000 * k}-dup03x4")
         if (!Files.exists(ffMarker)) {
+          FsUtil.deleteRecursively(Paths.get(dir))
           // same seed/rates as the oracle fixture, k× the traffic over a
           // k× span (fixed per-hour density — the steady-state regime)
           val funnel = gen.RtbGenerator.generate(987654321L, 1500 * k,

@@ -11,6 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * short-circuit, and safe concurrent cold starts (same-JVM storm here;
   * cross-process is the file lock in ensureData, same check-generate-
   * commit sequence under the lock).
+  *
+  * SERIAL-SUITE ASSUMPTION (ADVICE r11 #4): these tests DELETE the
+  * shared fixture's commit marker and regenerate the fixed global path,
+  * so they are only safe while test suites run sequentially in the
+  * forked JVM (the current sbt config: `Test / fork := true`, one JVM,
+  * no intra-JVM suite parallelism). ensureData's lock serializes
+  * WRITERS; a concurrent suite lazily READING those parquet dirs
+  * mid-wipe would fail spuriously. If suite-level parallelism is ever
+  * enabled, point these tests at a COPY of the fixture root instead.
   */
 class RtbOracleFixtureSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark

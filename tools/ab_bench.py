@@ -97,6 +97,9 @@ def main():
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default=os.path.join(REPO, "AB_BENCH.json"))
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1 (the summary math needs at least "
+                 "one rep per side)")
 
     shortA, fullA, wtA = worktree_for(args.commitA)
     shortB, fullB, wtB = worktree_for(args.commitB)
