@@ -31,9 +31,24 @@ object SqlSurfaceOps {
     * [[ExampleQueryOps]]'s deviation notes).
     */
   def registerBaseStreams(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
     ensureData(spark)
-    ExampleQueryOps.br(spark).createOrReplaceTempView("bid_requests")
-    ExampleQueryOps.bids(spark).createOrReplaceTempView("bid_responses")
+    // Landed-schema aliases (iceberg/tables/bid_requests.yml:5-45,
+    // bid_responses.yml:5-35): the flat views keep their internal names
+    // AND expose the reference table's column names, so any example text
+    // (e.g. #5's `event_timestamp`, #10's `resp.seat`) resolves
+    // verbatim. Pure projection — no execution cost at register time.
+    ExampleQueryOps.br(spark)
+      .withColumn("site_id", col("property_id"))
+      .withColumn("site_domain", col("property_domain"))
+      .withColumn("site_cat", col("content_cat"))
+      .withColumn("event_timestamp", col("event_ts"))
+      .withColumn("received_at", col("received_ts"))
+      .createOrReplaceTempView("bid_requests")
+    ExampleQueryOps.bids(spark)
+      .withColumn("seat", col("bidder_id"))
+      .withColumn("event_timestamp", col("event_ts"))
+      .createOrReplaceTempView("bid_responses")
     spark.read.parquet(s"$root/impressions").dropDuplicates("impression_id")
       .createOrReplaceTempView("impressions")
     spark.read.parquet(s"$root/clicks").dropDuplicates("click_id")
@@ -50,11 +65,41 @@ object SqlSurfaceOps {
     * arbitrary reference SQL would call once per session.
     */
   def registerSurface(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
     registerBaseStreams(spark)
     for (q <- graft.SparkEntry.registry
          if q.name.startsWith("v_") || q.name.startsWith("dq_"))
       q.fn(spark, sfDir).createOrReplaceTempView(q.name)
+    // The reference's materialized ANALYTICS TABLE names (what
+    // query-examples #17-#19 actually read — the Iceberg upsert-agg
+    // targets, not the v_ prefixed Trino views): each is the
+    // corresponding oracle-checked registry frame projected to the
+    // table's landed schema (iceberg/tables/{bid_landscape_hourly,
+    // realtime_serving_metrics_1m,funnel_leakage_hourly}.yml). The
+    // leakage table renames the view's hour_start to window_start and
+    // drops the name/vertical dims — both are functions of
+    // publisher_id, so the projection preserves the table's grain.
+    graft.SparkEntry.queries("v_bid_landscape_hourly")(spark, sfDir)
+      .createOrReplaceTempView("bid_landscape_hourly")
+    graft.SparkEntry.queries("v_realtime_serving_metrics_1m")(spark, sfDir)
+      .createOrReplaceTempView("realtime_serving_metrics_1m")
+    graft.SparkEntry.queries("v_agg_funnel_leakage")(spark, sfDir)
+      .withColumnRenamed("hour_start", "window_start")
+      .select(col("window_start"), col("publisher_id"),
+        col("requests_no_response"), col("responses_no_impression"),
+        col("impressions_no_click"), col("response_leakage_rate"),
+        col("impression_leakage_rate"), col("click_leakage_rate"))
+      .createOrReplaceTempView("funnel_leakage_hourly")
   }
+
+  /** Names the verbatim surface adds beyond the registry's own
+    * `v_`/`dq_` rows: the four flat event streams plus the three
+    * materialized analytics tables above.
+    */
+  val extraSurfaceNames: Seq[String] = Seq(
+    "bid_requests", "bid_responses", "impressions", "clicks",
+    "bid_landscape_hourly", "realtime_serving_metrics_1m",
+    "funnel_leakage_hourly")
 
   /** scripts/query-examples.sh:150-161, byte-for-byte (the string the
     * reference passes to `trino --execute`).
@@ -120,6 +165,161 @@ object SqlSurfaceOps {
         |   GROUP BY reject_reason
         |   ORDER BY rejected_count DESC
         |   LIMIT 10""".stripMargin)
+
+  /** EVERY `scripts/query-examples.sh` text, byte-for-byte (the strings
+    * the reference passes to `trino --execute`, script lines 26-214).
+    * SqlSurfaceSpec replays each through `spark.sql` against the
+    * registered surface — the complete "paste the reference's SQL, get
+    * the reference's answer" contract. One exclusion, [[nonReplayable]]:
+    * #8 addresses Trino's Iceberg METADATA-table syntax
+    * (`iceberg.db."bid_requests$$snapshots"` — a catalog-qualified,
+    * double-quoted, dollar-suffixed identifier Spark's parser has no
+    * reading for); its snapshot-history SEMANTICS are pinned by the
+    * `s10_snapshots`/`s13_time_travel` rows over GraftTable's own
+    * snapshot metadata.
+    */
+  val exampleTexts: Map[Int, String] = Map(
+    1 ->
+      """SELECT device_geo_country, COUNT(*) AS request_count
+        |   FROM bid_requests
+        |   GROUP BY device_geo_country
+        |   ORDER BY request_count DESC
+        |   LIMIT 10""".stripMargin,
+    2 ->
+      """SELECT device_geo_country, device_geo_region,
+        |          ROUND(AVG(imp_bidfloor), 4) AS avg_bidfloor,
+        |          COUNT(*) AS request_count
+        |   FROM bid_requests
+        |   GROUP BY device_geo_country, device_geo_region
+        |   ORDER BY avg_bidfloor DESC
+        |   LIMIT 10""".stripMargin,
+    3 ->
+      """SELECT imp_banner_w, imp_banner_h,
+        |          ROUND(MIN(imp_bidfloor), 4) AS min_floor,
+        |          ROUND(AVG(imp_bidfloor), 4) AS avg_floor,
+        |          ROUND(MAX(imp_bidfloor), 4) AS max_floor,
+        |          COUNT(*) AS request_count
+        |   FROM bid_requests
+        |   GROUP BY imp_banner_w, imp_banner_h
+        |   ORDER BY request_count DESC
+        |   LIMIT 10""".stripMargin,
+    4 ->
+      """SELECT device_os, device_type, COUNT(*) AS request_count
+        |   FROM bid_requests
+        |   GROUP BY device_os, device_type
+        |   ORDER BY request_count DESC""".stripMargin,
+    5 ->
+      """SELECT date_trunc('hour', event_timestamp) AS hour,
+        |          COUNT(*) AS request_count
+        |   FROM bid_requests
+        |   GROUP BY date_trunc('hour', event_timestamp)
+        |   ORDER BY hour DESC
+        |   LIMIT 24""".stripMargin,
+    6 ->
+      """SELECT auction_type,
+        |          CASE auction_type
+        |            WHEN 1 THEN 'First Price'
+        |            WHEN 2 THEN 'Second Price'
+        |            ELSE 'Other'
+        |          END AS auction_name,
+        |          COUNT(*) AS request_count
+        |   FROM bid_requests
+        |   GROUP BY auction_type
+        |   ORDER BY request_count DESC""".stripMargin,
+    7 ->
+      """SELECT is_gdpr, is_coppa, COUNT(*) AS request_count
+        |   FROM bid_requests
+        |   GROUP BY is_gdpr, is_coppa
+        |   ORDER BY request_count DESC""".stripMargin,
+    9 ->
+      """SELECT br.device_geo_country,
+        |          COUNT(br.request_id) AS requests,
+        |          COUNT(resp.request_id) AS responses,
+        |          ROUND(CAST(COUNT(resp.request_id) AS DOUBLE) / COUNT(br.request_id) * 100, 2) AS fill_rate_pct
+        |   FROM bid_requests br
+        |   LEFT JOIN bid_responses resp ON br.request_id = resp.request_id
+        |   GROUP BY br.device_geo_country
+        |   ORDER BY requests DESC
+        |   LIMIT 10""".stripMargin,
+    10 ->
+      """SELECT resp.seat AS bidder,
+        |          COUNT(resp.response_id) AS bids,
+        |          COUNT(imp.impression_id) AS wins,
+        |          ROUND(CAST(COUNT(imp.impression_id) AS DOUBLE) / COUNT(resp.response_id) * 100, 2) AS win_rate_pct
+        |   FROM bid_responses resp
+        |   LEFT JOIN impressions imp ON resp.response_id = imp.response_id
+        |   GROUP BY resp.seat
+        |   ORDER BY bids DESC""".stripMargin,
+    11 ->
+      """SELECT imp.creative_id,
+        |          COUNT(imp.impression_id) AS impressions,
+        |          COUNT(clk.click_id) AS clicks,
+        |          ROUND(CAST(COUNT(clk.click_id) AS DOUBLE) / COUNT(imp.impression_id) * 100, 2) AS ctr_pct
+        |   FROM impressions imp
+        |   LEFT JOIN clicks clk ON imp.impression_id = clk.impression_id
+        |   GROUP BY imp.creative_id
+        |   ORDER BY impressions DESC
+        |   LIMIT 10""".stripMargin,
+    12 ->
+      """SELECT br.publisher_id,
+        |          COUNT(imp.impression_id) AS wins,
+        |          ROUND(SUM(imp.win_price), 2) AS total_revenue,
+        |          ROUND(AVG(imp.win_price), 4) AS avg_win_price
+        |   FROM bid_requests br
+        |   JOIN impressions imp ON br.request_id = imp.request_id
+        |   GROUP BY br.publisher_id
+        |   ORDER BY total_revenue DESC
+        |   LIMIT 10""".stripMargin,
+    13 -> example13,
+    14 ->
+      """SELECT resp.seat AS bidder,
+        |          ROUND(AVG(resp.bid_price), 4) AS avg_bid_price,
+        |          ROUND(AVG(imp.win_price), 4) AS avg_win_price,
+        |          ROUND(AVG(resp.bid_price - imp.win_price), 4) AS avg_spread
+        |   FROM bid_responses resp
+        |   JOIN impressions imp ON resp.response_id = imp.response_id
+        |   GROUP BY resp.seat
+        |   ORDER BY avg_spread DESC""".stripMargin,
+    15 ->
+      """SELECT reject_reason, COUNT(*) AS rejected_count
+        |   FROM dq_rejected_events
+        |   GROUP BY reject_reason
+        |   ORDER BY rejected_count DESC
+        |   LIMIT 10""".stripMargin,
+    16 ->
+      """SELECT window_start,
+        |          total_bid_requests, duplicate_bid_requests, duplicate_bid_request_rate,
+        |          total_bid_responses, duplicate_bid_responses, duplicate_bid_response_rate,
+        |          total_wins, duplicate_wins, duplicate_win_rate,
+        |          total_clicks, duplicate_clicks, duplicate_click_rate,
+        |          invalid_bid_requests, invalid_bid_request_rate,
+        |          total_events_all, duplicate_events_all, duplicate_rate_all
+        |   FROM dq_event_quality_hourly
+        |   ORDER BY window_start DESC
+        |   LIMIT 24""".stripMargin,
+    17 ->
+      """SELECT window_start, publisher_id, request_count, total_bids, bids_per_request, avg_bid_price, max_bid_price
+        |   FROM bid_landscape_hourly
+        |   ORDER BY window_start DESC, total_bids DESC
+        |   LIMIT 20""".stripMargin,
+    18 ->
+      """SELECT window_start, bidder_id, impressions, clicks, revenue, ctr
+        |   FROM realtime_serving_metrics_1m
+        |   ORDER BY window_start DESC, revenue DESC
+        |   LIMIT 30""".stripMargin,
+    19 ->
+      """SELECT window_start, publisher_id, requests_no_response, responses_no_impression, impressions_no_click,
+        |          response_leakage_rate, impression_leakage_rate, click_leakage_rate
+        |   FROM funnel_leakage_hourly
+        |   ORDER BY window_start DESC, requests_no_response DESC
+        |   LIMIT 20""".stripMargin)
+
+  /** The example numbers that cannot run through `spark.sql` verbatim,
+    * with the reason and where their semantics ARE pinned.
+    */
+  val nonReplayable: Map[Int, String] = Map(
+    8 -> ("Trino Iceberg metadata-table syntax (iceberg.db.\"bid_requests$snapshots\") — " +
+      "snapshot-history semantics pinned by s10_snapshots/s13_time_travel"))
 
   val all: Seq[QueryDef] = Seq(x3SqlSurface)
 }

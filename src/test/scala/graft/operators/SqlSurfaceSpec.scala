@@ -15,14 +15,78 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   test("the registered surface resolves every reference table and view name") {
     SqlSurfaceOps.registerSurface(spark, sf)
-    val names = Seq("bid_requests", "bid_responses", "impressions", "clicks") ++
+    val names = SqlSurfaceOps.extraSurfaceNames ++
       SparkEntry.registry.map(_.name)
         .filter(n => n.startsWith("v_") || n.startsWith("dq_"))
     for (n <- names)
       assert(spark.catalog.tableExists(n), s"reference name $n not registered")
-    // 4 streams + 17 view rows (the 15 reference views, two of which
-    // are pinned by a realtime/batch row PAIR) + 2 dq tables
-    assert(names.size == 4 + 17 + 2, s"surface drifted: ${names.sorted}")
+    // 4 streams + 3 materialized analytics tables + 17 view rows (the
+    // 15 reference views, two of which are pinned by a realtime/batch
+    // row PAIR) + 2 dq tables
+    assert(names.size == 4 + 3 + 17 + 2, s"surface drifted: ${names.sorted}")
+  }
+
+  test("all 18 replayable query-examples texts run verbatim against the surface") {
+    SqlSurfaceOps.registerSurface(spark, sf)
+    // #8 is the single documented exclusion (Trino Iceberg metadata
+    // syntax); everything else must parse, resolve, and return rows
+    assert(SqlSurfaceOps.exampleTexts.keySet ++ SqlSurfaceOps.nonReplayable.keySet
+      == (1 to 19).toSet, "example inventory drifted")
+    val limitRe = """LIMIT (\d+)\s*$""".r
+    for ((n, text) <- SqlSurfaceOps.exampleTexts.toSeq.sortBy(_._1)) {
+      val rows = spark.sql(text).collect()
+      assert(rows.nonEmpty, s"example #$n returned no rows")
+      limitRe.findFirstMatchIn(text).foreach { m =>
+        assert(rows.length <= m.group(1).toInt, s"example #$n overflowed its LIMIT")
+      }
+    }
+  }
+
+  test("single-table example texts agree with an independent recomputation") {
+    SqlSurfaceOps.registerSurface(spark, sf)
+    val br = spark.table("bid_requests")
+    // #1: every returned (country, count) must equal the full aggregate
+    val full1 = br.groupBy(col("device_geo_country")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    for (r <- spark.sql(SqlSurfaceOps.exampleTexts(1)).collect())
+      assert(full1(r.get(0)) == r.getLong(1), s"#1 drift on ${r.get(0)}")
+    // #4: no LIMIT — the complete result set must match exactly
+    val got4 = spark.sql(SqlSurfaceOps.exampleTexts(4)).collect()
+      .map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    val full4 = br.groupBy(col("device_os"), col("device_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    assert(got4 == full4, "#4 diverged from the direct aggregation")
+    // #7: complete boolean-flag breakdown
+    val got7 = spark.sql(SqlSurfaceOps.exampleTexts(7)).collect()
+      .map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    val full7 = br.groupBy(col("is_gdpr"), col("is_coppa"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    assert(got7 == full7, "#7 diverged from the direct aggregation")
+    // #5: per returned hour, the count must equal the full hourly rollup
+    val full5 = br.groupBy(date_trunc("hour", col("event_timestamp")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    for (r <- spark.sql(SqlSurfaceOps.exampleTexts(5)).collect())
+      assert(full5(r.get(0)) == r.getLong(1), s"#5 drift at hour ${r.get(0)}")
+  }
+
+  test("analytics-table texts return well-formed funnel metrics") {
+    SqlSurfaceOps.registerSurface(spark, sf)
+    // #19: leakage rates are ratios of distinct-count differences
+    for (r <- spark.sql(SqlSurfaceOps.exampleTexts(19)).collect(); i <- 5 to 7)
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0,
+        s"#19 leakage rate out of range: $r")
+    // #18: revenue and ctr from the serving-metrics table
+    for (r <- spark.sql(SqlSurfaceOps.exampleTexts(18)).collect()) {
+      assert(r.getDouble(4) >= 0.0, s"#18 negative revenue: $r")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, s"#18 ctr: $r")
+    }
+    // #9: COUNT(resp)/COUNT(br) over the joined stream can never exceed
+    // 100% (the numerator counts matched rows only)
+    for (r <- spark.sql(SqlSurfaceOps.exampleTexts(9)).collect())
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 100.0, s"#9 fill: $r")
   }
 
   test("example #15's literal text agrees with the dq row it reads through") {
