@@ -84,38 +84,57 @@ object SubstringIngest {
       StructField("is_modified", BooleanType))))
 
   /** One micro-batch through the gate against the PRE-batch index.
-    * Returns (cut stats rows, new index rows). Both outputs derive from
-    * ONE pinned evaluation of the probe (`withHist` is eagerly
-    * localCheckpointed): without the pin, each output's lineage would
-    * re-scan the whole index and re-hash the batch — the per-batch cost
-    * this gate exists to bound, paid twice.
+    * Returns (cut stats rows, new index rows, the pinned frame the
+    * caller unpersists after both sinks commit).
+    *
+    * Per-batch cost shape: the batch's window occurrences cross the
+    * wire exactly ONCE — a single hash-partition on `h` whose
+    * whole-partition window-min marks each occurrence's in-batch
+    * keep-first winner in place (the former shape shuffled the
+    * occurrence set three times: a `distinct` for the probe broadcast,
+    * a `groupBy(h).min`, and the re-join of the two — and then wrote
+    * every occurrence row to local checkpoint storage; this one pins
+    * the marked frame in executor MEMORY instead). The min occurrence
+    * of each hash doubles as the batch's distinct-hash row, so the
+    * probe set falls out of the same pass. `histHit` — the index∩batch
+    * hash set — IS eagerly localCheckpointed: it is h-level and small
+    * (⊆ the batch's distinct hashes, the bound the probe broadcast
+    * already relies on), and pinning it keeps the index scanned once
+    * per batch even though two sink actions consume it downstream.
     */
   private[streaming] def gate(batch: DataFrame, index: GraftTable,
-      w: Int): (DataFrame, DataFrame) = {
+      w: Int): (DataFrame, DataFrame, DataFrame) = {
     val ww = DedupOps.splitDocs(batch)
-    val hWin = DedupOps.windowHashes(ww, w)
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val marked = DedupOps.windowHashes(ww, w)
       .withColumn("packed", DedupOps.packedPos)
+      .withColumn("keep_packed", min(col("packed")).over(byH))
+      .persist()
+    // one row per distinct batch hash: the in-batch keep-first winner
+    // ((doc_id, pos) packing makes the min unique per hash)
+    val firsts = marked.filter(col("packed") === col("keep_packed"))
+      .select(col("h"), col("doc_id"))
     val ids = batch.select(col("doc_id").as("first_doc_id"))
     // historical hit set: index hashes that match this batch, excluding
     // rows this batch itself first contributed (replay) — the batch's
     // distinct hashes broadcast, the index never shuffles
     val histHit = index.readLogical()
       .join(broadcast(ids), Seq("first_doc_id"), "left_anti")
-      .join(broadcast(hWin.select("h").distinct()), Seq("h"), "left_semi")
+      .join(broadcast(firsts.select("h")), Seq("h"), "left_semi")
       .select(col("h")).distinct()
-    val m = hWin.groupBy(col("h")).agg(min(col("packed")).as("keep_packed"))
-    val withHist = hWin.join(m, Seq("h"))
-      .join(histHit.withColumn("in_hist", lit(true)), Seq("h"), "left")
       .localCheckpoint()
-    val redundant = withHist
+    val hist = broadcast(histHit.withColumn("in_hist", lit(true)))
+    val redundant = marked
+      .join(hist, Seq("h"), "left")
       .filter(col("in_hist").isNotNull || col("packed") =!= col("keep_packed"))
       .select(col("doc_id"), col("pos"))
     val stats = DedupOps.substringCutStats(ww, redundant, w)
-    val newRows = withHist
-      .filter(col("in_hist").isNull && col("packed") === col("keep_packed"))
+    val newRows = firsts
+      .join(hist, Seq("h"), "left")
+      .filter(col("in_hist").isNull)
       .select(pmod(col("h"), lit(NShards.toLong)).cast(IntegerType).as("shard"),
         col("h"), col("doc_id").as("first_doc_id"))
-    (stats, newRows)
+    (stats, newRows, marked)
   }
 
   /** `(doc_id, text)` stream → cut-stats + window-index appends,
@@ -137,15 +156,21 @@ object SubstringIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.persist()
+        val (statsDf, newRows, pinned) = gate(batch.toDF(), index, w)
         try {
-          val (statsDf, newRows) = gate(batch.toDF(), index, w)
           Sinks.exactlyOnce(stats, "substr.stats", batchId) {
             if (!batch.isEmpty) stats.append(statsDf)
           }
           Sinks.exactlyOnce(index, "substr.index", batchId) {
             if (!batch.isEmpty) index.append(newRows)
           }
-        } finally { batch.unpersist() }
+        } finally {
+          // the gate's marked frame is batch-scoped: without the drop a
+          // long-running stream accumulates one pinned occurrence set
+          // per micro-batch
+          pinned.unpersist()
+          batch.unpersist()
+        }
         ()
       }
       .start()
