@@ -107,6 +107,28 @@ object ScaleProbe {
     * Written time-ordered (repartitionByRange on ts), as streaming
     * ingestion lands facts in production.
     */
+  /** The 10×+hot events table: the benign 10× replica with ONE user
+    * remapped onto 10% of ALL rows — the deliberate density/bot regime
+    * both the batch funnel legs and the streamed-funnel leg probe.
+    * Scheme-pinned like buildEventsReplica: a hot table derived from a
+    * pre-v2 (fixed-user) replica must be rebuilt, not reused.
+    */
+  private def ensureHotEvents(spark: SparkSession, sfDir: String, outRoot: String): String = {
+    val hotDir = s"$outRoot/ev_x10hot"
+    val hotMarker = Paths.get(s"$hotDir/_hot-v2-userOffset")
+    if (!Files.exists(hotMarker)) {
+      buildEventsReplica(spark, sfDir, s"$outRoot/ev_x10", 10)
+      spark.read.parquet(s"$outRoot/ev_x10/events.parquet")
+        .withColumn("user_id",
+          when(col("event_id") % 10 === 0, lit(424242L)).otherwise(col("user_id")))
+        .repartitionByRange(20, col("ts"))
+        .write.mode("overwrite").parquet(s"$hotDir/events.parquet")
+      Files.createFile(hotMarker)
+      println(s"built 10x+hot events (one user on 10% of rows) at $hotDir")
+    }
+    hotDir
+  }
+
   private def buildEventsReplica(spark: SparkSession, sfDir: String, dir: String, k: Int): Unit = {
     // the 1× leg reads the testdata dir directly — NEVER a build (and
     // absolutely never the stale-rebuild delete below) against it
@@ -300,6 +322,65 @@ object ScaleProbe {
     //    events, not replicas): every dim join must stay broadcast and
     //    the fact stream must shuffle only on its funnel keys, so the
     //    curve must track the fact scan.
+    // SPARK_GRAFT_PROBE=sfun: the STREAMED funnel hot-key leg (the
+    // VERDICT r11 #3 question). The batch j3/j7 semi-joins were made
+    // hot-key-safe by the bucket-striped rewrite; this leg drives the
+    // STATEFUL operator path — FunnelState.funnelViewSummary
+    // (flatMapGroupsWithState keyed by user_id) — over the same 10×
+    // benign vs 10×+hot events (one bot user on 10% of ALL rows), via
+    // a MemoryStream replay in ts order with a coarse watermark cadence
+    // (each trigger matures ~a cadence-worth of the bot's buffer, the
+    // adversarial per-trigger regime). The claim under test: per-trigger
+    // match work is sort + output-sized (MatchBuf range search), so the
+    // hot drain must stay near the benign drain — never the
+    // finalized-views × buffered-events product of a linear scan.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("sfun")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import streaming.FunnelState
+      buildEventsReplica(spark, sfDir, s"$outRoot/ev_x10", 10)
+      val legs = Seq(
+        "benign_10x" -> s"$outRoot/ev_x10",
+        "hot_10x" -> ensureHotEvents(spark, sfDir, outRoot))
+      val nBatches = 8
+      val rows = legs.map { case (label, dir) =>
+        // driver-side replay set: (event_id, epoch-ms, user, type) — the
+        // collect is probe scaffolding (bounded by the replica size),
+        // not an engine pattern
+        val evs = spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp"),
+            col("user_id"), col("event_type"))
+          .collect()
+          .map(r => FunnelState.FunnelEvent(r.getLong(2), r.getString(3),
+            r.getLong(0), r.getTimestamp(1)))
+          .sortBy(_.ts.getTime)
+        val flushTs = new java.sql.Timestamp(
+          evs.last.ts.getTime + FunnelState.HorizonMs + 120000L)
+        label -> timed(spark, s"funnel_stream($label)") {
+          implicit val sqlCtx = spark.sqlContext
+          import spark.implicits._
+          val src = MemoryStream[FunnelState.FunnelEvent]
+          val ck = Files.createTempDirectory("graft_sfun_ck").toString
+          val q = FunnelState.funnelViewSummary(src.toDF()).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .format("noop").start()
+          try {
+            evs.grouped(evs.length / nBatches + 1).foreach { g =>
+              src.addData(g.toIndexedSeq); q.processAllAvailable()
+            }
+            // sentinel advances the watermark past every view's horizon
+            // so the drain includes ALL finalization work
+            src.addData(FunnelState.FunnelEvent(-1L, "flush", -1L, flushTs))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+      }
+      println("\n| leg | drain |")
+      rows.foreach { case (l, (_, s)) => println(f"| $l | $s%.2f s |") }
+      spark.stop()
+      return
+    }
+
     if (sys.env.get("SPARK_GRAFT_PROBE").contains("rtb")) {
       val evStages = Seq[(String, Tables => org.apache.spark.sql.DataFrame)](
         "j3_funnel_4stage" -> (t => operators.FunnelOps.j3Funnel4Stage.fn(t.spark, t.dir)),
@@ -317,20 +398,7 @@ object ScaleProbe {
       // 10% of ALL rows — j3/j7 must stay near the benign 10x cost
       // (their semi-join work is linear per key; FunnelSkewSpec pins
       // the shape and row-level semantics)
-      val hotDir = s"$outRoot/ev_x10hot"
-      // scheme-pinned like buildEventsReplica: a hot table derived from
-      // a pre-v2 (fixed-user) replica must be rebuilt, not reused
-      val hotMarker = Paths.get(s"$hotDir/_hot-v2-userOffset")
-      if (!Files.exists(hotMarker)) {
-        buildEventsReplica(spark, sfDir, s"$outRoot/ev_x10", 10)
-        spark.read.parquet(s"$outRoot/ev_x10/events.parquet")
-          .withColumn("user_id",
-            when(col("event_id") % 10 === 0, lit(424242L)).otherwise(col("user_id")))
-          .repartitionByRange(20, col("ts"))
-          .write.mode("overwrite").parquet(s"$hotDir/events.parquet")
-        Files.createFile(hotMarker)
-        println(s"built 10x+hot events (one user on 10% of rows) at $hotDir")
-      }
+      val hotDir = ensureHotEvents(spark, sfDir, outRoot)
       println("== rtb events 10x HOT KEY ==")
       val hotRows = Seq("j3_funnel_4stage", "j7_funnel_chain").map { l =>
         val q = evStages.find(_._1 == l).get._2

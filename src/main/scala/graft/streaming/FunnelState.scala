@@ -52,19 +52,60 @@ object FunnelState {
   private[streaming] val ClickWindowMs = 30L * 60 * 1000
   private[streaming] val PurchaseWindowMs = 2L * 3600 * 1000
 
-  /** A view's funnel output is final once this horizon passes. */
-  private[streaming] val HorizonMs = ClickWindowMs + PurchaseWindowMs
+  /** A view's funnel output is final once this horizon passes.
+    * (graft-visible: ScaleProbe's streamed-funnel leg sizes its
+    * watermark-flush sentinel from it.)
+    */
+  private[graft] val HorizonMs = ClickWindowMs + PurchaseWindowMs
 
-  private[streaming] def emitFor(userId: Long, vid: Long, vts: Long, buf: Buf): Seq[FunnelRow] = {
-    val mcs = buf.clicks.filter { case (_, cts) => cts >= vts && cts <= vts + ClickWindowMs }
-    if (mcs.isEmpty)
+  /** Stage lists prepared for range matching: ts-ascending and indexed,
+    * so every per-view match is two binary searches plus the matched
+    * range — never a scan of the whole buffer. This is the streamed
+    * analog of the batch side's bucket-striped semi-join fix: a hot key
+    * (one bot user holding 10% of all events) used to pay
+    * finalized-views × buffered-clicks PER TRIGGER through the old
+    * linear filters — per-key quadratic in the user's rate — and now
+    * pays one near-linear re-sort per trigger (timsort over the
+    * already-sorted kept state + the new tail) plus output-sized match
+    * work. Constructing [[MatchBuf]] is the ONLY way into
+    * [[emitFor]]/[[summarize]], so the sortedness precondition cannot
+    * be bypassed.
+    */
+  private[streaming] case class MatchBuf(
+      clicks: IndexedSeq[(Long, Long)],
+      purchases: IndexedSeq[(Long, Long)])
+
+  private[streaming] def matchReady(buf: Buf): MatchBuf =
+    MatchBuf(buf.clicks.sortBy(_._2).toIndexedSeq,
+      buf.purchases.sortBy(_._2).toIndexedSeq)
+
+  /** First index in ts-ascending `xs` whose ts >= `bound`. */
+  private def lowerBound(xs: IndexedSeq[(Long, Long)], bound: Long): Int = {
+    var lo = 0
+    var hi = xs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid)._2 < bound) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  private[streaming] def emitFor(userId: Long, vid: Long, vts: Long, buf: MatchBuf): Seq[FunnelRow] = {
+    val cs = buf.clicks
+    val cLo = lowerBound(cs, vts)
+    val cHi = lowerBound(cs, vts + ClickWindowMs + 1)
+    if (cLo >= cHi)
       Seq(FunnelRow(userId, vid, None, None, new Timestamp(vts), None, None))
-    else mcs.flatMap { case (cid, cts) =>
-      val mps = buf.purchases.filter { case (_, pts) => pts >= cts && pts <= cts + PurchaseWindowMs }
-      if (mps.isEmpty)
+    else (cLo until cHi).flatMap { i =>
+      val (cid, cts) = cs(i)
+      val ps = buf.purchases
+      val pLo = lowerBound(ps, cts)
+      val pHi = lowerBound(ps, cts + PurchaseWindowMs + 1)
+      if (pLo >= pHi)
         Seq(FunnelRow(userId, vid, Some(cid), None,
           new Timestamp(vts), Some(new Timestamp(cts)), None))
-      else mps.map { case (pid, pts) =>
+      else (pLo until pHi).map { j =>
+        val (pid, pts) = ps(j)
         FunnelRow(userId, vid, Some(cid), Some(pid),
           new Timestamp(vts), Some(new Timestamp(cts)), Some(new Timestamp(pts)))
       }
@@ -84,15 +125,36 @@ object FunnelState {
       n_clicks: Long,
       n_purchases: Long)
 
-  private[streaming] def summarize(userId: Long, vid: Long, vts: Long, buf: Buf): ViewSummary = {
-    val rows = emitFor(userId, vid, vts, buf)
-    val clicks = rows.flatMap(_.click_id).distinct
-    val purchases = rows.flatMap(_.purchase_id).distinct
-    ViewSummary(userId, vid, new Timestamp(vts), clicks.nonEmpty, purchases.nonEmpty,
-      clicks.size.toLong, purchases.size.toLong)
+  private[streaming] def summarize(userId: Long, vid: Long, vts: Long, buf: MatchBuf): ViewSummary = {
+    // Direct range counting — NOT via [[emitFor]]: the combination rows
+    // are matched-clicks × their purchases, which for a hot user is a
+    // quadratic blow-up the summary never needed. A purchase qualifies
+    // iff some matched click c satisfies c.ts <= p.ts <= c.ts + window,
+    // checked with one binary search over the matched click range; ids
+    // are de-duplicated exactly as the combination form's `.distinct`
+    // did (a replay can buffer the same event twice).
+    val cs = buf.clicks
+    val cLo = lowerBound(cs, vts)
+    val cHi = lowerBound(cs, vts + ClickWindowMs + 1)
+    if (cLo >= cHi)
+      ViewSummary(userId, vid, new Timestamp(vts), clicked = false, purchased = false, 0L, 0L)
+    else {
+      val nClicks = (cLo until cHi).map(cs(_)._1).distinct.size.toLong
+      val ps = buf.purchases
+      val cLoTs = cs(cLo)._2
+      val cHiTs = cs(cHi - 1)._2
+      val pLo = lowerBound(ps, cLoTs)
+      val pHi = lowerBound(ps, cHiTs + PurchaseWindowMs + 1)
+      val matchedPurchases = (pLo until pHi).iterator.map(ps(_)).filter { case (_, pts) =>
+        val k = math.max(lowerBound(cs, pts - PurchaseWindowMs), cLo)
+        k < cHi && cs(k)._2 <= pts
+      }.map(_._1).toSeq.distinct
+      ViewSummary(userId, vid, new Timestamp(vts), clicked = true,
+        purchased = matchedPurchases.nonEmpty, nClicks, matchedPurchases.size.toLong)
+    }
   }
 
-  private def stepWith[T](emit: (Long, Long, Long, Buf) => Seq[T])(
+  private def stepWith[T](emit: (Long, Long, Long, MatchBuf) => Seq[T])(
       userId: Long,
       events: Iterator[FunnelEvent],
       state: GroupState[Buf]): Iterator[T] = {
@@ -105,9 +167,12 @@ object FunnelState {
       prev.purchases ++ of("purchase"))
     val wm = state.getCurrentWatermarkMs()
 
-    // finalize views whose whole match horizon is behind the watermark
+    // finalize views whose whole match horizon is behind the watermark;
+    // ONE match-ready sort per trigger serves every finalized view
+    // (lazy: a trigger finalizing nothing skips the sort entirely)
+    lazy val mb = matchReady(buf)
     val (done, pending) = buf.views.partition { case (_, vts) => vts + HorizonMs < wm }
-    val out = done.sortBy(_._2).flatMap { case (vid, vts) => emit(userId, vid, vts, buf) }
+    val out = done.sortBy(_._2).flatMap { case (vid, vts) => emit(userId, vid, vts, mb) }
 
     // evict clicks/purchases no pending or future view can ever match.
     // The keep horizon is the FULL funnel horizon, not the purchase

@@ -78,7 +78,9 @@ object FunnelTws {
       val cs = clicks.get().toSeq
       val ps = purchases.get().toSeq
       val (done, pending) = vs.partition { case (_, vts) => vts + FunnelState.HorizonMs < wm }
-      val buf = Buf(vs, cs, ps)
+      // one match-ready sort per trigger (see FunnelState.MatchBuf — the
+      // hot-key guard shared by both stateful funnel operators)
+      lazy val buf = FunnelState.matchReady(Buf(vs, cs, ps))
       val out = done.sortBy(_._2).map { case (vid, vts) =>
         FunnelState.summarize(key, vid, vts, buf)
       }
