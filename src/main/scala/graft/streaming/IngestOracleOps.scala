@@ -56,6 +56,22 @@ object IngestOracleOps {
     */
   private val TwinShuffleWidth = 8
 
+  /** Run `body` with no-data micro-batches disabled, restoring after.
+    * The upsert twins (a7/w3) emit in UPDATE mode, where results and
+    * state cleanup both ride DATA batches — the extra no-data batch the
+    * engine otherwise schedules after each drain exists for
+    * append-mode/timer finalization and here only buys an additional
+    * state-store checkpoint per drain. Same single-threaded-session
+    * caveat as [[withShufflePartitions]] (the wraps nest on the same
+    * session, both restore in reverse order).
+    */
+  private def withNoDataBatchesDisabled[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Stage `df` as `nFiles` parquet files and replay it as a genuine
     * file-source stream through `job`; returns after the stream has
     * fully drained and stopped. `width` is the drain's shuffle width —
@@ -327,13 +343,15 @@ object IngestOracleOps {
         keys = Seq("window_start", "event_type"), mergeOnRead = true),
       s"$stage/wh")
     withShufflePartitions(t.spark, TwinShuffleWidth) {
-      val q = Sinks.hourlyUpsert(
-        fileSource(t.spark, events.schema, s"$stage/corpus"), table, s"$stage/ck")
-      try parts.foreach { f =>
-        Files.move(f.toPath, corpus.resolve(f.getName))
-        q.processAllAvailable()
+      withNoDataBatchesDisabled(t.spark) {
+        val q = Sinks.hourlyUpsert(
+          fileSource(t.spark, events.schema, s"$stage/corpus"), table, s"$stage/ck")
+        try parts.foreach { f =>
+          Files.move(f.toPath, corpus.resolve(f.getName))
+          q.processAllAvailable()
+        }
+        finally q.stop()
       }
-      finally q.stop()
     }
     // maintenance cadence: materialize the latest-wins merge before serving
     if (table.needsCompaction()) table.compact()
@@ -407,6 +425,13 @@ object IngestOracleOps {
       graft.tables.TableDef("w3_hourly", hourlySchema,
         keys = Seq("window_start", "event_type"), mergeOnRead = true),
       s"$stage/wh")
+    // NO withNoDataBatchesDisabled here (unlike a7): the no-data batch
+    // after each drain is what INSTALLS the advanced watermark before
+    // the next data batch — without it b2 was planned against b1's
+    // pre-execution watermark and the constructed late rows were
+    // folded in instead of refused (measured: oldest-window count 8 vs
+    // the oracle's 4). For this row the extra state checkpoint is the
+    // price of the semantics under test.
     withShufflePartitions(t.spark, TwinShuffleWidth) {
       val q = Sinks.hourlyUpsert(
         fileSource(t.spark, events.schema, s"$stage/corpus"), table, s"$stage/ck")
