@@ -187,8 +187,8 @@ object Bench {
     // most recent 50 so the dir doesn't grow without bound across dev
     // loops (history survives in the committed artifact + git anyway)
     val pid = ProcessHandle.current().pid()
-    java.nio.file.Files.writeString(
-      histDir.resolve(s"BENCH_FULL.$ts.$pid.json"), json + "\n")
+    val histFile = histDir.resolve(s"BENCH_FULL.$ts.$pid.json")
+    java.nio.file.Files.writeString(histFile, json + "\n")
     try {
       val listing = java.nio.file.Files.list(histDir)
       val records =
@@ -221,7 +221,7 @@ object Bench {
           System.err.println(s"[bench] NOT promoting over $artifact " +
             s"(failed=$nFailed, or different sf, or narrowed run not " +
             s"covering the committed query set, or >1.1x slower on shared " +
-            s"queries); full record kept at $histDir/BENCH_FULL.$ts.json")
+            s"queries); full record kept at $histFile")
         }
     }
     spark.stop()

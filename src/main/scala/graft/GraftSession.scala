@@ -77,12 +77,14 @@ object GraftSession {
     require(shufflePartitionsWrapActive.compareAndSet(false, true),
       "withShufflePartitions is not reentrant: an overlapping wrap would " +
         "restore the wrong prior width — serialize the callers")
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally {
-      spark.conf.set(key, prev)
-      shufflePartitionsWrapActive.set(false)
-    }
+    // everything after the CAS sits inside the release-guard: a conf
+    // get/set that throws (session torn down mid-run) must not wedge
+    // the flag true for the rest of the JVM
+    try {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    } finally shufflePartitionsWrapActive.set(false)
   }
 }

@@ -115,8 +115,14 @@ object ScaleProbe {
     */
   private def ensureHotEvents(spark: SparkSession, sfDir: String, outRoot: String): String = {
     val hotDir = s"$outRoot/ev_x10hot"
-    val hotMarker = Paths.get(s"$hotDir/_hot-v2-userOffset")
+    // EVERY derivation parameter in the marker name, and the dir wiped
+    // (stale markers included) before a rebuild — the same partial-key
+    // discipline as the rtb fixture marker: editing the hot user id,
+    // density divisor, or partition count and later reverting must
+    // regenerate, never silently reuse the other parameters' data
+    val hotMarker = Paths.get(s"$hotDir/_hot-v2-userOffset-u424242-mod10-p20")
     if (!Files.exists(hotMarker)) {
+      FsUtil.deleteRecursively(Paths.get(hotDir))
       buildEventsReplica(spark, sfDir, s"$outRoot/ev_x10", 10)
       spark.read.parquet(s"$outRoot/ev_x10/events.parquet")
         .withColumn("user_id",
@@ -359,10 +365,10 @@ object ScaleProbe {
           implicit val sqlCtx = spark.sqlContext
           import spark.implicits._
           val src = MemoryStream[FunnelState.FunnelEvent]
-          val ck = Files.createTempDirectory("graft_sfun_ck").toString
+          val ck = Files.createTempDirectory("graft_sfun_ck")
           val q = FunnelState.funnelViewSummary(src.toDF()).writeStream
             .outputMode("append")
-            .option("checkpointLocation", ck)
+            .option("checkpointLocation", ck.toString)
             .format("noop").start()
           try {
             evs.grouped(evs.length / nBatches + 1).foreach { g =>
@@ -372,7 +378,12 @@ object ScaleProbe {
             // so the drain includes ALL finalization work
             src.addData(FunnelState.FunnelEvent(-1L, "flush", -1L, flushTs))
             q.processAllAvailable()
-          } finally q.stop()
+          } finally {
+            q.stop()
+            // state-store checkpoints for a 1M-event replay are large;
+            // repeated probe runs must not accumulate them in /tmp
+            FsUtil.deleteRecursively(ck)
+          }
         }
       }
       println("\n| leg | drain |")

@@ -157,14 +157,11 @@ object SqlSurfaceOps {
     * the view registrations resolve, not just the base streams.
     * Covered by the dq row's own oracle; here the count-by-reason text
     * must agree with a direct re-aggregation of the registered view.
+    * Reads THE stored text (one copy per reference string, as #13 —
+    * two byte-for-byte copies could drift independently).
     */
   private[operators] def example15(spark: SparkSession): org.apache.spark.sql.DataFrame =
-    spark.sql(
-      """SELECT reject_reason, COUNT(*) AS rejected_count
-        |   FROM dq_rejected_events
-        |   GROUP BY reject_reason
-        |   ORDER BY rejected_count DESC
-        |   LIMIT 10""".stripMargin)
+    spark.sql(exampleTexts(15))
 
   /** EVERY `scripts/query-examples.sh` text, byte-for-byte (the strings
     * the reference passes to `trino --execute`, script lines 26-214).

@@ -156,8 +156,14 @@ object SubstringIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.persist()
-        val (statsDf, newRows, pinned) = gate(batch.toDF(), index, w)
+        // gate() runs an eager action (the histHit checkpoint), so it
+        // must sit INSIDE the try: a transient failure there would
+        // otherwise skip the finally and strand the persisted batch
+        // (and a partially-cached marked frame) for the session's life
+        var pinned: DataFrame = null
         try {
+          val (statsDf, newRows, p) = gate(batch.toDF(), index, w)
+          pinned = p
           Sinks.exactlyOnce(stats, "substr.stats", batchId) {
             if (!batch.isEmpty) stats.append(statsDf)
           }
@@ -168,7 +174,7 @@ object SubstringIngest {
           // the gate's marked frame is batch-scoped: without the drop a
           // long-running stream accumulates one pinned occurrence set
           // per micro-batch
-          pinned.unpersist()
+          if (pinned != null) pinned.unpersist()
           batch.unpersist()
         }
         ()

@@ -39,12 +39,15 @@ IMPORT_ALLOW = (
 
 # Public documentation/reference hosts this project legitimately cites
 # (plus the RFC 2606 reserved names: example.com and the .example TLD).
+# The allowed domain is ANCHORED at the end of the host (followed by
+# /, :, ?, #, or end) so `github.com.internal-corp.net` cannot pass as
+# a prefix match.
 URL_ALLOW = re.compile(
-    r"https?://(localhost|127\.0\.0\.1|[a-z0-9.-]*"
+    r"https?://(localhost|127\.0\.0\.1|([a-z0-9-]+\.)*"
     r"(apache\.org|github\.com|githubusercontent\.com|arxiv\.org|"
     r"duckdb\.org|wikipedia\.org|scala-lang\.org|scala-sbt\.org|"
-    r"example\.com|[a-z0-9-]+\.example\b|aclanthology\.org|openrtb|"
-    r"iabtechlab\.com|w3\.org|json-schema\.org))")
+    r"example\.com|[a-z0-9-]+\.example|aclanthology\.org|"
+    r"iabtechlab\.com|w3\.org|json-schema\.org))(/|:|\?|#|$)")
 
 # The reference's own documented MinIO warehouse path (create_tables.sql
 # REST-catalog config) — describing it in SURVEY/docs is the assignment,
@@ -75,7 +78,10 @@ def tracked_files():
 
 def scan():
     hits = {c: [] for c in CATEGORIES}
-    imp_re = re.compile(r"^\s*import\s+([A-Za-z_][\w.]*)")
+    # both import forms: `import x.y` (Scala + Python) and Python's
+    # `from x.y import z` — the latter was a scan hole (a `from
+    # corp.internal import client` produced zero hits)
+    imp_re = re.compile(r"^\s*(?:import|from)\s+([A-Za-z_][\w.]*)")
     env_re = re.compile(
         r"""sys\.env(?:\.get(?:OrElse)?)?\s*[.(]\s*"([A-Z0-9_]+)"|"""
         r"""os\.environ(?:\.get)?\s*[\[(]\s*['"]([A-Z0-9_]+)""")
@@ -139,8 +145,14 @@ def main():
     ap.add_argument("round", type=int)
     ap.add_argument("--out", default=os.path.join(REPO, "LEAKCHECK.json"))
     args = ap.parse_args()
-    commit = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
-                            capture_output=True, text=True).stdout.strip()
+    # validate the hash (Bench.scala's sibling discipline): a failed
+    # lookup must stamp "unknown", never an empty string that would
+    # make the provenance record indistinguishable from a hand-edit
+    rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                        capture_output=True, text=True)
+    commit = rev.stdout.strip()
+    if rev.returncode != 0 or not re.fullmatch(r"[0-9a-f]{40}", commit):
+        commit = "unknown"
     hits = scan()
     n = sum(len(v) for v in hits.values())
     record = {
