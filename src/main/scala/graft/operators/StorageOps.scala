@@ -481,8 +481,48 @@ object StorageOps {
     keep.readLogical()
   }
 
+  /** S10-family — incremental changelog read ([[GraftTable.readChanges]],
+    * the Iceberg incremental-append-scan analog): a consumer that was
+    * at snapshot N asks for everything committed since. Three legs
+    * under one hash: the first append's delta (v1), the second
+    * append's delta (v2) — each read from exactly the files its commit
+    * ADDED, tagged with the introducing version — and the range
+    * crossing ONLY the compact commit (v3), which MUST contribute zero
+    * rows (a layout rewrite has no logical delta; emitting its files
+    * would replay the whole table into every downstream consumer).
+    * Upsert-changelog semantics and the rewrite refusal are
+    * ChangelogSpec's; this row pins the file-delta bookkeeping
+    * cross-engine. At 100 TB the property under test is the cost
+    * shape: a poll pays O(new files since last poll), never O(table).
+    */
+  val s16IncrementalRead: QueryDef = QueryDef(
+    "s16_incremental_read",
+    """SELECT 1 AS leg, 1 AS change_version, 'insert' AS change_type,
+      |       event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      |UNION ALL
+      |SELECT 2, 2, 'insert', event_id, CAST(ts AS TIMESTAMP), user_id,
+      |       event_type, round(value, 2)
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-16'""".stripMargin) { t =>
+    val wh = scratch("s16")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("incr_t", eventsSchema)))
+    val tbl = cat.table("incr_t")
+    val src = eventsSrc(t)
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.append(src.filter(col("ts") < cut))
+    tbl.append(src.filter(col("ts") >= cut))
+    tbl.compact(targetBytes = 64L * 1024) // v3: layout-only
+    def leg(n: Int, from: Int, to: Int) =
+      tbl.readChanges(from, to).withColumn("leg", lit(n))
+    leg(1, 0, 1).unionByName(leg(2, 1, 2)).unionByName(leg(3, 2, 3))
+      .select(col("leg"), col("_change_version").as("change_version"),
+        col("_change_type").as("change_type"), col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
-      s15ExpireOrphans, m9PurgeIsolation)
+      s15ExpireOrphans, s16IncrementalRead, m9PurgeIsolation)
 }

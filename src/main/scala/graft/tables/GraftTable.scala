@@ -785,6 +785,62 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   }
 
   /** S10 — the `$snapshots` metadata table. */
+  /** Incremental changelog scan — the Iceberg incremental-append /
+    * changelog-scan analog (the reference's iceberg/tables YAMLs are
+    * consumed downstream exactly this way by its materialization
+    * layer): every LOGICAL change committed in `(fromVersion,
+    * toVersion]`, as the logical rows plus `_change_version` (the
+    * commit that introduced the row) and `_change_type` (`insert` for
+    * appends, `upsert` for merge-on-read upserts — the consumer applies
+    * versions in order, latest-wins per key, the same contract
+    * [[readLogical]] resolves).
+    *
+    * Cost shape: each commit's delta is read from exactly the files
+    * that commit ADDED (commit metadata names them; nothing is diffed
+    * or re-read), so a consumer tailing the table pays O(new data) per
+    * poll — never O(table). Pure layout rewrites (`compact`, `zorder`)
+    * change nothing logical and are skipped. Blind rewrites
+    * (`overwrite`, COW `upsert`, `replace`) THROW: their file delta is
+    * the merged result, not the change set, and emitting it would be
+    * silently wrong — the same reason Iceberg's incremental append
+    * scan refuses non-append snapshots. Changelog consumers pair with
+    * merge-on-read tables, where every commit's delta IS its batch.
+    */
+  def readChanges(fromVersion: Int, toVersion: Int): DataFrame = {
+    val cs = commits
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"${defn.name}: bad changelog range ($fromVersion, $toVersion]")
+    require(toVersion <= cs.lastOption.map(_.version).getOrElse(0),
+      s"${defn.name}: no snapshot v$toVersion")
+    val logicalCols = defn.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    val byVersion = cs.map(c => c.version -> c).toMap
+    val legs = cs.filter(c => c.version > fromVersion && c.version <= toVersion)
+      .flatMap { c =>
+        val prevFiles =
+          byVersion.get(c.version - 1).map(_.files.toSet).getOrElse(Set.empty[String])
+        c.op match {
+          case "append" | "upsert-mor" =>
+            val added = c.files.filterNot(prevFiles)
+            if (added.isEmpty) None
+            else Some(readFilesAs(added).select(logicalCols: _*)
+              .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
+              .withColumn("_change_type", org.apache.spark.sql.functions.lit(
+                if (c.op == "append") "insert" else "upsert")))
+          case "compact" | "zorder" => None // layout-only: no logical delta
+          case other => throw new IllegalArgumentException(
+            s"${defn.name}: commit v${c.version} is '$other' — a rewrite has no " +
+              "derivable change set; changelog consumers need append/merge-on-read " +
+              "commits (see readChanges scaladoc)")
+        }
+      }
+    if (legs.isEmpty) {
+      val schema = StructType(defn.schema.fields ++ Seq(
+        StructField("_change_version", IntegerType, nullable = false),
+        StructField("_change_type", StringType, nullable = false)))
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    } else legs.reduce(_.unionByName(_))
+  }
+
   def snapshots: DataFrame = {
     val schema = StructType(Seq(
       StructField("version", IntegerType, nullable = false),
