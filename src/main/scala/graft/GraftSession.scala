@@ -41,6 +41,10 @@ object GraftSession {
       // rule must be off for the env var to mean anything
       .config("spark.graft.nativeDotRewrite",
         (!sys.env.get("SPARK_GRAFT_DOT").contains("fold")).toString)
+      // the reference's Trino/Iceberg catalog name, served by the
+      // read-only metadata catalog so query-examples #8's literal
+      // `iceberg.db."bid_requests$snapshots"` resolves (see MetaCatalog)
+      .config("spark.sql.catalog.iceberg", classOf[graft.tables.MetaCatalog].getName)
       .config("spark.ui.enabled", "false")
 
   /** Standard entry-point session: local[cpus], shuffle = cpus. */

@@ -101,6 +101,35 @@ object SqlSurfaceOps {
     "bid_landscape_hourly", "realtime_serving_metrics_1m",
     "funnel_leakage_hourly")
 
+  /** Materialize `bid_requests` as a real snapshot-logged GraftTable
+    * under [[graft.tables.MetaCatalog.DefaultWarehouse]], so example
+    * #8's metadata-table read (`iceberg.db."bid_requests$$snapshots"`)
+    * serves genuine commit history. Two appends (the reference's
+    * checkpointed commit cadence) split on request_id parity —
+    * deterministic and idempotent (the second commit's json is the
+    * completion marker; serial-suite assumption as elsewhere).
+    */
+  def ensureLakehouse(spark: SparkSession): Unit = {
+    import graft.tables.{GraftTable, MetaCatalog, TableDef}
+    val wh = MetaCatalog.DefaultWarehouse
+    val done = java.nio.file.Paths.get(s"$wh/bid_requests/_commits/commit-2.json")
+    if (java.nio.file.Files.exists(done)) return
+    ensureData(spark)
+    val br = ExampleQueryOps.br(spark)
+    val tbl = new GraftTable(spark,
+      TableDef("bid_requests", br.schema), wh)
+    if (tbl.currentVersion == 0) {
+      // request_id is a string ("req-<hex>-<seq>"); split on the stable
+      // hash's parity — deterministic, roughly even halves
+      val half = org.apache.spark.sql.functions
+        .pmod(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("request_id")),
+          org.apache.spark.sql.functions.lit(2L))
+      tbl.append(br.filter(half === 0))
+      tbl.append(br.filter(half === 1))
+    }
+  }
+
   /** scripts/query-examples.sh:150-161, byte-for-byte (the string the
     * reference passes to `trino --execute`).
     */
@@ -165,15 +194,12 @@ object SqlSurfaceOps {
 
   /** EVERY `scripts/query-examples.sh` text, byte-for-byte (the strings
     * the reference passes to `trino --execute`, script lines 26-214).
-    * SqlSurfaceSpec replays each through `spark.sql` against the
+    * SqlSurfaceSpec replays ALL 19 through `spark.sql` against the
     * registered surface — the complete "paste the reference's SQL, get
-    * the reference's answer" contract. One exclusion, [[nonReplayable]]:
-    * #8 addresses Trino's Iceberg METADATA-table syntax
-    * (`iceberg.db."bid_requests$$snapshots"` — a catalog-qualified,
-    * double-quoted, dollar-suffixed identifier Spark's parser has no
-    * reading for); its snapshot-history SEMANTICS are pinned by the
-    * `s10_snapshots`/`s13_time_travel` rows over GraftTable's own
-    * snapshot metadata.
+    * the reference's answer" contract. #8's Iceberg metadata-table read
+    * resolves through the [[graft.tables.MetaCatalog]] `iceberg`
+    * catalog over [[ensureLakehouse]]'s materialized commit history
+    * (see [[needsAnsiQuotes]] for its one session conf).
     */
   val exampleTexts: Map[Int, String] = Map(
     1 ->
@@ -228,6 +254,11 @@ object SqlSurfaceOps {
         |   FROM bid_requests
         |   GROUP BY is_gdpr, is_coppa
         |   ORDER BY request_count DESC""".stripMargin,
+    8 ->
+      """SELECT snapshot_id, parent_id, committed_at, operation, summary
+        |   FROM iceberg.db."bid_requests$snapshots"
+        |   ORDER BY committed_at DESC
+        |   LIMIT 10""".stripMargin,
     9 ->
       """SELECT br.device_geo_country,
         |          COUNT(br.request_id) AS requests,
@@ -311,12 +342,16 @@ object SqlSurfaceOps {
         |   ORDER BY window_start DESC, requests_no_response DESC
         |   LIMIT 20""".stripMargin)
 
-  /** The example numbers that cannot run through `spark.sql` verbatim,
-    * with the reason and where their semantics ARE pinned.
+  /** Example numbers that need a session conf beyond the default to
+    * parse (the TEXT is still verbatim): #8's `"bid_requests$snapshots"`
+    * uses ANSI double-quoted identifiers — Trino's default quoting —
+    * which Spark enables with `spark.sql.ansi.doubleQuotedIdentifiers`;
+    * the `iceberg` catalog itself is served by
+    * [[graft.tables.MetaCatalog]] and [[ensureLakehouse]]'s
+    * materialization. (Formerly the one non-replayable exclusion; the
+    * surface now replays all 19.)
     */
-  val nonReplayable: Map[Int, String] = Map(
-    8 -> ("Trino Iceberg metadata-table syntax (iceberg.db.\"bid_requests$snapshots\") — " +
-      "snapshot-history semantics pinned by s10_snapshots/s13_time_travel"))
+  val needsAnsiQuotes: Set[Int] = Set(8)
 
   val all: Seq[QueryDef] = Seq(x3SqlSurface)
 }

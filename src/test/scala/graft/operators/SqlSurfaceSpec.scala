@@ -26,20 +26,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(names.size == 4 + 3 + 17 + 2, s"surface drifted: ${names.sorted}")
   }
 
-  test("all 18 replayable query-examples texts run verbatim against the surface") {
+  test("all 19 query-examples texts run verbatim against the surface") {
     SqlSurfaceOps.registerSurface(spark, sf)
-    // #8 is the single documented exclusion (Trino Iceberg metadata
-    // syntax); everything else must parse, resolve, and return rows
-    assert(SqlSurfaceOps.exampleTexts.keySet ++ SqlSurfaceOps.nonReplayable.keySet
-      == (1 to 19).toSet, "example inventory drifted")
+    SqlSurfaceOps.ensureLakehouse(spark)
+    assert(SqlSurfaceOps.exampleTexts.keySet == (1 to 19).toSet,
+      "example inventory drifted")
     val limitRe = """LIMIT (\d+)\s*$""".r
+    def withAnsiQuotes[T](body: => T): T = {
+      val key = "spark.sql.ansi.doubleQuotedIdentifiers"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "true")
+      try body finally spark.conf.set(key, prev)
+    }
     for ((n, text) <- SqlSurfaceOps.exampleTexts.toSeq.sortBy(_._1)) {
-      val rows = spark.sql(text).collect()
+      val rows =
+        if (SqlSurfaceOps.needsAnsiQuotes(n)) withAnsiQuotes(spark.sql(text).collect())
+        else spark.sql(text).collect()
       assert(rows.nonEmpty, s"example #$n returned no rows")
       limitRe.findFirstMatchIn(text).foreach { m =>
         assert(rows.length <= m.group(1).toInt, s"example #$n overflowed its LIMIT")
       }
     }
+  }
+
+  test("example #8's snapshot history reflects the materialized commit log") {
+    SqlSurfaceOps.registerSurface(spark, sf)
+    SqlSurfaceOps.ensureLakehouse(spark)
+    val key = "spark.sql.ansi.doubleQuotedIdentifiers"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try {
+      val rows = spark.sql(SqlSurfaceOps.exampleTexts(8)).collect()
+      // two append commits, newest first; parentage chains 2 -> 1 -> null
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L), rows.mkString(";"))
+      val byId = rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(byId(1L).isEmpty && byId(2L).contains(1L), byId.toString)
+      assert(rows.forall(_.getString(3) == "append"), rows.mkString(";"))
+      assert(rows.forall(r => !r.isNullAt(4)), "summary map missing")
+    } finally spark.conf.set(key, prev)
   }
 
   test("single-table example texts agree with an independent recomputation") {
