@@ -114,11 +114,16 @@ object SqlSurfaceOps {
     val wh = MetaCatalog.DefaultWarehouse
     val done = java.nio.file.Paths.get(s"$wh/bid_requests/_commits/commit-2.json")
     if (java.nio.file.Files.exists(done)) return
+    // completion marker absent → wipe any partial state before building
+    // (a crash between the two appends would otherwise leave a
+    // permanently half-populated table in the cross-JVM /tmp warehouse;
+    // same discipline as the probe fixtures)
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(s"$wh/bid_requests"))
     ensureData(spark)
     val br = ExampleQueryOps.br(spark)
     val tbl = new GraftTable(spark,
       TableDef("bid_requests", br.schema), wh)
-    if (tbl.currentVersion == 0) {
+    locally {
       // request_id is a string ("req-<hex>-<seq>"); split on the stable
       // hash's parity — deterministic, roughly even halves
       val half = org.apache.spark.sql.functions

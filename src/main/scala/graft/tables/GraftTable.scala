@@ -814,6 +814,22 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       s"${defn.name}: no snapshot v$toVersion")
     val logicalCols = defn.schema.fieldNames.map(org.apache.spark.sql.functions.col)
     val byVersion = cs.map(c => c.version -> c).toMap
+    // EVERY version in the range must still be in the log, and each
+    // surviving commit's predecessor too (the delta is files-minus-
+    // predecessor): an expired commit is a changelog GAP, and the two
+    // silent failure shapes it would otherwise cause — a vanished
+    // version contributing nothing, or an empty predecessor set
+    // replaying the whole carried file list as one commit's "delta" —
+    // are both corrupt for a consumer. Refuse; it re-syncs from a full
+    // snapshot read.
+    val missing = ((fromVersion + 1) to toVersion).filterNot(byVersion.contains) ++
+      ((fromVersion + 1) to toVersion)
+        .filter(v => v > 1 && !byVersion.contains(v - 1)).map(_ - 1)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"${defn.name}: commit(s) v${missing.distinct.sorted.mkString(", v")} " +
+          s"expired — changelog gap in ($fromVersion, $toVersion]; " +
+          "re-sync from readLogical")
     val legs = cs.filter(c => c.version > fromVersion && c.version <= toVersion)
       .flatMap { c =>
         val prevFiles =

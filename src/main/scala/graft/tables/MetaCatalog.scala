@@ -102,11 +102,21 @@ object MetaCatalog {
       val spark = SparkSession.active
       val commits =
         new GraftTable(spark, TableDef(base, StructType(Nil)), warehouse).commits
+      val byVersion = commits.map(c => c.version -> c).toMap
       commits.map { c =>
+        // Iceberg's `added-records` is the PER-SNAPSHOT delta; commit
+        // rowCount is the cumulative live total (served separately as
+        // total-records, the snapshots table's row_count analog)
+        val prevFiles = byVersion.get(c.version - 1)
+          .map(_.files.toSet).getOrElse(Set.empty[String])
+        val addedRecords = c.fileRowsOrEmpty
+          .filter { case (f, _) => !prevFiles.contains(f) }.values.sum
         val keys = new GenericArrayData(Array[Any](
           UTF8String.fromString("added-records"),
+          UTF8String.fromString("total-records"),
           UTF8String.fromString("total-data-files")))
         val vals = new GenericArrayData(Array[Any](
+          UTF8String.fromString(addedRecords.toString),
           UTF8String.fromString(c.rowCount.toString),
           UTF8String.fromString(c.files.size.toString)))
         new GenericInternalRow(Array[Any](

@@ -86,6 +86,18 @@ class ChangelogSpec extends AnyFunSuite {
     assert(t.readChanges(0, 1).count() == 10)
   }
 
+  test("an expired predecessor is a changelog GAP, never a silent full replay") {
+    val t = new GraftTable(spark, TableDef("cl5", schema), freshRoot("cl5"))
+    t.append(df(0 until 10, "a", 1.0)) // v1
+    t.append(df(10 until 15, "b", 2.0)) // v2 (carries v1's files too)
+    t.compact(targetBytes = 64L * 1024) // v3 — makes v1/v2 expirable
+    assert(t.expireSnapshots(0L) > 0, "expiry should retire superseded commits")
+    // v2's delta is files-minus-v1, and v1's json is gone: without the
+    // gap check this would emit ALL 15 rows as v2's "delta"
+    val e = intercept[IllegalStateException](t.readChanges(1, 2).collect())
+    assert(e.getMessage.contains("changelog gap"), e.getMessage)
+  }
+
   test("bad ranges fail fast") {
     val t = new GraftTable(spark, TableDef("cl4", schema), freshRoot("cl4"))
     t.append(df(0 until 5, "a", 1.0))

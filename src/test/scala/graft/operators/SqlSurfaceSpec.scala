@@ -13,6 +13,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  /** Scoped ANSI double-quoted-identifier parsing (Trino's quoting
+    * style, needed only by #8's metadata-table identifier).
+    */
+  private def withAnsiQuotes[T](body: => T): T = {
+    val key = "spark.sql.ansi.doubleQuotedIdentifiers"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("the registered surface resolves every reference table and view name") {
     SqlSurfaceOps.registerSurface(spark, sf)
     val names = SqlSurfaceOps.extraSurfaceNames ++
@@ -32,12 +42,6 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(SqlSurfaceOps.exampleTexts.keySet == (1 to 19).toSet,
       "example inventory drifted")
     val limitRe = """LIMIT (\d+)\s*$""".r
-    def withAnsiQuotes[T](body: => T): T = {
-      val key = "spark.sql.ansi.doubleQuotedIdentifiers"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "true")
-      try body finally spark.conf.set(key, prev)
-    }
     for ((n, text) <- SqlSurfaceOps.exampleTexts.toSeq.sortBy(_._1)) {
       val rows =
         if (SqlSurfaceOps.needsAnsiQuotes(n)) withAnsiQuotes(spark.sql(text).collect())
@@ -52,19 +56,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
   test("example #8's snapshot history reflects the materialized commit log") {
     SqlSurfaceOps.registerSurface(spark, sf)
     SqlSurfaceOps.ensureLakehouse(spark)
-    val key = "spark.sql.ansi.doubleQuotedIdentifiers"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "true")
-    try {
-      val rows = spark.sql(SqlSurfaceOps.exampleTexts(8)).collect()
-      // two append commits, newest first; parentage chains 2 -> 1 -> null
-      assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L), rows.mkString(";"))
-      val byId = rows.map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-      assert(byId(1L).isEmpty && byId(2L).contains(1L), byId.toString)
-      assert(rows.forall(_.getString(3) == "append"), rows.mkString(";"))
-      assert(rows.forall(r => !r.isNullAt(4)), "summary map missing")
-    } finally spark.conf.set(key, prev)
+    val rows = withAnsiQuotes(spark.sql(SqlSurfaceOps.exampleTexts(8)).collect())
+    // two append commits, newest first; parentage chains 2 -> 1 -> null
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L), rows.mkString(";"))
+    val byId = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(1L), byId.toString)
+    assert(rows.forall(_.getString(3) == "append"), rows.mkString(";"))
+    // summary semantics: added-records is the PER-SNAPSHOT delta (the
+    // two appends partition the table), total-records the running sum
+    val summaries = rows.map(r => r.getLong(0) ->
+      r.getMap[String, String](4)).toMap
+    val added = summaries.view.mapValues(_("added-records").toLong).toMap
+    val total = summaries.view.mapValues(_("total-records").toLong).toMap
+    assert(added(1L) > 0 && added(2L) > 0, s"empty append delta: $added")
+    assert(added(1L) + added(2L) == total(2L),
+      s"added-records must partition the table: $added vs $total")
+    assert(total(1L) == added(1L), s"first snapshot total == its delta: $total")
   }
 
   test("single-table example texts agree with an independent recomputation") {
