@@ -348,7 +348,32 @@ object ScaleProbe {
         "benign_10x" -> s"$outRoot/ev_x10",
         "hot_10x" -> ensureHotEvents(spark, sfDir, outRoot))
       val nBatches = 8
-      val rows = legs.map { case (label, dir) =>
+      def drain(evs: Array[FunnelState.FunnelEvent], flushTs: java.sql.Timestamp)(
+          summary: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): Unit = {
+        implicit val sqlCtx = spark.sqlContext
+        import spark.implicits._
+        val src = MemoryStream[FunnelState.FunnelEvent]
+        val ck = Files.createTempDirectory("graft_sfun_ck")
+        val q = summary(src.toDF()).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck.toString)
+          .format("noop").start()
+        try {
+          evs.grouped(evs.length / nBatches + 1).foreach { g =>
+            src.addData(g.toIndexedSeq); q.processAllAvailable()
+          }
+          // sentinel advances the watermark past every view's horizon
+          // so the drain includes ALL finalization work
+          src.addData(FunnelState.FunnelEvent(-1L, "flush", -1L, flushTs))
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          // state-store checkpoints for a 1M-event replay are large;
+          // repeated probe runs must not accumulate them in /tmp
+          FsUtil.deleteRecursively(ck)
+        }
+      }
+      val rows = legs.flatMap { case (label, dir) =>
         // driver-side replay set: (event_id, epoch-ms, user, type) — the
         // collect is probe scaffolding (bounded by the replica size),
         // not an engine pattern
@@ -361,33 +386,18 @@ object ScaleProbe {
           .sortBy(_.ts.getTime)
         val flushTs = new java.sql.Timestamp(
           evs.last.ts.getTime + FunnelState.HorizonMs + 120000L)
-        label -> timed(spark, s"funnel_stream($label)") {
-          implicit val sqlCtx = spark.sqlContext
-          import spark.implicits._
-          val src = MemoryStream[FunnelState.FunnelEvent]
-          val ck = Files.createTempDirectory("graft_sfun_ck")
-          val q = FunnelState.funnelViewSummary(src.toDF()).writeStream
-            .outputMode("append")
-            .option("checkpointLocation", ck.toString)
-            .format("noop").start()
-          try {
-            evs.grouped(evs.length / nBatches + 1).foreach { g =>
-              src.addData(g.toIndexedSeq); q.processAllAvailable()
-            }
-            // sentinel advances the watermark past every view's horizon
-            // so the drain includes ALL finalization work
-            src.addData(FunnelState.FunnelEvent(-1L, "flush", -1L, flushTs))
-            q.processAllAvailable()
-          } finally {
-            q.stop()
-            // state-store checkpoints for a 1M-event replay are large;
-            // repeated probe runs must not accumulate them in /tmp
-            FsUtil.deleteRecursively(ck)
-          }
-        }
+        // both stateful operators share the MatchBuf core; the tws leg
+        // additionally exercises RocksDB column-family state (the
+        // off-heap path the 100 TB story leans on for hot-key buffers)
+        Seq(
+          s"fmgws($label)" -> timed(spark, s"fmgws($label)")(
+            drain(evs, flushTs)(FunnelState.funnelViewSummary))._2,
+          s"tws($label)" -> timed(spark, s"tws($label)")(
+            streaming.FunnelTws.withRocksDb(spark)(
+              drain(evs, flushTs)(streaming.FunnelTws.funnelViewSummary)))._2)
       }
       println("\n| leg | drain |")
-      rows.foreach { case (l, (_, s)) => println(f"| $l | $s%.2f s |") }
+      rows.foreach { case (l, s) => println(f"| $l | $s%.2f s |") }
       spark.stop()
       return
     }
