@@ -154,13 +154,23 @@ object Bench {
     // a hand-edit (VERDICT r11 #4). Additive fields — the driver reads
     // metric/value/queries and ignores the rest.
     val root = repoRoot(java.nio.file.Paths.get(sys.props("user.dir")))
-    val commit =
+    def gitOut(args: String*): Option[String] =
       try {
-        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        val p = new ProcessBuilder(("git" +: args): _*)
           .directory(root.toFile).redirectErrorStream(true).start()
         val out = new String(p.getInputStream.readAllBytes()).trim
-        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
-      } catch { case _: Throwable => "unknown" }
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Throwable => None }
+    // a dirty worktree gets "-dirty" suffixed: a bench of uncommitted
+    // code must not carry a commit hash it does not correspond to (the
+    // field exists to prove "fresh run of THIS code, not a hand-edit")
+    val commit = gitOut("rev-parse", "HEAD")
+      .filter(_.matches("[0-9a-f]{40}"))
+      .map { h =>
+        val dirty = gitOut("status", "--porcelain").exists(_.nonEmpty)
+        if (dirty) s"$h-dirty" else h
+      }
+      .getOrElse("unknown")
     val runTs = java.time.Instant.now().toString
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","harness":"noop-sink","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"commit":"$commit","ts":"$runTs"}"""

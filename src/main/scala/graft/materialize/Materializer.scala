@@ -245,26 +245,27 @@ final class Materializer(
 
   /** Files the source gained since snapshot `sinceVersion`, IFF the
     * delta is purely appends. None ⇒ unknowable — the base snapshot was
-    * expired, a non-append commit (replace/compact/overwrite) rewrote
-    * files, or the source is merge-on-read (an upsert shadows an OLD
-    * row whose day the new file does not reveal) — and callers fall
-    * back to signature detection, which is correct for any history.
-    * Some(Nil) ⇒ provably no new facts.
+    * expired (a changelog gap), a blind rewrite has no derivable change
+    * set, an upsert shadows an OLD row whose day the new files do not
+    * reveal (merge-on-read or change-tracked copy-on-write alike), or
+    * the source is merge-on-read — and callers fall back to signature
+    * detection, which is correct for any history. Some(Nil) ⇒ provably
+    * no new facts (layout-only rewrites land here: compact/zorder
+    * change no logical rows, so they no longer force the signature
+    * path). Delta enumeration and gap semantics live in ONE place —
+    * [[graft.tables.GraftTable.fileDeltasSince]], shared with
+    * readChanges — so the two changelog consumers can never drift.
     */
   private def sourceAppendsSince(sinceVersion: Long): Option[Seq[String]] = {
     if (source.defn.mergeOnRead) return None
-    val cs = source.commits
-    cs.find(_.version.toLong == sinceVersion) match {
-      case None => None
-      case Some(base) =>
-        val later = cs.filter(_.version.toLong > sinceVersion)
-        if (later.exists(_.op != "append")) None
-        else {
-          val baseFiles = base.files.toSet
-          val cur = cs.last.files.toSet
-          if ((baseFiles -- cur).nonEmpty) None
-          else Some((cur -- baseFiles).toSeq.sorted)
-        }
+    if (sinceVersion > Int.MaxValue) return None
+    source.fileDeltasSince(sinceVersion.toInt, source.currentVersion) match {
+      case Left(_) => None
+      // an upsert delta is key-shaped, not append-shaped: the batch can
+      // move a key to a different day while the stale day stays quiet —
+      // exactly what the day-candidate logic cannot see
+      case Right(deltas) if deltas.exists(_._1.op.startsWith("upsert")) => None
+      case Right(deltas) => Some(deltas.flatMap(_._2).sorted)
     }
   }
 

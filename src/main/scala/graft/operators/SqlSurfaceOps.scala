@@ -31,28 +31,54 @@ object SqlSurfaceOps {
     * [[ExampleQueryOps]]'s deviation notes).
     */
   def registerBaseStreams(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.functions.col
     ensureData(spark)
-    // Landed-schema aliases (iceberg/tables/bid_requests.yml:5-45,
-    // bid_responses.yml:5-35): the flat views keep their internal names
-    // AND expose the reference table's column names, so any example text
-    // (e.g. #5's `event_timestamp`, #10's `resp.seat`) resolves
-    // verbatim. Pure projection — no execution cost at register time.
-    ExampleQueryOps.br(spark)
-      .withColumn("site_id", col("property_id"))
-      .withColumn("site_domain", col("property_domain"))
-      .withColumn("site_cat", col("content_cat"))
-      .withColumn("event_timestamp", col("event_ts"))
-      .withColumn("received_at", col("received_ts"))
-      .createOrReplaceTempView("bid_requests")
-    ExampleQueryOps.bids(spark)
-      .withColumn("seat", col("bidder_id"))
-      .withColumn("event_timestamp", col("event_ts"))
-      .createOrReplaceTempView("bid_responses")
+    // EXACTLY the landed schemas — column list and order per
+    // iceberg/tables/bid_requests.yml:5-45 / bid_responses.yml:5-35 —
+    // so a pasted `SELECT *` or DESCRIBE against these names matches
+    // the reference table, not a widened internal superset (a dual-name
+    // projection used to pass the 19 examples only because each text
+    // names its columns). Pure projection — nothing executes at
+    // register time.
+    landedBidRequests(spark).createOrReplaceTempView("bid_requests")
+    landedBidResponses(spark).createOrReplaceTempView("bid_responses")
     spark.read.parquet(s"$root/impressions").dropDuplicates("impression_id")
       .createOrReplaceTempView("impressions")
     spark.read.parquet(s"$root/clicks").dropDuplicates("click_id")
       .createOrReplaceTempView("clicks")
+  }
+
+  /** The clean flat request stream projected to bid_requests.yml's
+    * landed schema (21 columns, yml order).
+    */
+  private[operators] def landedBidRequests(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ExampleQueryOps.br(spark).select(
+      col("request_id"), col("imp_id"),
+      col("imp_banner_w"), col("imp_banner_h"), col("imp_bidfloor"),
+      col("property_id").as("site_id"),
+      col("property_domain").as("site_domain"),
+      col("content_cat").as("site_cat"),
+      col("publisher_id"), col("device_type"), col("device_os"),
+      col("device_geo_country"), col("device_geo_region"), col("user_id"),
+      col("auction_type"), col("tmax"), col("currency"),
+      col("is_coppa"), col("is_gdpr"),
+      col("event_ts").as("event_timestamp"),
+      col("received_ts").as("received_at"))
+  }
+
+  /** The flat per-bid response stream projected to bid_responses.yml's
+    * landed schema (16 columns, yml order).
+    */
+  private[operators] def landedBidResponses(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ExampleQueryOps.bids(spark).select(
+      col("response_id"), col("request_id"),
+      col("bidder_id").as("seat"),
+      col("bid_id"), col("imp_id"), col("bid_price"), col("creative_id"),
+      col("deal_id"), col("ad_domain"), col("campaign_id"),
+      col("line_item_id"), col("strategy_id"), col("advertiser_id"),
+      col("agency_id"), col("currency"),
+      col("event_ts").as("event_timestamp"))
   }
 
   /** Register the FULL reference surface: the base streams plus every
@@ -120,7 +146,7 @@ object SqlSurfaceOps {
     // same discipline as the probe fixtures)
     graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(s"$wh/bid_requests"))
     ensureData(spark)
-    val br = ExampleQueryOps.br(spark)
+    val br = landedBidRequests(spark)
     val tbl = new GraftTable(spark,
       TableDef("bid_requests", br.schema), wh)
     locally {

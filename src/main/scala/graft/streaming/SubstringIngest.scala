@@ -110,31 +110,41 @@ object SubstringIngest {
       .withColumn("packed", DedupOps.packedPos)
       .withColumn("keep_packed", min(col("packed")).over(byH))
       .persist()
-    // one row per distinct batch hash: the in-batch keep-first winner
-    // ((doc_id, pos) packing makes the min unique per hash)
-    val firsts = marked.filter(col("packed") === col("keep_packed"))
-      .select(col("h"), col("doc_id"))
-    val ids = batch.select(col("doc_id").as("first_doc_id"))
-    // historical hit set: index hashes that match this batch, excluding
-    // rows this batch itself first contributed (replay) — the batch's
-    // distinct hashes broadcast, the index never shuffles
-    val histHit = index.readLogical()
-      .join(broadcast(ids), Seq("first_doc_id"), "left_anti")
-      .join(broadcast(firsts.select("h")), Seq("h"), "left_semi")
-      .select(col("h")).distinct()
-      .localCheckpoint()
-    val hist = broadcast(histHit.withColumn("in_hist", lit(true)))
-    val redundant = marked
-      .join(hist, Seq("h"), "left")
-      .filter(col("in_hist").isNotNull || col("packed") =!= col("keep_packed"))
-      .select(col("doc_id"), col("pos"))
-    val stats = DedupOps.substringCutStats(ww, redundant, w)
-    val newRows = firsts
-      .join(hist, Seq("h"), "left")
-      .filter(col("in_hist").isNull)
-      .select(pmod(col("h"), lit(NShards.toLong)).cast(IntegerType).as("shard"),
-        col("h"), col("doc_id").as("first_doc_id"))
-    (stats, newRows, marked)
+    // `marked` ownership transfers to the caller only on a successful
+    // return; the histHit localCheckpoint below is an eager action, so
+    // a failure there must unpersist here or the partially-cached frame
+    // leaks for the session's life (the caller's finally never sees it)
+    try {
+      // one row per distinct batch hash: the in-batch keep-first winner
+      // ((doc_id, pos) packing makes the min unique per hash)
+      val firsts = marked.filter(col("packed") === col("keep_packed"))
+        .select(col("h"), col("doc_id"))
+      val ids = batch.select(col("doc_id").as("first_doc_id"))
+      // historical hit set: index hashes that match this batch, excluding
+      // rows this batch itself first contributed (replay) — the batch's
+      // distinct hashes broadcast, the index never shuffles
+      val histHit = index.readLogical()
+        .join(broadcast(ids), Seq("first_doc_id"), "left_anti")
+        .join(broadcast(firsts.select("h")), Seq("h"), "left_semi")
+        .select(col("h")).distinct()
+        .localCheckpoint()
+      val hist = broadcast(histHit.withColumn("in_hist", lit(true)))
+      val redundant = marked
+        .join(hist, Seq("h"), "left")
+        .filter(col("in_hist").isNotNull || col("packed") =!= col("keep_packed"))
+        .select(col("doc_id"), col("pos"))
+      val stats = DedupOps.substringCutStats(ww, redundant, w)
+      val newRows = firsts
+        .join(hist, Seq("h"), "left")
+        .filter(col("in_hist").isNull)
+        .select(pmod(col("h"), lit(NShards.toLong)).cast(IntegerType).as("shard"),
+          col("h"), col("doc_id").as("first_doc_id"))
+      (stats, newRows, marked)
+    } catch {
+      case t: Throwable =>
+        marked.unpersist()
+        throw t
+    }
   }
 
   /** `(doc_id, text)` stream → cut-stats + window-index appends,

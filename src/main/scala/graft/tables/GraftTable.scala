@@ -27,10 +27,22 @@ final case class CommitMeta(
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     sinkBatches: Map[String, Long] = Map.empty,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
-    fileRows: Map[String, Long] = Map.empty) {
+    fileRows: Map[String, Long] = Map.empty,
+    changeFiles: Seq[String] = Nil) {
   /** Jackson leaves a missing field null on old commit jsons. */
   def sinkBatchesOrEmpty: Map[String, Long] =
     Option(sinkBatches).getOrElse(Map.empty)
+
+  /** For a copy-on-write upsert commit: the subset of this commit's
+    * files holding EXACTLY the upserted batch (the survivors were
+    * rewritten into separate files), i.e. the commit's logical change
+    * set — Iceberg's changelog scan derives the same rows from the
+    * equality-delete files a v2 MERGE writes. Empty on every other op
+    * and on pre-upgrade upsert jsons (whose change set is unknowable —
+    * readChanges refuses those, see fileDeltasSince).
+    */
+  def changeFilesOrEmpty: Seq[String] =
+    Option(changeFiles).getOrElse(Nil)
 
   /** Per-file row counts (Iceberg's manifest `record_count` analog) —
     * carried commit to commit so a replace/compact commit re-reads
@@ -115,7 +127,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * how many live files are carried.
     */
   private def writeCommit(op: String, files: Seq[String],
-      knownRows: Map[String, Long] = Map.empty): CommitMeta = {
+      knownRows: Map[String, Long] = Map.empty,
+      changeFiles: Seq[String] = Nil): CommitMeta = {
     val prevMeta = commits.lastOption
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     val fileRows = files.par.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).seq.toMap
@@ -124,7 +137,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // snapshots never loses a sink's mark
     val prev = prevMeta.map(_.sinkBatchesOrEmpty).getOrElse(Map.empty)
     val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op,
-      fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows)
+      fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows, changeFiles)
     val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
     Files.writeString(tmp, mapper.writeValueAsString(meta))
     Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
@@ -335,9 +348,17 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           org.apache.spark.sql.functions.col(s"b.$k"))
         .reduce(_ && _)
       val survivors = cur.join(bb, sameKey, "left_anti")
-      val merged = survivors.unionByName(b)
-      val added = writeFiles(merged)
-      writeCommit("upsert", added)
+        .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      // batch and survivors land in SEPARATE files so the commit can
+      // name the batch's files as its change set (changeFiles) — that
+      // is what lets readChanges serve CDC rows for a COW upsert
+      // instead of refusing (Iceberg's changelog scan reads the same
+      // facts from a MERGE's equality-delete files). Same total write
+      // volume as the former single merged write; one extra file per
+      // touched partition until the next compact.
+      val batchFiles = writeFiles(b)
+      val survivorFiles = writeFiles(survivors)
+      writeCommit("upsert", survivorFiles ++ batchFiles, changeFiles = batchFiles)
     }
   }
 
@@ -807,54 +828,80 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * merge-on-read tables, where every commit's delta IS its batch.
     */
   def readChanges(fromVersion: Int, toVersion: Int): DataFrame = {
-    val cs = commits
-    require(fromVersion >= 0 && fromVersion <= toVersion,
-      s"${defn.name}: bad changelog range ($fromVersion, $toVersion]")
-    require(toVersion <= cs.lastOption.map(_.version).getOrElse(0),
-      s"${defn.name}: no snapshot v$toVersion")
     val logicalCols = defn.schema.fieldNames.map(org.apache.spark.sql.functions.col)
-    val byVersion = cs.map(c => c.version -> c).toMap
-    // EVERY version in the range must still be in the log, and each
-    // surviving commit's predecessor too (the delta is files-minus-
-    // predecessor): an expired commit is a changelog GAP, and the two
-    // silent failure shapes it would otherwise cause — a vanished
-    // version contributing nothing, or an empty predecessor set
-    // replaying the whole carried file list as one commit's "delta" —
-    // are both corrupt for a consumer. Refuse; it re-syncs from a full
-    // snapshot read.
-    val missing = ((fromVersion + 1) to toVersion).filterNot(byVersion.contains) ++
-      ((fromVersion + 1) to toVersion)
-        .filter(v => v > 1 && !byVersion.contains(v - 1)).map(_ - 1)
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"${defn.name}: commit(s) v${missing.distinct.sorted.mkString(", v")} " +
-          s"expired — changelog gap in ($fromVersion, $toVersion]; " +
-          "re-sync from readLogical")
-    val legs = cs.filter(c => c.version > fromVersion && c.version <= toVersion)
-      .flatMap { c =>
-        val prevFiles =
-          byVersion.get(c.version - 1).map(_.files.toSet).getOrElse(Set.empty[String])
-        c.op match {
-          case "append" | "upsert-mor" =>
-            val added = c.files.filterNot(prevFiles)
-            if (added.isEmpty) None
-            else Some(readFilesAs(added).select(logicalCols: _*)
-              .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
-              .withColumn("_change_type", org.apache.spark.sql.functions.lit(
-                if (c.op == "append") "insert" else "upsert")))
-          case "compact" | "zorder" => None // layout-only: no logical delta
-          case other => throw new IllegalArgumentException(
-            s"${defn.name}: commit v${c.version} is '$other' — a rewrite has no " +
-              "derivable change set; changelog consumers need append/merge-on-read " +
-              "commits (see readChanges scaladoc)")
-        }
-      }
+    val deltas = fileDeltasSince(fromVersion, toVersion).fold(throw _, identity)
+    val legs = deltas.flatMap { case (c, added) =>
+      if (added.isEmpty) None
+      else Some(readFilesAs(added).select(logicalCols: _*)
+        .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit(
+          if (c.op == "append") "insert" else "upsert")))
+    }
     if (legs.isEmpty) {
       val schema = StructType(defn.schema.fields ++ Seq(
         StructField("_change_version", IntegerType, nullable = false),
         StructField("_change_type", StringType, nullable = false)))
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     } else legs.reduce(_.unionByName(_))
+  }
+
+  /** The single owner of changelog FILE-DELTA semantics — which files
+    * carry each commit's logical change in `(fromVersion, toVersion]`,
+    * or a refusal. Both consumers sit on this one path (VERDICT r12
+    * #7): [[readChanges]] throws the refusal; the materializer's
+    * append detection (Materializer.sourceAppendsSince) falls back to
+    * signature detection, so the two can never drift on gap handling.
+    *
+    * Per-op delta: `append`/`upsert-mor` commits added exactly
+    * `files − predecessor's files`; a copy-on-write `upsert` that
+    * recorded its batch's files names them (`changeFiles` — the
+    * survivors' rewritten files are NOT changes); layout-only rewrites
+    * (`compact`, `zorder`) change nothing logical and contribute an
+    * empty delta. Everything else refuses: a blind rewrite's file
+    * delta is the merged result, not the change set, and a
+    * pre-changeFiles upsert json no longer knows its batch.
+    *
+    * Gap rule: every version in the range AND each one's predecessor
+    * must still be in the log (the delta is files-minus-predecessor).
+    * An expired commit would otherwise fail in one of two SILENT
+    * shapes — a vanished version contributing nothing, or an empty
+    * predecessor set replaying the whole carried file list as one
+    * commit's "delta" — both corrupt for a consumer. Refuse instead;
+    * the consumer re-syncs from a full snapshot read.
+    */
+  private[graft] def fileDeltasSince(fromVersion: Int, toVersion: Int)
+      : Either[RuntimeException, Seq[(CommitMeta, Seq[String])]] = {
+    val cs = commits
+    if (fromVersion < 0 || fromVersion > toVersion)
+      return Left(new IllegalArgumentException(
+        s"${defn.name}: bad changelog range ($fromVersion, $toVersion]"))
+    if (toVersion > cs.lastOption.map(_.version).getOrElse(0))
+      return Left(new IllegalArgumentException(
+        s"${defn.name}: no snapshot v$toVersion"))
+    val byVersion = cs.map(c => c.version -> c).toMap
+    val missing = ((fromVersion + 1) to toVersion).filterNot(byVersion.contains) ++
+      ((fromVersion + 1) to toVersion)
+        .filter(v => v > 1 && !byVersion.contains(v - 1)).map(_ - 1)
+    if (missing.nonEmpty)
+      return Left(new IllegalStateException(
+        s"${defn.name}: commit(s) v${missing.distinct.sorted.mkString(", v")} " +
+          s"expired — changelog gap in ($fromVersion, $toVersion]; " +
+          "re-sync from readLogical"))
+    val deltas = cs.filter(c => c.version > fromVersion && c.version <= toVersion)
+      .map { c =>
+        val prevFiles =
+          byVersion.get(c.version - 1).map(_.files.toSet).getOrElse(Set.empty[String])
+        c.op match {
+          case "append" | "upsert-mor" => c -> c.files.filterNot(prevFiles)
+          case "upsert" if c.changeFilesOrEmpty.nonEmpty => c -> c.changeFilesOrEmpty
+          case "compact" | "zorder" => c -> Nil // layout-only: no logical delta
+          case other => return Left(new IllegalArgumentException(
+            s"${defn.name}: commit v${c.version} is '$other' — a rewrite has no " +
+              "derivable change set; changelog consumers need append/merge-on-read/" +
+              "change-tracked upsert commits (see readChanges scaladoc)"))
+        }
+      }
+    Right(deltas)
   }
 
   def snapshots: DataFrame = {

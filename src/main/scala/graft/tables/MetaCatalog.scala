@@ -106,19 +106,26 @@ object MetaCatalog {
       commits.map { c =>
         // Iceberg's `added-records` is the PER-SNAPSHOT delta; commit
         // rowCount is the cumulative live total (served separately as
-        // total-records, the snapshots table's row_count analog)
-        val prevFiles = byVersion.get(c.version - 1)
-          .map(_.files.toSet).getOrElse(Set.empty[String])
-        val addedRecords = c.fileRowsOrEmpty
-          .filter { case (f, _) => !prevFiles.contains(f) }.values.sum
-        val keys = new GenericArrayData(Array[Any](
-          UTF8String.fromString("added-records"),
-          UTF8String.fromString("total-records"),
-          UTF8String.fromString("total-data-files")))
-        val vals = new GenericArrayData(Array[Any](
-          UTF8String.fromString(addedRecords.toString),
-          UTF8String.fromString(c.rowCount.toString),
-          UTF8String.fromString(c.files.size.toString)))
+        // total-records, the snapshots table's row_count analog).
+        // version 1 has a genuinely-empty predecessor; for version>1 a
+        // MISSING predecessor json means the parent was expired — the
+        // delta is then unknowable and the key is OMITTED (mirroring
+        // readChanges' changelog-gap refusal) rather than silently
+        // over-reported against an empty file set.
+        val prevFiles: Option[Set[String]] =
+          if (c.version == 1) Some(Set.empty[String])
+          else byVersion.get(c.version - 1).map(_.files.toSet)
+        val addedRecords = prevFiles.map { pf =>
+          c.fileRowsOrEmpty.filter { case (f, _) => !pf.contains(f) }.values.sum
+        }
+        val pairs =
+          addedRecords.map(a => "added-records" -> a.toString).toSeq ++ Seq(
+            "total-records" -> c.rowCount.toString,
+            "total-data-files" -> c.files.size.toString)
+        val keys = new GenericArrayData(
+          pairs.map(p => UTF8String.fromString(p._1): Any).toArray)
+        val vals = new GenericArrayData(
+          pairs.map(p => UTF8String.fromString(p._2): Any).toArray)
         new GenericInternalRow(Array[Any](
           c.version.toLong,
           if (c.version > 1) java.lang.Long.valueOf((c.version - 1).toLong) else null,

@@ -76,10 +76,27 @@ class ChangelogSpec extends AnyFunSuite {
       Seq("id", "grp", "v", "_change_version", "_change_type"))
   }
 
-  test("blind rewrites refuse: their file delta is not a change set") {
+  test("copy-on-write upsert deltas are exactly the upserted batch (changeFiles CDC)") {
     val t = new GraftTable(spark, TableDef("cl3", schema, keys = Seq("id")), freshRoot("cl3"))
     t.append(df(0 until 10, "a", 1.0)) // v1
-    t.upsert(df(0 until 5, "b", 2.0))  // v2: COPY-ON-WRITE rewrite (not MOR)
+    t.upsert(df(5 until 12, "b", 2.0)) // v2: COW rewrite, batch files recorded
+    // the delta is the BATCH, not the rewritten merged file set — the
+    // survivors' fresh files must contribute nothing
+    assert(rows(t.readChanges(1, 2)) ==
+      (5 until 12).map(i => (i.toLong, "b", 2.0, 2, "upsert")).toSet)
+    // in-order latest-wins replay of the full range converges to the table
+    val full = rows(t.readChanges(0, 2))
+    val replayed = full.groupBy(_._1).map { case (_, ch) => ch.maxBy(_._4) }
+      .map(c => (c._1, c._2, c._3)).toSet
+    val logical = t.readLogical().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(replayed == logical, "COW changelog replay must converge to the table")
+  }
+
+  test("blind rewrites refuse: their file delta is not a change set") {
+    val t = new GraftTable(spark, TableDef("cl6", schema, keys = Seq("id")), freshRoot("cl6"))
+    t.append(df(0 until 10, "a", 1.0)) // v1
+    t.overwrite(df(0 until 5, "b", 2.0)) // v2: blind rewrite
     val e = intercept[IllegalArgumentException](t.readChanges(1, 2).collect())
     assert(e.getMessage.contains("no derivable change set"), e.getMessage)
     // ranges that stop BEFORE the rewrite still serve

@@ -153,6 +153,15 @@ def main():
     commit = rev.stdout.strip()
     if rev.returncode != 0 or not re.fullmatch(r"[0-9a-f]{40}", commit):
         commit = "unknown"
+    else:
+        # a scan of uncommitted code must not carry a clean commit hash
+        # (round_close.sh commits this file right after the scan, so the
+        # suffix normally marks only ITS pending artifacts — still true:
+        # the stamped hash did not produce exactly this tree)
+        st = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                            capture_output=True, text=True)
+        if st.returncode == 0 and st.stdout.strip():
+            commit += "-dirty"
     hits = scan()
     n = sum(len(v) for v in hits.values())
     record = {
