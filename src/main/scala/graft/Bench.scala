@@ -36,9 +36,16 @@ object Bench {
 
   /** The "sf" field of a bench JSON line; None if unparseable. */
   private[graft] def sfOf(json: String): Option[String] =
+    jsonField(json, "sf")
+
+  /** The "harness" field of a bench JSON line; None if unparseable. */
+  private[graft] def harnessOf(json: String): Option[String] =
+    jsonField(json, "harness")
+
+  private def jsonField(json: String, field: String): Option[String] =
     try {
       val n = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(json).get("sf")
+        .readTree(json).get(field)
       if (n == null) None else Some(n.asText())
     } catch { case _: Throwable => None }
 
@@ -64,6 +71,9 @@ object Bench {
         // truncation loss (round 8 kept 75 of 126 times) the committed
         // artifact exists to prevent
         sfOf(newJson) == sfOf(oldJson.get) &&
+          // a count()-action attribution run is trivially "faster" than
+          // a noop-sink record on the same queries — never comparable
+          harnessOf(newJson) == harnessOf(oldJson.get) &&
           o.keySet.subsetOf(n.keySet) && {
             val shared = n.keySet intersect o.keySet
             if (shared.isEmpty) true
@@ -123,12 +133,21 @@ object Bench {
     // dedup flat at 0.2 s from 1x to 100x corpus). The noop sink
     // consumes every output row and column — what a real consumer pays
     // — with no write cost.
+    // SPARK_GRAFT_BENCH_ACTION=count restores the pre-r8 action for
+    // harness-attribution runs ONLY (comparing a row against a number
+    // recorded under the old harness); such a run stamps its harness
+    // field accordingly and can never promote over a noop-sink record
+    // (shouldPromote keys on the full per-query map + sf, and the
+    // attribution use narrows via SPARK_GRAFT_ONLY anyway).
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "noop-sink")
     val results = defs.map { q =>
       drainState()
       val t0 = System.nanoTime()
       val ok =
         try {
-          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val df = q.fn(spark, sfDir)
+          if (action == "count") df.count()
+          else df.write.format("noop").mode("overwrite").save()
           true
         }
         catch {
@@ -173,7 +192,7 @@ object Bench {
       .getOrElse("unknown")
     val runTs = java.time.Instant.now().toString
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","harness":"noop-sink","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"commit":"$commit","ts":"$runTs"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","harness":"$action","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"failed":$failed,"commit":"$commit","ts":"$runTs"}"""
     println(json)
     // Also write the full record to a COMMITTED artifact: the driver's
     // stdout scrape truncates long tails (round 5 lost the first

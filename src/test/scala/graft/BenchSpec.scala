@@ -33,6 +33,17 @@ class BenchSpec extends AnyFunSuite {
     finally FsUtil.deleteRecursively(dir)
   }
 
+  test("a different-harness run never promotes, even when 'faster'") {
+    def at(harness: String, qs: (String, Double)*): String = {
+      val body = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""{"metric":"total","value":1,"unit":"sec","harness":"$harness","queries":{$body},"sf":"x","failed":[]}"""
+    }
+    val old = at("noop-sink", "q1" -> 10.0)
+    // count() is trivially faster (the tail gets pruned) — not comparable
+    assert(!Bench.shouldPromote(at("count", "q1" -> 1.0), Some(old)))
+    assert(Bench.shouldPromote(at("noop-sink", "q1" -> 1.0), Some(old)))
+  }
+
   test("comparable-or-faster run promotes; >1.1x slower run does not") {
     val old = rec("q1" -> 10.0, "q2" -> 10.0)
     assert(Bench.shouldPromote(rec("q1" -> 9.0, "q2" -> 9.0), Some(old)))
