@@ -8,25 +8,33 @@ import org.apache.spark.sql.streaming._
 /** The funnel re-expressed on `transformWithState` — Spark 4's
   * arbitrary-state v2 operator — emitting the same per-view summaries
   * as [[FunnelState.funnelViewSummary]] with a structural win over
-  * flatMapGroupsWithState: **typed column-family state** (three
-  * ListStates instead of one serialized blob), so appends don't rewrite
-  * the whole buffer, and the RocksDB store (required by the operator)
-  * spills state off-heap — at 100 TB this is the difference between
-  * bounded-memory executors and OOM on hot keys.
+  * flatMapGroupsWithState: typed per-key state the RocksDB store
+  * (required by the operator) spills off-heap — at 100 TB this is the
+  * difference between bounded-memory executors and OOM on hot keys.
   *
-  * Measured trade on a HOT key (sfun probe, one user on 10% of 1M
-  * events, coarse 8-batch cadence): the off-heap store's per-trigger
-  * eviction rewrites (ListState has no partial delete — pruning a
-  * horizon means re-putting the kept list through RocksDB) cost ~3×
-  * wall vs the benign drain (71 s vs 22 s), while the on-heap
-  * flatMapGroupsWithState form stays flat (19–25 s both legs) because
-  * its whole-blob update is one serialize. Both are BOUNDED — per
-  * trigger O(live state), no growth over time — so the operator choice
-  * is throughput (fmgws) vs memory ceiling (tws spills; fmgws OOMs if
-  * a key's horizon buffer outgrows the heap). Idle-trigger rewrites
-  * are skipped (same-size kept list == unchanged — see emitMature),
-  * which keeps timer-only wakeups cheap; the residual cost is the
-  * genuine eviction path.
+  * State layout: each stage is a MapState of CHUNKS — one entry per
+  * trigger's batch (keyed by the batch's min event id; a re-delivered
+  * duplicate that collides merges into the existing entry) — rather
+  * than one ListState element per event. The r12 form paid ~3× wall
+  * on a hot key (sfun probe, 71 s vs 22 s benign) because ListState
+  * has no partial delete: pruning the horizon re-put the whole kept
+  * list through RocksDB every evicting trigger. Chunked MapState
+  * turns eviction into `removeKey` of whole expired entries — zero
+  * rewrite of kept data; the only rewritten entries are view chunks
+  * STRADDLING the finalization boundary (a chunk is rewritten at most
+  * a few times in its life, so lifetime write volume is O(events),
+  * not O(events × triggers)). Appends stay O(batch): one new entry
+  * per stage per trigger. Click/purchase chunks are dropped only when
+  * their NEWEST event leaves the horizon; the stragglers kept up to a
+  * chunk-width longer are provably unmatchable by any view that
+  * finalizes later (such a view has vts ≥ wm − horizon > cts), so
+  * summaries are bit-identical — FunnelPropertySpec pins it.
+  *
+  * Per-entry overhead is the trade: entries per key per stage =
+  * triggers in the horizon (a 1 s cadence × 2.5 h horizon ≈ 9 000
+  * small entries/key worst case — RocksDB prefix-scans them
+  * sequentially at read; the alternative was rewriting the full
+  * buffer per evicting trigger, which loses at every cadence).
   *
   * What does NOT work — measured, not assumed: the operator's
   * `eventTimeColumnName` chaining overload re-tags the output event
@@ -48,31 +56,48 @@ import org.apache.spark.sql.streaming._
   */
 object FunnelTws {
 
+  /** One trigger's events for one stage, column-packed. */
+  case class Chunk(ids: Array[Long], tss: Array[Long])
+
   class FunnelProcessor extends StatefulProcessor[Long, FunnelEvent, ViewSummary] {
-    @transient private var views: ListState[(Long, Long)] = _
-    @transient private var clicks: ListState[(Long, Long)] = _
-    @transient private var purchases: ListState[(Long, Long)] = _
+    @transient private var views: MapState[Long, Chunk] = _
+    @transient private var clicks: MapState[Long, Chunk] = _
+    @transient private var purchases: MapState[Long, Chunk] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      val enc = Encoders.product[(Long, Long)]
-      views = getHandle.getListState("views", enc, TTLConfig.NONE)
-      clicks = getHandle.getListState("clicks", enc, TTLConfig.NONE)
-      purchases = getHandle.getListState("purchases", enc, TTLConfig.NONE)
+      val kEnc = Encoders.scalaLong
+      val vEnc = Encoders.product[Chunk]
+      views = getHandle.getMapState("views", kEnc, vEnc, TTLConfig.NONE)
+      clicks = getHandle.getMapState("clicks", kEnc, vEnc, TTLConfig.NONE)
+      purchases = getHandle.getMapState("purchases", kEnc, vEnc, TTLConfig.NONE)
     }
+
+    /** Append this trigger's events as ONE new entry (keyed by their min
+      * event id — unique across committed triggers except when a
+      * duplicate re-delivery repeats an id, in which case the colliding
+      * entries merge so no buffered event can be overwritten away).
+      */
+    private def stash(s: MapState[Long, Chunk], evs: Seq[(Long, Long)]): Unit =
+      if (evs.nonEmpty) {
+        val k = evs.iterator.map(_._1).min
+        val all =
+          if (s.containsKey(k)) {
+            val prior = s.getValue(k)
+            prior.ids.zip(prior.tss).toSeq ++ evs
+          } else evs
+        s.updateValue(k, Chunk(all.map(_._1).toArray, all.map(_._2).toArray))
+      }
 
     override def handleInputRows(
         key: Long,
         rows: Iterator[FunnelEvent],
         tv: TimerValues): Iterator[ViewSummary] = {
-      rows.foreach { e =>
-        val rec = (e.event_id, e.ts.getTime)
-        e.event_type match {
-          case "view" => views.appendValue(rec)
-          case "click" => clicks.appendValue(rec)
-          case "purchase" => purchases.appendValue(rec)
-          case _ => ()
-        }
-      }
+      val evs = rows.toSeq
+      def of(t: String) =
+        evs.filter(_.event_type == t).map(e => (e.event_id, e.ts.getTime))
+      stash(views, of("view"))
+      stash(clicks, of("click"))
+      stash(purchases, of("purchase"))
       emitMature(key, tv)
     }
 
@@ -82,46 +107,71 @@ object FunnelTws {
         expired: ExpiredTimerInfo): Iterator[ViewSummary] =
       emitMature(key, tv)
 
+    /** Drop entries whose NEWEST event has left the horizon; return
+      * (ALL events including the just-dropped ones — a watermark jump
+      * can finalize a view and expire its matches in the same trigger,
+      * and the unchunked form too summarized before evicting — plus the
+      * earliest next entry-expiry obligation, MaxValue when none live).
+      */
+    private def drainStage(s: MapState[Long, Chunk], wm: Long): (Seq[(Long, Long)], Long) = {
+      val all = Seq.newBuilder[(Long, Long)]
+      val dead = Seq.newBuilder[Long]
+      var next = Long.MaxValue
+      s.iterator().foreach { case (k, c) =>
+        var mx = Long.MinValue
+        var i = 0
+        while (i < c.tss.length) {
+          if (c.tss(i) > mx) mx = c.tss(i)
+          all += ((c.ids(i), c.tss(i)))
+          i += 1
+        }
+        if (mx + FunnelState.HorizonMs < wm) dead += k
+        else next = math.min(next, mx + FunnelState.HorizonMs)
+      }
+      dead.result().foreach(s.removeKey)
+      (all.result(), next)
+    }
+
     /** Same finalize/evict protocol as FunnelState.stepWith: emit views
       * whose horizon is behind the watermark, keep younger state, wake
       * at the earliest next obligation.
       */
     private def emitMature(key: Long, tv: TimerValues): Iterator[ViewSummary] = {
       val wm = tv.getCurrentWatermarkInMs()
-      val vs = views.get().toSeq
-      val cs = clicks.get().toSeq
-      val ps = purchases.get().toSeq
-      val (done, pending) = vs.partition { case (_, vts) => vts + FunnelState.HorizonMs < wm }
+      val (cs, nextC) = drainStage(clicks, wm)
+      val (ps, nextP) = drainStage(purchases, wm)
+      // views need PER-EVENT finalization, so their entries are walked
+      // explicitly: an entry straddling the maturity boundary is
+      // rewritten to its pending remainder, a fully-matured one is
+      // removed — kept data in every other entry is never rewritten
+      val done = Seq.newBuilder[(Long, Long)]
+      val vsAll = Seq.newBuilder[(Long, Long)]
+      var nextV = Long.MaxValue
+      val rewrite = Seq.newBuilder[(Long, Option[Chunk])]
+      views.iterator().foreach { case (k, c) =>
+        val evs = c.ids.zip(c.tss)
+        vsAll ++= evs
+        val (d, pending) = evs.partition { case (_, vts) => vts + FunnelState.HorizonMs < wm }
+        done ++= d
+        if (pending.nonEmpty)
+          nextV = math.min(nextV, pending.iterator.map(_._2).min + FunnelState.HorizonMs)
+        if (d.nonEmpty)
+          rewrite += (k -> (if (pending.isEmpty) None
+            else Some(Chunk(pending.map(_._1), pending.map(_._2)))))
+      }
+      rewrite.result().foreach {
+        case (k, None) => views.removeKey(k)
+        case (k, Some(ch)) => views.updateValue(k, ch)
+      }
       // one match-ready sort per trigger (see FunnelState.MatchBuf — the
       // hot-key guard shared by both stateful funnel operators)
-      lazy val buf = FunnelState.matchReady(Buf(vs, cs, ps))
-      val out = done.sortBy(_._2).map { case (vid, vts) =>
+      lazy val buf = FunnelState.matchReady(Buf(vsAll.result(), cs, ps))
+      val out = done.result().sortBy(_._2).map { case (vid, vts) =>
         FunnelState.summarize(key, vid, vts, buf)
       }
-      val keepC = cs.filter { case (_, cts) => cts + FunnelState.HorizonMs >= wm }
-      val keepP = ps.filter { case (_, pts) => pts + FunnelState.HorizonMs >= wm }
-      // the store rejects empty list writes — clear() is the empty form.
-      // Rewrite a list ONLY when eviction/finalization changed it (the
-      // horizon filters preserve elements, so same size == same list):
-      // a ListState.put is a full O(state) rewrite through the store,
-      // and each trigger runs emitMature TWICE for an active key (input
-      // rows, then the wm+1 timer) — unconditionally rewriting made the
-      // hot-key drain 3.1x the benign one (sfun probe, 73.5 s vs
-      // 23.6 s); skip-if-unchanged restores the append-cheap contract
-      // this operator exists for.
-      def replace(s: ListState[(Long, Long)],
-          kept: Seq[(Long, Long)], prevSize: Int): Unit =
-        if (kept.size != prevSize) {
-          if (kept.isEmpty) s.clear() else s.put(kept.toArray)
-        }
-      replace(views, pending, vs.size)
-      replace(clicks, keepC, cs.size)
-      replace(purchases, keepP, ps.size)
-      if (pending.nonEmpty || keepC.nonEmpty || keepP.nonEmpty) {
-        val next = (pending.map(_._2) ++ keepC.map(_._2) ++ keepP.map(_._2))
-          .map(_ + FunnelState.HorizonMs).min
+      val next = math.min(nextV, math.min(nextC, nextP))
+      if (next != Long.MaxValue)
         getHandle.registerTimer(math.max(next, wm) + 1)
-      }
       out.iterator
     }
   }
