@@ -166,7 +166,7 @@ case class AvroDecode(child: Expression, readerJson: String, writersById: Map[In
   * incompatible change (field type change, new field without default)
   * is rejected with the incompatibility list.
   */
-final class WireRegistry {
+final class WireRegistry extends SchemaRegistryClient {
 
   private var nextId = 1
   private val subjects = mutable.Map.empty[String, Vector[(Int, Schema)]]

@@ -167,7 +167,7 @@ object Jobs {
       responseFrames: DataFrame,
       impressionFrames: DataFrame,
       clickFrames: DataFrame,
-      registry: graft.sources.WireRegistry,
+      registry: graft.sources.SchemaRegistryClient,
       cat: TableCatalog,
       checkpointRoot: String): IngestionPipeline = {
     def decode(frames: DataFrame, subject: String): DataFrame = {
@@ -182,6 +182,30 @@ object Jobs {
       decode(clickFrames, wireSubjects(3)),
       cat, checkpointRoot)
   }
+
+  /** The reference's four topic names (scripts/setup.sh). */
+  val wireTopics: Seq[String] =
+    Seq("bid-requests", "bid-responses", "impressions", "clicks")
+
+  /** [[wireIngestion]] with the topics pulled from a [[graft.sources
+    * .FrameSource]] under the reference's names — the whole-deployment
+    * entry point (PORTING.md §1): a Kafka-equipped user passes a
+    * FrameSource over `spark.readStream.format("kafka")` and a registry
+    * client over their Schema Registry, and the statement set runs
+    * unchanged.
+    */
+  def wireIngestion(
+      spark: SparkSession,
+      source: graft.sources.FrameSource,
+      registry: graft.sources.SchemaRegistryClient,
+      cat: TableCatalog,
+      checkpointRoot: String): IngestionPipeline =
+    wireIngestion(
+      source.frames(spark, wireTopics(0)),
+      source.frames(spark, wireTopics(1)),
+      source.frames(spark, wireTopics(2)),
+      source.frames(spark, wireTopics(3)),
+      registry, cat, checkpointRoot)
 
   val pairsTable = "impression_request_pairs"
   val geoTable = "hourly_impressions_by_geo"

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.tables.GraftTable
+import graft.tables.{GraftTable, SinkTable}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -33,7 +33,7 @@ object Sinks {
     * replay-protected independently); every sink below commits once.
     */
   private[graft] def exactlyOnce(
-      table: GraftTable, sinkId: String, batchId: Long)(commit: => Unit): Unit =
+      table: SinkTable, sinkId: String, batchId: Long)(commit: => Unit): Unit =
     if (batchId > table.lastCommittedBatch(sinkId))
       table.withSinkMark(sinkId, batchId)(commit)
 
@@ -48,7 +48,7 @@ object Sinks {
     * maintenance cadence). Both strategies are latest-wins-identical —
     * TablesSpec and the s5 oracle pair prove it.
     */
-  def hourlyUpsert(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+  def hourlyUpsert(events: DataFrame, table: SinkTable, checkpoint: String): StreamingQuery =
     EventStreams.tumblingHourly(events)
       .writeStream
       .outputMode("update")
@@ -74,7 +74,7 @@ object Sinks {
     * hop multiplies the ROW count (4 windows per event), not the state
     * or commit cost per key.
     */
-  def slidingUpsert(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+  def slidingUpsert(events: DataFrame, table: SinkTable, checkpoint: String): StreamingQuery =
     EventStreams.sliding(events)
       .writeStream
       .outputMode("update")
@@ -93,7 +93,7 @@ object Sinks {
     * the watermark proves its match set complete), so append semantics
     * are exact.
     */
-  def funnelSummaryAppend(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+  def funnelSummaryAppend(events: DataFrame, table: SinkTable, checkpoint: String): StreamingQuery =
     FunnelState.funnelViewSummary(events).toDF()
       .writeStream
       .outputMode("append")
@@ -116,8 +116,8 @@ object Sinks {
     * emitted.
     */
   def funnelRollupFromTable(
-      summaryTable: GraftTable,
-      rollupTable: GraftTable,
+      summaryTable: SinkTable,
+      rollupTable: SinkTable,
       checkpoint: String): StreamingQuery = {
     val summaries = summaryTable.spark.readStream
       .schema(summaryTable.defn.schema)
@@ -137,7 +137,7 @@ object Sinks {
   }
 
   /** Streaming dedup → append table (A3 + S4 composed). */
-  def dedupAppend(events: DataFrame, table: GraftTable, checkpoint: String): StreamingQuery =
+  def dedupAppend(events: DataFrame, table: SinkTable, checkpoint: String): StreamingQuery =
     EventStreams.dedup(events)
       .writeStream
       .outputMode("append")
@@ -164,7 +164,7 @@ object Sinks {
     * append is at most groups × occupied-bins rows, and the estimate
     * stage only ever walks the tiny bin table.
     */
-  def quantileSketchAppend(events: DataFrame, table: GraftTable,
+  def quantileSketchAppend(events: DataFrame, table: SinkTable,
       checkpoint: String): StreamingQuery =
     events.writeStream
       .outputMode("append")
@@ -192,7 +192,7 @@ object Sinks {
     * firehose is exactly this: 4096 cells of state total, vs a
     * vocabulary-sized keyed aggregation.
     */
-  def cmSketchAppend(docs: DataFrame, table: GraftTable,
+  def cmSketchAppend(docs: DataFrame, table: SinkTable,
       checkpoint: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -212,7 +212,7 @@ object Sinks {
     * each queried term — the classic CM estimate, with the same
     * one-sided n_cm ≥ n_exact guarantee the batch query pins.
     */
-  def cmEstimate(table: GraftTable, terms: Seq[String]): DataFrame = {
+  def cmEstimate(table: SinkTable, terms: Seq[String]): DataFrame = {
     import graft.functions.SketchOps.{cmCellOf, CmD}
     val spark = table.spark
     import spark.implicits._
@@ -231,7 +231,7 @@ object Sinks {
     * run the shared CDF-walk estimate — bit-identical to binning the
     * full history in one batch pass, which StreamingSpec pins.
     */
-  def quantilesFromSketchTable(table: GraftTable): DataFrame =
+  def quantilesFromSketchTable(table: SinkTable): DataFrame =
     graft.functions.SketchOps.quantileFromBins(
       table.readLogical()
         .groupBy(col("event_type"), col("bin"))
@@ -245,9 +245,9 @@ object Sinks {
     */
   def multiSinkFanout(
       events: DataFrame,
-      clean: GraftTable,
-      rejected: GraftTable,
-      quality: GraftTable,
+      clean: SinkTable,
+      rejected: SinkTable,
+      quality: SinkTable,
       checkpoint: String): StreamingQuery =
     events.writeStream
       .outputMode("append")

@@ -81,7 +81,8 @@ final case class RangePrune(column: String, loMicros: Long, hiMicros: Long)
   * Single-writer (the reference's jobs are too); commits are atomic via
   * rename, readers always resolve the latest complete commit.
   */
-final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String) {
+final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String)
+    extends SinkTable {
 
   private val tableDir = s"$root/${defn.name}"
   private val dataDir = s"$tableDir/data"

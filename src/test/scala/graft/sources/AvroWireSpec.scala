@@ -165,6 +165,50 @@ class AvroWireSpec extends AnyFunSuite {
     }
   }
 
+  test("wireIngestion via FrameSource: file-staged topics land the same tables") {
+    import spark.implicits._
+    import graft.streaming.Jobs
+    import graft.tables.TableCatalog
+    def fresh(name: String): String = {
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_frame_src", name)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+      java.nio.file.Files.createDirectories(p)
+      p.toString
+    }
+    val funnel = RtbGenerator.generate(11L, 200, 1704103200000L, 3600000L,
+      RtbGenerator.Rates(0.05, 0.05, 0.05, 0.05))
+    val typedDfs = Seq(
+      spark.createDataset(funnel.requests).toDF(),
+      spark.createDataset(funnel.responses).toDF(),
+      spark.createDataset(funnel.impressions).toDF(),
+      spark.createDataset(funnel.clicks).toDF())
+    val registry = new WireRegistry
+    val topicRoot = fresh("topics")
+    // stage each topic's frames as parquet under root/<topic>/ — the
+    // FileFrameSource contract (a single-partition topic emulation)
+    typedDfs.zip(Jobs.wireSubjects).zip(Jobs.wireTopics).foreach {
+      case ((df, subject), topic) =>
+        val schema = AvroWire.schemaFor(df)
+        val id = registry.register(subject, schema)
+        df.select(AvroWire.toWire(struct(df.columns.map(col): _*), schema, id).as("value"))
+          .write.parquet(s"$topicRoot/$topic")
+    }
+    val cat = new TableCatalog(spark, fresh("wh"), Jobs.ingestionTableDefs(spark))
+    val pipe = Jobs.wireIngestion(spark, new FileFrameSource(topicRoot),
+      registry, cat, fresh("ckpt"))
+    try pipe.processAllAvailable() finally pipe.stop()
+    val flatReqs = RtbIngest.flattenRequests(typedDfs(0))
+    val want = RtbIngest.cleanRequests(flatReqs)
+    val got = cat.table(Jobs.cleanTable).readLogical()
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "clean_requests from the FrameSource path must equal the typed recompute")
+    assert(cat.table(Jobs.clicksTable).readLogical().count() ==
+      typedDfs(3).count())
+  }
+
   test("streamed wire decode equals the batch flatten (the S1 source shape)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

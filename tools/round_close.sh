@@ -35,10 +35,25 @@ case "$mode" in
       "Archive round-$round full bench record; refresh leak scan"
     ;;
   close)
+    # Commit pending work FIRST: the cross-round A/B pins worktrees at
+    # commits, so HEAD must be the tree being measured.
+    git add -A
+    git diff --cached --quiet || git commit -m \
+      "Round-$round close: remaining worktree artifacts"
+    # One full-registry interleaved ABBA vs the previous round's close
+    # commit (VERDICT r12 #3): without it every round's full-suite
+    # delta stays window-ambiguous (this host swings ±45% on identical
+    # code). The driver's close commits are titled "round N: ...".
+    base="$(git log --grep "^round $((round - 1)):" --format=%H -n 1 || true)"
+    if [[ -n "$base" ]]; then
+      python3 tools/ab_bench.py "$base" HEAD --reps 2 --out AB_BENCH_round.json
+    else
+      echo "[round] no round-$((round - 1)) close commit found; skipping cross-round ABBA"
+    fi
     python3 tools/leakcheck.py "$round"
     git add -A
     git diff --cached --quiet || git commit -m \
-      "Round-$round close: leak scan + remaining worktree artifacts"
+      "Round-$round close: cross-round ABBA + leak scan"
     git status --short
     ;;
   *)
