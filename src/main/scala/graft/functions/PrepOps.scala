@@ -297,86 +297,51 @@ object PrepOps {
     * in place — the only occurrence-level shuffle is the final
     * per-doc sum, keyed by doc_id and partially aggregated.
     */
-  val sampleDsir: QueryDef = {
-    val B = 4096
+  /** [[DsirScoring]] is the shared feature/bucket/weight/score core —
+    * the streamed twin (`dsir_ingest_scores`, DsirIngest) calls exactly
+    * the same code, so this SQL is both rows' oracle.
+    */
+  val dsirSql: String = {
+    val B = DsirScoring.B
     def inList(xs: Seq[String]) = xs.map("'" + _ + "'").mkString(", ")
-    // fixed-point log2 (1/64-bit units), DuckDB rendering
-    def mlogSql(x: String): String = {
-      val m = s"(length(bin(CAST($x AS BIGINT))) - 1)"
-      s"($m * 64 + CASE WHEN $m <= 6 " +
-        s"THEN CAST($x AS BIGINT) * CAST(power(2, 6 - $m) AS BIGINT) - 64 " +
-        s"ELSE CAST($x AS BIGINT) // CAST(power(2, $m - 6) AS BIGINT) - 64 END)"
-    }
-    // the same fixed-point log2, Spark rendering (DIV is integer
-    // division; power(2, k) is exact in IEEE doubles for k < 63)
-    def mlogCol(x: String): org.apache.spark.sql.Column = {
-      val m = s"(length(bin(CAST($x AS BIGINT))) - 1)"
-      expr(s"($m * 64 + CASE WHEN $m <= 6 " +
-        s"THEN CAST($x AS BIGINT) * CAST(power(2, 6 - $m) AS BIGINT) - 64 " +
-        s"ELSE CAST($x AS BIGINT) DIV CAST(power(2, $m - 6) AS BIGINT) - 64 END)")
-    }
-    QueryDef(
-      "sample_dsir",
-      s"""WITH w AS (
-         |  SELECT doc_id, source, string_split(text, ' ') AS arr
-         |  FROM documents WHERE length(text) > 0),
-         |f AS (
-         |  SELECT doc_id, source, 'u|' || unnest(arr) AS feat FROM w
-         |  UNION ALL
-         |  SELECT doc_id, source, 'b|' || arr[i] || ' ' || arr[i + 1] AS feat
-         |  FROM w, unnest(generate_series(1, len(arr) - 1)) AS t(i)
-         |  WHERE len(arr) >= 2),
-         |fb AS (
-         |  SELECT doc_id, source,
-         |         ${h64Sql("'dsir|' || feat")} % $B AS bk
-         |  FROM f),
-         |s AS (
-         |  SELECT bk, count(*) AS cr,
-         |         sum(CASE WHEN source IN (${inList(LmScoring.TrainTier)})
-         |                  THEN 1 ELSE 0 END) AS ct
-         |  FROM fb GROUP BY bk),
-         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
-         |               CAST(sum(ct) AS BIGINT) AS tt FROM s),
-         |lam AS (
-         |  SELECT bk,
-         |         ${mlogSql("ct * tr + cr * tt")} - ${mlogSql("cr * tt")} - 64 AS lam
-         |  FROM s, tot)
-         |SELECT fb.doc_id, fb.source,
-         |       count(*) AS n_feats,
-         |       CAST(sum(lam) AS BIGINT) AS dsir_score,
-         |       CAST(sum(lam) AS BIGINT) > 0 AS selected
-         |FROM fb JOIN lam USING (bk)
-         |GROUP BY fb.doc_id, fb.source""".stripMargin) { t =>
-      val feats = t.documents
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), col("source"),
-          split(col("text"), " ").as("arr"))
-        .select(col("doc_id"), col("source"),
-          explode(concat(
-            expr("transform(arr, w -> concat('u|', w))"),
-            expr("""CASE WHEN size(arr) >= 2
-                    THEN transform(sequence(0, size(arr) - 2),
-                                   i -> concat('b|', arr[i], ' ', arr[i + 1]))
-                    ELSE CAST(array() AS ARRAY<STRING>) END"""))).as("feat"))
-        .select(col("doc_id"), col("source"),
-          pmod(h64(concat(lit("dsir|"), col("feat"))), lit(B.toLong)).as("bk"))
-      val stats = feats
-        .groupBy(col("bk"))
-        .agg(count(lit(1)).as("cr"),
-          sum(when(col("source").isin(LmScoring.TrainTier: _*), 1L)
-            .otherwise(0L)).as("ct"))
-      val tot = stats.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-      val lam = stats.crossJoin(broadcast(tot))
-        .select(col("bk"),
-          (mlogCol("ct * tr + cr * tt") - mlogCol("cr * tt") - 64)
-            .cast("long").as("lam"))
-      feats
-        .join(broadcast(lam), Seq("bk"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("dsir_score"))
-        .withColumn("selected", col("dsir_score") > 0)
-    }
+    s"""WITH w AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS arr
+       |  FROM documents WHERE length(text) > 0),
+       |f AS (
+       |  SELECT doc_id, source, 'u|' || unnest(arr) AS feat FROM w
+       |  UNION ALL
+       |  SELECT doc_id, source, 'b|' || arr[i] || ' ' || arr[i + 1] AS feat
+       |  FROM w, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+       |  WHERE len(arr) >= 2),
+       |fb AS (
+       |  SELECT doc_id, source,
+       |         ${h64Sql("'dsir|' || feat")} % $B AS bk
+       |  FROM f),
+       |s AS (
+       |  SELECT bk, count(*) AS cr,
+       |         sum(CASE WHEN source IN (${inList(LmScoring.TrainTier)})
+       |                  THEN 1 ELSE 0 END) AS ct
+       |  FROM fb GROUP BY bk),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+       |               CAST(sum(ct) AS BIGINT) AS tt FROM s),
+       |lam AS (
+       |  SELECT bk,
+       |         ${DsirScoring.mlogSql("ct * tr + cr * tt")} - ${DsirScoring.mlogSql("cr * tt")} - 64 AS lam
+       |  FROM s, tot)
+       |SELECT fb.doc_id, fb.source,
+       |       count(*) AS n_feats,
+       |       CAST(sum(lam) AS BIGINT) AS dsir_score,
+       |       CAST(sum(lam) AS BIGINT) > 0 AS selected
+       |FROM fb JOIN lam USING (bk)
+       |GROUP BY fb.doc_id, fb.source""".stripMargin
   }
+
+  val sampleDsir: QueryDef =
+    QueryDef("sample_dsir", dsirSql) { t =>
+      val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+      DsirScoring.score(docs,
+        DsirScoring.bucketCounts(DsirScoring.featureBuckets(docs)))
+    }
 
   val all: Seq[QueryDef] =
     Seq(textChunk, topkTerms, textTfidf, sampleWeightedMix, sampleReservoir,

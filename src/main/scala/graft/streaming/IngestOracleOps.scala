@@ -510,8 +510,26 @@ object IngestOracleOps {
         col("event_type"), col("value"), col("reject_reason"))
   }
 
+  /** Streamed DSIR bucket statistics ([[DsirIngest]]) vs the batch
+    * `sample_dsir` SQL — the served importance scores (and the
+    * selection cut) must hash-match the one-shot batch computation.
+    */
+  val dsirIngestScores: QueryDef = QueryDef(
+    "dsir_ingest_scores", graft.functions.PrepOps.dsirSql) { t =>
+    val stage = stageDir("graft_dsir_ingest")
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+    val counts = new GraftTable(t.spark, DsirIngest.countsDef, s"$stage/counts")
+    streamCorpus(t.spark, docs, stage, 2)(
+      DsirIngest.countsAppend(_, counts, s"$stage/ck"))
+    // maintenance cadence on the accumulated partials, then serve —
+    // scores must be invariant under the pre-merge by construction
+    DsirIngest.compactCounts(counts)
+    DsirIngest.score(docs, counts)
+  }
+
   val all: Seq[QueryDef] = Seq(
     lmIngestScores, clfIngestScores, tempIngestSample, bm25IngestTopk,
     annIngestTopk, keepbestIngestResolve, neardupIngestPairs,
-    substringIngestCut, a7HourlyUpsert, x1MultisinkFanout, w3WatermarkDrop)
+    substringIngestCut, a7HourlyUpsert, x1MultisinkFanout, w3WatermarkDrop,
+    dsirIngestScores)
 }
