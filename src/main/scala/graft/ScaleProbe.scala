@@ -537,11 +537,21 @@ object ScaleProbe {
         // BPE pair counting: the corpus-sized half of tokenizer
         // training — word-freq groupBy then an O(alphabet²) aggregate;
         // should track dedup_exact's scan-shaped curve
-        "bpe_pair_counts" -> (t => functions.BpeOps.bpePairCounts.fn(t.spark, t.dir)))
+        "bpe_pair_counts" -> (t => functions.BpeOps.bpePairCounts.fn(t.spark, t.dir)),
+        // DSIR importance scoring: two corpus scans + a 4096-key
+        // partial agg + a broadcast λ table (layout-constant at any
+        // corpus size, unlike a vocabulary) — the curve should track
+        // the classifier's dictionary-join shape
+        "sample_dsir" -> (t => functions.PrepOps.sampleDsir.fn(t.spark, t.dir)))
 
     // sf0.1 is only 5k docs — the 1×..10× range turned out to be fully
     // overhead-dominated on local[32] (flat ~0.3-3 s per stage), so the
     // probe climbs to 30×/100× (150k/500k docs) where real work shows.
+    // SPARK_GRAFT_PROBE_ONLY (regex) narrows the stage list — a new
+    // operator's curve shouldn't cost a full 13-stage × 4-scale sweep.
+    val stageOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.r)
+    val stagesRun = stages.filter { case (l, _) =>
+      stageOnly.forall(_.findFirstIn(l).isDefined) }
     // The ANN probe stops at 30× (embeddings are 50k vectors at 1×, so
     // 30× is already 1.5M 64-dim candidates).
     val ks = if (annProbe) Seq(1, 10, 30) else Seq(1, 10, 30, 100)
@@ -552,14 +562,14 @@ object ScaleProbe {
         else buildReplica(spark, sfDir, dir, k)
       }
       println(s"== ${k}x ==")
-      k -> stages.map { case (label, fn) =>
+      k -> stagesRun.map { case (label, fn) =>
         timed(spark, label)(
           fn(Tables(spark, dir)).write.format("noop").mode("overwrite").save())
       }
     }
 
     println("\n| stage | " + results.map(r => s"${r._1}x").mkString(" | ") + " |")
-    val labels = stages.map(_._1)
+    val labels = stagesRun.map(_._1)
     for ((label, i) <- labels.zipWithIndex)
       println(s"| $label | " +
         results.map(r => f"${r._2(i)._2}%.2f s").mkString(" | ") + " |")
