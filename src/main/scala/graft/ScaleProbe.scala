@@ -287,7 +287,13 @@ object ScaleProbe {
         // the gate twin genuinely re-computes per-batch stats, so its
         // curve should track dedup_substring_cut's work-proportional
         // shape, not the protocol-flat twins'
-        "substring_ingest_cut" -> streaming.IngestOracleOps.substringIngestCut)
+        "substring_ingest_cut" -> streaming.IngestOracleOps.substringIngestCut,
+        // DSIR twin: per-batch APPENDS are capped at 4096 rows, but the
+        // per-batch feature explode + bucket agg scans every doc (the
+        // LM twin only tokenizes the trusted quarter), so the curve is
+        // work-proportional like the substring gate, not protocol-flat
+        // (measured 3.31 -> 10.71 s at 10x — sublinear, no pathology)
+        "dsir_ingest_scores" -> streaming.IngestOracleOps.dsirIngestScores)
       val twinRows = for (k <- Seq(1, 10)) yield {
         val dir = s"$outRoot/x$k"
         buildReplica(spark, sfDir, dir, k)
