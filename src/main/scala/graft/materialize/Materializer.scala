@@ -261,10 +261,13 @@ final class Materializer(
     if (sinceVersion > Int.MaxValue) return None
     source.fileDeltasSince(sinceVersion.toInt, source.currentVersion) match {
       case Left(_) => None
-      // an upsert delta is key-shaped, not append-shaped: the batch can
-      // move a key to a different day while the stale day stays quiet —
-      // exactly what the day-candidate logic cannot see
-      case Right(deltas) if deltas.exists(_._1.op.startsWith("upsert")) => None
+      // only pure appends are day-candidate-safe: an upsert or
+      // change-tracked replace delta is key/row-shaped — the change can
+      // move a key off a day while the stale day stays quiet, exactly
+      // what the day-candidate logic cannot see. Layout-only commits
+      // (compact/zorder) contribute empty deltas and are fine.
+      case Right(deltas) if deltas.exists(d =>
+          !Set("append", "compact", "zorder").contains(d._1.op)) => None
       case Right(deltas) => Some(deltas.flatMap(_._2).sorted)
     }
   }

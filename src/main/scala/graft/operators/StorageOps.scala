@@ -521,8 +521,42 @@ object StorageOps {
         col("user_id"), col("event_type"), col("value"))
   }
 
+  /** S17 — changelog replay ACROSS a change-tracked repair: two appends,
+    * then a `replaceWhere(..., trackChanges = true)` that rewrites every
+    * 'error' event's value to 0 (a repair-shaped correction). The row's
+    * output is the table RECONSTRUCTED from `readChanges(0, 3)` alone —
+    * inserts (appends + the repair's replacement rows) multiset-MINUS
+    * the repair's delete rows (`exceptAll`, the changelog consumer
+    * contract) — and the oracle states the expected final table
+    * directly, so reconstruction == direct recompute is the proof that
+    * a downstream incremental consumer needs no full resync after a
+    * tracked repair (the CDC hole Iceberg's changelog-over-delete-files
+    * closes the same way). Cost note: tracking is OPT-IN — the default
+    * repair path (M4–M6) pays no delete-file writes.
+    */
+  val s17ChangelogReplace: QueryDef = QueryDef(
+    "s17_changelog_replace",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       CASE WHEN event_type = 'error' THEN 0.0 ELSE round(value, 2) END AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s17")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("cdc_t", eventsSchema)))
+    val tbl = cat.table("cdc_t")
+    val src = eventsSrc(t)
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.append(src.filter(col("ts") < cut))                      // v1
+    tbl.append(src.filter(col("ts") >= cut))                     // v2
+    tbl.replaceWhere(col("event_type") === "error",              // v3 (tracked)
+      src.filter(col("event_type") === "error").withColumn("value", lit(0.0)),
+      trackChanges = true)
+    val ch = tbl.readChanges(0, 3)
+    val cols = eventsSchema.fieldNames.map(col)
+    ch.filter(col("_change_type") =!= "delete").select(cols: _*)
+      .exceptAll(ch.filter(col("_change_type") === "delete").select(cols: _*))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
-      s15ExpireOrphans, s16IncrementalRead, m9PurgeIsolation)
+      s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace, m9PurgeIsolation)
 }

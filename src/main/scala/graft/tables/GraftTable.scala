@@ -28,7 +28,8 @@ final case class CommitMeta(
     sinkBatches: Map[String, Long] = Map.empty,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     fileRows: Map[String, Long] = Map.empty,
-    changeFiles: Seq[String] = Nil) {
+    changeFiles: Seq[String] = Nil,
+    deleteFiles: Seq[String] = Nil) {
   /** Jackson leaves a missing field null on old commit jsons. */
   def sinkBatchesOrEmpty: Map[String, Long] =
     Option(sinkBatches).getOrElse(Map.empty)
@@ -43,6 +44,17 @@ final case class CommitMeta(
     */
   def changeFilesOrEmpty: Seq[String] =
     Option(changeFiles).getOrElse(Nil)
+
+  /** For a change-tracked replace commit (`replace-cdc`): files holding
+    * EXACTLY the rows the commit removed — the engine's analog of
+    * Iceberg v2's delete files, written only when the caller opted into
+    * change tracking (the extra O(deleted) write is a real cost the
+    * default repair path must not pay). NOT part of the live file set;
+    * referenced by the commit so orphan cleanup spares them until the
+    * commit itself expires.
+    */
+  def deleteFilesOrEmpty: Seq[String] =
+    Option(deleteFiles).getOrElse(Nil)
 
   /** Per-file row counts (Iceberg's manifest `record_count` analog) —
     * carried commit to commit so a replace/compact commit re-reads
@@ -129,7 +141,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     */
   private def writeCommit(op: String, files: Seq[String],
       knownRows: Map[String, Long] = Map.empty,
-      changeFiles: Seq[String] = Nil): CommitMeta = {
+      changeFiles: Seq[String] = Nil,
+      deleteFiles: Seq[String] = Nil): CommitMeta = {
     val prevMeta = commits.lastOption
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     val fileRows = files.par.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).seq.toMap
@@ -138,7 +151,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // snapshots never loses a sink's mark
     val prev = prevMeta.map(_.sinkBatchesOrEmpty).getOrElse(Map.empty)
     val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op,
-      fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows, changeFiles)
+      fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows, changeFiles,
+      deleteFiles)
     val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
     Files.writeString(tmp, mapper.writeValueAsString(meta))
     Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
@@ -372,22 +386,41 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   def replaceWhere(
       condition: org.apache.spark.sql.Column,
       replacement: DataFrame,
-      prune: Option[RangePrune] = None): CommitMeta = {
+      prune: Option[RangePrune] = None,
+      trackChanges: Boolean = false): CommitMeta = {
     require(!defn.mergeOnRead || morSequences <= 1,
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
     val (untouched, toRewrite) = classifyLiveFiles(prune)
     val keep = readFilesAs(toRewrite).filter(!condition || condition.isNull)
       .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-    val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
-    val added = writeFiles(merged)
+    val repl = replacement.select(defn.schema.fieldNames.map(replacement.col): _*)
     val prev = commits.lastOption
-    // nothing deleted (no file overlapped the condition) and nothing
-    // inserted ⇒ a no-op: skip the commit, mirroring append()'s zero-row
-    // skip (any schema-only stub file stays unreferenced for
-    // removeOrphans, same as there)
-    prev match {
-      case Some(p) if toRewrite.isEmpty && footerRowCount(added) == 0 => p
-      case _ => writeCommit("replace", untouched ++ added)
+    if (trackChanges) {
+      // change-tracked form (opt-in — the CDC writes below are a real
+      // extra cost the default repair path must not pay): the
+      // replacement lands in its OWN files (the commit's change set)
+      // and the rows the condition removes are materialized as DELETE
+      // files (one extra scan of the rewritten window, O(affected
+      // window) like the rewrite itself) — Iceberg v2's delete-file
+      // scheme, which is what lets readChanges serve insert+delete
+      // rows for a repair instead of forcing a consumer full-resync.
+      val deleted = readFilesAs(toRewrite).filter(condition)
+        .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      val keepFiles = writeFiles(keep)
+      val replFiles = writeFiles(repl)
+      val delFiles = writeFiles(deleted)
+      writeCommit("replace-cdc", untouched ++ keepFiles ++ replFiles,
+        changeFiles = replFiles, deleteFiles = delFiles)
+    } else {
+      val added = writeFiles(keep.unionByName(repl))
+      // nothing deleted (no file overlapped the condition) and nothing
+      // inserted ⇒ a no-op: skip the commit, mirroring append()'s
+      // zero-row skip (any schema-only stub file stays unreferenced for
+      // removeOrphans, same as there)
+      prev match {
+        case Some(p) if toRewrite.isEmpty && footerRowCount(added) == 0 => p
+        case _ => writeCommit("replace", untouched ++ added)
+      }
     }
   }
 
@@ -410,7 +443,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       keyCols: Seq[String],
       replacement: DataFrame,
       prune: Option[RangePrune] = None,
-      knownKeyCount: Option[Long] = None): CommitMeta = {
+      knownKeyCount: Option[Long] = None,
+      trackChanges: Boolean = false): CommitMeta = {
     require(!defn.mergeOnRead || morSequences <= 1,
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
     val keyProj = staleKeys.select(keyCols.map(staleKeys.col): _*)
@@ -443,9 +477,24 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       val keep = readFilesAs(toRewrite)
         .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
         .join(hinted, keyCols, "left_anti")
-      val merged = keep.unionByName(replacement.select(defn.schema.fieldNames.map(replacement.col): _*))
-      val added = timed("replaceKeys/write")(writeFiles(merged))
-      timed("replaceKeys/commit")(writeCommit("replace", untouched ++ added))
+      val repl = replacement.select(defn.schema.fieldNames.map(replacement.col): _*)
+      if (trackChanges) {
+        // opt-in CDC form — see replaceWhere: replacement in its own
+        // files, deleted rows (the keys' SEMI-join complement of keep)
+        // materialized as delete files
+        val deleted = readFilesAs(toRewrite)
+          .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+          .join(hinted, keyCols, "left_semi")
+        val keepFiles = timed("replaceKeys/write")(writeFiles(keep))
+        val replFiles = writeFiles(repl)
+        val delFiles = writeFiles(deleted)
+        timed("replaceKeys/commit")(writeCommit("replace-cdc",
+          untouched ++ keepFiles ++ replFiles,
+          changeFiles = replFiles, deleteFiles = delFiles))
+      } else {
+        val added = timed("replaceKeys/write")(writeFiles(keep.unionByName(repl)))
+        timed("replaceKeys/commit")(writeCommit("replace", untouched ++ added))
+      }
     } finally if (ownedCache) keys.unpersist()
   }
 
@@ -792,9 +841,13 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     expired.size
   }
 
-  /** M8b — delete data files referenced by no remaining snapshot. */
+  /** M8b — delete data files referenced by no remaining snapshot.
+    * Delete-record files of surviving change-tracked commits are
+    * referenced too: they are not live data, but they ARE the commit's
+    * changelog payload and must survive exactly as long as its json.
+    */
   def removeOrphans(): Int = {
-    val referenced = commits.flatMap(_.files).toSet
+    val referenced = commits.flatMap(c => c.files ++ c.deleteFilesOrEmpty).toSet
     val orphans = listDataFiles() -- referenced
     orphans.foreach(f => Files.deleteIfExists(Paths.get(s"$dataDir/$f")))
     // prune now-empty partition dirs
@@ -812,10 +865,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * consumed downstream exactly this way by its materialization
     * layer): every LOGICAL change committed in `(fromVersion,
     * toVersion]`, as the logical rows plus `_change_version` (the
-    * commit that introduced the row) and `_change_type` (`insert` for
-    * appends, `upsert` for merge-on-read upserts — the consumer applies
-    * versions in order, latest-wins per key, the same contract
-    * [[readLogical]] resolves).
+    * commit that introduced the row) and `_change_type`: `insert` for
+    * appends and for a change-tracked repair's replacement rows,
+    * `upsert` for upserts (merge-on-read, or change-tracked
+    * copy-on-write — the consumer applies versions in order,
+    * latest-wins per key, the same contract [[readLogical]] resolves),
+    * and `delete` for a change-tracked repair's removed rows (row-level
+    * multiset semantics: each delete row cancels one earlier instance,
+    * Iceberg's changelog-scan DELETE rows).
     *
     * Cost shape: each commit's delta is read from exactly the files
     * that commit ADDED (commit metadata names them; nothing is diffed
@@ -831,12 +888,17 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   def readChanges(fromVersion: Int, toVersion: Int): DataFrame = {
     val logicalCols = defn.schema.fieldNames.map(org.apache.spark.sql.functions.col)
     val deltas = fileDeltasSince(fromVersion, toVersion).fold(throw _, identity)
-    val legs = deltas.flatMap { case (c, added) =>
-      if (added.isEmpty) None
-      else Some(readFilesAs(added).select(logicalCols: _*)
+    def leg(c: CommitMeta, files: Seq[String], changeType: String) =
+      if (files.isEmpty) None
+      else Some(readFilesAs(files).select(logicalCols: _*)
         .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
-        .withColumn("_change_type", org.apache.spark.sql.functions.lit(
-          if (c.op == "append") "insert" else "upsert")))
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit(changeType)))
+    val legs = deltas.flatMap { case (c, added, deleted) =>
+      val addType = c.op match {
+        case "append" | "replace-cdc" => "insert"
+        case _ => "upsert"
+      }
+      leg(c, added, addType) ++ leg(c, deleted, "delete")
     }
     if (legs.isEmpty) {
       val schema = StructType(defn.schema.fields ++ Seq(
@@ -853,14 +915,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * append detection (Materializer.sourceAppendsSince) falls back to
     * signature detection, so the two can never drift on gap handling.
     *
-    * Per-op delta: `append`/`upsert-mor` commits added exactly
-    * `files − predecessor's files`; a copy-on-write `upsert` that
-    * recorded its batch's files names them (`changeFiles` — the
-    * survivors' rewritten files are NOT changes); layout-only rewrites
-    * (`compact`, `zorder`) change nothing logical and contribute an
-    * empty delta. Everything else refuses: a blind rewrite's file
-    * delta is the merged result, not the change set, and a
-    * pre-changeFiles upsert json no longer knows its batch.
+    * Per-op delta `(commit, addedFiles, deletedFiles)`:
+    * `append`/`upsert-mor` commits added exactly `files − predecessor's
+    * files` (no deletes); a copy-on-write `upsert` that recorded its
+    * batch's files names them (`changeFiles` — the survivors' rewritten
+    * files are NOT changes); a change-tracked repair (`replace-cdc`)
+    * names its replacement files AND its delete files; layout-only
+    * rewrites (`compact`, `zorder`) change nothing logical and
+    * contribute an empty delta. Everything else refuses: a blind
+    * rewrite's file delta is the merged result, not the change set,
+    * and a pre-changeFiles upsert json no longer knows its batch.
     *
     * Gap rule: every version in the range AND each one's predecessor
     * must still be in the log (the delta is files-minus-predecessor).
@@ -871,7 +935,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * the consumer re-syncs from a full snapshot read.
     */
   private[graft] def fileDeltasSince(fromVersion: Int, toVersion: Int)
-      : Either[RuntimeException, Seq[(CommitMeta, Seq[String])]] = {
+      : Either[RuntimeException, Seq[(CommitMeta, Seq[String], Seq[String])]] = {
     val cs = commits
     if (fromVersion < 0 || fromVersion > toVersion)
       return Left(new IllegalArgumentException(
@@ -893,13 +957,18 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         val prevFiles =
           byVersion.get(c.version - 1).map(_.files.toSet).getOrElse(Set.empty[String])
         c.op match {
-          case "append" | "upsert-mor" => c -> c.files.filterNot(prevFiles)
-          case "upsert" if c.changeFilesOrEmpty.nonEmpty => c -> c.changeFilesOrEmpty
-          case "compact" | "zorder" => c -> Nil // layout-only: no logical delta
+          case "append" | "upsert-mor" =>
+            (c, c.files.filterNot(prevFiles), Nil: Seq[String])
+          case "upsert" if c.changeFilesOrEmpty.nonEmpty =>
+            (c, c.changeFilesOrEmpty, Nil: Seq[String])
+          case "replace-cdc" =>
+            (c, c.changeFilesOrEmpty, c.deleteFilesOrEmpty)
+          case "compact" | "zorder" =>
+            (c, Nil: Seq[String], Nil: Seq[String]) // layout-only
           case other => return Left(new IllegalArgumentException(
             s"${defn.name}: commit v${c.version} is '$other' — a rewrite has no " +
               "derivable change set; changelog consumers need append/merge-on-read/" +
-              "change-tracked upsert commits (see readChanges scaladoc)"))
+              "change-tracked upsert or replace commits (see readChanges scaladoc)"))
         }
       }
     Right(deltas)

@@ -93,6 +93,47 @@ class ChangelogSpec extends AnyFunSuite {
     assert(replayed == logical, "COW changelog replay must converge to the table")
   }
 
+  test("change-tracked replace serves insert+delete rows; replay converges") {
+    val t = new GraftTable(spark, TableDef("cl7", schema), freshRoot("cl7"))
+    t.append(df(0 until 10, "a", 1.0)) // v1
+    t.append(df(10 until 15, "b", 2.0)) // v2
+    // v3: tracked repair — rows 3..7 replaced by revised values
+    t.replaceWhere(col("id") >= 3 && col("id") <= 7,
+      df(3 until 8, "r", 9.0), trackChanges = true)
+    val v3 = rows(t.readChanges(2, 3))
+    assert(v3 ==
+      (3 until 8).map(i => (i.toLong, "r", 9.0, 3, "insert")).toSet ++
+        (3 until 8).map(i => (i.toLong, "a", 1.0, 3, "delete")),
+      s"unexpected v3 delta: $v3")
+    // full-range replay: inserts multiset-minus deletes == the table
+    val ch = t.readChanges(0, 3)
+    val replayed = ch.filter(col("_change_type") =!= "delete")
+      .select(col("id"), col("grp"), col("v"))
+      .exceptAll(ch.filter(col("_change_type") === "delete")
+        .select(col("id"), col("grp"), col("v")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val logical = t.readLogical().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(replayed == logical, "tracked-replace replay must converge to the table")
+    // the delete-record files are the commit's changelog payload: they
+    // must survive orphan cleanup while their commit json lives
+    t.removeOrphans()
+    assert(rows(t.readChanges(2, 3)) == v3,
+      "delete files reaped by removeOrphans while their commit is live")
+  }
+
+  test("keyed tracked replace (replaceKeys) serves the keys' old rows as deletes") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TableDef("cl8", schema), freshRoot("cl8"))
+    t.append(df(0 until 10, "a", 1.0)) // v1
+    t.replaceKeys(Seq(2L, 5L).toDF("id"), Seq("id"),
+      df(2 until 3, "k", 7.0).unionByName(df(5 until 6, "k", 7.0)),
+      trackChanges = true) // v2
+    assert(rows(t.readChanges(1, 2)) ==
+      Set((2L, "k", 7.0, 2, "insert"), (5L, "k", 7.0, 2, "insert"),
+        (2L, "a", 1.0, 2, "delete"), (5L, "a", 1.0, 2, "delete")))
+  }
+
   test("blind rewrites refuse: their file delta is not a change set") {
     val t = new GraftTable(spark, TableDef("cl6", schema, keys = Seq("id")), freshRoot("cl6"))
     t.append(df(0 until 10, "a", 1.0)) // v1
