@@ -46,13 +46,20 @@ final class MetaCatalog extends V2TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
 
   override def loadTable(ident: Identifier): Table = {
-    val suffix = "$snapshots"
-    val ok = ident.namespace().sameElements(Array("db")) &&
-      ident.name().endsWith(suffix) &&
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
-        s"$warehouse/${ident.name().stripSuffix(suffix)}/_commits"))
-    if (!ok) throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-    new MetaCatalog.SnapshotsTable(ident.name().stripSuffix(suffix), warehouse)
+    def refuse() =
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    val dollar = ident.name().lastIndexOf('$')
+    if (!ident.namespace().sameElements(Array("db")) || dollar < 1) refuse()
+    val (base, meta) = (ident.name().substring(0, dollar),
+      ident.name().substring(dollar + 1))
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$warehouse/$base/_commits"))) refuse()
+    meta match {
+      case "snapshots" => new MetaCatalog.SnapshotsTable(base, warehouse)
+      case "history" => new MetaCatalog.HistoryTable(base, warehouse)
+      case "files" => new MetaCatalog.FilesTable(base, warehouse)
+      case _ => refuse()
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -134,5 +141,86 @@ object MetaCatalog {
           new ArrayBasedMapData(keys, vals))): InternalRow
       }.toArray
     }
+  }
+
+  /** Iceberg's `$history` metadata table: when each snapshot became
+    * current. The commit log is linear (single-writer), so every
+    * surviving snapshot is an ancestor of the current one.
+    */
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("made_current_at", TimestampType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+
+  private final class HistoryTable(base: String, warehouse: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"$base$$history"
+    override def schema(): StructType = HistorySchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan with LocalScan {
+          override def readSchema(): StructType = HistorySchema
+          override def rows(): Array[InternalRow] = {
+            val spark = SparkSession.active
+            new GraftTable(spark, TableDef(base, StructType(Nil)), warehouse)
+              .commits.map { c =>
+                new GenericInternalRow(Array[Any](
+                  c.tsMs * 1000L,
+                  c.version.toLong,
+                  if (c.version > 1) java.lang.Long.valueOf((c.version - 1).toLong)
+                  else null,
+                  true)): InternalRow
+              }.toArray
+          }
+        }
+      }
+  }
+
+  /** Iceberg's `$files` metadata table (core columns): the CURRENT
+    * snapshot's data files with per-file row counts (the commit log's
+    * manifest `record_count` analog) and on-disk sizes. File lists are
+    * driver-small by the same construction as the commit log, so the
+    * scan stays local; at manifest scale this becomes a distributed
+    * scan over manifest files, which is what Iceberg itself does.
+    */
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("content", IntegerType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("file_format", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false)))
+
+  private final class FilesTable(base: String, warehouse: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"$base$$files"
+    override def schema(): StructType = FilesSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan with LocalScan {
+          override def readSchema(): StructType = FilesSchema
+          override def rows(): Array[InternalRow] = {
+            val spark = SparkSession.active
+            val tbl = new GraftTable(spark, TableDef(base, StructType(Nil)), warehouse)
+            val cur = tbl.commits.lastOption
+            val rowCounts = cur.map(_.fileRowsOrEmpty).getOrElse(Map.empty)
+            cur.map(_.files).getOrElse(Nil).map { f =>
+              val p = java.nio.file.Paths.get(s"${tbl.dataPath}/$f")
+              val size =
+                try java.nio.file.Files.size(p) catch { case _: Throwable => 0L }
+              new GenericInternalRow(Array[Any](
+                0, // content: 0 = data (Iceberg's enum)
+                UTF8String.fromString(p.toString),
+                UTF8String.fromString("PARQUET"),
+                rowCounts.getOrElse(f, 0L),
+                size)): InternalRow
+            }.toArray
+          }
+        }
+      }
   }
 }

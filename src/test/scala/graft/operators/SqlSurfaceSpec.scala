@@ -75,6 +75,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(total(1L) == added(1L), s"first snapshot total == its delta: $total")
   }
 
+  test("$history and $files metadata tables serve the commit log and live file set") {
+    SqlSurfaceOps.registerSurface(spark, sf)
+    SqlSurfaceOps.ensureLakehouse(spark)
+    val hist = withAnsiQuotes(spark.sql(
+      """SELECT snapshot_id, parent_id, is_current_ancestor
+        |FROM iceberg.db."bid_requests$history" ORDER BY snapshot_id""".stripMargin)
+      .collect())
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L), hist.mkString(";"))
+    assert(hist.forall(_.getBoolean(2)), "linear log: all snapshots are ancestors")
+    assert(hist(0).isNullAt(1) && hist(1).getLong(1) == 1L, hist.mkString(";"))
+    val files = withAnsiQuotes(spark.sql(
+      """SELECT file_path, file_format, record_count, file_size_in_bytes
+        |FROM iceberg.db."bid_requests$files"""".stripMargin).collect())
+    assert(files.nonEmpty, "current snapshot must have data files")
+    assert(files.forall(_.getString(1) == "PARQUET"))
+    assert(files.forall(_.getLong(3) > 0L), "file sizes must be stat'ed, not zero")
+    // record_count over the live files == total-records of the latest
+    // snapshot (the manifest/summary consistency Iceberg guarantees)
+    val snap = withAnsiQuotes(spark.sql(
+      """SELECT summary['total-records'] FROM iceberg.db."bid_requests$snapshots"
+        |ORDER BY snapshot_id DESC LIMIT 1""".stripMargin).collect())
+    assert(files.map(_.getLong(2)).sum == snap(0).getString(0).toLong,
+      "sum(record_count) must equal the latest snapshot's total-records")
+  }
+
   test("single-table example texts agree with an independent recomputation") {
     SqlSurfaceOps.registerSurface(spark, sf)
     val br = spark.table("bid_requests")
