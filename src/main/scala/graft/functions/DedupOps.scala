@@ -1009,8 +1009,71 @@ object DedupOps {
       (size(col("kept_ws")).cast("long") < col("n_words")).as("is_modified"))
   }
 
+  /** CCNet-style PARAGRAPH-level dedup (Wenzek et al. 2020 — public
+    * method: hash each paragraph, keep the first occurrence corpus-wide,
+    * emit documents with duplicate paragraphs removed). Distinct from
+    * both doc-level exact dedup (whole-digest) and Lee-et-al substring
+    * cut (suffix-window spans): the unit here is the SEGMENT, and a doc
+    * survives with its unique segments stitched back in order. The
+    * fixture's texts carry no newlines, so segmentation is fixed
+    * 10-word windows — the segmenter is the pluggable part (production
+    * splits on newline); the keep-first/rebuild machinery is the
+    * operator.
+    *
+    * Keep-first winner = min (doc_id, seg_idx) packed into one long
+    * (unique per segment, so the window min is a unique winner — the
+    * substring gate's discipline). Scale shape: one hash-shuffle on the
+    * segment hash (the window min; segments cross the wire once, text
+    * included ONLY as the per-segment string needed to rebuild), then
+    * one doc-keyed aggregation; no pair enumeration anywhere. The
+    * rebuild's collect_list is per-doc bounded (a doc's own segments).
+    */
+  val dedupParagraphs: QueryDef = QueryDef(
+    "dedup_paragraphs",
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr
+       |  FROM documents WHERE length(text) > 0),
+       |s AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |         array_to_string(arr[i * 10 + 1 : i * 10 + 10], ' ') AS seg_text
+       |  FROM w, unnest(generate_series(0, (len(arr) - 1) // 10)) AS t(i)),
+       |k AS (
+       |  SELECT doc_id, seg_idx, seg_text,
+       |         doc_id * 1000000 + seg_idx AS packed,
+       |         min(doc_id * 1000000 + seg_idx)
+       |           OVER (PARTITION BY ${h64Sql("'par|' || seg_text")}) AS keep_packed
+       |  FROM s)
+       |SELECT doc_id,
+       |       count(*) AS n_segs,
+       |       CAST(sum(CASE WHEN packed = keep_packed THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       string_agg(CASE WHEN packed = keep_packed THEN seg_text END, ' '
+       |                  ORDER BY seg_idx) AS cleaned_text
+       |FROM k GROUP BY doc_id""".stripMargin) { t =>
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val segs = t.documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, (size(arr) - 1) div 10), " +
+          "i -> struct(i AS seg_idx, array_join(slice(arr, i * 10 + 1, 10), ' ') AS seg_text))"))
+          .as("s"))
+      .select(col("doc_id"), col("s.seg_idx"), col("s.seg_text"))
+      .withColumn("h", h64(concat(lit("par|"), col("seg_text"))))
+      .withColumn("packed", col("doc_id") * 1000000L + col("seg_idx"))
+      .withColumn("kept", col("packed") === min(col("packed")).over(byH))
+    segs
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("kept"),
+          struct(col("seg_idx"), col("seg_text"))))).as("ks"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        when(col("n_kept") > 0,
+          array_join(expr("transform(ks, x -> x.seg_text)"), " ")).as("cleaned_text"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupKeepBest, dedupMinhashLsh, dedupSimhash, dedupSimhashPairs,
       dedupNgramJaccard, dedupEmbeddingCosine, dedupSemantic, dedupClusters,
-      dedupSubstringSpans, dedupSubstringCut)
+      dedupSubstringSpans, dedupSubstringCut, dedupParagraphs)
 }
