@@ -555,8 +555,49 @@ object StorageOps {
       .exceptAll(ch.filter(col("_change_type") === "delete").select(cols: _*))
   }
 
+  /** S18/S7 — schema evolution end to end (the query-shaped observable
+    * for the S7 drift layer): a table created with a NARROW schema takes
+    * its first append, gains two columns via a metadata-only
+    * `evolve-schema` commit (zero data rewritten — the lakehouse
+    * contract that matters at 100 TB, where an ALTER TABLE that
+    * rewrites is a non-starter), takes a second append under the wide
+    * schema, then drops a column the same way. The final read must
+    * null-fill the added columns for pre-evolution rows and project the
+    * dropped column away everywhere — which the DuckDB oracle
+    * reproduces from the source parquet with a CASE on the evolution
+    * cut. A read path that re-read old files with the wrong schema, or
+    * an evolve commit that touched data files, fails the hash compare.
+    */
+  val s18SchemaEvolution: QueryDef = QueryDef(
+    "s18_schema_evolution",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |       CASE WHEN ts < TIMESTAMP '2024-01-16' THEN NULL
+      |            ELSE event_type END AS event_type,
+      |       CASE WHEN ts < TIMESTAMP '2024-01-16' THEN NULL
+      |            ELSE round(value, 2) END AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s18")
+    val narrow = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("evo_t", narrow)))
+    val tbl = cat.table("evo_t")
+    val src = eventsSrc(t)
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.append(src.filter(col("ts") < cut))                       // v1 (narrow)
+    tbl.addColumns(                                               // v2 (metadata-only)
+      StructField("event_type", StringType),
+      StructField("value", DoubleType))
+    tbl.append(src.filter(col("ts") >= cut))                      // v3 (wide)
+    tbl.dropColumns("user_id")                                    // v4 (metadata-only)
+    cat.checkDrift() // evolved declaration vs live files: clean
+    tbl.readLogical()
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
-      s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace, m9PurgeIsolation)
+      s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace,
+      s18SchemaEvolution, m9PurgeIsolation)
 }

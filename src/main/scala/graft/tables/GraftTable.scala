@@ -29,10 +29,19 @@ final case class CommitMeta(
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     fileRows: Map[String, Long] = Map.empty,
     changeFiles: Seq[String] = Nil,
-    deleteFiles: Seq[String] = Nil) {
+    deleteFiles: Seq[String] = Nil,
+    schemaDdl: String = null) {
   /** Jackson leaves a missing field null on old commit jsons. */
   def sinkBatchesOrEmpty: Map[String, Long] =
     Option(sinkBatches).getOrElse(Map.empty)
+
+  /** The table's LOGICAL schema as of this commit (Iceberg pins a
+    * schema-id per snapshot the same way). Carried forward on every
+    * commit once an evolve-schema commit sets it, so expiring the
+    * evolve commit itself never loses the schema; absent (None) on
+    * never-evolved tables, whose schema is the declared TableDef one.
+    */
+  def schemaDdlOrNone: Option[String] = Option(schemaDdl)
 
   /** For a copy-on-write upsert commit: the subset of this commit's
     * files holding EXACTLY the upserted batch (the survivors were
@@ -142,7 +151,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   private def writeCommit(op: String, files: Seq[String],
       knownRows: Map[String, Long] = Map.empty,
       changeFiles: Seq[String] = Nil,
-      deleteFiles: Seq[String] = Nil): CommitMeta = {
+      deleteFiles: Seq[String] = Nil,
+      newSchemaDdl: Option[String] = None): CommitMeta = {
     val prevMeta = commits.lastOption
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     val fileRows = files.par.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).seq.toMap
@@ -150,9 +160,12 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // the LATEST commit is always authoritative and expiring old
     // snapshots never loses a sink's mark
     val prev = prevMeta.map(_.sinkBatchesOrEmpty).getOrElse(Map.empty)
+    // the current schema rides every commit the same way (see CommitMeta)
+    val carriedSchema =
+      newSchemaDdl.orElse(prevMeta.flatMap(_.schemaDdlOrNone)).orNull
     val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op,
       fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows, changeFiles,
-      deleteFiles)
+      deleteFiles, carriedSchema)
     val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
     Files.writeString(tmp, mapper.writeValueAsString(meta))
     Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
@@ -216,12 +229,31 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   // ---- reads ----
 
-  private def physicalSchema: StructType = {
+  /** Logical schema as of a snapshot (latest when None): the commit's
+    * carried schemaDdl, else the declared TableDef schema. Time-travel
+    * reads use the SNAPSHOT's schema, as Iceberg does — reading v1 of a
+    * later-evolved table returns v1's columns.
+    */
+  def schemaAt(version: Option[Int]): StructType = {
+    val cs = commits
+    val snap = version match {
+      case Some(v) => cs.find(_.version == v)
+      case None => cs.lastOption
+    }
+    snap.flatMap(_.schemaDdlOrNone).map(StructType.fromDDL).getOrElse(defn.schema)
+  }
+
+  /** The table's current logical schema (declared + applied evolutions). */
+  def currentSchema: StructType = schemaAt(None)
+
+  private def physicalSchemaOf(logical: StructType): StructType = {
     val withParts = defn.partitions.foldLeft(
-      spark.createDataFrame(new java.util.ArrayList[Row](), defn.schema))(
+      spark.createDataFrame(new java.util.ArrayList[Row](), logical))(
       (d, p) => d.withColumn(p.name, p.expr))
     withParts.schema
   }
+
+  private def physicalSchema: StructType = physicalSchemaOf(currentSchema)
 
   /** Read a snapshot (default: latest). Returns the physical schema —
     * logical columns plus derived `p_*` partition columns, so callers
@@ -234,12 +266,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         .getOrElse(throw new IllegalArgumentException(s"${defn.name}: no snapshot v$v"))
       case None => cs.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
     }
+    // the SNAPSHOT's schema: older files missing later-added columns
+    // null-fill; columns dropped later still read in a pre-drop snapshot
+    val phys = physicalSchemaOf(
+      snap.schemaDdlOrNone.map(StructType.fromDDL).getOrElse(defn.schema))
     if (snap.files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), physicalSchema)
+      spark.createDataFrame(new java.util.ArrayList[Row](), phys)
     else
       spark.read
         .option("basePath", dataDir)
-        .schema(physicalSchema)
+        .schema(phys)
         .parquet(snap.files.map(f => s"$dataDir/$f"): _*)
   }
 
@@ -253,7 +289,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * table, or just compacted) skip the merge entirely.
     */
   def readLogical(version: Option[Int] = None): DataFrame = {
-    val logicalCols = defn.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    val logical = schemaAt(version)
+    val logicalCols = logical.fieldNames.map(org.apache.spark.sql.functions.col)
     if (!defn.mergeOnRead) read(version).select(logicalCols: _*)
     else {
       val cs = commits
@@ -269,7 +306,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{col, lit, max}
         val union = groups.map { case (seq, files) =>
-          readFilesAs(files).select(logicalCols: _*).withColumn("__seq", lit(seq))
+          readFilesAs(files, logical).select(logicalCols: _*).withColumn("__seq", lit(seq))
         }.reduce(_.unionByName(_))
         val newest = max(col("__seq")).over(
           Window.partitionBy(defn.keys.map(col): _*))
@@ -302,7 +339,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * would evaluate the input twice).
     */
   def append(df: DataFrame): CommitMeta = {
-    val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
+    val added = writeFiles(df.select(currentSchema.fieldNames.map(df.col): _*))
     val prev = commits.lastOption
     val addedRowsByFile = added.par.map(f => f -> footerRowCount(Seq(f))).seq.toMap
     val addedRows = addedRowsByFile.values.sum
@@ -320,9 +357,72 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     }
   }
 
+  // ---- schema evolution ----
+
+  /** Iceberg-style ADD COLUMN: a METADATA-ONLY commit (same live files,
+    * zero data rewritten — the point of lakehouse schema evolution at
+    * 100 TB) records the widened schema; files written before it simply
+    * miss the column and every read null-fills it, so the added fields
+    * must be nullable. Name-based resolution (parquet column names, not
+    * Iceberg field ids) is what this format can do without rewriting
+    * footers — so ADD and DROP are supported and RENAME is not (a
+    * rename would silently null out history; Iceberg needs field ids
+    * for exactly this reason — documented deviation).
+    */
+  def addColumns(fields: StructField*): CommitMeta = {
+    require(fields.nonEmpty, s"${defn.name}: addColumns with no columns")
+    val cur = currentSchema
+    val taken = (cur.fieldNames ++ partCols).map(_.toLowerCase).toSet
+    fields.foreach { f =>
+      require(!taken.contains(f.name.toLowerCase),
+        s"${defn.name}: column '${f.name}' already exists")
+      require(f.nullable,
+        s"${defn.name}: added column '${f.name}' must be nullable — " +
+          "files written before the evolution have no values for it")
+    }
+    val dup = fields.groupBy(_.name.toLowerCase).collect { case (n, fs) if fs.size > 1 => n }
+    require(dup.isEmpty, s"${defn.name}: duplicate added column(s) ${dup.mkString(", ")}")
+    val next = StructType(cur.fields ++ fields)
+    writeCommit("evolve-schema", commits.lastOption.map(_.files).getOrElse(Nil),
+      newSchemaDdl = Some(next.toDDL))
+  }
+
+  /** Iceberg-style DROP COLUMN: metadata-only — the column's values stay
+    * in existing files (readable through time travel to a pre-drop
+    * snapshot) but every current-schema read projects them away. Refuses
+    * to drop identifier keys (upsert resolution needs them) and columns
+    * a partition transform derives from (the physical layout reads them
+    * on every write).
+    */
+  def dropColumns(names: String*): CommitMeta = {
+    require(names.nonEmpty, s"${defn.name}: dropColumns with no columns")
+    val cur = currentSchema
+    val have = cur.fieldNames.map(n => n.toLowerCase -> n).toMap
+    names.foreach { n =>
+      require(have.contains(n.toLowerCase), s"${defn.name}: no column '$n'")
+      require(!defn.keys.exists(_.equalsIgnoreCase(n)),
+        s"${defn.name}: cannot drop identifier key '$n'")
+    }
+    val dropped = names.map(_.toLowerCase).toSet
+    val next = StructType(cur.fields.filterNot(f => dropped.contains(f.name.toLowerCase)))
+    require(next.nonEmpty, s"${defn.name}: cannot drop every column")
+    // a partition transform that reads a dropped column would break every
+    // subsequent write — probe by deriving the partition columns over the
+    // narrowed schema, exactly as writeFiles will
+    try physicalSchemaOf(next)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"${defn.name}: a partition transform depends on a dropped column " +
+            s"(${e.getMessage.linesIterator.next()})")
+    }
+    writeCommit("evolve-schema", commits.lastOption.map(_.files).getOrElse(Nil),
+      newSchemaDdl = Some(next.toDDL))
+  }
+
   /** M1 — full overwrite (CTAS materialization). */
   def overwrite(df: DataFrame): CommitMeta = {
-    val added = writeFiles(df.select(defn.schema.fieldNames.map(df.col): _*))
+    val added = writeFiles(df.select(currentSchema.fieldNames.map(df.col): _*))
     writeCommit("overwrite", added)
   }
 
@@ -345,7 +445,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     */
   def upsert(batch: DataFrame): CommitMeta = {
     require(defn.isUpsert, s"${defn.name} has no identifier keys")
-    val cols = defn.schema.fieldNames.map(batch.col)
+    val cols = currentSchema.fieldNames.map(batch.col)
     val b = batch.select(cols: _*)
     if (defn.mergeOnRead) {
       val added = writeFiles(b)
@@ -363,7 +463,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           org.apache.spark.sql.functions.col(s"b.$k"))
         .reduce(_ && _)
       val survivors = cur.join(bb, sameKey, "left_anti")
-        .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       // batch and survivors land in SEPARATE files so the commit can
       // name the batch's files as its change set (changeFiles) — that
       // is what lets readChanges serve CDC rows for a COW upsert
@@ -392,8 +492,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
     val (untouched, toRewrite) = classifyLiveFiles(prune)
     val keep = readFilesAs(toRewrite).filter(!condition || condition.isNull)
-      .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-    val repl = replacement.select(defn.schema.fieldNames.map(replacement.col): _*)
+      .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val repl = replacement.select(currentSchema.fieldNames.map(replacement.col): _*)
     val prev = commits.lastOption
     if (trackChanges) {
       // change-tracked form (opt-in — the CDC writes below are a real
@@ -405,7 +505,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       // scheme, which is what lets readChanges serve insert+delete
       // rows for a repair instead of forcing a consumer full-resync.
       val deleted = readFilesAs(toRewrite).filter(condition)
-        .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       val keepFiles = writeFiles(keep)
       val replFiles = writeFiles(repl)
       val delFiles = writeFiles(deleted)
@@ -475,15 +575,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           org.apache.spark.sql.functions.broadcast(keys)
         else keys
       val keep = readFilesAs(toRewrite)
-        .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
         .join(hinted, keyCols, "left_anti")
-      val repl = replacement.select(defn.schema.fieldNames.map(replacement.col): _*)
+      val repl = replacement.select(currentSchema.fieldNames.map(replacement.col): _*)
       if (trackChanges) {
         // opt-in CDC form — see replaceWhere: replacement in its own
         // files, deleted rows (the keys' SEMI-join complement of keep)
         // materialized as delete files
         val deleted = readFilesAs(toRewrite)
-          .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+          .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
           .join(hinted, keyCols, "left_semi")
         val keepFiles = timed("replaceKeys/write")(writeFiles(keep))
         val replFiles = writeFiles(repl)
@@ -588,7 +688,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         "would skip latest-wins resolution — compact() first")
     val (_, overlapping) = classifyLiveFiles(Some(RangePrune(colName, loMicros, hiMicros)))
     readFilesAs(overlapping)
-      .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** file → the commit version that FIRST added it — the merge-on-read
@@ -616,12 +716,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     */
   private[graft] def readFilesLogical(files: Seq[String]): DataFrame =
     readFilesAs(files)
-      .select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
 
-  private def readFilesAs(files: Seq[String]): DataFrame =
-    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), physicalSchema)
-    else spark.read.option("basePath", dataDir).schema(physicalSchema)
+  private def readFilesAs(files: Seq[String],
+      logical: StructType = currentSchema): DataFrame = {
+    val phys = physicalSchemaOf(logical)
+    if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), phys)
+    else spark.read.option("basePath", dataDir).schema(phys)
       .parquet(files.map(f => s"$dataDir/$f"): _*)
+  }
 
   /** Row count of freshly written files from the parquet footers — a
     * metadata read, never a data scan. This is what keeps a commit O(1)
@@ -743,7 +846,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val nFiles = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val df =
       if (defn.mergeOnRead) readLogical() // resolves latest-wins
-      else readFilesAs(small).select(defn.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      else readFilesAs(small).select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     // the binpack count goes through writeFiles, which owns the final
     // repartition — a pre-repartition here would be re-shuffled (and its
     // sizing discarded) by writeFiles' own partition-value distribution
@@ -812,7 +915,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val ordered = df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .select(defn.schema.fieldNames.map(col): _*)
+      .select(currentSchema.fieldNames.map(col): _*)
     val added = writeFiles(ordered)
     writeCommit("zorder", added)
   }
@@ -886,11 +989,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * merge-on-read tables, where every commit's delta IS its batch.
     */
   def readChanges(fromVersion: Int, toVersion: Int): DataFrame = {
-    val logicalCols = defn.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    // one schema for the whole range — the range END's schema, the same
+    // contract as Iceberg's changelog scan (pre-evolution change rows
+    // null-fill later-added columns)
+    val logical = schemaAt(Some(toVersion).filter(_ > 0))
+    val logicalCols = logical.fieldNames.map(org.apache.spark.sql.functions.col)
     val deltas = fileDeltasSince(fromVersion, toVersion).fold(throw _, identity)
     def leg(c: CommitMeta, files: Seq[String], changeType: String) =
       if (files.isEmpty) None
-      else Some(readFilesAs(files).select(logicalCols: _*)
+      else Some(readFilesAs(files, logical).select(logicalCols: _*)
         .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
         .withColumn("_change_type", org.apache.spark.sql.functions.lit(changeType)))
     val legs = deltas.flatMap { case (c, added, deleted) =>
@@ -901,7 +1008,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       leg(c, added, addType) ++ leg(c, deleted, "delete")
     }
     if (legs.isEmpty) {
-      val schema = StructType(defn.schema.fields ++ Seq(
+      val schema = StructType(logical.fields ++ Seq(
         StructField("_change_version", IntegerType, nullable = false),
         StructField("_change_type", StringType, nullable = false)))
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
@@ -963,8 +1070,9 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
             (c, c.changeFilesOrEmpty, Nil: Seq[String])
           case "replace-cdc" =>
             (c, c.changeFilesOrEmpty, c.deleteFilesOrEmpty)
-          case "compact" | "zorder" =>
-            (c, Nil: Seq[String], Nil: Seq[String]) // layout-only
+          case "compact" | "zorder" | "evolve-schema" =>
+            // layout-/metadata-only: no logical rows changed
+            (c, Nil: Seq[String], Nil: Seq[String])
           case other => return Left(new IllegalArgumentException(
             s"${defn.name}: commit v${c.version} is '$other' — a rewrite has no " +
               "derivable change set; changelog consumers need append/merge-on-read/" +

@@ -28,22 +28,30 @@ final class TableCatalog(spark: SparkSession, val root: String, defs: Seq[TableD
     * and identifier-key drift against the stored definition.
     */
   def driftReport(name: String): Seq[String] = {
-    val d = defn(name)
     val t = table(name)
     t.liveSchema match {
       case None => Nil // nothing materialized yet
-      case Some(live) => diffSchemas(d.schema, live).map(s"table $name: " + _)
+      case Some(live) =>
+        // the sanctioned declaration is the CURRENT schema (declared +
+        // applied evolutions); a column dropped by evolution still sits
+        // in pre-drop files legitimately, so any name that appeared in
+        // SOME committed schema is not drift either
+        val historical = t.commits.flatMap(_.schemaDdlOrNone)
+          .flatMap(ddl => StructType.fromDDL(ddl).fieldNames)
+          .toSet ++ defn(name).schema.fieldNames
+        diffSchemas(t.currentSchema, live, historical).map(s"table $name: " + _)
     }
   }
 
-  private def diffSchemas(declared: StructType, live: StructType): Seq[String] = {
+  private def diffSchemas(declared: StructType, live: StructType,
+      everDeclared: Set[String]): Seq[String] = {
     val dm = declared.fields.map(f => f.name -> f).toMap
     val lm = live.fields.map(f => f.name -> f).toMap
     // a declared column absent from live files is ADDITIVE evolution,
     // not drift: reads null-fill it (Iceberg's add-optional-column is
     // the same compatible change — e.g. the watermark table gaining
     // source_version must not brick pre-upgrade warehouses)
-    val extra = live.fieldNames.filterNot(dm.contains)
+    val extra = live.fieldNames.filterNot(c => dm.contains(c) || everDeclared.contains(c))
       .map(c => s"live column '$c' not declared")
     val typeDrift = declared.fields.flatMap { f =>
       lm.get(f.name).collect {
