@@ -595,9 +595,50 @@ object StorageOps {
     tbl.readLogical()
   }
 
+  /** S19 — write-audit-publish round trip (Iceberg branches +
+    * `fast_forward`, the pattern the reference's DQ layer implies: land
+    * a batch, gate it, only then let consumers see it). The second
+    * day's batch is staged on an `audit` branch — a full table view
+    * over the same data dir with its own commit log — audited with the
+    * engine's own DQ predicate (the P5 reject rules), and fast-forwarded
+    * onto main; a second, deliberately poisoned branch FAILS its audit
+    * and is dropped, with orphan cleanup reclaiming its files. The
+    * oracle sees only the published world: if staging leaked into main,
+    * the poisoned batch survived, or the publish lost a commit, the
+    * hash compare fails.
+    */
+  val s19WapPublish: QueryDef = QueryDef(
+    "s19_wap_publish",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s19")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("wap_t", eventsSchema)))
+    val tbl = cat.table("wap_t")
+    val src = eventsSrc(t)
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.append(src.filter(col("ts") < cut))                       // main v1
+    // stage day 2 on the audit branch; main must not see it yet
+    val audit = tbl.createBranch("audit")
+    audit.append(src.filter(col("ts") >= cut))
+    val staged = audit.readLogical()
+    val auditOk = staged.filter(
+      col("event_id").isNull || col("ts").isNull || col("value") < 0).isEmpty
+    require(auditOk && tbl.currentVersion == 1, "audit gate broken")
+    tbl.fastForward("audit")                                      // publish → main v2
+    // a poisoned batch fails its audit and never reaches main
+    val bad = tbl.createBranch("audit2")
+    bad.append(staged.limit(50).withColumn("value", lit(-1.0)))
+    val badOk = bad.readLogical().filter(col("value") < 0).isEmpty
+    require(!badOk, "poisoned batch should fail the audit")
+    tbl.dropBranch("audit2")
+    tbl.removeOrphans()
+    tbl.readLogical()
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
       s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace,
-      s18SchemaEvolution, m9PurgeIsolation)
+      s18SchemaEvolution, s19WapPublish, m9PurgeIsolation)
 }

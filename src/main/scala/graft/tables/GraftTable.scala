@@ -102,12 +102,22 @@ final case class RangePrune(column: String, loMicros: Long, hiMicros: Long)
   * Single-writer (the reference's jobs are too); commits are atomic via
   * rename, readers always resolve the latest complete commit.
   */
-final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String)
+final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String,
+    branch: Option[String] = None)
     extends SinkTable {
 
   private val tableDir = s"$root/${defn.name}"
   private val dataDir = s"$tableDir/data"
-  private val commitsDir = s"$tableDir/_commits"
+  // a BRANCH view keeps its own commit log beside main's, over the SAME
+  // data dir — so every write op (append/upsert/replace/compact) works
+  // on a branch unchanged, writing files no main snapshot references
+  // until a fast-forward publishes them (Iceberg branches share the
+  // data layout the same way)
+  private val commitsDir = branch match {
+    case Some(b) => s"$tableDir/_commits/branch-$b"
+    case None => s"$tableDir/_commits"
+  }
+  private val refsDir = s"$tableDir/_refs"
   Files.createDirectories(Paths.get(dataDir))
   Files.createDirectories(Paths.get(commitsDir))
 
@@ -920,6 +930,144 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     writeCommit("zorder", added)
   }
 
+  // ---- refs: tags + branches (write-audit-publish) ----
+
+  private def requireMain(op: String): Unit =
+    require(branch.isEmpty, s"${defn.name}: $op is a main-table operation, " +
+      s"not valid on branch '${branch.get}'")
+
+  private def checkRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_-]+"), s"${defn.name}: bad ref name '$name'")
+
+  private def tagPath(name: String) = Paths.get(s"$refsDir/tag-$name.json")
+  private def branchMarkPath(name: String) = Paths.get(s"$refsDir/branch-$name.json")
+  private def branchDir(name: String) = Paths.get(s"$tableDir/_commits/branch-$name")
+
+  /** Named immutable snapshot pointers (Iceberg tags): tag → version.
+    * A tagged snapshot is retention-exempt — [[expireSnapshots]] keeps
+    * it until the tag is dropped — so audits and reproducible reads
+    * (e.g. "the exact training-set snapshot") survive the maintenance
+    * cadence.
+    */
+  def tags: Map[String, Int] = {
+    val fs = Option(new File(refsDir).listFiles()).getOrElse(Array.empty)
+    fs.filter(_.getName.matches("tag-.*\\.json")).map { f =>
+      val m = mapper.readValue(f, classOf[Map[String, Any]])
+      m("name").toString -> m("version").asInstanceOf[Number].intValue
+    }.toMap
+  }
+
+  def createTag(name: String, version: Option[Int] = None): Unit = {
+    requireMain("createTag")
+    checkRefName(name)
+    require(!Files.exists(tagPath(name)), s"${defn.name}: tag '$name' exists")
+    val v = version.getOrElse(currentVersion)
+    require(commits.exists(_.version == v), s"${defn.name}: no snapshot v$v to tag")
+    Files.createDirectories(Paths.get(refsDir))
+    val tmp = Paths.get(s"$refsDir/.tmp-tag-$name.json")
+    Files.writeString(tmp, mapper.writeValueAsString(Map("name" -> name, "version" -> v)))
+    Files.move(tmp, tagPath(name), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def dropTag(name: String): Unit = {
+    requireMain("dropTag")
+    require(Files.deleteIfExists(tagPath(name)), s"${defn.name}: no tag '$name'")
+  }
+
+  /** Read the snapshot a tag pins (logical columns, tag-time schema). */
+  def readTagLogical(name: String): DataFrame = {
+    val v = tags.getOrElse(name,
+      throw new IllegalArgumentException(s"${defn.name}: no tag '$name'"))
+    readLogical(Some(v))
+  }
+
+  /** Live branch names (refs with an un-published commit log). */
+  def branches: Seq[String] = {
+    val fs = Option(new File(refsDir).listFiles()).getOrElse(Array.empty)
+    fs.filter(_.getName.matches("branch-.*\\.json")).map { f =>
+      mapper.readValue(f, classOf[Map[String, Any]])("name").toString
+    }.toSeq.sorted
+  }
+
+  /** Fork a branch at the current snapshot — the WRITE leg of Iceberg's
+    * write-audit-publish: a producer stages commits on the branch (any
+    * table op — the returned view is a full [[GraftTable]] over the
+    * SAME data dir with its own commit log), auditors query the branch,
+    * and [[fastForward]] publishes atomically or [[dropBranch]]
+    * abandons it with main never having seen a byte. The fork copies
+    * main's commit JSONS only (metadata — no data movement), keeping
+    * the full log so merge-on-read sequence ordering survives on the
+    * branch.
+    */
+  def createBranch(name: String): GraftTable = {
+    requireMain("createBranch")
+    checkRefName(name)
+    require(!Files.exists(branchMarkPath(name)), s"${defn.name}: branch '$name' exists")
+    require(!Files.exists(tagPath(name)), s"${defn.name}: '$name' is a tag")
+    val fork = currentVersion
+    Files.createDirectories(branchDir(name))
+    commits.foreach { c =>
+      Files.copy(commitPath(c.version),
+        branchDir(name).resolve(s"commit-${c.version}.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.createDirectories(Paths.get(refsDir))
+    val tmp = Paths.get(s"$refsDir/.tmp-branch-$name.json")
+    Files.writeString(tmp,
+      mapper.writeValueAsString(Map("name" -> name, "forkVersion" -> fork)))
+    Files.move(tmp, branchMarkPath(name), StandardCopyOption.ATOMIC_MOVE)
+    branchView(name)
+  }
+
+  /** Open an existing branch as a writable table view. */
+  def branchView(name: String): GraftTable = {
+    requireMain("branchView")
+    require(Files.exists(branchMarkPath(name)), s"${defn.name}: no branch '$name'")
+    new GraftTable(spark, defn, root, Some(name))
+  }
+
+  private def branchForkVersion(name: String): Int =
+    mapper.readValue(branchMarkPath(name).toFile, classOf[Map[String, Any]])(
+      "forkVersion").asInstanceOf[Number].intValue
+
+  /** PUBLISH: fast-forward main to the branch head (Iceberg's
+    * `fast_forward` procedure / WAP publish). Valid only while main
+    * still sits at the fork version — a diverged main refuses (the
+    * branch must be re-staged), never merges. Publication moves the
+    * branch's post-fork commit jsons onto main OLDEST FIRST, so a crash
+    * mid-publish leaves main on a valid contiguous prefix of the branch
+    * — every intermediate state is a readable table. Returns the number
+    * of commits published.
+    */
+  def fastForward(name: String): Int = {
+    requireMain("fastForward")
+    val fork = branchForkVersion(name)
+    require(currentVersion == fork,
+      s"${defn.name}: main advanced past the '$name' fork " +
+        s"(fork v$fork, main v$currentVersion) — cannot fast-forward; " +
+        "drop the branch and re-stage")
+    val b = branchView(name)
+    val pending = b.commits.filter(_.version > fork).sortBy(_.version)
+    pending.foreach { c =>
+      Files.move(branchDir(name).resolve(s"commit-${c.version}.json"),
+        commitPath(c.version), StandardCopyOption.ATOMIC_MOVE)
+    }
+    dropBranch(name)
+    pending.size
+  }
+
+  /** Abandon a branch: its staged commits vanish, main never changes;
+    * the branch's data files become unreferenced and [[removeOrphans]]
+    * reclaims them on the normal maintenance cadence.
+    */
+  def dropBranch(name: String): Unit = {
+    requireMain("dropBranch")
+    require(Files.deleteIfExists(branchMarkPath(name)), s"${defn.name}: no branch '$name'")
+    val d = branchDir(name).toFile
+    Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    d.delete()
+  }
+
   /** M8a — expire snapshots older than `olderThanMs`, always keeping the
     * latest (reference: expire_snapshots(retention_threshold => '7d')).
     * For merge-on-read tables, a commit that is the first-seen version
@@ -930,6 +1078,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * first, then expire).
     */
   def expireSnapshots(olderThanMs: Long): Int = {
+    requireMain("expireSnapshots")
     val cs = commits
     val cutoff = System.currentTimeMillis() - olderThanMs
     val needed: Set[Int] =
@@ -938,8 +1087,11 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         val live = cs.lastOption.map(_.files).getOrElse(Nil)
         live.map(firstSeenByFile(cs)).toSet
       }
+    // tagged snapshots are retention-exempt until the tag is dropped
+    val tagged = tags.values.toSet
     val expired = cs.dropRight(1)
-      .filter(c => c.tsMs < cutoff && !needed.contains(c.version))
+      .filter(c => c.tsMs < cutoff && !needed.contains(c.version) &&
+        !tagged.contains(c.version))
     expired.foreach(c => Files.deleteIfExists(commitPath(c.version)))
     expired.size
   }
@@ -950,7 +1102,13 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * changelog payload and must survive exactly as long as its json.
     */
   def removeOrphans(): Int = {
-    val referenced = commits.flatMap(c => c.files ++ c.deleteFilesOrEmpty).toSet
+    requireMain("removeOrphans")
+    // live BRANCH snapshots reference files main doesn't know yet —
+    // those are the branch's staged payload, not orphans
+    val branchRefs = branches.flatMap(b =>
+      branchView(b).commits.flatMap(c => c.files ++ c.deleteFilesOrEmpty)).toSet
+    val referenced =
+      commits.flatMap(c => c.files ++ c.deleteFilesOrEmpty).toSet ++ branchRefs
     val orphans = listDataFiles() -- referenced
     orphans.foreach(f => Files.deleteIfExists(Paths.get(s"$dataDir/$f")))
     // prune now-empty partition dirs

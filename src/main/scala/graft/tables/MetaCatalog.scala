@@ -58,6 +58,7 @@ final class MetaCatalog extends V2TableCatalog {
       case "snapshots" => new MetaCatalog.SnapshotsTable(base, warehouse)
       case "history" => new MetaCatalog.HistoryTable(base, warehouse)
       case "files" => new MetaCatalog.FilesTable(base, warehouse)
+      case "refs" => new MetaCatalog.RefsTable(base, warehouse)
       case _ => refuse()
     }
   }
@@ -174,6 +175,43 @@ object MetaCatalog {
                   else null,
                   true)): InternalRow
               }.toArray
+          }
+        }
+      }
+  }
+
+  /** Iceberg's `$refs` metadata table (core columns): every named ref —
+    * `main`, tags, and live audit branches — with the snapshot it
+    * points to (a branch points at its staged HEAD, exactly what an
+    * auditor queries before a fast-forward publish).
+    */
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+
+  private final class RefsTable(base: String, warehouse: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"$base$$refs"
+    override def schema(): StructType = RefsSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan with LocalScan {
+          override def readSchema(): StructType = RefsSchema
+          override def rows(): Array[InternalRow] = {
+            val spark = SparkSession.active
+            val tbl = new GraftTable(spark, TableDef(base, StructType(Nil)), warehouse)
+            def row(n: String, ty: String, v: Long) =
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(n), UTF8String.fromString(ty), v)): InternalRow
+            val main = Seq(row("main", "BRANCH", tbl.currentVersion.toLong))
+            val tags = tbl.tags.toSeq.sortBy(_._1)
+              .map { case (n, v) => row(n, "TAG", v.toLong) }
+            val branches = tbl.branches
+              .map(b => row(b, "BRANCH", tbl.branchView(b).currentVersion.toLong))
+            (main ++ tags ++ branches).toArray
           }
         }
       }

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import graft.tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tags + branches (write-audit-publish) on the snapshot log: a branch
+  * stages commits invisible to main, fast-forward publishes them
+  * atomically (oldest first, so any crash prefix is a valid table),
+  * a failed audit drops the branch and orphan cleanup reclaims exactly
+  * its files, a diverged main refuses to fast-forward, and tagged
+  * snapshots are retention-exempt until the tag drops.
+  */
+class RefsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_refs_wh", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grp", StringType),
+    StructField("v", DoubleType)))
+
+  private def df(ids: Range, grp: String, v: Double) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, grp, v)).toDF("id", "grp", "v")
+  }
+
+  test("WAP happy path: stage on branch, main blind until fast-forward publishes") {
+    val t = new GraftTable(spark, TableDef("r1", schema), freshRoot("r1"))
+    t.append(df(0 until 10, "a", 1.0)) // main v1
+    val b = t.createBranch("audit")
+    b.append(df(10 until 15, "b", 2.0)) // branch v2
+    b.append(df(15 until 18, "c", 3.0)) // branch v3
+    // audit sees staged rows; main does not
+    assert(b.readLogical().count() == 18)
+    assert(t.readLogical().count() == 10)
+    assert(t.currentVersion == 1)
+    val published = t.fastForward("audit")
+    assert(published == 2)
+    assert(t.currentVersion == 3)
+    assert(t.readLogical().count() == 18)
+    assert(t.branches.isEmpty)
+    // the published log is a first-class main log: changelog works over it
+    assert(t.readChanges(1, 3).count() == 8)
+  }
+
+  test("failed audit: dropBranch leaves main untouched; removeOrphans reclaims exactly the staged files") {
+    val t = new GraftTable(spark, TableDef("r2", schema), freshRoot("r2"))
+    t.append(df(0 until 10, "a", 1.0))
+    val b = t.createBranch("audit")
+    b.append(df(10 until 20, "bad", -1.0))
+    // while the branch lives, its files are NOT orphans
+    assert(t.removeOrphans() == 0)
+    assert(b.readLogical().count() == 20)
+    t.dropBranch("audit")
+    val reclaimed = t.removeOrphans()
+    assert(reclaimed > 0)
+    assert(t.readLogical().count() == 10)
+    assert(t.readLogical().filter(col("grp") === "bad").count() == 0)
+  }
+
+  test("diverged main refuses fast-forward") {
+    val t = new GraftTable(spark, TableDef("r3", schema), freshRoot("r3"))
+    t.append(df(0 until 5, "a", 1.0))
+    val b = t.createBranch("audit")
+    b.append(df(5 until 8, "b", 2.0))
+    t.append(df(8 until 9, "c", 3.0)) // main advances past the fork
+    val e = intercept[IllegalArgumentException] { t.fastForward("audit") }
+    assert(e.getMessage.contains("cannot fast-forward"))
+    t.dropBranch("audit")
+  }
+
+  test("branch of a merge-on-read table keeps latest-wins ordering across the fork") {
+    val t = new GraftTable(spark,
+      TableDef("r4", schema, keys = Seq("id"), mergeOnRead = true), freshRoot("r4"))
+    t.upsert(df(0 until 10, "a", 1.0)) // main v1
+    val b = t.createBranch("audit")
+    b.upsert(df(5 until 12, "b", 2.0)) // branch v2 revises 5..9
+    assert(b.readLogical().count() == 12)
+    assert(b.readLogical().filter(col("grp") === "b").count() == 7)
+    t.fastForward("audit")
+    val out = t.readLogical()
+    assert(out.count() == 12)
+    assert(out.filter(col("id") >= 5 && col("grp") === "b").count() == 7)
+  }
+
+  test("tags pin snapshots, exempt them from expiry, and read with the tag-time schema") {
+    val t = new GraftTable(spark, TableDef("r5", schema), freshRoot("r5"))
+    t.append(df(0 until 4, "a", 1.0)) // v1
+    t.createTag("train-set")
+    t.addColumns(StructField("w", DoubleType)) // v2
+    t.append(df(4 until 6, "b", 2.0).withColumn("w", lit(9.0))) // v3
+    // tag reads v1 with v1's 3-column schema
+    val tagRead = t.readTagLogical("train-set")
+    assert(tagRead.count() == 4)
+    assert(tagRead.schema.fieldNames.toSeq == Seq("id", "grp", "v"))
+    // expiry keeps the tagged snapshot, drops the untagged evolve commit
+    assert(t.expireSnapshots(olderThanMs = -1L) == 1)
+    assert(t.readTagLogical("train-set").count() == 4)
+    t.dropTag("train-set")
+    assert(t.expireSnapshots(olderThanMs = -1L) == 1)
+    intercept[IllegalArgumentException] { t.readTagLogical("train-set") }
+  }
+
+  test("refusals: dup refs, bad names, main-only ops on a branch view") {
+    val t = new GraftTable(spark, TableDef("r6", schema), freshRoot("r6"))
+    t.append(df(0 until 3, "a", 1.0))
+    t.createTag("pin")
+    intercept[IllegalArgumentException] { t.createTag("pin") }
+    intercept[IllegalArgumentException] { t.createTag("bad/name") }
+    intercept[IllegalArgumentException] { t.createTag("v9", Some(99)) }
+    val b = t.createBranch("audit")
+    intercept[IllegalArgumentException] { t.createBranch("audit") }
+    intercept[IllegalArgumentException] { t.createBranch("pin") } // tag name taken
+    intercept[IllegalArgumentException] { b.expireSnapshots(0L) }
+    intercept[IllegalArgumentException] { b.removeOrphans() }
+    intercept[IllegalArgumentException] { b.createBranch("nested") }
+    t.dropBranch("audit")
+    intercept[IllegalArgumentException] { t.dropBranch("audit") }
+  }
+}

@@ -100,6 +100,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "sum(record_count) must equal the latest snapshot's total-records")
   }
 
+  test("$refs metadata table lists main plus live tags and audit branches") {
+    SqlSurfaceOps.registerSurface(spark, sf)
+    SqlSurfaceOps.ensureLakehouse(spark)
+    // schema-less handle is enough for ref ops (commit-log metadata only),
+    // the same way MetaCatalog itself opens the table
+    val tbl = new graft.tables.GraftTable(spark,
+      graft.tables.TableDef("bid_requests",
+        org.apache.spark.sql.types.StructType(Nil)),
+      graft.tables.MetaCatalog.DefaultWarehouse)
+    // idempotent across suite re-runs over the shared warehouse
+    try tbl.dropTag("audited") catch { case _: IllegalArgumentException => () }
+    try tbl.dropBranch("staging") catch { case _: IllegalArgumentException => () }
+    def refs() = withAnsiQuotes(spark.sql(
+      """SELECT name, type, snapshot_id FROM iceberg.db."bid_requests$refs"
+        |ORDER BY name""".stripMargin).collect())
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs().toSeq == Seq(("main", "BRANCH", tbl.currentVersion.toLong)))
+    tbl.createTag("audited")
+    tbl.createBranch("staging")
+    assert(refs().toSeq == Seq(
+      ("audited", "TAG", tbl.currentVersion.toLong),
+      ("main", "BRANCH", tbl.currentVersion.toLong),
+      ("staging", "BRANCH", tbl.currentVersion.toLong)))
+    tbl.dropTag("audited")
+    tbl.dropBranch("staging")
+    assert(refs().length == 1)
+  }
+
   test("single-table example texts agree with an independent recomputation") {
     SqlSurfaceOps.registerSurface(spark, sf)
     val br = spark.table("bid_requests")
