@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 import graft.QueryDef
-import graft.materialize.{FactBound, MatView, Materializer}
+import graft.materialize.{CdcAggConsumer, FactBound, MatView, Materializer}
 import graft.tables._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -197,5 +197,52 @@ object MaterializeOps {
     cat.table("mat_enriched").readLogical()
   }
 
-  val all: Seq[QueryDef] = Seq(m4IncrementalMatview, m5DimRepair, m6StaleRepair)
+  /** M10 — CHANGELOG-maintained aggregate (the Delta-CDF consumer
+    * pattern): a per-type count+cents view is kept current by folding
+    * each source commit's insert/delete rows — two append polls, then a
+    * change-tracked repair (error values zeroed) whose deletes SUBTRACT
+    * the old rows and whose inserts add the replacements, with the
+    * consumed source version riding each merge commit atomically
+    * (exactly-once; a replayed poll no-ops). Unlike M4–M6 the consumer
+    * never rereads the source: a repair costs O(changed rows). The
+    * DuckDB oracle recomputes the aggregate single-shot from the final
+    * logical state — a sign error, a lost delete, a double-applied
+    * poll, or a leaked zero-count group all fail the hash compare.
+    */
+  val m10CdcMatview: QueryDef = QueryDef(
+    "m10_cdc_matview",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN 0
+      |                     ELSE CAST(round(value * 100) AS BIGINT) END)
+      |            AS BIGINT) AS cents
+      |FROM events GROUP BY 1""".stripMargin) { t =>
+    val wh = scratch("m10")
+    val aggSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("cents", LongType)))
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("cdc_src", eventsSchema),
+      TableDef("agg_by_type", aggSchema, keys = Seq("event_type"))))
+    val src = cat.table("cdc_src")
+    val mv = cat.table("agg_by_type")
+    val consumer = new CdcAggConsumer(t.spark, src, mv,
+      groupCols = Seq("event_type"), valueCol = "value")
+
+    val ev = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    src.append(ev.filter(col("ts") < cut))                         // v1
+    consumer.poll()
+    src.append(ev.filter(col("ts") >= cut))                        // v2
+    src.replaceWhere(col("event_type") === "error",                // v3 (tracked)
+      ev.filter(col("event_type") === "error").withColumn("value", lit(0.0)),
+      trackChanges = true)
+    consumer.poll()
+    consumer.poll() // caught up — must be a no-op, not a double-apply
+    mv.readLogical()
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(m4IncrementalMatview, m5DimRepair, m6StaleRepair, m10CdcMatview)
 }
