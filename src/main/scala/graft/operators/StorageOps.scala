@@ -636,9 +636,37 @@ object StorageOps {
     tbl.readLogical()
   }
 
+  /** S20 — merge-on-read equality DELETE through the oracle (Iceberg
+    * v2 delete files, the erasure path the reference's upsert tables
+    * imply): two streamed-cadence upserts land the events, then every
+    * `error` event's KEY is deleted by writing one tombstone file —
+    * zero data rewritten, the only delete shape that survives a
+    * continuous retraction feed at 100 TB. The returned read resolves
+    * tombstones inside the latest-wins merge (the un-compacted path —
+    * the novel read-side code), which the DuckDB oracle reproduces with
+    * a WHERE on the source; a tombstone that leaks superseded rows,
+    * kills the wrong sequence, or misses a key fails the hash compare.
+    */
+  val s20MorDelete: QueryDef = QueryDef(
+    "s20_mor_delete",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events WHERE event_type <> 'error'""".stripMargin) { t =>
+    val wh = scratch("s20")
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("mord_t", eventsSchema, keys = Seq("event_id"), mergeOnRead = true)))
+    val tbl = cat.table("mord_t")
+    val src = eventsSrc(t)
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.upsert(src.filter(col("ts") < cut))                       // v1
+    tbl.upsert(src.filter(col("ts") >= cut))                      // v2
+    tbl.deleteKeys(src.filter(col("event_type") === "error"))     // v3 (tombstone)
+    tbl.readLogical()
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
       s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace,
-      s18SchemaEvolution, s19WapPublish, m9PurgeIsolation)
+      s18SchemaEvolution, s19WapPublish, s20MorDelete, m9PurgeIsolation)
 }

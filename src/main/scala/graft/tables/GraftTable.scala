@@ -30,7 +30,9 @@ final case class CommitMeta(
     fileRows: Map[String, Long] = Map.empty,
     changeFiles: Seq[String] = Nil,
     deleteFiles: Seq[String] = Nil,
-    schemaDdl: String = null) {
+    schemaDdl: String = null,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    morDeleteFiles: Map[String, Int] = Map.empty) {
   /** Jackson leaves a missing field null on old commit jsons. */
   def sinkBatchesOrEmpty: Map[String, Long] =
     Option(sinkBatches).getOrElse(Map.empty)
@@ -73,6 +75,18 @@ final case class CommitMeta(
     */
   def fileRowsOrEmpty: Map[String, Long] =
     Option(fileRows).getOrElse(Map.empty)
+
+  /** PENDING equality-delete files of a merge-on-read table (Iceberg
+    * v2's delete files): key-tuple tombstones → the version that wrote
+    * each, killing matching rows from OLDER sequences until a later
+    * upsert resurrects the key. Carried forward commit to commit (like
+    * sinkBatches) so the latest commit always knows the active
+    * tombstone set; compaction materializes them away and clears the
+    * map. Distinct from `deleteFiles`, which is a change-tracked
+    * repair's one-shot changelog payload, never carried.
+    */
+  def morDeleteFilesOrEmpty: Map[String, Int] =
+    Option(morDeleteFiles).getOrElse(Map.empty)
 }
 
 /** Conservative file-pruning hint for replace commits: every row the
@@ -162,7 +176,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       knownRows: Map[String, Long] = Map.empty,
       changeFiles: Seq[String] = Nil,
       deleteFiles: Seq[String] = Nil,
-      newSchemaDdl: Option[String] = None): CommitMeta = {
+      newSchemaDdl: Option[String] = None,
+      morDeletes: Map[String, Int] => Map[String, Int] = identity): CommitMeta = {
     val prevMeta = commits.lastOption
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     val fileRows = files.par.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).seq.toMap
@@ -173,9 +188,13 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // the current schema rides every commit the same way (see CommitMeta)
     val carriedSchema =
       newSchemaDdl.orElse(prevMeta.flatMap(_.schemaDdlOrNone)).orNull
+    // pending equality-delete tombstones carry too; `morDeletes`
+    // transforms the carried map (add a tombstone / clear on compact)
+    val carriedMorDeletes =
+      morDeletes(prevMeta.map(_.morDeleteFilesOrEmpty).getOrElse(Map.empty))
     val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op,
       fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows, changeFiles,
-      deleteFiles, carriedSchema)
+      deleteFiles, carriedSchema, carriedMorDeletes)
     val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
     Files.writeString(tmp, mapper.writeValueAsString(meta))
     Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
@@ -231,6 +250,24 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       val writer = physical.write.mode("append")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
     } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    (listDataFiles() -- before).toSeq.sorted
+  }
+
+  /** Write rows OUTSIDE the partition layout (equality-delete tombstone
+    * files — key tuples only, so partition sources may be absent).
+    * Same timestamp discipline as [[writeFiles]]; never listed in a
+    * commit's `files`, so no data read ever sees them by accident.
+    */
+  private def writeRawFiles(df: DataFrame): Seq[String] = {
+    val before = listDataFiles()
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try df.write.mode("append").parquet(dataDir)
+    finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
@@ -311,20 +348,46 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       }
       val firstSeen = firstSeenByFile(cs)
       val groups = snap.files.groupBy(firstSeen).toSeq.sortBy(_._1)
-      if (groups.size <= 1) read(version).select(logicalCols: _*)
+      val tombs = snap.morDeleteFilesOrEmpty
+      if (groups.size <= 1 && tombs.isEmpty) read(version).select(logicalCols: _*)
       else {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{col, lit, max}
-        val union = groups.map { case (seq, files) =>
-          readFilesAs(files, logical).select(logicalCols: _*).withColumn("__seq", lit(seq))
-        }.reduce(_.unionByName(_))
+        val dataLegs = groups.map { case (seq, files) =>
+          readFilesAs(files, logical).select(logicalCols: _*)
+            .withColumn("__seq", lit(seq)).withColumn("__tomb", lit(0))
+        }
+        // equality-delete tombstones participate in the same latest-wins
+        // ordering as data (Iceberg v2 sequence-number semantics): a
+        // tombstone newer than a key's newest data kills the key; a
+        // later upsert resurrects it. Tombstone files carry ONLY the
+        // key tuple; non-key columns ride as nulls and never surface
+        // (tombstone rows are filtered out after the window).
+        val tombLegs = tombs.toSeq.groupBy(_._2).toSeq.map { case (v, fs) =>
+          readKeyFiles(fs.map(_._1), logical).withColumn("__seq", lit(v))
+            .withColumn("__tomb", lit(1))
+        }
+        val union = (dataLegs ++ tombLegs).reduce(_.unionByName(_))
         val newest = max(col("__seq")).over(
           Window.partitionBy(defn.keys.map(col): _*))
         union.withColumn("__newest", newest)
-          .filter(col("__seq") === col("__newest"))
+          .filter(col("__seq") === col("__newest") && col("__tomb") === 0)
           .select(logicalCols: _*)
       }
     }
+  }
+
+  /** Read equality-delete tombstone files (key columns only) widened to
+    * the logical schema with null non-key columns.
+    */
+  private def readKeyFiles(files: Seq[String], logical: StructType): DataFrame = {
+    val keySchema = StructType(logical.fields.filter(f => defn.keys.contains(f.name)))
+    val keys = spark.read.schema(keySchema)
+      .parquet(files.map(f => s"$dataDir/$f"): _*)
+    logical.fields.foldLeft(keys)((d, f) =>
+      if (keySchema.fieldNames.contains(f.name)) d
+      else d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      .select(logical.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** The schema the live files ACTUALLY carry (parquet footers, no
@@ -487,6 +550,35 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     }
   }
 
+  /** S5b — merge-on-read equality DELETE (Iceberg v2 delete files): the
+    * commit writes ONLY the key tuples as a tombstone file — O(keys),
+    * zero data rewritten, the only delete shape that survives a
+    * continuously-deleting stream at 100 TB (GDPR erasure, retraction
+    * feeds) — and [[readLogical]] folds tombstones into the latest-wins
+    * sequence resolution: a tombstone kills matching rows from OLDER
+    * sequences; a later upsert resurrects the key. [[compact]]
+    * materializes pending tombstones away, which is what bounds the
+    * read-side cost — the same compaction-cadence trade as MOR upserts.
+    * Copy-on-write tables use [[replaceWhere]]/[[replaceKeys]] instead.
+    * One tombstone file per commit (distinct keys, single writer task);
+    * an Iceberg-scale deployment shards delete files per partition —
+    * the sequence semantics are unchanged by that split.
+    */
+  def deleteKeys(staleKeys: DataFrame): CommitMeta = {
+    require(defn.mergeOnRead,
+      s"${defn.name}: equality deletes are merge-on-read only — " +
+        "copy-on-write tables use replaceWhere/replaceKeys")
+    val k = staleKeys.select(defn.keys.map(staleKeys.col): _*)
+      .distinct().repartition(1)
+    val added = writeRawFiles(k)
+    val prev = commits.lastOption
+    if (added.isEmpty) // zero keys → a schema-only stub at most; no commit
+      return prev.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
+    val v = currentVersion + 1
+    writeCommit("delete-mor", prev.map(_.files).getOrElse(Nil),
+      morDeletes = m => m ++ added.map(_ -> v))
+  }
+
   /** Targeted delete+re-insert for the materializer repair passes
     * (M4–M6): drop live rows matching `condition`, append `replacement`.
     * With a [[RangePrune]] hint, files provably outside the repair range
@@ -498,7 +590,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       replacement: DataFrame,
       prune: Option[RangePrune] = None,
       trackChanges: Boolean = false): CommitMeta = {
-    require(!defn.mergeOnRead || morSequences <= 1,
+    require(!defn.mergeOnRead || (morSequences <= 1 && !morPending),
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
     val (untouched, toRewrite) = classifyLiveFiles(prune)
     val keep = readFilesAs(toRewrite).filter(!condition || condition.isNull)
@@ -555,7 +647,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       prune: Option[RangePrune] = None,
       knownKeyCount: Option[Long] = None,
       trackChanges: Boolean = false): CommitMeta = {
-    require(!defn.mergeOnRead || morSequences <= 1,
+    require(!defn.mergeOnRead || (morSequences <= 1 && !morPending),
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
     val keyProj = staleKeys.select(keyCols.map(staleKeys.col): _*)
     // `knownKeyCount` = the caller already distincted/persisted/counted
@@ -693,7 +785,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * the read is sound again).
     */
   def readRangeLogical(colName: String, loMicros: Long, hiMicros: Long): DataFrame = {
-    require(!defn.mergeOnRead || morSequences <= 1,
+    require(!defn.mergeOnRead || (morSequences <= 1 && !morPending),
       s"${defn.name}: range read over ${morSequences} merge-on-read upsert sequences " +
         "would skip latest-wins resolution — compact() first")
     val (_, overlapping) = classifyLiveFiles(Some(RangePrune(colName, loMicros, hiMicros)))
@@ -717,6 +809,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     cs.lastOption.map(snap =>
       snap.files.map(firstSeenByFile(cs)).distinct.size).getOrElse(0)
   }
+
+  /** True while un-compacted equality-delete tombstones are live — raw
+    * file reads (range reads, replace rewrites) would resurface deleted
+    * rows, so the same paths that refuse multi-sequence MOR state
+    * refuse this too (compact() clears both).
+    */
+  private def morPending: Boolean =
+    commits.lastOption.exists(_.morDeleteFilesOrEmpty.nonEmpty)
 
   /** Raw read of specific data files, projected to the logical columns —
     * the incremental-scan primitive: the materializer reads ONLY the
@@ -838,7 +938,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val cs = commits
     val live = cs.lastOption.map(_.files).getOrElse(Nil)
     if (defn.mergeOnRead) {
-      live.map(firstSeenByFile(cs)).distinct.size > 1
+      // pending tombstones also compact away (readLogical folds them in)
+      live.map(firstSeenByFile(cs)).distinct.size > 1 || morPending
     } else {
       val small = live.filter(f => new File(s"$dataDir/$f").length() < targetBytes * 9 / 10)
       val smallBytes = small.map(f => new File(s"$dataDir/$f").length()).sum
@@ -861,7 +962,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // repartition — a pre-repartition here would be re-shuffled (and its
     // sizing discarded) by writeFiles' own partition-value distribution
     val added = writeFiles(df, Some(nFiles))
-    writeCommit("compact", keep ++ added)
+    // a MOR compact materialized every pending tombstone into the merge
+    writeCommit("compact", keep ++ added, morDeletes = _ => Map.empty)
   }
 
   /** M7b — z-order clustering rewrite (the Delta `OPTIMIZE ZORDER BY` /
@@ -1105,10 +1207,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     requireMain("removeOrphans")
     // live BRANCH snapshots reference files main doesn't know yet —
     // those are the branch's staged payload, not orphans
-    val branchRefs = branches.flatMap(b =>
-      branchView(b).commits.flatMap(c => c.files ++ c.deleteFilesOrEmpty)).toSet
-    val referenced =
-      commits.flatMap(c => c.files ++ c.deleteFilesOrEmpty).toSet ++ branchRefs
+    def refsOf(c: CommitMeta): Seq[String] =
+      c.files ++ c.deleteFilesOrEmpty ++ c.morDeleteFilesOrEmpty.keys
+    val branchRefs = branches.flatMap(b => branchView(b).commits.flatMap(refsOf)).toSet
+    val referenced = commits.flatMap(refsOf).toSet ++ branchRefs
     val orphans = listDataFiles() -- referenced
     orphans.foreach(f => Files.deleteIfExists(Paths.get(s"$dataDir/$f")))
     // prune now-empty partition dirs
@@ -1159,11 +1261,32 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
         .withColumn("_change_type", org.apache.spark.sql.functions.lit(changeType)))
     val legs = deltas.flatMap { case (c, added, deleted) =>
-      val addType = c.op match {
-        case "append" | "replace-cdc" => "insert"
-        case _ => "upsert"
+      if (c.op == "delete-mor") {
+        // an equality delete names KEYS, not rows — the deleted ROWS are
+        // the predecessor snapshot's matches, materialized here by one
+        // semi-join (Iceberg's changelog scan pays the same read to turn
+        // equality-delete files into DELETE rows). This is the one
+        // changelog leg that is O(predecessor snapshot), not O(delta) —
+        // the price of O(keys) deletes on the write side.
+        if (deleted.isEmpty) Nil
+        else {
+          val keySchema = StructType(logical.fields.filter(f => defn.keys.contains(f.name)))
+          val keys = spark.read.schema(keySchema)
+            .parquet(deleted.map(f => s"$dataDir/$f"): _*)
+          val prior = logical.fields.foldLeft(readLogical(Some(c.version - 1)))(
+            (d, f) => if (d.columns.contains(f.name)) d
+            else d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+          Some(prior.join(keys, defn.keys, "left_semi").select(logicalCols: _*)
+            .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
+        }
+      } else {
+        val addType = c.op match {
+          case "append" | "replace-cdc" => "insert"
+          case _ => "upsert"
+        }
+        leg(c, added, addType) ++ leg(c, deleted, "delete")
       }
-      leg(c, added, addType) ++ leg(c, deleted, "delete")
     }
     if (legs.isEmpty) {
       val schema = StructType(logical.fields ++ Seq(
@@ -1228,6 +1351,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
             (c, c.changeFilesOrEmpty, Nil: Seq[String])
           case "replace-cdc" =>
             (c, c.changeFilesOrEmpty, c.deleteFilesOrEmpty)
+          case "delete-mor" =>
+            // the tombstone file(s) THIS commit added (map delta vs the
+            // predecessor's carried set); readChanges turns them into
+            // full delete rows via the predecessor snapshot
+            val prevTombs = byVersion.get(c.version - 1)
+              .map(_.morDeleteFilesOrEmpty.keySet).getOrElse(Set.empty[String])
+            (c, Nil: Seq[String],
+              (c.morDeleteFilesOrEmpty.keySet -- prevTombs).toSeq.sorted)
           case "compact" | "zorder" | "evolve-schema" =>
             // layout-/metadata-only: no logical rows changed
             (c, Nil: Seq[String], Nil: Seq[String])
