@@ -269,6 +269,77 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE=cdc: the changelog-consumer + MOR-delete scale
+    // probe. Claims under test: (a) CdcAggConsumer.poll() is O(delta) —
+    // a FIXED-size appended batch folds in ~flat time while the source
+    // table grows k× (the consumer reads only the commit's files and
+    // rewrites only the group-cardinality-sized target); rebuild() is
+    // the O(table) contrast and must grow with k. (b) deleteKeys is
+    // O(keys) — the tombstone commit time stays flat at any table size,
+    // and the tombstoned read pays only a bounded premium over the
+    // plain merge read (the Window already paid by multi-sequence MOR).
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("cdc")) {
+      import graft.materialize.CdcAggConsumer
+      import graft.tables.{TableCatalog, TableDef}
+      import org.apache.spark.sql.types._
+      val eventsSchema = graft.operators.MaterializeOps.eventsSchema
+      val aggSchema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("cents", LongType)))
+      def once[A](label: String)(f: => A): Double = {
+        val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
+        println(f"  $label%-22s $s%8.2f s"); s
+      }
+      // the FIXED delta: one day of base-scale events, re-keyed so it
+      // appends cleanly at any k — identical bytes folded at every scale
+      val base = Tables(spark, sfDir).events
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val fixedDelta = base
+        .filter(col("ts") < to_timestamp(lit("2024-01-02")))
+        .withColumn("event_id", col("event_id") + lit(900_000_000_000L))
+      val nDelta = fixedDelta.count()
+      val rows = for (k <- Seq(1, 10, 30, 100)) yield {
+        val dir = s"$outRoot/cdc_x$k"
+        buildEventsReplica(spark, sfDir, dir, k)
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val whRoot = s"$dir/wh"
+        val p = Paths.get(whRoot)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+        val cat = new TableCatalog(spark, whRoot, Seq(
+          TableDef("src", eventsSchema),
+          TableDef("agg", aggSchema, keys = Seq("event_type")),
+          TableDef("mord", eventsSchema, keys = Seq("event_id"), mergeOnRead = true)))
+        val src = cat.table("src")
+        val consumer = new CdcAggConsumer(spark, src, cat.table("agg"),
+          Seq("event_type"), "value")
+        val nRows = ev.count()
+        println(s"== cdc ${k}x ($nRows rows, delta $nDelta) ==")
+        src.append(ev)
+        val first = once("initial_fold")(consumer.poll()) // O(table), contrast
+        src.append(fixedDelta)
+        val poll = once("fixed_delta_poll")(consumer.poll()) // must stay ~flat
+        val rebuild = once("rebuild_contrast")(consumer.rebuild()) // O(table)
+        // MOR equality delete: fixed 1000-key tombstone on a k×-grown table
+        val mord = cat.table("mord")
+        mord.upsert(ev)
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val readPlain = once("mor_read_plain")(noop(mord.readLogical()))
+        val del = once("mor_delete_commit")( // must stay ~flat
+          mord.deleteKeys(ev.limit(1000)))
+        val readTomb = once("mor_read_tombstoned")(noop(mord.readLogical()))
+        (k, nRows, first, poll, rebuild, readPlain, del, readTomb)
+      }
+      println("\n| k | rows | initial fold | fixed-delta poll | rebuild | mor read | delete commit | tombstoned read |")
+      rows.foreach { case (k, n, f, pl, rb, rp, d, rt) =>
+        println(f"| ${k}x | $n | $f%.2f s | $pl%.2f s | $rb%.2f s | $rp%.2f s | $d%.2f s | $rt%.2f s |") }
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE=twin: the streamed-twin protocol probe. The
     // twin rows' bench cost is claimed to be FIXED protocol overhead
     // (staging write, micro-batch planning, exactly-once commits,
