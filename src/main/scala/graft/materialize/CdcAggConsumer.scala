@@ -68,7 +68,7 @@ final class CdcAggConsumer(
     val bad = source.commits
       .filter(c => c.version > from && c.version <= to)
       .filter(c => !Set("append", "replace-cdc", "compact", "zorder",
-        "evolve-schema").contains(c.op))
+        "evolve-schema", "evolve-partition").contains(c.op))
     require(bad.isEmpty,
       s"${source.defn.name}: commit(s) ${bad.map(c => s"v${c.version}='${c.op}'").mkString(", ")} " +
         "are not incrementally foldable — rebuild() or use the Materializer")

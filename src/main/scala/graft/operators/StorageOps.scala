@@ -664,9 +664,45 @@ object StorageOps {
     tbl.readLogical()
   }
 
+  /** S21 — partition-spec evolution end to end (Iceberg's headline
+    * evolution feature): a day-partitioned table takes its first
+    * append, switches to HOUR partitioning in a metadata-only commit
+    * (zero data rewritten — nobody rewrites 100 TB because the
+    * partitioning got finer), and takes a second append under the new
+    * layout. The returned read unions the two directory-layout
+    * generations transparently (each read with its own spec, from the
+    * per-file provenance the commit log records); compact() then
+    * migrates the old generation and the re-read must be identical —
+    * both states must hash-match the oracle's single-shot select, so a
+    * mis-grouped file (wrong layout → wrong rows) fails loudly.
+    */
+  val s21PartitionEvolution: QueryDef = QueryDef(
+    "s21_partition_evolution",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s21")
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("pevo_t", eventsSchema, partitions = Seq(DayTransform("ts")))))
+    val tbl = cat.table("pevo_t")
+    val src = eventsSrc(t)
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.append(src.filter(col("ts") < cut))                       // v1 (day layout)
+    tbl.evolvePartitioning(Seq(HourTransform("ts")))              // v2 (metadata-only)
+    tbl.append(src.filter(col("ts") >= cut))                      // v3 (hour layout)
+    val mixed = tbl.readLogical()
+    require(mixed.count() > 0 && tbl.needsCompaction(), "mixed generations expected")
+    tbl.compact()                                                 // v4 migrates the layout
+    require(tbl.read().columns.contains("p_ts_hour"), "migration must land on hour")
+    require(mixed.exceptAll(tbl.readLogical()).isEmpty &&
+      tbl.readLogical().exceptAll(mixed).isEmpty, "migration changed the data")
+    tbl.readLogical()
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
       s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace,
-      s18SchemaEvolution, s19WapPublish, s20MorDelete, m9PurgeIsolation)
+      s18SchemaEvolution, s19WapPublish, s20MorDelete, s21PartitionEvolution,
+      m9PurgeIsolation)
 }

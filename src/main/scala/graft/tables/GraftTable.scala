@@ -32,7 +32,9 @@ final case class CommitMeta(
     deleteFiles: Seq[String] = Nil,
     schemaDdl: String = null,
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
-    morDeleteFiles: Map[String, Int] = Map.empty) {
+    morDeleteFiles: Map[String, Int] = Map.empty,
+    partSpecDdl: String = null,
+    fileSpecs: Map[String, String] = Map.empty) {
   /** Jackson leaves a missing field null on old commit jsons. */
   def sinkBatchesOrEmpty: Map[String, Long] =
     Option(sinkBatches).getOrElse(Map.empty)
@@ -87,6 +89,22 @@ final case class CommitMeta(
     */
   def morDeleteFilesOrEmpty: Map[String, Int] =
     Option(morDeleteFiles).getOrElse(Map.empty)
+
+  /** The PARTITION spec in effect as of this commit (serialized
+    * transform list, see [[PartitionTransform.specDdl]]) — carried like
+    * schemaDdl; absent on never-evolved tables (declared spec applies).
+    */
+  def partSpecDdlOrNone: Option[String] = Option(partSpecDdl)
+
+  /** file → the spec it was WRITTEN under. Recorded (for every live
+    * file) only once the table has ever evolved its partitioning; an
+    * empty map means every file is on the declared spec. Explicit
+    * per-file provenance — a derived first-seen lookup would silently
+    * mis-group files after snapshot expiry, and a mis-grouped file
+    * reads the wrong directory layout.
+    */
+  def fileSpecsOrEmpty: Map[String, String] =
+    Option(fileSpecs).getOrElse(Map.empty)
 }
 
 /** Conservative file-pruning hint for replace commits: every row the
@@ -150,8 +168,36 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     */
   def dataPath: String = dataDir
 
-  /** Physical schema = logical schema + derived partition columns. */
-  private def partCols: Seq[String] = defn.partitions.map(_.name)
+  /** Partition spec as of a snapshot (latest when None): the commit's
+    * carried partSpecDdl, else the declared TableDef spec. New writes
+    * always use the CURRENT spec; existing files keep the layout they
+    * were written under ([[CommitMeta.fileSpecsOrEmpty]]).
+    */
+  def partitionsAt(version: Option[Int]): Seq[PartitionTransform] = {
+    val cs = commits
+    val snap = version match {
+      case Some(v) => cs.find(_.version == v)
+      case None => cs.lastOption
+    }
+    snap.flatMap(_.partSpecDdlOrNone).map(PartitionTransform.parseSpec)
+      .getOrElse(defn.partitions)
+  }
+
+  /** The current partition spec (declared + applied evolutions). */
+  def currentPartitions: Seq[PartitionTransform] = partitionsAt(None)
+
+  /** Physical schema = logical schema + derived partition columns
+    * (current spec).
+    */
+  private def partCols: Seq[String] = currentPartitions.map(_.name)
+
+  /** The spec each of a snapshot's files was written under. */
+  private def specsByFile(snap: CommitMeta): Map[String, Seq[PartitionTransform]] = {
+    val m = snap.fileSpecsOrEmpty
+    if (m.isEmpty) Map.empty.withDefaultValue(defn.partitions)
+    else m.view.mapValues(PartitionTransform.parseSpec).toMap
+      .withDefaultValue(defn.partitions)
+  }
 
   // ---- commit log ----
 
@@ -177,10 +223,22 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       changeFiles: Seq[String] = Nil,
       deleteFiles: Seq[String] = Nil,
       newSchemaDdl: Option[String] = None,
-      morDeletes: Map[String, Int] => Map[String, Int] = identity): CommitMeta = {
+      morDeletes: Map[String, Int] => Map[String, Int] = identity,
+      newPartSpecDdl: Option[String] = None): CommitMeta = {
     val prevMeta = commits.lastOption
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     val fileRows = files.par.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).seq.toMap
+    // partition-spec bookkeeping: the carried spec, plus (once the table
+    // has ever evolved) per-file write-spec provenance. New files were
+    // written under the spec in effect BEFORE this commit (an evolve
+    // commit adds no files, so the distinction only matters there).
+    val prevSpecDdl = prevMeta.flatMap(_.partSpecDdlOrNone)
+    val carriedSpecDdl = newPartSpecDdl.orElse(prevSpecDdl).orNull
+    val prevFileSpecs = prevMeta.map(_.fileSpecsOrEmpty).getOrElse(Map.empty)
+    val writeSpecDdl = prevSpecDdl.getOrElse(PartitionTransform.specDdl(defn.partitions))
+    val fileSpecs: Map[String, String] =
+      if (carriedSpecDdl == null) Map.empty // never evolved: declared spec everywhere
+      else files.map(f => f -> prevFileSpecs.getOrElse(f, writeSpecDdl)).toMap
     // every commit carries the full per-sink batch watermark forward, so
     // the LATEST commit is always authoritative and expiring old
     // snapshots never loses a sink's mark
@@ -194,7 +252,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       morDeletes(prevMeta.map(_.morDeleteFilesOrEmpty).getOrElse(Map.empty))
     val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op,
       fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows, changeFiles,
-      deleteFiles, carriedSchema, carriedMorDeletes)
+      deleteFiles, carriedSchema, carriedMorDeletes, carriedSpecDdl, fileSpecs)
     val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
     Files.writeString(tmp, mapper.writeValueAsString(meta))
     Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
@@ -213,7 +271,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   }
 
   private def withPartitionCols(df: DataFrame): DataFrame =
-    defn.partitions.foldLeft(df)((d, p) => d.withColumn(p.name, p.expr))
+    currentPartitions.foldLeft(df)((d, p) => d.withColumn(p.name, p.expr))
 
   /** Write `df`'s rows as NEW files under the data dir; return the
     * relative paths added. Spark append mode never rewrites existing
@@ -293,12 +351,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   /** The table's current logical schema (declared + applied evolutions). */
   def currentSchema: StructType = schemaAt(None)
 
-  private def physicalSchemaOf(logical: StructType): StructType = {
-    val withParts = defn.partitions.foldLeft(
+  private def physicalSchemaOf(logical: StructType,
+      spec: Seq[PartitionTransform]): StructType = {
+    val withParts = spec.foldLeft(
       spark.createDataFrame(new java.util.ArrayList[Row](), logical))(
       (d, p) => d.withColumn(p.name, p.expr))
     withParts.schema
   }
+
+  private def physicalSchemaOf(logical: StructType): StructType =
+    physicalSchemaOf(logical, currentPartitions)
 
   private def physicalSchema: StructType = physicalSchemaOf(currentSchema)
 
@@ -313,10 +375,20 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         .getOrElse(throw new IllegalArgumentException(s"${defn.name}: no snapshot v$v"))
       case None => cs.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
     }
+    // a PHYSICAL read exposes one set of p_* columns, so it can only
+    // span one partition-spec generation; after an evolution, logical
+    // reads work immediately and compact() migrates the layout
+    val byFile = specsByFile(snap)
+    val specs = snap.files.map(f => PartitionTransform.specDdl(byFile(f))).distinct
+    require(specs.size <= 1,
+      s"${defn.name}: physical read across ${specs.size} partition-spec " +
+        "generations — use readLogical(), or compact() to migrate the layout")
+    val spec = specs.headOption.map(PartitionTransform.parseSpec)
+      .getOrElse(partitionsAt(version))
     // the SNAPSHOT's schema: older files missing later-added columns
     // null-fill; columns dropped later still read in a pre-drop snapshot
     val phys = physicalSchemaOf(
-      snap.schemaDdlOrNone.map(StructType.fromDDL).getOrElse(defn.schema))
+      snap.schemaDdlOrNone.map(StructType.fromDDL).getOrElse(defn.schema), spec)
     if (snap.files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), phys)
     else
@@ -338,23 +410,25 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   def readLogical(version: Option[Int] = None): DataFrame = {
     val logical = schemaAt(version)
     val logicalCols = logical.fieldNames.map(org.apache.spark.sql.functions.col)
-    if (!defn.mergeOnRead) read(version).select(logicalCols: _*)
+    val cs = commits
+    val snap = version match {
+      case Some(v) => cs.find(_.version == v)
+        .getOrElse(throw new IllegalArgumentException(s"${defn.name}: no snapshot v$v"))
+      case None => cs.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
+    }
+    if (!defn.mergeOnRead)
+      readFilesLogicalSpecAware(snap.files, logical, Some(snap))
     else {
-      val cs = commits
-      val snap = version match {
-        case Some(v) => cs.find(_.version == v)
-          .getOrElse(throw new IllegalArgumentException(s"${defn.name}: no snapshot v$v"))
-        case None => cs.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
-      }
       val firstSeen = firstSeenByFile(cs)
       val groups = snap.files.groupBy(firstSeen).toSeq.sortBy(_._1)
       val tombs = snap.morDeleteFilesOrEmpty
-      if (groups.size <= 1 && tombs.isEmpty) read(version).select(logicalCols: _*)
+      if (groups.size <= 1 && tombs.isEmpty)
+        readFilesLogicalSpecAware(snap.files, logical, Some(snap))
       else {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{col, lit, max}
         val dataLegs = groups.map { case (seq, files) =>
-          readFilesAs(files, logical).select(logicalCols: _*)
+          readFilesLogicalSpecAware(files, logical, Some(snap))
             .withColumn("__seq", lit(seq)).withColumn("__tomb", lit(0))
         }
         // equality-delete tombstones participate in the same latest-wins
@@ -396,11 +470,20 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     */
   def liveSchema: Option[StructType] =
     commits.lastOption.filter(_.files.nonEmpty).map { snap =>
-      val actual = spark.read
-        .option("basePath", dataDir)
-        .parquet(snap.files.map(f => s"$dataDir/$f"): _*)
-        .schema
-      StructType(actual.fields.filterNot(f => partCols.contains(f.name)))
+      // per spec generation: mixed directory layouts can't be listed in
+      // one partition-discovery pass, and each group's derived p_* cols
+      // are ITS spec's, not the current one
+      val byFile = specsByFile(snap)
+      val fields = snap.files.groupBy(f => PartitionTransform.specDdl(byFile(f)))
+        .toSeq.sortBy(_._1).flatMap { case (_, fs) =>
+          val specNames = byFile(fs.head).map(_.name).toSet
+          spark.read.option("basePath", dataDir)
+            .parquet(fs.map(f => s"$dataDir/$f"): _*)
+            .schema.fields.filterNot(f => specNames.contains(f.name))
+        }
+      val seen = scala.collection.mutable.LinkedHashMap[String, StructField]()
+      fields.foreach(f => if (!seen.contains(f.name)) seen(f.name) = f)
+      StructType(seen.values.toSeq)
     }
 
   // ---- writes ----
@@ -491,6 +574,37 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     }
     writeCommit("evolve-schema", commits.lastOption.map(_.files).getOrElse(Nil),
       newSchemaDdl = Some(next.toDDL))
+  }
+
+  /** Iceberg-style partition-spec evolution: a METADATA-ONLY commit
+    * switches the spec for FUTURE writes; every existing file keeps the
+    * layout it was written under (recorded per file in the commit log),
+    * logical reads union the generations transparently, and compact()
+    * migrates old-generation files to the current layout on the normal
+    * maintenance cadence. Physical reads (which expose one set of p_*
+    * columns) refuse while generations are mixed. This is exactly
+    * Iceberg's evolution model — no eager rewrite of 100 TB because the
+    * partitioning got finer.
+    */
+  def evolvePartitioning(spec: Seq[PartitionTransform]): CommitMeta = {
+    val cur = currentSchema
+    spec.foreach { p =>
+      require(cur.fieldNames.exists(_.equalsIgnoreCase(p.source)),
+        s"${defn.name}: partition source '${p.source}' is not a column")
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(p.name)),
+        s"${defn.name}: derived partition column '${p.name}' collides with a data column")
+    }
+    val names = spec.map(_.name.toLowerCase)
+    require(names.distinct.size == names.size,
+      s"${defn.name}: duplicate derived partition column names")
+    val ddl = PartitionTransform.specDdl(spec)
+    require(ddl != PartitionTransform.specDdl(currentPartitions),
+      s"${defn.name}: partition spec is already '$ddl'")
+    require(PartitionTransform.specDdl(PartitionTransform.parseSpec(ddl)) == ddl,
+      s"${defn.name}: partition spec does not round-trip: '$ddl'")
+    physicalSchemaOf(cur, spec) // probe derivability against the schema
+    writeCommit("evolve-partition", commits.lastOption.map(_.files).getOrElse(Nil),
+      newPartSpecDdl = Some(ddl))
   }
 
   /** M1 — full overwrite (CTAS materialization). */
@@ -593,8 +707,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     require(!defn.mergeOnRead || (morSequences <= 1 && !morPending),
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
     val (untouched, toRewrite) = classifyLiveFiles(prune)
-    val keep = readFilesAs(toRewrite).filter(!condition || condition.isNull)
-      .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val keep = readFilesLogicalSpecAware(toRewrite, currentSchema, commits.lastOption)
+      .filter(!condition || condition.isNull)
     val repl = replacement.select(currentSchema.fieldNames.map(replacement.col): _*)
     val prev = commits.lastOption
     if (trackChanges) {
@@ -606,8 +720,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       // window) like the rewrite itself) — Iceberg v2's delete-file
       // scheme, which is what lets readChanges serve insert+delete
       // rows for a repair instead of forcing a consumer full-resync.
-      val deleted = readFilesAs(toRewrite).filter(condition)
-        .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      val deleted = readFilesLogicalSpecAware(toRewrite, currentSchema, commits.lastOption)
+        .filter(condition)
       val keepFiles = writeFiles(keep)
       val replFiles = writeFiles(repl)
       val delFiles = writeFiles(deleted)
@@ -676,16 +790,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         if (nKeys <= GraftTable.BroadcastKeyLimit)
           org.apache.spark.sql.functions.broadcast(keys)
         else keys
-      val keep = readFilesAs(toRewrite)
-        .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      val keep = readFilesLogicalSpecAware(toRewrite, currentSchema, commits.lastOption)
         .join(hinted, keyCols, "left_anti")
       val repl = replacement.select(currentSchema.fieldNames.map(replacement.col): _*)
       if (trackChanges) {
         // opt-in CDC form — see replaceWhere: replacement in its own
         // files, deleted rows (the keys' SEMI-join complement of keep)
         // materialized as delete files
-        val deleted = readFilesAs(toRewrite)
-          .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        val deleted = readFilesLogicalSpecAware(toRewrite, currentSchema, commits.lastOption)
           .join(hinted, keyCols, "left_semi")
         val keepFiles = timed("replaceKeys/write")(writeFiles(keep))
         val replFiles = writeFiles(repl)
@@ -789,8 +901,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       s"${defn.name}: range read over ${morSequences} merge-on-read upsert sequences " +
         "would skip latest-wins resolution — compact() first")
     val (_, overlapping) = classifyLiveFiles(Some(RangePrune(colName, loMicros, hiMicros)))
-    readFilesAs(overlapping)
-      .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    readFilesLogicalSpecAware(overlapping, currentSchema, commits.lastOption)
   }
 
   /** file → the commit version that FIRST added it — the merge-on-read
@@ -825,15 +936,36 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * shadowed rows); the caller asserts that by knowing the delta's ops.
     */
   private[graft] def readFilesLogical(files: Seq[String]): DataFrame =
-    readFilesAs(files)
-      .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    readFilesLogicalSpecAware(files, currentSchema, commits.lastOption)
 
   private def readFilesAs(files: Seq[String],
-      logical: StructType = currentSchema): DataFrame = {
-    val phys = physicalSchemaOf(logical)
+      logical: StructType = currentSchema,
+      spec: Seq[PartitionTransform] = null): DataFrame = {
+    val phys = physicalSchemaOf(logical,
+      Option(spec).getOrElse(currentPartitions))
     if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), phys)
     else spark.read.option("basePath", dataDir).schema(phys)
       .parquet(files.map(f => s"$dataDir/$f"): _*)
+  }
+
+  /** Logical projection over arbitrary live files, PARTITION-SPEC-aware:
+    * files are grouped by the spec they were written under and each
+    * group is read with its own directory layout, then unioned on the
+    * logical columns — how every logical-level consumer survives a
+    * partition-spec evolution (a never-evolved table is one group and
+    * takes the plain path).
+    */
+  private def readFilesLogicalSpecAware(files: Seq[String], logical: StructType,
+      snap: Option[CommitMeta]): DataFrame = {
+    val logicalCols = logical.fieldNames.map(org.apache.spark.sql.functions.col)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), logical)
+    val byFile = snap.orElse(commits.lastOption).map(specsByFile)
+      .getOrElse(Map.empty[String, Seq[PartitionTransform]]
+        .withDefaultValue(defn.partitions))
+    files.groupBy(f => PartitionTransform.specDdl(byFile(f))).toSeq.sortBy(_._1)
+      .map { case (_, fs) => readFilesAs(fs, logical, byFile(fs.head)).select(logicalCols: _*) }
+      .reduce(_.unionByName(_))
   }
 
   /** Row count of freshly written files from the parquet footers — a
@@ -937,7 +1069,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   def needsCompaction(targetBytes: Long = 128L * 1024 * 1024): Boolean = {
     val cs = commits
     val live = cs.lastOption.map(_.files).getOrElse(Nil)
-    if (defn.mergeOnRead) {
+    // files left on an old partition-spec generation migrate via
+    // compaction (Iceberg: rewrite_data_files after a spec evolution)
+    val staleSpec = cs.lastOption.exists { snap =>
+      val byFile = specsByFile(snap)
+      val cur = PartitionTransform.specDdl(currentPartitions)
+      snap.files.exists(f => PartitionTransform.specDdl(byFile(f)) != cur)
+    }
+    if (staleSpec) true
+    else if (defn.mergeOnRead) {
       // pending tombstones also compact away (readLogical folds them in)
       live.map(firstSeenByFile(cs)).distinct.size > 1 || morPending
     } else {
@@ -949,15 +1089,24 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   }
 
   def compact(targetBytes: Long = 128L * 1024 * 1024): CommitMeta = {
-    val live = commits.lastOption.map(_.files).getOrElse(Nil)
+    val snap = commits.lastOption
+    val live = snap.map(_.files).getOrElse(Nil)
+    val curSpec = PartitionTransform.specDdl(currentPartitions)
+    val byFile = snap.map(specsByFile)
+      .getOrElse(Map.empty[String, Seq[PartitionTransform]]
+        .withDefaultValue(defn.partitions))
     val (keep, small) =
       if (defn.mergeOnRead) (Nil, live)
-      else live.partition(f => new File(s"$dataDir/$f").length() >= targetBytes * 9 / 10)
+      // a file carries by name only if it is BOTH big enough and on the
+      // current partition spec — compaction doubles as the layout
+      // migrator after a spec evolution
+      else live.partition(f => new File(s"$dataDir/$f").length() >= targetBytes * 9 / 10 &&
+        PartitionTransform.specDdl(byFile(f)) == curSpec)
     val smallBytes = small.map(f => new File(s"$dataDir/$f").length()).sum
     val nFiles = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val df =
       if (defn.mergeOnRead) readLogical() // resolves latest-wins
-      else readFilesAs(small).select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      else readFilesLogicalSpecAware(small, currentSchema, commits.lastOption)
     // the binpack count goes through writeFiles, which owns the final
     // repartition — a pre-repartition here would be re-shuffled (and its
     // sizing discarded) by writeFiles' own partition-value distribution
@@ -987,7 +1136,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       targetBytes: Long = 128L * 1024 * 1024): CommitMeta = {
     import org.apache.spark.sql.functions._
     require(zcols.size >= 2, "z-order clustering needs at least 2 columns")
-    require(defn.partitions.isEmpty,
+    require(currentPartitions.isEmpty,
       s"${defn.name}: z-order rewrite expects an unpartitioned table")
     val live = commits.lastOption.map(_.files).getOrElse(Nil)
     require(live.nonEmpty, s"${defn.name}: nothing to z-order")
@@ -1257,9 +1406,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val deltas = fileDeltasSince(fromVersion, toVersion).fold(throw _, identity)
     def leg(c: CommitMeta, files: Seq[String], changeType: String) =
       if (files.isEmpty) None
-      else Some(readFilesAs(files, logical).select(logicalCols: _*)
-        .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
-        .withColumn("_change_type", org.apache.spark.sql.functions.lit(changeType)))
+      else {
+        // every leg's files were WRITTEN by commit c, under c's spec
+        // (covers replace-cdc delete files, which live outside `files`
+        // and so outside the per-file provenance map)
+        val spec = c.partSpecDdlOrNone.map(PartitionTransform.parseSpec)
+          .getOrElse(defn.partitions)
+        Some(readFilesAs(files, logical, spec).select(logicalCols: _*)
+          .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit(changeType)))
+      }
     val legs = deltas.flatMap { case (c, added, deleted) =>
       if (c.op == "delete-mor") {
         // an equality delete names KEYS, not rows — the deleted ROWS are
@@ -1359,7 +1515,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
               .map(_.morDeleteFilesOrEmpty.keySet).getOrElse(Set.empty[String])
             (c, Nil: Seq[String],
               (c.morDeleteFilesOrEmpty.keySet -- prevTombs).toSeq.sorted)
-          case "compact" | "zorder" | "evolve-schema" =>
+          case "compact" | "zorder" | "evolve-schema" | "evolve-partition" =>
             // layout-/metadata-only: no logical rows changed
             (c, Nil: Seq[String], Nil: Seq[String])
           case other => return Left(new IllegalArgumentException(

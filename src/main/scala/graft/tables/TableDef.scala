@@ -20,12 +20,40 @@ sealed trait PartitionTransform {
 
   /** Expression computing the partition value from the source column. */
   def expr: Column
+
+  /** Canonical serialized form (`day(ts)`, `bucket(16,term)`, …) — what
+    * a commit json records so every data file's layout generation is
+    * reconstructible after partition-spec evolution (Iceberg's
+    * spec-id-per-manifest analog).
+    */
+  def ddl: String
+}
+
+object PartitionTransform {
+  private val Bucket = """bucket\((\d+),([^)]+)\)""".r
+  private val Fn = """(identity|day|hour)\(([^)]+)\)""".r
+
+  def parse(s: String): PartitionTransform = s.trim match {
+    case Bucket(n, c) => BucketTransform(c.trim, n.toInt)
+    case Fn("identity", c) => IdentityTransform(c.trim)
+    case Fn("day", c) => DayTransform(c.trim)
+    case Fn("hour", c) => HourTransform(c.trim)
+    case other => throw new IllegalArgumentException(s"bad partition transform: '$other'")
+  }
+
+  /** Round-trips [[ddl]]: empty string ⇒ unpartitioned. */
+  def parseSpec(s: String): Seq[PartitionTransform] =
+    if (s == null || s.trim.isEmpty) Nil
+    else s.split(';').toSeq.map(parse)
+
+  def specDdl(spec: Seq[PartitionTransform]): String = spec.map(_.ddl).mkString(";")
 }
 
 /** `identity(col)` — partition by the column value itself. */
 final case class IdentityTransform(source: String) extends PartitionTransform {
   val name = s"p_$source"
   def expr: Column = col(source)
+  def ddl: String = s"identity($source)"
 }
 
 /** `bucket(n, col)` — partition by a deterministic hash bucket of the
@@ -48,12 +76,15 @@ final case class BucketTransform(source: String, n: Int) extends PartitionTransf
     */
   def bucketOf(value: String): Long =
     graft.functions.SharedHash.h64Jvm(value.getBytes("UTF-8")) % n
+
+  def ddl: String = s"bucket($n,$source)"
 }
 
 /** `day(tsCol)` — daily partitions from a timestamp column. */
 final case class DayTransform(source: String) extends PartitionTransform {
   val name = s"p_${source}_day"
   def expr: Column = to_date(col(source))
+  def ddl: String = s"day($source)"
 }
 
 /** `hour(tsCol)` — hourly partitions, rendered as a sortable string so
@@ -62,6 +93,7 @@ final case class DayTransform(source: String) extends PartitionTransform {
 final case class HourTransform(source: String) extends PartitionTransform {
   val name = s"p_${source}_hour"
   def expr: Column = date_format(col(source), "yyyy-MM-dd-HH")
+  def ddl: String = s"hour($source)"
 }
 
 /** Declarative table definition — the analog of one table YAML under
