@@ -11,8 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Property-style randomized check of the changelog layer: for RANDOM
   * commit histories mixing every derivable op (append, merge-on-read
   * upsert, change-tracked copy-on-write upsert, change-tracked
-  * replaceWhere repairs, compaction), reconstructing the table from
-  * `readChanges(0, current)` alone must equal `readLogical` — the
+  * replaceWhere repairs, merge-on-read equality-delete tombstones,
+  * partition-spec evolutions, compaction), reconstructing the table
+  * from `readChanges(0, current)` alone must equal `readLogical` — the
   * contract a downstream incremental consumer relies on. Seeds are
   * fixed, so failures reproduce exactly.
   *
@@ -84,8 +85,8 @@ class ChangelogPropertySpec extends AnyFunSuite {
           val ids = (nextId until nextId + n); nextId += n; ids
         }
         t.append(df(freshIds(8).map(i => i -> 1.0))) // seed rows
-        for (step <- 1 to 6) {
-          rnd.nextInt(4) match {
+        for (step <- 1 to 8) {
+          rnd.nextInt(6) match {
             case 0 => t.append(df(freshIds(3).map(i => i -> (step * 1.0))))
             case 1 =>
               // upsert: revise 2 random EXISTING ids (+1 new)
@@ -103,6 +104,19 @@ class ChangelogPropertySpec extends AnyFunSuite {
               t.replaceWhere(col("id") >= lo && col("id") <= hi,
                 df(affected.toSeq.map(i => i -> (step * 100.0))),
                 trackChanges = true)
+            case 2 if mor =>
+              // equality-delete tombstone of up to 2 random existing keys
+              val existing = t.readLogical().select("id")
+                .collect().map(_.getLong(0)).sorted
+              val victims = rnd.shuffle(existing.toSeq).take(1 + rnd.nextInt(2))
+              if (victims.nonEmpty)
+                t.deleteKeys(df(victims.map(i => i -> 0.0)))
+            case 3 =>
+              // partition-spec evolution: toggle bucket(4, id) ↔ flat —
+              // every subsequent op then spans layout generations
+              if (t.currentPartitions.isEmpty)
+                t.evolvePartitioning(Seq(BucketTransform("id", 4)))
+              else t.evolvePartitioning(Nil)
             case _ => t.compact(targetBytes = 64L * 1024)
           }
         }
