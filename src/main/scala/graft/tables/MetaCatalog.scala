@@ -59,6 +59,7 @@ final class MetaCatalog extends V2TableCatalog {
       case "history" => new MetaCatalog.HistoryTable(base, warehouse)
       case "files" => new MetaCatalog.FilesTable(base, warehouse)
       case "refs" => new MetaCatalog.RefsTable(base, warehouse)
+      case "partitions" => new MetaCatalog.PartitionsTable(base, warehouse)
       case _ => refuse()
     }
   }
@@ -212,6 +213,53 @@ object MetaCatalog {
             val branches = tbl.branches
               .map(b => row(b, "BRANCH", tbl.branchView(b).currentVersion.toLong))
             (main ++ tags ++ branches).toArray
+          }
+        }
+      }
+  }
+
+  /** Iceberg's `$partitions` metadata table (core columns): the CURRENT
+    * snapshot's per-partition record/file counts, computed entirely
+    * from commit metadata — partition values are read from the
+    * path-embedded `k=v` directory segments and row counts from the
+    * carried per-file map, so the scan opens zero data files. After a
+    * partition-spec evolution, rows from different layout generations
+    * simply render different `partition` strings (Iceberg surfaces the
+    * same via spec ids). Unpartitioned files render as the empty
+    * string.
+    */
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_count", IntegerType, nullable = false)))
+
+  private final class PartitionsTable(base: String, warehouse: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"$base$$partitions"
+    override def schema(): StructType = PartitionsSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan with LocalScan {
+          override def readSchema(): StructType = PartitionsSchema
+          override def rows(): Array[InternalRow] = {
+            val spark = SparkSession.active
+            val tbl = new GraftTable(spark, TableDef(base, StructType(Nil)), warehouse)
+            val cur = tbl.commits.lastOption
+            val rowCounts = cur.map(_.fileRowsOrEmpty).getOrElse(Map.empty)
+            def partOf(relPath: String): String = {
+              val segs = relPath.split('/').dropRight(1).filter(_.contains("="))
+              segs.mkString("/")
+            }
+            cur.map(_.files).getOrElse(Nil)
+              .groupBy(partOf).toSeq.sortBy(_._1)
+              .map { case (p, fs) =>
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(p),
+                  fs.map(f => rowCounts.getOrElse(f, 0L)).sum,
+                  fs.size)): InternalRow
+              }.toArray
           }
         }
       }

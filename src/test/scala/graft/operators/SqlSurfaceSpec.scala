@@ -128,6 +128,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(refs().length == 1)
   }
 
+  test("$partitions metadata table serves per-partition counts from commit metadata alone") {
+    SqlSurfaceOps.registerSurface(spark, sf)
+    import graft.tables.{GraftTable, MetaCatalog, TableDef, DayTransform}
+    import org.apache.spark.sql.types._
+    val wh = MetaCatalog.DefaultWarehouse
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(s"$wh/part_probe"))
+    val t = new GraftTable(spark, TableDef("part_probe",
+      StructType(Seq(StructField("id", LongType), StructField("ts", TimestampType))),
+      partitions = Seq(DayTransform("ts"))), wh)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 01:00:00"), (2L, "2024-01-01 05:00:00"),
+      (3L, "2024-01-02 09:00:00"))
+      .map { case (i, s) => (i, java.sql.Timestamp.valueOf(s)) }
+    t.append(rows.toDF("id", "ts"))
+    val got = withAnsiQuotes(spark.sql(
+      """SELECT partition, record_count, file_count
+        |FROM iceberg.db."part_probe$partitions" ORDER BY partition""".stripMargin)
+      .collect())
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(_._1).toSeq ==
+      Seq("p_ts_day=2024-01-01", "p_ts_day=2024-01-02"))
+    assert(got.map(_._2).sum == 3L, s"record counts must partition the table: $got")
+    assert(got.forall(_._3 >= 1))
+  }
+
   test("single-table example texts agree with an independent recomputation") {
     SqlSurfaceOps.registerSurface(spark, sf)
     val br = spark.table("bid_requests")
