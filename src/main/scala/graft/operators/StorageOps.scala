@@ -699,10 +699,38 @@ object StorageOps {
     tbl.readLogical()
   }
 
+  /** S22 — rollback_to_snapshot through the oracle: a poisoned second
+    * batch lands (negative money — the kind of producer bug a DQ gate
+    * catches a commit late), `rollback` restores the v1 head in a
+    * METADATA-ONLY commit (the bad snapshot stays time-travelable for
+    * the incident review), and the corrected batch then lands on the
+    * rolled-back head. The oracle sees only the final lineage: a
+    * rollback that leaked poisoned rows, dropped good ones, or broke
+    * the subsequent append fails the hash compare.
+    */
+  val s22Rollback: QueryDef = QueryDef(
+    "s22_rollback",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s22")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("rb_t", eventsSchema)))
+    val tbl = cat.table("rb_t")
+    val src = eventsSrc(t)
+    val cut = lit("2024-01-16").cast("timestamp")
+    val day2 = src.filter(col("ts") >= cut)
+    tbl.append(src.filter(col("ts") < cut))                       // v1
+    tbl.append(day2.withColumn("value", lit(-1.0)))               // v2 (poisoned)
+    require(tbl.readLogical().filter(col("value") < 0).count() > 0)
+    tbl.rollback(1)                                               // v3 (metadata-only)
+    tbl.append(day2)                                              // v4 (corrected)
+    tbl.readLogical()
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
       s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace,
       s18SchemaEvolution, s19WapPublish, s20MorDelete, s21PartitionEvolution,
-      m9PurgeIsolation)
+      s22Rollback, m9PurgeIsolation)
 }

@@ -224,7 +224,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       deleteFiles: Seq[String] = Nil,
       newSchemaDdl: Option[String] = None,
       morDeletes: Map[String, Int] => Map[String, Int] = identity,
-      newPartSpecDdl: Option[String] = None): CommitMeta = {
+      newPartSpecDdl: Option[String] = None,
+      fileSpecsOverride: Option[Map[String, String]] = None): CommitMeta = {
     val prevMeta = commits.lastOption
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     val fileRows = files.par.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).seq.toMap
@@ -238,7 +239,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val writeSpecDdl = prevSpecDdl.getOrElse(PartitionTransform.specDdl(defn.partitions))
     val fileSpecs: Map[String, String] =
       if (carriedSpecDdl == null) Map.empty // never evolved: declared spec everywhere
-      else files.map(f => f -> prevFileSpecs.getOrElse(f, writeSpecDdl)).toMap
+      else fileSpecsOverride match {
+        // rollback restores the TARGET snapshot's provenance — a file the
+        // head had dropped isn't in the head's map, and stamping it with
+        // the head's spec would mis-read its layout
+        case Some(m) => files.map(f => f -> m.getOrElse(f,
+          prevFileSpecs.getOrElse(f, writeSpecDdl))).toMap
+        case None => files.map(f => f -> prevFileSpecs.getOrElse(f, writeSpecDdl)).toMap
+      }
     // every commit carries the full per-sink batch watermark forward, so
     // the LATEST commit is always authoritative and expiring old
     // snapshots never loses a sink's mark
@@ -606,6 +614,42 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     writeCommit("evolve-partition", commits.lastOption.map(_.files).getOrElse(Nil),
       newPartSpecDdl = Some(ddl))
   }
+
+  /** Iceberg's `rollback_to_snapshot`: a NEW commit whose live set (and
+    * schema, spec, tombstones) is snapshot `version`'s — the bad
+    * commits stay in the log (auditable, still time-travelable) but the
+    * head no longer derives from them; expiry reclaims them on the
+    * normal cadence. Metadata-only: no data moves. Sink marks are NOT
+    * rolled back — a streaming producer must not replay batches the
+    * sink already de-duplicated (Iceberg keeps summary properties of
+    * rolled-back snapshots out of reach the same way; the mark rides
+    * the max over the whole log here).
+    */
+  def rollback(version: Int): CommitMeta = {
+    val cs = commits
+    val target = cs.find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(s"${defn.name}: no snapshot v$version to roll back to"))
+    require(version < currentVersion,
+      s"${defn.name}: rollback target v$version is not an ancestor of v$currentVersion")
+    writeCommit("rollback", target.files,
+      newSchemaDdl = Some(target.schemaDdlOrNone.getOrElse(defn.schema.toDDL)),
+      morDeletes = _ => target.morDeleteFilesOrEmpty,
+      newPartSpecDdl = Some(target.partSpecDdlOrNone
+        .getOrElse(PartitionTransform.specDdl(defn.partitions))),
+      fileSpecsOverride = Some(target.fileSpecsOrEmpty))
+  }
+
+  /** Iceberg's `TIMESTAMP AS OF`: the snapshot that was current at
+    * `tsMs` (the last commit at or before it).
+    */
+  def versionAsOf(tsMs: Long): Int = {
+    val cs = commits.filter(_.tsMs <= tsMs)
+    require(cs.nonEmpty, s"${defn.name}: no snapshot existed at $tsMs")
+    cs.last.version
+  }
+
+  def readAsOfLogical(tsMs: Long): DataFrame =
+    readLogical(Some(versionAsOf(tsMs)))
 
   /** M1 — full overwrite (CTAS materialization). */
   def overwrite(df: DataFrame): CommitMeta = {
