@@ -680,22 +680,27 @@ object StorageOps {
     "s21_partition_evolution",
     """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
       |       round(value, 2) AS value
-      |FROM events""".stripMargin) { t =>
+      |FROM events WHERE ts < TIMESTAMP '2024-01-04'""".stripMargin) { t =>
     val wh = scratch("s21")
     val cat = new TableCatalog(t.spark, wh, Seq(
       TableDef("pevo_t", eventsSchema, partitions = Seq(DayTransform("ts")))))
     val tbl = cat.table("pevo_t")
-    val src = eventsSrc(t)
-    val cut = lit("2024-01-16").cast("timestamp")
+    // a 3-day slice: hour-partitioning a month of events would mint
+    // ~720 directories at bench scale — the slice keeps the row about
+    // the EVOLUTION mechanics (48 hour dirs), not small-file pressure
+    val src = eventsSrc(t).filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+    val cut = lit("2024-01-02").cast("timestamp")
     tbl.append(src.filter(col("ts") < cut))                       // v1 (day layout)
     tbl.evolvePartitioning(Seq(HourTransform("ts")))              // v2 (metadata-only)
     tbl.append(src.filter(col("ts") >= cut))                      // v3 (hour layout)
-    val mixed = tbl.readLogical()
-    require(mixed.count() > 0 && tbl.needsCompaction(), "mixed generations expected")
+    // the mixed-generation logical read works immediately...
+    require(tbl.readLogical().count() > 0 && tbl.needsCompaction(),
+      "mixed generations expected")
     tbl.compact()                                                 // v4 migrates the layout
     require(tbl.read().columns.contains("p_ts_hour"), "migration must land on hour")
-    require(mixed.exceptAll(tbl.readLogical()).isEmpty &&
-      tbl.readLogical().exceptAll(mixed).isEmpty, "migration changed the data")
+    // ...and the post-migration read must hash-match the same oracle
+    // (mixed == migrated row-for-row is additionally pinned at unit
+    // scale in PartitionEvolutionSpec — cheaper than an exceptAll here)
     tbl.readLogical()
   }
 
