@@ -209,18 +209,25 @@ object MaterializeOps {
     * logical state — a sign error, a lost delete, a double-applied
     * poll, or a leaked zero-count group all fail the hash compare.
     */
-  val m10CdcMatview: QueryDef = QueryDef(
-    "m10_cdc_matview",
+  /** One oracle for both CDC-consumer shapes (batch m10 + streamed
+    * twin): the final aggregate after the error repair zeroed money.
+    */
+  private[graft] val cdcAggOracleSql: String =
     """SELECT event_type, count(*) AS n,
       |       CAST(sum(CASE WHEN event_type = 'error' THEN 0
       |                     ELSE CAST(round(value * 100) AS BIGINT) END)
       |            AS BIGINT) AS cents
-      |FROM events GROUP BY 1""".stripMargin) { t =>
+      |FROM events GROUP BY 1""".stripMargin
+
+  private[graft] val cdcAggSchema = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("n", LongType),
+    StructField("cents", LongType)))
+
+  val m10CdcMatview: QueryDef = QueryDef(
+    "m10_cdc_matview", cdcAggOracleSql) { t =>
     val wh = scratch("m10")
-    val aggSchema = StructType(Seq(
-      StructField("event_type", StringType),
-      StructField("n", LongType),
-      StructField("cents", LongType)))
+    val aggSchema = cdcAggSchema
     val cat = new TableCatalog(t.spark, wh, Seq(
       TableDef("cdc_src", eventsSchema),
       TableDef("agg_by_type", aggSchema, keys = Seq("event_type"))))

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.QueryDef
 import graft.functions.{SearchOps, TextOps}
-import graft.tables.GraftTable
+import graft.tables.{GraftTable, TableDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, date_trunc, lit, pmod, round, when}
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -527,9 +527,42 @@ object IngestOracleOps {
     DsirIngest.score(docs, counts)
   }
 
+  /** Streamed producer→changelog→consumer loop ([[CdcIngest]]) vs the
+    * batch m10 oracle: each micro-batch appends into the source
+    * snapshot-log table and the [[graft.materialize.CdcAggConsumer]]
+    * folds that commit's changelog rows — the aggregate is maintained
+    * continuously, never recomputed. After the stream drains, a
+    * change-tracked repair zeroes the error money and one final poll
+    * folds its insert+delete rows too; the result must hash-match
+    * DuckDB's single-shot recompute of the final state. Fold order is
+    * commit order by construction, so arrival slicing cannot matter.
+    */
+  val cdcIngestAgg: QueryDef = QueryDef(
+    "cdc_ingest_agg", graft.operators.MaterializeOps.cdcAggOracleSql) { t =>
+    import graft.materialize.CdcAggConsumer
+    import graft.operators.MaterializeOps
+    val stage = stageDir("graft_cdc_ingest")
+    val ev = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val src = new GraftTable(t.spark,
+      TableDef("cdc_src", MaterializeOps.eventsSchema), s"$stage/src")
+    val mv = new GraftTable(t.spark,
+      TableDef("agg_by_type", MaterializeOps.cdcAggSchema,
+        keys = Seq("event_type")), s"$stage/mv")
+    val consumer = new CdcAggConsumer(t.spark, src, mv,
+      groupCols = Seq("event_type"), valueCol = "value")
+    streamCorpus(t.spark, ev, stage, 3)(
+      CdcIngest.run(_, src, consumer, s"$stage/ck"))
+    src.replaceWhere(col("event_type") === "error",
+      ev.filter(col("event_type") === "error").withColumn("value", lit(0.0)),
+      trackChanges = true)
+    consumer.poll()
+    mv.readLogical()
+  }
+
   val all: Seq[QueryDef] = Seq(
     lmIngestScores, clfIngestScores, tempIngestSample, bm25IngestTopk,
     annIngestTopk, keepbestIngestResolve, neardupIngestPairs,
     substringIngestCut, a7HourlyUpsert, x1MultisinkFanout, w3WatermarkDrop,
-    dsirIngestScores)
+    dsirIngestScores, cdcIngestAgg)
 }
