@@ -732,10 +732,55 @@ object StorageOps {
     tbl.readLogical()
   }
 
+  /** S23 — declared write sort order (Iceberg `write.sort-order`):
+    * appends to the ts-sorted table range-distribute + sort, so each
+    * file's footer covers a disjoint time slice and a one-day range
+    * read opens a strict subset of the live files (required in-row —
+    * the pruning is the point, z-order covers the multi-column rewrite
+    * case and this covers WRITE-TIME clustering for plain appends).
+    * Returned data round-trips exactly; the events arrive pre-shuffled
+    * so an unsorted write would leave nothing to prune.
+    */
+  val s23SortOrder: QueryDef = QueryDef(
+    "s23_sort_order",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s23")
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("sorted_t", eventsSchema, sortOrder = Seq("ts"))))
+    val tbl = cat.table("sorted_t")
+    // shuffled arrival: hash-scatter the rows so write-time sorting is
+    // the ONLY source of clustering
+    val src = eventsSrc(t).repartition(8, col("event_id"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    // at oracle scales AQE would coalesce the tiny range shuffle into
+    // one file and leave nothing to prune — a real deployment's appends
+    // land many range-disjoint files without help
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = t.spark.conf.getOption(k)
+    t.spark.conf.set(k, "false")
+    try {
+      tbl.append(src.filter(col("ts") < cut))
+      tbl.append(src.filter(col("ts") >= cut))
+    } finally prior match {
+      case Some(v) => t.spark.conf.set(k, v)
+      case None => t.spark.conf.unset(k)
+    }
+    val total = tbl.commits.last.files.size
+    val opened = tbl.readRangeLogical("ts",
+      java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime * 1000L,
+      java.sql.Timestamp.valueOf("2024-01-10 23:59:59").getTime * 1000L)
+      .inputFiles.length
+    require(total >= 3 && opened * 2 <= total,
+      s"sorted appends must prune a day read ($opened of $total files)")
+    tbl.readLogical()
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
       s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace,
       s18SchemaEvolution, s19WapPublish, s20MorDelete, s21PartitionEvolution,
-      s22Rollback, m9PurgeIsolation)
+      s22Rollback, s23SortOrder, m9PurgeIsolation)
 }

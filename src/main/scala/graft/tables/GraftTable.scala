@@ -317,17 +317,33 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // binpack target) must be applied HERE — a caller-side repartition
     // would be undone by this one.
     val pcols = partCols.map(org.apache.spark.sql.functions.col)
+    val scols = defn.sortOrder.map(org.apache.spark.sql.functions.col)
+    // declared sort order (Iceberg write.sort-order): an UNPARTITIONED
+    // table range-distributes on the sort columns so each file covers a
+    // disjoint slice — that is what makes footer min/max pruning
+    // (readRangeLogical / RangePrune) open O(window) files on the sort
+    // column for plain appends, not just after a z-order rewrite. A
+    // PARTITIONED table keeps its partition-value distribution (dir
+    // pruning already works) and sorts within each partition file, so
+    // parquet row-group stats cluster too.
     val physical = (numPartitions, partCols.nonEmpty) match {
       case (Some(n), true) => clustered.repartition(n, pcols: _*)
+      case (Some(n), false) if scols.nonEmpty =>
+        clustered.repartitionByRange(n, scols: _*)
       case (Some(n), false) => clustered.repartition(n)
       case (None, true) => clustered.repartition(pcols: _*)
+      case (None, false) if scols.nonEmpty =>
+        clustered.repartitionByRange(scols: _*)
       case (None, false) => clustered
     }
+    val ordered =
+      if (scols.isEmpty) physical
+      else physical.sortWithinPartitions((pcols ++ scols): _*)
     val key = "spark.sql.parquet.outputTimestampType"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
     try {
-      val writer = physical.write.mode("append")
+      val writer = ordered.write.mode("append")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)

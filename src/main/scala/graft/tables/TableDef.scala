@@ -108,10 +108,13 @@ final case class TableDef(
     schema: StructType,
     partitions: Seq[PartitionTransform] = Nil,
     keys: Seq[String] = Nil,
-    mergeOnRead: Boolean = false) {
+    mergeOnRead: Boolean = false,
+    sortOrder: Seq[String] = Nil) {
   require(keys.forall(k => schema.fieldNames.contains(k)),
     s"table $name: identifier keys must be schema columns")
   require(!mergeOnRead || keys.nonEmpty,
     s"table $name: mergeOnRead requires identifier keys")
+  require(sortOrder.forall(c => schema.fieldNames.contains(c)),
+    s"table $name: sort-order columns must be schema columns")
   def isUpsert: Boolean = keys.nonEmpty
 }
