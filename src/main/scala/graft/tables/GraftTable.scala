@@ -209,18 +209,31 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * the whole log and a many-commit protocol (materializer repairs,
     * streamed sinks) goes O(ops × commits) on driver-side Jackson work
     * (measured: ~10% on the shared bench after the evolution threading,
-    * m4 1.43×). The size+mtime key also keeps a purged-and-rebuilt
-    * table (m9) from serving a stale commit-1.
+    * m4 1.43×). Keyed on a CONTENT hash, not (size, mtime): mtime has
+    * millisecond (on some filesystems, second) resolution, so a commit
+    * json deleted and rewritten with an identical byte length inside
+    * one tick — the purge-and-rebuild path (m9), where fixed-width UUID
+    * file names make equal lengths likely — would serve a stale
+    * CommitMeta under an mtime key. The bytes are read anyway to parse;
+    * hashing them is noise next to the Jackson work being saved.
     */
   private val commitCache =
     scala.collection.concurrent.TrieMap[(String, Long, Long), CommitMeta]()
 
+  private def contentKey(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
   def commits: Seq[CommitMeta] = {
     val fs = Option(new File(commitsDir).listFiles()).getOrElse(Array.empty)
     fs.filter(_.getName.matches("commit-\\d+\\.json"))
-      .map(f => commitCache.getOrElseUpdate(
-        (f.getName, f.length(), f.lastModified()),
-        mapper.readValue(f, classOf[CommitMeta])))
+      .map { f =>
+        val bytes = Files.readAllBytes(f.toPath)
+        commitCache.getOrElseUpdate(
+          (f.getName, bytes.length.toLong, contentKey(bytes)),
+          mapper.readValue(bytes, classOf[CommitMeta]))
+      }
       .sortBy(_.version).toSeq
   }
 
@@ -256,9 +269,18 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       else fileSpecsOverride match {
         // rollback restores the TARGET snapshot's provenance — a file the
         // head had dropped isn't in the head's map, and stamping it with
-        // the head's spec would mis-read its layout
-        case Some(m) => files.map(f => f -> m.getOrElse(f,
-          prevFileSpecs.getOrElse(f, writeSpecDdl))).toMap
+        // the head's spec would mis-read its layout. A file absent from
+        // the target's own map can only mean the target predates every
+        // evolution (provenance is recorded for ALL live files once any
+        // evolution lands), so the fallback is the TARGET's write spec
+        // (newPartSpecDdl — rollback always passes it), never the head's
+        // writeSpecDdl: after evolve → compact, the head's provenance no
+        // longer names the restored files and the head-derived spec would
+        // stamp day-layout files as hour-layout (null p_* reads,
+        // mis-grouped compaction).
+        case Some(m) =>
+          val targetSpec = newPartSpecDdl.getOrElse(writeSpecDdl)
+          files.map(f => f -> m.getOrElse(f, targetSpec)).toMap
         case None => files.map(f => f -> prevFileSpecs.getOrElse(f, writeSpecDdl)).toMap
       }
     // every commit carries the full per-sink batch watermark forward, so
@@ -1382,23 +1404,38 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       "forkVersion").asInstanceOf[Number].intValue
 
   /** PUBLISH: fast-forward main to the branch head (Iceberg's
-    * `fast_forward` procedure / WAP publish). Valid only while main
-    * still sits at the fork version — a diverged main refuses (the
-    * branch must be re-staged), never merges. Publication moves the
-    * branch's post-fork commit jsons onto main OLDEST FIRST, so a crash
+    * `fast_forward` procedure / WAP publish). Valid while main still
+    * sits at the fork version — a diverged main refuses (the branch
+    * must be re-staged), never merges. Publication moves the branch's
+    * post-fork commit jsons onto main OLDEST FIRST, so a crash
     * mid-publish leaves main on a valid contiguous prefix of the branch
-    * — every intermediate state is a readable table. Returns the number
-    * of commits published.
+    * — every intermediate state is a readable table — and a RETRY
+    * RESUMES the move rather than refusing: a main head past the fork
+    * is recognized as a partial publish exactly when the branch's
+    * remaining staged jsons pick up contiguously at main's head + 1
+    * (a genuinely diverged main still holds the branch's FIRST staged
+    * version in both logs, so its remaining set starts at fork+1 ≤
+    * head and refuses). Without the resume, the documented recovery
+    * (dropBranch) would delete the not-yet-moved staged suffix and
+    * orphan its data files. Returns the number of commits published
+    * by THIS call.
     */
   def fastForward(name: String): Int = {
     requireMain("fastForward")
     val fork = branchForkVersion(name)
-    require(currentVersion == fork,
-      s"${defn.name}: main advanced past the '$name' fork " +
-        s"(fork v$fork, main v$currentVersion) — cannot fast-forward; " +
-        "drop the branch and re-stage")
     val b = branchView(name)
     val pending = b.commits.filter(_.version > fork).sortBy(_.version)
+    val head = currentVersion
+    if (head != fork) {
+      val resumable = head > fork &&
+        pending.headOption.forall(_.version == head + 1) &&
+        ((fork + 1) to head).forall(v => Files.exists(commitPath(v)))
+      require(resumable,
+        s"${defn.name}: main advanced past the '$name' fork " +
+          s"(fork v$fork, main v$head) and the branch's staged commits " +
+          s"are not a contiguous continuation — cannot fast-forward; " +
+          "drop the branch and re-stage")
+    }
     pending.foreach { c =>
       Files.move(branchDir(name).resolve(s"commit-${c.version}.json"),
         commitPath(c.version), StandardCopyOption.ATOMIC_MOVE)

@@ -81,6 +81,44 @@ class RefsSpec extends AnyFunSuite {
     t.dropBranch("audit")
   }
 
+  test("crashed mid-publish fast-forward RESUMES: remaining suffix moves, nothing orphans") {
+    val root = freshRoot("r6")
+    val t = new GraftTable(spark, TableDef("r6", schema), root)
+    t.append(df(0 until 5, "a", 1.0)) // main v1 (fork)
+    val b = t.createBranch("audit")
+    b.append(df(5 until 8, "b", 2.0)) // branch v2
+    b.append(df(8 until 10, "c", 3.0)) // branch v3
+    // simulate a crash after the first move of the oldest-first publish:
+    // branch commit-2.json is already on main, commit-3.json still staged
+    Files.move(
+      Paths.get(s"$root/r6/_commits/branch-audit/commit-2.json"),
+      Paths.get(s"$root/r6/_commits/commit-2.json"))
+    assert(t.currentVersion == 2, "main sits on a valid publish prefix")
+    // a retry must RESUME (move only the remaining suffix), not refuse —
+    // the old refusal's documented recovery (dropBranch) would have
+    // deleted still-staged commit-3.json and orphaned its data files
+    val published = t.fastForward("audit")
+    assert(published == 1)
+    assert(t.currentVersion == 3)
+    assert(t.readLogical().count() == 10)
+    assert(t.branches.isEmpty)
+    assert(t.removeOrphans() == 0, "nothing orphaned by the resumed publish")
+  }
+
+  test("genuinely diverged main still refuses even when head is past the fork") {
+    val t = new GraftTable(spark, TableDef("r7", schema), freshRoot("r7"))
+    t.append(df(0 until 5, "a", 1.0)) // v1 (fork)
+    val b = t.createBranch("audit")
+    b.append(df(5 until 8, "b", 2.0)) // branch v2 (still staged)
+    t.append(df(8 until 9, "c", 3.0)) // main's OWN v2 — divergence
+    t.append(df(9 until 10, "d", 4.0)) // main v3
+    // branch's remaining staged set starts at fork+1=2 ≤ head=3, so
+    // this is NOT a contiguous continuation — refuse, never merge
+    val e = intercept[IllegalArgumentException] { t.fastForward("audit") }
+    assert(e.getMessage.contains("cannot fast-forward"))
+    t.dropBranch("audit")
+  }
+
   test("branch of a merge-on-read table keeps latest-wins ordering across the fork") {
     val t = new GraftTable(spark,
       TableDef("r4", schema, keys = Seq("id"), mergeOnRead = true), freshRoot("r4"))

@@ -70,6 +70,35 @@ class RollbackSpec extends AnyFunSuite {
     assert(t.readLogical().count() == 8)
   }
 
+  test("rollback after compaction migrated the layout restores the target's spec per file") {
+    // the natural sequence: evolve (flags needsCompaction) → compact
+    // (migrates the files off the head's provenance) → rollback to the
+    // pre-evolution snapshot. The restored files are in NEITHER the
+    // target's provenance map (pre-evolution: empty) NOR the head's
+    // (compaction dropped them) — they must be stamped with the TARGET's
+    // day spec, not the head's hour spec, or physical reads expose a
+    // null p_* column and filters on it silently match nothing.
+    val t = new GraftTable(spark,
+      TableDef("rb4", schema, partitions = Seq(DayTransform("ts"))), freshRoot("rb4"))
+    t.append(df(0 until 6, 1, 1.0)) // v1: day layout
+    t.evolvePartitioning(Seq(HourTransform("ts"))) // v2
+    assert(t.needsCompaction(), "evolution flags the layout migration")
+    t.compact() // v3: migrates v1's files to hour layout (new files)
+    t.rollback(1) // v4: restores v1's files — absent from v3's provenance
+    assert(t.currentPartitions.map(_.ddl) == Seq("day(ts)"))
+    val phys = t.read()
+    assert(phys.columns.contains("p_ts_day"))
+    // the restored files must read under the DAY layout: the partition
+    // column is populated and filters on it match
+    assert(phys.filter(col("p_ts_day").isNull).count() == 0,
+      "restored files mis-stamped with the head's spec read a null partition column")
+    assert(phys.filter(col("p_ts_day") === "2024-01-01").count() == 6)
+    // and compaction after the rollback groups them under the right spec
+    t.append(df(6 until 9, 1, 2.0)) // a second day-layout file
+    t.compact()
+    assert(t.readLogical().count() == 9)
+  }
+
   test("changelog refuses across a rollback; the CDC consumer resyncs via rebuild") {
     import graft.materialize.CdcAggConsumer
     val root = freshRoot("rb3")

@@ -43,6 +43,25 @@ class TablesSpec extends AnyFunSuite {
     assert(t.read(Some(1)).count() == 10)
   }
 
+  test("commit cache is content-keyed: a same-length same-mtime rewrite is not served stale") {
+    val root = freshRoot("cck")
+    val t = new GraftTable(spark, TableDef("cck", schema), root)
+    val p = Paths.get(s"$root/cck/_commits/commit-1.json")
+    def plant(rowCount: Int): Unit = {
+      Files.writeString(p,
+        s"""{"version":1,"tsMs":0,"op":"append","rowCount":$rowCount,"files":[]}""")
+      p.toFile.setLastModified(1700000000000L) // pin mtime across rewrites
+    }
+    plant(5)
+    assert(t.commits.head.rowCount == 5)
+    // rewrite with IDENTICAL byte length and IDENTICAL mtime — the
+    // purge-and-rebuild shape an (size, mtime) cache key serves stale
+    plant(7)
+    assert(Files.size(p) == p.toFile.length())
+    assert(t.commits.head.rowCount == 7,
+      "commit cache served a stale CommitMeta for a same-length same-mtime rewrite")
+  }
+
   test("upsert replaces rows by key, keeps the rest") {
     val t = new GraftTable(spark, TableDef("t2", schema, keys = Seq("id")), freshRoot("t2"))
     t.upsert(df(0 until 10, "a", 1.0))
