@@ -8,19 +8,25 @@ import org.apache.spark.sql.functions._
   * Delta-CDF / Iceberg-changelog consumer pattern, and the piece the
   * repair-protocol materializer ([[Materializer]]) deliberately doesn't
   * cover: where M4–M6 recompute affected WINDOWS from facts, this
-  * consumer never touches the source table at all after the first poll
-  * — it folds each commit's insert/delete rows (±1 on the count, ±exact
-  * integer cents on the sum) into a keyed aggregate table. A repair the
-  * producer change-tracked (`replace-cdc`) costs the consumer O(changed
-  * rows), not a window recompute.
+  * consumer folds each commit's insert/delete rows (±1 on the count,
+  * ±exact integer cents on the sum) into a keyed aggregate table. A
+  * repair the producer change-tracked (`replace-cdc`) or a predicate
+  * delete (`delete-pos`) costs the consumer O(changed rows), not a
+  * window recompute.
   *
   * Maintained invariant: `target` == `SELECT groupCols, count(*),
-  * sum(cents) FROM source.readLogical() GROUP BY groupCols` after every
-  * poll (the m10 oracle row checks exactly this against DuckDB).
-  * COUNT/SUM are the self-maintainable aggregates; MIN/MAX are not
-  * maintainable under deletes without the full group (textbook
-  * incremental-view-maintenance limits) — callers needing those use the
-  * Materializer's recompute protocol instead.
+  * sum(cents)[, min(cents), max(cents)] FROM source.readLogical()
+  * GROUP BY groupCols` after every poll (the m10/m11 oracle rows check
+  * exactly this against DuckDB). COUNT/SUM are self-maintainable under
+  * deletes; MIN/MAX are not (textbook incremental-view-maintenance
+  * limits: deleting the extremum needs the group's remaining values),
+  * so `trackMinMax` uses the HYBRID: inserts fold extrema directly
+  * (`least`/`greatest` — monotone under insert), and a poll re-aggregates
+  * FROM SOURCE only the groups where a delete touched the current
+  * extremum (deleted value ≤ stored min or ≥ stored max) — one
+  * key-pruned semi-join scan for exactly the affected groups, never a
+  * full-view recompute. Groups whose deletes land strictly inside the
+  * (min, max) interval stay self-maintained.
   *
   * Exactly-once: the consumed source version rides the merge commit via
   * [[GraftTable.withSinkMark]] — data and resume point land atomically,
@@ -35,24 +41,41 @@ import org.apache.spark.sql.functions._
   * broadcast-anti-join keyed rewrite of the TARGET — which is
   * group-cardinality-sized, orders of magnitude smaller than the facts
   * (a time-keyed aggregate additionally passes RangePrune so only
-  * touched windows rewrite). A changelog GAP (expired commits) refuses
-  * loudly — [[rebuild]] is the documented resync, a full recompute +
-  * mark reset.
+  * touched windows rewrite). The min/max recompute leg adds one source
+  * scan semi-joined to the affected keys ONLY on polls where a delete
+  * hit an extremum — on a partitioned source the semi-join's partition
+  * predicate prunes that scan too. A changelog GAP (expired commits)
+  * refuses loudly — [[rebuild]] is the documented resync, a full
+  * recompute + mark reset.
   */
 final class CdcAggConsumer(
     spark: SparkSession,
     source: GraftTable,
     target: GraftTable,
     groupCols: Seq[String],
-    valueCol: String) {
+    valueCol: String,
+    trackMinMax: Boolean = false) {
 
   require(target.defn.keys.nonEmpty && target.defn.keys.toSet == groupCols.toSet,
     s"target ${target.defn.name} must be keyed by the group columns")
+  require(!trackMinMax ||
+    Seq("min_cents", "max_cents").forall(target.defn.schema.fieldNames.contains),
+    s"target ${target.defn.name}: trackMinMax needs min_cents/max_cents columns")
 
   private val sinkId = s"cdc:${source.defn.name}"
 
   /** Last source version folded into the target (-1 = never polled). */
   def consumedVersion: Long = target.lastCommittedBatch(sinkId)
+
+  private def centsOf(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  private def aggCols(base: org.apache.spark.sql.Column) = {
+    val cents = centsOf(base)
+    Seq(count(lit(1)).as("n"), sum(cents).as("cents")) ++
+      (if (trackMinMax) Seq(min(cents).as("min_cents"), max(cents).as("max_cents"))
+       else Nil)
+  }
 
   /** Fold all source commits past the consumed mark into the target.
     * Returns the number of commits consumed (0 = already caught up).
@@ -67,28 +90,82 @@ final class CdcAggConsumer(
     // Metadata-only check — no data read.
     val bad = source.commits
       .filter(c => c.version > from && c.version <= to)
-      .filter(c => !Set("append", "replace-cdc", "compact", "zorder",
+      .filter(c => !Set("append", "replace-cdc", "delete-pos", "compact", "zorder",
         "evolve-schema", "evolve-partition").contains(c.op))
     require(bad.isEmpty,
       s"${source.defn.name}: commit(s) ${bad.map(c => s"v${c.version}='${c.op}'").mkString(", ")} " +
         "are not incrementally foldable — rebuild() or use the Materializer")
     val ch = source.readChanges(from, to) // throws on a changelog gap
-    val sign = when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L))
-    val delta = ch.groupBy(groupCols.map(col): _*).agg(
+    val isDel = col("_change_type") === "delete"
+    val sign = when(isDel, lit(-1L)).otherwise(lit(1L))
+    val cents = centsOf(col(valueCol))
+    val minMaxDelta =
+      if (!trackMinMax) Nil
+      else Seq(
+        min(when(!isDel, cents)).as("__ins_min"),
+        max(when(!isDel, cents)).as("__ins_max"),
+        min(when(isDel, cents)).as("__del_min"),
+        max(when(isDel, cents)).as("__del_max"))
+    val deltaAggs = Seq(
       sum(sign).as("__dn"),
-      sum(sign * round(col(valueCol) * 100).cast("long")).as("__dcents"))
-    val merged = delta
-      .join(target.readLogical(), groupCols, "left_outer")
-      .select(
-        groupCols.map(col) ++ Seq(
-          (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
-          (coalesce(col("cents"), lit(0L)) + col("__dcents")).as("cents")): _*)
-      .filter(col("n") > 0) // a group folded to zero leaves the view
-    target.withSinkMark(sinkId, to.toLong) {
-      target.replaceKeys(
-        staleKeys = delta.select(groupCols.map(col): _*),
-        keyCols = groupCols,
-        replacement = merged)
+      sum(sign * cents).as("__dcents")) ++ minMaxDelta
+    val delta = ch.groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    if (!trackMinMax) {
+      val merged = delta
+        .join(target.readLogical(), groupCols, "left_outer")
+        .select(
+          groupCols.map(col) ++ Seq(
+            (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
+            (coalesce(col("cents"), lit(0L)) + col("__dcents")).as("cents")): _*)
+        .filter(col("n") > 0) // a group folded to zero leaves the view
+      target.withSinkMark(sinkId, to.toLong) {
+        target.replaceKeys(
+          staleKeys = delta.select(groupCols.map(col): _*),
+          keyCols = groupCols,
+          replacement = merged)
+      }
+    } else {
+      // a delete at or past a stored extremum may have removed it — the
+      // group's true new extremum needs the remaining values, so those
+      // groups (and only those) re-aggregate from source. A group the
+      // target has never seen self-maintains (its extrema come entirely
+      // from this delta's inserts; a delete there would fold n to ≤ 0
+      // and leave the view). Persisted: read twice below (split + keys),
+      // and a recompute would otherwise re-derive the whole delta.
+      val joined = delta.join(target.readLogical(), groupCols, "left_outer")
+        .withColumn("__recompute",
+          col("min_cents").isNotNull &&
+            ((col("__del_min").isNotNull && col("__del_min") <= col("min_cents")) ||
+             (col("__del_max").isNotNull && col("__del_max") >= col("max_cents"))))
+        .persist()
+      try {
+        val self = joined.filter(!col("__recompute"))
+          .select(
+            groupCols.map(col) ++ Seq(
+              (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
+              (coalesce(col("cents"), lit(0L)) + col("__dcents")).as("cents"),
+              least(col("min_cents"), col("__ins_min")).as("min_cents"),
+              greatest(col("max_cents"), col("__ins_max")).as("max_cents")): _*)
+          .filter(col("n") > 0)
+        val recomputeKeys = joined.filter(col("__recompute"))
+          .select(groupCols.map(col): _*)
+        // key-pruned re-aggregation: one source scan semi-joined to the
+        // affected groups (broadcast — the key set is a subset of this
+        // poll's touched groups, bounded by the delta). Pinned to the
+        // polled version so a commit landing mid-poll can't leak ahead
+        // of the mark.
+        val recomputed = source.readLogical(Some(to))
+          .join(broadcast(recomputeKeys), groupCols, "left_semi")
+          .groupBy(groupCols.map(col): _*)
+          .agg(aggCols(col(valueCol)).head, aggCols(col(valueCol)).tail: _*)
+        target.withSinkMark(sinkId, to.toLong) {
+          target.replaceKeys(
+            staleKeys = delta.select(groupCols.map(col): _*),
+            keyCols = groupCols,
+            replacement = self.unionByName(recomputed))
+        }
+      } finally joined.unpersist()
     }
     to - from
   }
@@ -99,10 +176,11 @@ final class CdcAggConsumer(
     */
   def rebuild(): Unit = {
     val to = source.currentVersion
-    val full = source.readLogical()
-      .groupBy(groupCols.map(col): _*).agg(
-        count(lit(1)).as("n"),
-        sum(round(col(valueCol) * 100).cast("long")).as("cents"))
+    // version-pinned: a commit landing mid-rebuild must not leak ahead
+    // of the mark the rebuild records (v0 = never-committed source)
+    val full = (if (to == 0) source.readLogical() else source.readLogical(Some(to)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggCols(col(valueCol)).head, aggCols(col(valueCol)).tail: _*)
     target.withSinkMark(sinkId, to.toLong) {
       target.overwrite(full)
     }

@@ -250,6 +250,61 @@ object MaterializeOps {
     mv.readLogical()
   }
 
+  /** M11 — the CDC consumer with MIN/MAX (the hybrid that closes the
+    * classic incremental-view-maintenance limit): COUNT/SUM fold ±, and
+    * extrema self-maintain under inserts (`least`/`greatest`) — a poll
+    * re-aggregates FROM SOURCE only the groups where a delete touched
+    * the stored extremum (the reference's aggregation jobs carry
+    * MIN/MAX metric columns, aggregation_jobs.sql:24-55). Exercised
+    * through both delete paths: a `delete-pos` predicate delete that
+    * removes each type's TOP values (forces the recompute leg) and a
+    * second that removes an interior band (stays self-maintained),
+    * plus an append after the deletes (insert-only extrema fold). The
+    * DuckDB oracle recomputes count/sum/min/max single-shot from the
+    * final state — a recompute leg that scanned the wrong keys, a
+    * stale extremum, or a double-applied poll all fail the hash.
+    */
+  val m11CdcMinmax: QueryDef = QueryDef(
+    "m11_cdc_minmax",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM events
+      |WHERE NOT (value > 300) AND NOT (value >= 100 AND value <= 110)
+      |GROUP BY 1""".stripMargin) { t =>
+    val wh = scratch("m11")
+    val aggSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("cents", LongType),
+      StructField("min_cents", LongType),
+      StructField("max_cents", LongType)))
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("cdc_src_mm", eventsSchema),
+      TableDef("agg_minmax", aggSchema, keys = Seq("event_type"))))
+    val src = cat.table("cdc_src_mm")
+    val mv = cat.table("agg_minmax")
+    val consumer = new CdcAggConsumer(t.spark, src, mv,
+      groupCols = Seq("event_type"), valueCol = "value", trackMinMax = true)
+
+    val ev = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    src.append(ev.filter(col("ts") < cut))                         // v1
+    consumer.poll()
+    src.deleteWhere(col("value") > 300)                            // v2: extremum deletes
+    src.deleteWhere(col("value") >= 100 && col("value") <= 110)    // v3: interior band
+    consumer.poll()
+    src.append(ev.filter(col("ts") >= cut)                         // v4: post-delete inserts
+      .filter(!(col("value") > 300))
+      .filter(!(col("value") >= 100 && col("value") <= 110)))
+    consumer.poll()
+    consumer.poll() // caught up — must be a no-op, not a double-apply
+    mv.readLogical()
+  }
+
   val all: Seq[QueryDef] =
-    Seq(m4IncrementalMatview, m5DimRepair, m6StaleRepair, m10CdcMatview)
+    Seq(m4IncrementalMatview, m5DimRepair, m6StaleRepair, m10CdcMatview,
+      m11CdcMinmax)
 }

@@ -777,10 +777,98 @@ object StorageOps {
     tbl.readLogical()
   }
 
+  /** S24 — column RENAME end to end (the one ALTER the engine refused
+    * until now; Iceberg renames safely via field ids, this format via
+    * versioned name provenance in the commit log — see
+    * [[graft.tables.GraftTable.renameColumn]]): the first batch lands
+    * under `value`, a METADATA-ONLY commit renames it to `amount`
+    * (zero data rewritten — required in-row), the second batch lands
+    * under the new name, and the mixed-epoch read must serve BOTH
+    * batches' values under `amount` — a rename that null-filled
+    * pre-rename files (the classic name-resolution failure) loses half
+    * the money column and fails the hash. compact() then migrates the
+    * stale-named files and the re-read must be identical, so both the
+    * aliased mixed-epoch path and the migrated layout are pinned under
+    * one oracle.
+    */
+  val s24Rename: QueryDef = QueryDef(
+    "s24_rename",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS amount
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s24")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("rename_t", eventsSchema)))
+    val tbl = cat.table("rename_t")
+    val src = eventsSrc(t)
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.append(src.filter(col("ts") < cut))                       // v1: stores 'value'
+    val filesBefore = tbl.commits.last.files.toSet
+    tbl.renameColumn("value", "amount")                           // v2: metadata-only
+    require(tbl.commits.last.files.toSet == filesBefore,
+      "rename must not rewrite data files")
+    tbl.append(src.filter(col("ts") >= cut)                       // v3: stores 'amount'
+      .withColumnRenamed("value", "amount"))
+    cat.checkDrift() // a rename alone must not read as drift
+    // the mixed-epoch read serves everything under the new name...
+    val mixed = tbl.readLogical()
+    require(mixed.filter(col("amount").isNull).count() == 0,
+      "pre-rename files must serve values under the new name, not nulls")
+    require(tbl.needsCompaction(), "stale-named files flag the migration")
+    tbl.compact()                                                 // v4 migrates the names
+    // ...and the post-migration read must hash-match the same oracle
+    tbl.readLogical()
+  }
+
+  /** S25 — position deletes through the oracle (Iceberg v2's second
+    * delete-file kind, the shape `DELETE FROM ... WHERE <non-key
+    * predicate>` writes): the events land in two appends, then every
+    * `error` row is deleted by writing ONE (file, row-index) tombstone
+    * file — zero data rewritten (required in-row), O(matches) tombstone
+    * bytes, where the COW alternative ([[graft.tables.GraftTable
+    * .replaceWhere]]) rewrites every overlapping file. Two legs under
+    * one hash: `live` reads through the anti-join path (the novel
+    * read-side code), `compacted` reads after compaction rewrote
+    * exactly the referenced files and cleared the tombstones — both
+    * must serve the identical WHERE-filtered world the DuckDB oracle
+    * states directly. A tombstone that killed the wrong (file, pos),
+    * leaked a deleted row, or lost one at the compaction boundary
+    * fails the hash compare.
+    */
+  val s25PosDelete: QueryDef = QueryDef(
+    "s25_pos_delete",
+    """SELECT 'live' AS leg, event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |       event_type, round(value, 2) AS value
+      |FROM events WHERE event_type <> 'error'
+      |UNION ALL
+      |SELECT 'compacted', event_id, CAST(ts AS TIMESTAMP), user_id,
+      |       event_type, round(value, 2)
+      |FROM events WHERE event_type <> 'error'""".stripMargin) { t =>
+    val wh = scratch("s25")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("posdel_t", eventsSchema)))
+    val tbl = cat.table("posdel_t")
+    val src = eventsSrc(t)
+    val cut = lit("2024-01-16").cast("timestamp")
+    tbl.append(src.filter(col("ts") < cut))                       // v1
+    tbl.append(src.filter(col("ts") >= cut))                      // v2
+    val filesBefore = tbl.commits.last.files.toSet
+    tbl.deleteWhere(col("event_type") === "error")                // v3 (tombstone)
+    require(tbl.commits.last.files.toSet == filesBefore,
+      "position delete must not rewrite data files")
+    val live = tbl.readLogical().withColumn("leg", lit("live"))
+    require(tbl.needsCompaction(), "pending position deletes flag compaction")
+    tbl.compact()                                                 // v4 materializes
+    require(tbl.commits.last.posDeleteFilesOrEmpty.isEmpty,
+      "compaction must clear the tombstone map")
+    val compacted = tbl.readLogical().withColumn("leg", lit("compacted"))
+    live.unionByName(compacted)
+      .select(col("leg"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
       s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace,
       s18SchemaEvolution, s19WapPublish, s20MorDelete, s21PartitionEvolution,
-      s22Rollback, s23SortOrder, m9PurgeIsolation)
+      s22Rollback, s23SortOrder, s24Rename, s25PosDelete, m9PurgeIsolation)
 }

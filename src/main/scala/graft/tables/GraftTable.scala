@@ -34,7 +34,10 @@ final case class CommitMeta(
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
     morDeleteFiles: Map[String, Int] = Map.empty,
     partSpecDdl: String = null,
-    fileSpecs: Map[String, String] = Map.empty) {
+    fileSpecs: Map[String, String] = Map.empty,
+    renames: Seq[String] = Nil,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    posDeleteFiles: Map[String, Int] = Map.empty) {
   /** Jackson leaves a missing field null on old commit jsons. */
   def sinkBatchesOrEmpty: Map[String, Long] =
     Option(sinkBatches).getOrElse(Map.empty)
@@ -105,6 +108,29 @@ final case class CommitMeta(
     */
   def fileSpecsOrEmpty: Map[String, String] =
     Option(fileSpecs).getOrElse(Map.empty)
+
+  /** Column-RENAME log as of this commit, carried forward like
+    * schemaDdl: each entry `"<version>|<old>|<new>"` records that the
+    * evolve commit at `version` renamed `old` to `new`. Files written
+    * BEFORE that version store the old name; the read path derives
+    * each file's stored names from its first-seen version against this
+    * log — the engine's stand-in for Iceberg's field ids, which is
+    * what makes RENAME a metadata-only commit on a name-resolved
+    * parquet format (zero footers rewritten).
+    */
+  def renamesOrEmpty: Seq[String] = Option(renames).getOrElse(Nil)
+
+  /** PENDING position-delete files (Iceberg v2's `(file, pos)` delete
+    * kind — the shape `DELETE FROM ... WHERE <non-key predicate>`
+    * writes): parquet files of (data-file relative path, row index)
+    * tombstones → the version that wrote each, anti-joined away by
+    * every logical read until [[GraftTable.compact]] materializes them.
+    * Carried forward like morDeleteFiles; never part of the live file
+    * set. Only non-merge-on-read tables carry these (a MOR predicate
+    * delete delegates to equality deletes — see deleteWhere).
+    */
+  def posDeleteFilesOrEmpty: Map[String, Int] =
+    Option(posDeleteFiles).getOrElse(Map.empty)
 }
 
 /** Conservative file-pruning hint for replace commits: every row the
@@ -199,6 +225,38 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .withDefaultValue(defn.partitions)
   }
 
+  /** Parsed rename log of a snapshot, ascending by version. */
+  private def renameLogOf(snap: Option[CommitMeta]): Seq[(Int, String, String)] =
+    snap.map(_.renamesOrEmpty).getOrElse(Nil).map { s =>
+      val parts = s.split('|')
+      require(parts.length == 3, s"${defn.name}: bad rename log entry '$s'")
+      (parts(0).toInt, parts(1), parts(2))
+    }
+
+  /** The name a file written at `fileVersion` STORES for the column
+    * currently (per `log`) called `cur`: renames that landed after the
+    * file was written are walked back newest-first, so chained renames
+    * (a→b at v5, b→c at v9) and freed-then-reused names resolve
+    * correctly. Identity when the log is empty — the common case pays
+    * nothing.
+    */
+  private def storedNameOf(cur: String, fileVersion: Int,
+      log: Seq[(Int, String, String)]): String = {
+    var name = cur
+    log.reverseIterator.foreach { case (rv, o, n) =>
+      if (rv > fileVersion && name == n) name = o
+    }
+    name
+  }
+
+  /** current-name → stored-name map for a whole logical schema; files
+    * that predate every rename (or a log-free table) get the identity
+    * map.
+    */
+  private def storedNamesAt(logical: StructType, fileVersion: Int,
+      log: Seq[(Int, String, String)]): Map[String, String] =
+    logical.fieldNames.map(c => c -> storedNameOf(c, fileVersion, log)).toMap
+
   // ---- commit log ----
 
   private def commitPath(v: Int) = Paths.get(s"$commitsDir/commit-$v.json")
@@ -252,7 +310,9 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       newSchemaDdl: Option[String] = None,
       morDeletes: Map[String, Int] => Map[String, Int] = identity,
       newPartSpecDdl: Option[String] = None,
-      fileSpecsOverride: Option[Map[String, String]] = None): CommitMeta = {
+      fileSpecsOverride: Option[Map[String, String]] = None,
+      newRenames: Option[Seq[String]] = None,
+      posDeletes: Map[String, Int] => Map[String, Int] = identity): CommitMeta = {
     val prevMeta = commits.lastOption
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     val fileRows = files.par.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).seq.toMap
@@ -294,9 +354,17 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // transforms the carried map (add a tombstone / clear on compact)
     val carriedMorDeletes =
       morDeletes(prevMeta.map(_.morDeleteFilesOrEmpty).getOrElse(Map.empty))
+    // the rename log carries forward like the schema; a rename commit
+    // appends its entry, rollback restores the target's log
+    val carriedRenames =
+      newRenames.getOrElse(prevMeta.map(_.renamesOrEmpty).getOrElse(Nil))
+    // pending position-delete tombstones carry like equality tombstones
+    val carriedPosDeletes =
+      posDeletes(prevMeta.map(_.posDeleteFilesOrEmpty).getOrElse(Map.empty))
     val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op,
       fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows, changeFiles,
-      deleteFiles, carriedSchema, carriedMorDeletes, carriedSpecDdl, fileSpecs)
+      deleteFiles, carriedSchema, carriedMorDeletes, carriedSpecDdl, fileSpecs,
+      carriedRenames, carriedPosDeletes)
     val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
     Files.writeString(tmp, mapper.writeValueAsString(meta))
     Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
@@ -444,6 +512,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         .getOrElse(throw new IllegalArgumentException(s"${defn.name}: no snapshot v$v"))
       case None => cs.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
     }
+    // a raw physical read would resurface position-deleted rows
+    require(snap.posDeleteFilesOrEmpty.isEmpty,
+      s"${defn.name}: physical read with pending position deletes — " +
+        "use readLogical(), or compact() to materialize them")
     // a PHYSICAL read exposes one set of p_* columns, so it can only
     // span one partition-spec generation; after an evolution, logical
     // reads work immediately and compact() migrates the layout
@@ -456,8 +528,21 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .getOrElse(partitionsAt(version))
     // the SNAPSHOT's schema: older files missing later-added columns
     // null-fill; columns dropped later still read in a pre-drop snapshot
-    val phys = physicalSchemaOf(
-      snap.schemaDdlOrNone.map(StructType.fromDDL).getOrElse(defn.schema), spec)
+    val logical = snap.schemaDdlOrNone.map(StructType.fromDDL).getOrElse(defn.schema)
+    // a physical read resolves columns by the snapshot's names directly;
+    // files that predate a rename store the OLD name and would silently
+    // null-fill the renamed column — refuse, like the mixed-spec case
+    // (logical reads alias per epoch; compact() migrates the names)
+    val log = renameLogOf(Some(snap))
+    if (log.nonEmpty) {
+      val firstSeen = firstSeenByFile(cs)
+      val stale = snap.files.exists(f => storedNamesAt(logical,
+        firstSeen.getOrElse(f, Int.MaxValue), log).exists { case (c, s) => c != s })
+      require(!stale,
+        s"${defn.name}: physical read over files written before a column " +
+          "rename — use readLogical(), or compact() to migrate the names")
+    }
+    val phys = physicalSchemaOf(logical, spec)
     if (snap.files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), phys)
     else
@@ -485,9 +570,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         .getOrElse(throw new IllegalArgumentException(s"${defn.name}: no snapshot v$v"))
       case None => cs.lastOption.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
     }
-    if (!defn.mergeOnRead)
-      readFilesLogicalSpecAware(snap.files, logical, Some(snap))
-    else {
+    if (!defn.mergeOnRead) {
+      // pending position deletes (this SNAPSHOT's — time travel to a
+      // pre-delete version sees the rows) anti-join away per (file, pos)
+      snap.posDeleteFilesOrEmpty.keys.toSeq.sorted match {
+        case Nil => readFilesLogicalSpecAware(snap.files, logical, Some(snap))
+        case ps => applyPosDeletes(
+          readFilesLogicalSpecAware(snap.files, logical, Some(snap), withPos = true), ps)
+          .select(logicalCols: _*)
+      }
+    } else {
       val firstSeen = firstSeenByFile(cs)
       val groups = snap.files.groupBy(firstSeen).toSeq.sortBy(_._1)
       val tombs = snap.morDeleteFilesOrEmpty
@@ -539,16 +631,30 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     */
   def liveSchema: Option[StructType] =
     commits.lastOption.filter(_.files.nonEmpty).map { snap =>
-      // per spec generation: mixed directory layouts can't be listed in
-      // one partition-discovery pass, and each group's derived p_* cols
-      // are ITS spec's, not the current one
+      // per spec generation AND rename epoch: mixed directory layouts
+      // can't be listed in one partition-discovery pass, each group's
+      // derived p_* cols are ITS spec's, and a pre-rename file's footer
+      // stores the OLD column name — rendered back as the current name
+      // so a rename alone never reads as drift
       val byFile = specsByFile(snap)
-      val fields = snap.files.groupBy(f => PartitionTransform.specDdl(byFile(f)))
+      val log = renameLogOf(Some(snap))
+      val firstSeen: Map[String, Int] =
+        if (log.isEmpty) Map.empty else firstSeenByFile(commits)
+      val logical = currentSchema
+      def epoch(f: String): Map[String, String] =
+        if (log.isEmpty) Map.empty
+        else storedNamesAt(logical, firstSeen.getOrElse(f, Int.MaxValue), log)
+          .collect { case (c, s) if c != s => s -> c } // stored → current
+      val fields = snap.files
+        .groupBy(f => (PartitionTransform.specDdl(byFile(f)),
+          epoch(f).toSeq.sorted.mkString(",")))
         .toSeq.sortBy(_._1).flatMap { case (_, fs) =>
           val specNames = byFile(fs.head).map(_.name).toSet
+          val toCurrent = epoch(fs.head)
           spark.read.option("basePath", dataDir)
             .parquet(fs.map(f => s"$dataDir/$f"): _*)
             .schema.fields.filterNot(f => specNames.contains(f.name))
+            .map(f => f.copy(name = toCurrent.getOrElse(f.name, f.name)))
         }
       val seen = scala.collection.mutable.LinkedHashMap[String, StructField]()
       fields.foreach(f => if (!seen.contains(f.name)) seen(f.name) = f)
@@ -645,6 +751,44 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       newSchemaDdl = Some(next.toDDL))
   }
 
+  /** Iceberg-style RENAME COLUMN: a METADATA-ONLY commit (zero data
+    * rewritten) records the new name in the schema AND an entry in the
+    * carried rename log; every read resolves each file's STORED name
+    * from its first-seen version against the log — Iceberg reaches the
+    * same safety through field ids, this format through versioned name
+    * provenance (commit jsons are the only metadata it owns). Old
+    * files keep serving their values under the new logical name
+    * immediately; [[compact]] migrates stale-named files to the
+    * current names on the normal maintenance cadence. Refuses
+    * identifier keys (upsert resolution joins on the TableDef names),
+    * partition-transform sources and declared sort columns (the write
+    * layout derives from them by name), exactly the columns Iceberg
+    * users also treat as pinned in practice.
+    */
+  def renameColumn(oldName: String, newName: String): CommitMeta = {
+    val cur = currentSchema
+    val exact = cur.fieldNames.find(_.equalsIgnoreCase(oldName)).getOrElse(
+      throw new IllegalArgumentException(s"${defn.name}: no column '$oldName'"))
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"${defn.name}: bad column name '$newName'")
+    val taken = (cur.fieldNames ++ partCols).map(_.toLowerCase).toSet
+    require(!taken.contains(newName.toLowerCase),
+      s"${defn.name}: column '$newName' already exists")
+    require(!defn.keys.exists(_.equalsIgnoreCase(oldName)),
+      s"${defn.name}: cannot rename identifier key '$oldName'")
+    require(!currentPartitions.exists(_.source.equalsIgnoreCase(oldName)),
+      s"${defn.name}: cannot rename partition-transform source '$oldName'")
+    require(!defn.sortOrder.exists(_.equalsIgnoreCase(oldName)),
+      s"${defn.name}: cannot rename declared sort column '$oldName'")
+    val next = StructType(cur.fields.map(f =>
+      if (f.name == exact) f.copy(name = newName) else f))
+    val prev = commits.lastOption
+    writeCommit("evolve-schema", prev.map(_.files).getOrElse(Nil),
+      newSchemaDdl = Some(next.toDDL),
+      newRenames = Some(prev.map(_.renamesOrEmpty).getOrElse(Nil) :+
+        s"${currentVersion + 1}|$exact|$newName"))
+  }
+
   /** Iceberg-style partition-spec evolution: a METADATA-ONLY commit
     * switches the spec for FUTURE writes; every existing file keeps the
     * layout it was written under (recorded per file in the commit log),
@@ -697,7 +841,9 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       morDeletes = _ => target.morDeleteFilesOrEmpty,
       newPartSpecDdl = Some(target.partSpecDdlOrNone
         .getOrElse(PartitionTransform.specDdl(defn.partitions))),
-      fileSpecsOverride = Some(target.fileSpecsOrEmpty))
+      fileSpecsOverride = Some(target.fileSpecsOrEmpty),
+      newRenames = Some(target.renamesOrEmpty),
+      posDeletes = _ => target.posDeleteFilesOrEmpty)
   }
 
   /** Iceberg's `TIMESTAMP AS OF`: the snapshot that was current at
@@ -715,7 +861,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   /** M1 — full overwrite (CTAS materialization). */
   def overwrite(df: DataFrame): CommitMeta = {
     val added = writeFiles(df.select(currentSchema.fieldNames.map(df.col): _*))
-    writeCommit("overwrite", added)
+    // a full rewrite supersedes any pending position deletes
+    writeCommit("overwrite", added, posDeletes = _ => Map.empty)
   }
 
   /** S5 — keyed upsert: rows in `batch` replace live rows with the same
@@ -758,7 +905,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         .reduce(_ && _)
       val survivors = cur.join(bb, sameKey, "left_anti")
         .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      writeCommit("upsert", writeFiles(survivors.unionByName(b)))
+      // the COW rewrite reads the visible state (pos deletes applied)
+      // and replaces every file — pending tombstones are materialized
+      writeCommit("upsert", writeFiles(survivors.unionByName(b)),
+        posDeletes = _ => Map.empty)
     } else {
       // null-safe key match (<=>): a name-list join compares with =, so a
       // NULL key tuple never matches and the old null-key row would
@@ -782,7 +932,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       // touched partition until the next compact.
       val batchFiles = writeFiles(b)
       val survivorFiles = writeFiles(survivors)
-      writeCommit("upsert", survivorFiles ++ batchFiles, changeFiles = batchFiles)
+      writeCommit("upsert", survivorFiles ++ batchFiles, changeFiles = batchFiles,
+        posDeletes = _ => Map.empty)
     }
   }
 
@@ -815,6 +966,88 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       morDeletes = m => m ++ added.map(_ -> v))
   }
 
+  /** Schema of a position-delete tombstone file. */
+  private val posPairSchema = StructType(Seq(
+    StructField("__file", StringType), StructField("__pos", LongType)))
+
+  /** The (data file, row index) pairs a set of pos-delete files holds. */
+  private def posPairs(posFiles: Seq[String]): DataFrame =
+    spark.read.schema(posPairSchema)
+      .parquet(posFiles.map(f => s"$dataDir/$f"): _*)
+
+  /** Anti-join pending position deletes out of a provenance-carrying
+    * read (one produced with `withPos = true`). The tombstone side is
+    * broadcast while it fits an executor budget — the overwhelmingly
+    * common case (a predicate delete's tombstones are O(matches), tiny
+    * next to the table) — so the read pays no extra shuffle; past the
+    * bound it degrades to a shuffled anti-join, never to wrong rows.
+    */
+  private def applyPosDeletes(data: DataFrame, posFiles: Seq[String]): DataFrame = {
+    val totalBytes = posFiles.map(f => new File(s"$dataDir/$f").length()).sum
+    val dels = posPairs(posFiles)
+    val hinted =
+      if (totalBytes <= GraftTable.PosDeleteBroadcastBytes)
+        org.apache.spark.sql.functions.broadcast(dels)
+      else dels
+    data.join(hinted, Seq("__file", "__pos"), "left_anti")
+  }
+
+  /** True while un-compacted position-delete tombstones are live — raw
+    * file reads (range reads, replace rewrites, physical reads) would
+    * resurface deleted rows, so those paths refuse until [[compact]]
+    * materializes the deletes (mirroring the MOR-sequence refusals).
+    */
+  private def posPending: Boolean =
+    commits.lastOption.exists(_.posDeleteFilesOrEmpty.nonEmpty)
+
+  /** S5c — predicate DELETE, Iceberg v2's position-delete shape (`DELETE
+    * FROM ... WHERE <any predicate>`): scans the VISIBLE state with file
+    * /row-index provenance, writes ONLY the matching rows' (file, pos)
+    * tuples as a tombstone file — O(matches) written, zero data
+    * rewritten — and every logical read anti-joins them away until
+    * [[compact]] rewrites exactly the files the tombstones reference.
+    * This is the delete shape for non-key predicates on append/COW
+    * tables, where [[replaceWhere]] would rewrite every overlapping
+    * file; at 100 TB a small predicate delete must not cost a window
+    * rewrite. The scan applies PENDING tombstones first, so a second
+    * delete never re-tombstones an already-deleted row.
+    *
+    * Merge-on-read tables DELEGATE to [[deleteKeys]] on the matching
+    * visible rows' keys: MOR shadowing is implicit (latest-wins by
+    * sequence), so a position delete of a key's newest physical row
+    * would resurface its superseded versions — the equality-delete form
+    * is the one with sound semantics there, and it is key-granular (a
+    * matching row deletes its whole key tuple). One tombstone file per
+    * commit (single writer task); an Iceberg-scale deployment shards
+    * delete files per partition — the read semantics are unchanged.
+    */
+  def deleteWhere(condition: org.apache.spark.sql.Column): CommitMeta = {
+    if (defn.mergeOnRead)
+      return deleteKeys(readLogical().filter(condition))
+    val prev = commits.lastOption
+    if (prev.forall(_.files.isEmpty))
+      return prev.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
+    val snap = prev.get
+    val logical = currentSchema
+    val base = readFilesLogicalSpecAware(snap.files, logical, Some(snap),
+      withPos = true)
+    val visible = snap.posDeleteFilesOrEmpty.keys.toSeq.sorted match {
+      case Nil => base
+      case ps => applyPosDeletes(base, ps)
+    }
+    val matches = visible.filter(condition)
+      .select(org.apache.spark.sql.functions.col("__file"),
+        org.apache.spark.sql.functions.col("__pos"))
+      .repartition(1)
+    val added = writeRawFiles(matches)
+    // zero matches → no commit (a schema-only stub stays unreferenced
+    // for removeOrphans, the append() convention)
+    if (added.isEmpty || footerRowCount(added) == 0) return snap
+    val v = currentVersion + 1
+    writeCommit("delete-pos", snap.files,
+      posDeletes = m => m ++ added.map(_ -> v))
+  }
+
   /** Targeted delete+re-insert for the materializer repair passes
     * (M4–M6): drop live rows matching `condition`, append `replacement`.
     * With a [[RangePrune]] hint, files provably outside the repair range
@@ -828,6 +1061,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       trackChanges: Boolean = false): CommitMeta = {
     require(!defn.mergeOnRead || (morSequences <= 1 && !morPending),
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
+    require(!posPending,
+      s"${defn.name}: replace with pending position deletes is unsound — compact() first")
     val (untouched, toRewrite) = classifyLiveFiles(prune)
     val keep = readFilesLogicalSpecAware(toRewrite, currentSchema, commits.lastOption)
       .filter(!condition || condition.isNull)
@@ -885,6 +1120,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       trackChanges: Boolean = false): CommitMeta = {
     require(!defn.mergeOnRead || (morSequences <= 1 && !morPending),
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
+    require(!posPending,
+      s"${defn.name}: replace with pending position deletes is unsound — compact() first")
     val keyProj = staleKeys.select(keyCols.map(staleKeys.col): _*)
     // `knownKeyCount` = the caller already distincted/persisted/counted
     // the key set (the Materializer repair passes do) — reuse it rather
@@ -945,8 +1182,12 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       case Some(p) =>
         // independent per-file footer reads — driver-side metadata IO,
         // parallelized so a many-file snapshot classifies in ~one read's
-        // latency rather than N of them
-        val bounds = live.par.map(f => f -> fileBoundsMicros(f, p.column)).seq
+        // latency rather than N of them. Footers store the WRITE-TIME
+        // column name, so a renamed pruning column is probed under each
+        // file's stored name (a miss there degrades to rewrite, never
+        // to a wrong carry).
+        val stored = storedColumnByFile(p.column)
+        val bounds = live.par.map(f => f -> fileBoundsMicros(f, stored(f))).seq
         if (bounds.exists(_._2.isEmpty)) (Nil, live)
         else {
           val (out, in) = bounds.partition {
@@ -955,6 +1196,19 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           }
           (out.map(_._1), in.map(_._1))
         }
+    }
+  }
+
+  /** file → the name the file's FOOTER stores for the current logical
+    * column `cur` (identity when the table was never renamed — the
+    * common case allocates nothing per file).
+    */
+  private def storedColumnByFile(cur: String): String => String = {
+    val log = renameLogOf(commits.lastOption)
+    if (log.isEmpty) _ => cur
+    else {
+      val firstSeen = firstSeenByFile(commits)
+      f => storedNameOf(cur, firstSeen.getOrElse(f, Int.MaxValue), log)
     }
   }
 
@@ -999,7 +1253,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     */
   def columnMaxMicros(colName: String): Option[Long] = {
     val live = commits.lastOption.map(_.files).getOrElse(Nil)
-    val bounds = live.par.map(f => fileBoundsMicros(f, colName)).seq
+    val stored = storedColumnByFile(colName)
+    val bounds = live.par.map(f => fileBoundsMicros(f, stored(f))).seq
     if (bounds.exists(_.isEmpty)) None
     else bounds.flatten.map(_._2).filter(_ != Long.MinValue) match {
       case Nil => None
@@ -1022,6 +1277,9 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     require(!defn.mergeOnRead || (morSequences <= 1 && !morPending),
       s"${defn.name}: range read over ${morSequences} merge-on-read upsert sequences " +
         "would skip latest-wins resolution — compact() first")
+    require(!posPending,
+      s"${defn.name}: range read with pending position deletes would " +
+        "resurface deleted rows — compact() first")
     val (_, overlapping) = classifyLiveFiles(Some(RangePrune(colName, loMicros, hiMicros)))
     readFilesLogicalSpecAware(overlapping, currentSchema, commits.lastOption)
   }
@@ -1070,23 +1328,69 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .parquet(files.map(f => s"$dataDir/$f"): _*)
   }
 
-  /** Logical projection over arbitrary live files, PARTITION-SPEC-aware:
-    * files are grouped by the spec they were written under and each
-    * group is read with its own directory layout, then unioned on the
-    * logical columns — how every logical-level consumer survives a
-    * partition-spec evolution (a never-evolved table is one group and
-    * takes the plain path).
+  /** Logical projection over arbitrary live files, PARTITION-SPEC- and
+    * RENAME-aware: files are grouped by the spec they were written
+    * under AND by their stored-name epoch (which renames they predate),
+    * each group is read with its own directory layout and its own
+    * stored column names, aliased to the current logical names, then
+    * unioned — how every logical-level consumer survives a partition
+    * evolution or a column rename (a never-evolved table is one group
+    * and takes the plain path).
     */
+  /** Relative-to-dataDir path of the row's source file, from the
+    * parquet `_metadata` hidden column — the provenance half of a
+    * position delete's (file, pos) identity.
+    */
+  private def relFileCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    element_at(split(col("_metadata.file_path"),
+      java.util.regex.Pattern.quote(s"$dataDir/")), 2)
+  }
+
   private def readFilesLogicalSpecAware(files: Seq[String], logical: StructType,
-      snap: Option[CommitMeta]): DataFrame = {
-    val logicalCols = logical.fieldNames.map(org.apache.spark.sql.functions.col)
-    if (files.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[Row](), logical)
-    val byFile = snap.orElse(commits.lastOption).map(specsByFile)
+      snap: Option[CommitMeta], withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val posCols =
+      if (withPos) Seq(relFileCol.as("__file"),
+        col("_metadata.row_index").as("__pos"))
+      else Nil
+    val logicalCols = logical.fieldNames.map(c => col(c): org.apache.spark.sql.Column)
+    if (files.isEmpty) {
+      val schema =
+        if (!withPos) logical
+        else StructType(logical.fields ++ Seq(
+          StructField("__file", StringType), StructField("__pos", LongType)))
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
+    val effSnap = snap.orElse(commits.lastOption)
+    val byFile = effSnap.map(specsByFile)
       .getOrElse(Map.empty[String, Seq[PartitionTransform]]
         .withDefaultValue(defn.partitions))
-    files.groupBy(f => PartitionTransform.specDdl(byFile(f))).toSeq.sortBy(_._1)
-      .map { case (_, fs) => readFilesAs(fs, logical, byFile(fs.head)).select(logicalCols: _*) }
+    val log = renameLogOf(effSnap)
+    // the first-seen index is only needed once a rename exists; a file
+    // outside any commit's live set (defensive default) reads as
+    // current-named
+    val firstSeen: Map[String, Int] =
+      if (log.isEmpty) Map.empty else firstSeenByFile(commits)
+    def storedOf(f: String): Map[String, String] =
+      if (log.isEmpty) Map.empty
+      else storedNamesAt(logical, firstSeen.getOrElse(f, Int.MaxValue), log)
+        .filter { case (c, s) => c != s }
+    files.groupBy(f => (PartitionTransform.specDdl(byFile(f)),
+        storedOf(f).toSeq.sorted.mkString(",")))
+      .toSeq.sortBy(_._1)
+      .map { case (_, fs) =>
+        val stored = storedOf(fs.head)
+        if (stored.isEmpty)
+          readFilesAs(fs, logical, byFile(fs.head)).select(logicalCols ++ posCols: _*)
+        else {
+          val storedSchema = StructType(logical.fields.map(f =>
+            f.copy(name = stored.getOrElse(f.name, f.name))))
+          readFilesAs(fs, storedSchema, byFile(fs.head))
+            .select(logical.fieldNames.map(n =>
+              col(stored.getOrElse(n, n)).as(n)) ++ posCols: _*)
+        }
+      }
       .reduce(_.unionByName(_))
   }
 
@@ -1188,21 +1492,39 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     *    can't improve and must not re-flag forever).
     * A maintenance sweep uses this to skip clean tables.
     */
+  /** Live files storing pre-rename column names (under the CURRENT
+    * schema and log) — compaction migrates them like stale-spec files.
+    */
+  private def staleNamedFiles(snap: CommitMeta): Set[String] = {
+    val log = renameLogOf(Some(snap))
+    if (log.isEmpty) Set.empty
+    else {
+      val logical = currentSchema
+      val firstSeen = firstSeenByFile(commits)
+      snap.files.filter(f => storedNamesAt(logical,
+        firstSeen.getOrElse(f, Int.MaxValue), log)
+        .exists { case (c, s) => c != s }).toSet
+    }
+  }
+
   def needsCompaction(targetBytes: Long = 128L * 1024 * 1024): Boolean = {
     val cs = commits
     val live = cs.lastOption.map(_.files).getOrElse(Nil)
-    // files left on an old partition-spec generation migrate via
-    // compaction (Iceberg: rewrite_data_files after a spec evolution)
+    // files left on an old partition-spec generation (or storing
+    // pre-rename column names) migrate via compaction (Iceberg:
+    // rewrite_data_files after a spec evolution)
     val staleSpec = cs.lastOption.exists { snap =>
       val byFile = specsByFile(snap)
       val cur = PartitionTransform.specDdl(currentPartitions)
-      snap.files.exists(f => PartitionTransform.specDdl(byFile(f)) != cur)
+      snap.files.exists(f => PartitionTransform.specDdl(byFile(f)) != cur) ||
+        staleNamedFiles(snap).nonEmpty
     }
     if (staleSpec) true
     else if (defn.mergeOnRead) {
       // pending tombstones also compact away (readLogical folds them in)
       live.map(firstSeenByFile(cs)).distinct.size > 1 || morPending
-    } else {
+    } else if (posPending) true // pending position deletes materialize away
+    else {
       val small = live.filter(f => new File(s"$dataDir/$f").length() < targetBytes * 9 / 10)
       val smallBytes = small.map(f => new File(s"$dataDir/$f").length()).sum
       small.size > 1 &&
@@ -1217,24 +1539,43 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val byFile = snap.map(specsByFile)
       .getOrElse(Map.empty[String, Seq[PartitionTransform]]
         .withDefaultValue(defn.partitions))
+    val staleNames = snap.map(staleNamedFiles).getOrElse(Set.empty)
+    // files referenced by pending position deletes must rewrite (with
+    // the tombstones applied) — an unreferenced file still carries by
+    // name, so a small predicate delete compacts O(touched files)
+    val pendingPos = snap.map(_.posDeleteFilesOrEmpty.keys.toSeq.sorted).getOrElse(Nil)
+    val posRefs: Set[String] =
+      if (pendingPos.isEmpty) Set.empty
+      else posPairs(pendingPos).select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
     val (keep, small) =
       if (defn.mergeOnRead) (Nil, live)
-      // a file carries by name only if it is BOTH big enough and on the
-      // current partition spec — compaction doubles as the layout
-      // migrator after a spec evolution
+      // a file carries by name only if it is big enough AND on the
+      // current partition spec AND stores the current column names AND
+      // holds no position-deleted rows — compaction doubles as the
+      // layout/name/delete migrator after an evolution, rename, or
+      // predicate delete
       else live.partition(f => new File(s"$dataDir/$f").length() >= targetBytes * 9 / 10 &&
-        PartitionTransform.specDdl(byFile(f)) == curSpec)
+        PartitionTransform.specDdl(byFile(f)) == curSpec &&
+        !staleNames.contains(f) && !posRefs.contains(f))
     val smallBytes = small.map(f => new File(s"$dataDir/$f").length()).sum
     val nFiles = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val df =
       if (defn.mergeOnRead) readLogical() // resolves latest-wins
-      else readFilesLogicalSpecAware(small, currentSchema, commits.lastOption)
+      else if (pendingPos.isEmpty)
+        readFilesLogicalSpecAware(small, currentSchema, commits.lastOption)
+      else applyPosDeletes(
+        readFilesLogicalSpecAware(small, currentSchema, commits.lastOption,
+          withPos = true), pendingPos)
+        .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     // the binpack count goes through writeFiles, which owns the final
     // repartition — a pre-repartition here would be re-shuffled (and its
     // sizing discarded) by writeFiles' own partition-value distribution
     val added = writeFiles(df, Some(nFiles))
-    // a MOR compact materialized every pending tombstone into the merge
-    writeCommit("compact", keep ++ added, morDeletes = _ => Map.empty)
+    // a compact materialized every pending tombstone (equality AND
+    // position) into the rewrite
+    writeCommit("compact", keep ++ added, morDeletes = _ => Map.empty,
+      posDeletes = _ => Map.empty)
   }
 
   /** M7b — z-order clustering rewrite (the Delta `OPTIMIZE ZORDER BY` /
@@ -1300,7 +1641,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .sortWithinPartitions("__z")
       .select(currentSchema.fieldNames.map(col): _*)
     val added = writeFiles(ordered)
-    writeCommit("zorder", added)
+    // the clustering rewrite reads the visible state and replaces every
+    // file — pending tombstones (either kind) are materialized
+    writeCommit("zorder", added, morDeletes = _ => Map.empty,
+      posDeletes = _ => Map.empty)
   }
 
   // ---- refs: tags + branches (write-audit-publish) ----
@@ -1494,7 +1838,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // live BRANCH snapshots reference files main doesn't know yet —
     // those are the branch's staged payload, not orphans
     def refsOf(c: CommitMeta): Seq[String] =
-      c.files ++ c.deleteFilesOrEmpty ++ c.morDeleteFilesOrEmpty.keys
+      c.files ++ c.deleteFilesOrEmpty ++ c.morDeleteFilesOrEmpty.keys ++
+        c.posDeleteFilesOrEmpty.keys
     val branchRefs = branches.flatMap(b => branchView(b).commits.flatMap(refsOf)).toSet
     val referenced = commits.flatMap(refsOf).toSet ++ branchRefs
     val orphans = listDataFiles() -- referenced
@@ -1541,6 +1886,11 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val logical = schemaAt(Some(toVersion).filter(_ > 0))
     val logicalCols = logical.fieldNames.map(org.apache.spark.sql.functions.col)
     val deltas = fileDeltasSince(fromVersion, toVersion).fold(throw _, identity)
+    // rename resolution against the range END's log (matching the
+    // range-end schema contract above): a leg's files were written by
+    // commit c and store version-c names
+    val endLog = renameLogOf(commits.find(_.version == toVersion)
+      .orElse(commits.lastOption))
     def leg(c: CommitMeta, files: Seq[String], changeType: String) =
       if (files.isEmpty) None
       else {
@@ -1549,7 +1899,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         // and so outside the per-file provenance map)
         val spec = c.partSpecDdlOrNone.map(PartitionTransform.parseSpec)
           .getOrElse(defn.partitions)
-        Some(readFilesAs(files, logical, spec).select(logicalCols: _*)
+        val stored = storedNamesAt(logical, c.version, endLog)
+          .filter { case (cur, s) => cur != s }
+        val base =
+          if (stored.isEmpty) readFilesAs(files, logical, spec).select(logicalCols: _*)
+          else readFilesAs(files, StructType(logical.fields.map(f =>
+              f.copy(name = stored.getOrElse(f.name, f.name)))), spec)
+            .select(logical.fieldNames.map(n => org.apache.spark.sql.functions
+              .col(stored.getOrElse(n, n)).as(n)): _*)
+        Some(base
           .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
           .withColumn("_change_type", org.apache.spark.sql.functions.lit(changeType)))
       }
@@ -1570,6 +1928,24 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
             (d, f) => if (d.columns.contains(f.name)) d
             else d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
           Some(prior.join(keys, defn.keys, "left_semi").select(logicalCols: _*)
+            .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
+        }
+      } else if (c.op == "delete-pos") {
+        // a position delete names (file, pos) tuples — the deleted ROWS
+        // are read back from exactly the referenced data files via one
+        // semi-join on the provenance columns: O(referenced files), the
+        // row-level analog of the delete-mor leg's predecessor read.
+        if (deleted.isEmpty) Nil
+        else {
+          val pairs = posPairs(deleted)
+          val refFiles = pairs.select("__file").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          val predecessor = commits.find(_.version == c.version - 1)
+          val rows = readFilesLogicalSpecAware(refFiles, logical, predecessor,
+            withPos = true)
+          Some(rows.join(pairs, Seq("__file", "__pos"), "left_semi")
+            .select(logicalCols: _*)
             .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
             .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
         }
@@ -1652,6 +2028,13 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
               .map(_.morDeleteFilesOrEmpty.keySet).getOrElse(Set.empty[String])
             (c, Nil: Seq[String],
               (c.morDeleteFilesOrEmpty.keySet -- prevTombs).toSeq.sorted)
+          case "delete-pos" =>
+            // same shape for position deletes: the pos-tombstone file(s)
+            // this commit added; readChanges reads the referenced rows
+            val prevPos = byVersion.get(c.version - 1)
+              .map(_.posDeleteFilesOrEmpty.keySet).getOrElse(Set.empty[String])
+            (c, Nil: Seq[String],
+              (c.posDeleteFilesOrEmpty.keySet -- prevPos).toSeq.sorted)
           case "compact" | "zorder" | "evolve-schema" | "evolve-partition" =>
             // layout-/metadata-only: no logical rows changed
             (c, Nil: Seq[String], Nil: Seq[String])
@@ -1684,4 +2067,12 @@ object GraftTable {
     * real cluster; beyond it the joins fall back to shuffled form.
     */
   val BroadcastKeyLimit: Long = 1000000L
+
+  /** Max total on-disk bytes of pending position-delete files a logical
+    * read will broadcast for its anti-join. (file, pos) pairs are ~tens
+    * of bytes each, so 32 MB covers ~hundreds of millions of deleted
+    * rows at snappy compression — past that the read degrades to a
+    * shuffled anti-join (and compaction should have run long before).
+    */
+  val PosDeleteBroadcastBytes: Long = 32L * 1024 * 1024
 }

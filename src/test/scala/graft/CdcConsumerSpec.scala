@@ -127,6 +127,127 @@ class CdcConsumerSpec extends AnyFunSuite {
     assert(snapshot(mv) == Map("x" -> (3L, 600L)))
   }
 
+  private val mmAggSchema = StructType(Seq(
+    StructField("typ", StringType),
+    StructField("n", LongType),
+    StructField("cents", LongType),
+    StructField("min_cents", LongType),
+    StructField("max_cents", LongType)))
+
+  private def mmRig(name: String): (GraftTable, GraftTable, CdcAggConsumer) = {
+    val cat = new TableCatalog(spark, freshRoot(name), Seq(
+      TableDef("src", srcSchema),
+      TableDef("agg", mmAggSchema, keys = Seq("typ"))))
+    val src = cat.table("src")
+    val mv = cat.table("agg")
+    (src, mv, new CdcAggConsumer(spark, src, mv, Seq("typ"), "value",
+      trackMinMax = true))
+  }
+
+  private def mmSnapshot(mv: GraftTable): Map[String, (Long, Long, Long, Long)] =
+    mv.readLogical().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  private def mmDirect(src: GraftTable): Map[String, (Long, Long, Long, Long)] = {
+    val cents = round(col("value") * 100).cast("long")
+    src.readLogical().groupBy("typ").agg(
+      count(lit(1)).as("n"), sum(cents).as("cents"),
+      min(cents).as("min_cents"), max(cents).as("max_cents"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+  }
+
+  test("minmax: inserts fold extrema directly; interior deletes stay self-maintained") {
+    val (src, mv, c) = mmRig("mm1")
+    src.append(rows((1, "x", 1.0), (2, "x", 5.0), (3, "x", 3.0), (4, "y", 2.0)))
+    c.poll()
+    assert(mmSnapshot(mv) == Map(
+      "x" -> (3L, 900L, 100L, 500L), "y" -> (1L, 200L, 200L, 200L)))
+    // inserts extend both extrema without a recompute
+    src.append(rows((5, "x", 0.5), (6, "x", 7.0)))
+    c.poll()
+    assert(mmSnapshot(mv)("x") == ((5L, 1650L, 50L, 700L)))
+    // an INTERIOR delete (strictly inside the extrema) self-maintains
+    src.deleteWhere(col("id") === 3) // x's 3.0 — min 0.5, max 7.0 untouched
+    c.poll()
+    assert(mmSnapshot(mv)("x") == ((4L, 1350L, 50L, 700L)))
+    assert(mmSnapshot(mv) == mmDirect(src))
+  }
+
+  test("minmax: deleting an extremum re-aggregates ONLY the touched group") {
+    val (src, mv, c) = mmRig("mm2")
+    src.append(rows((1, "x", 1.0), (2, "x", 5.0), (3, "x", 3.0),
+      (4, "y", 2.0), (5, "y", 9.0)))
+    c.poll()
+    src.deleteWhere(col("id") === 2) // x's max dies → x recomputes
+    c.poll()
+    assert(mmSnapshot(mv) == Map(
+      "x" -> (2L, 400L, 100L, 300L), "y" -> (2L, 1100L, 200L, 900L)))
+    // delete the MIN (duplicated value: one instance of two)
+    src.append(rows((6, "x", 1.0))) // second 1.0
+    src.deleteWhere(col("id") === 1) // one min instance dies; the dup remains
+    c.poll()
+    assert(mmSnapshot(mv)("x") == ((2L, 400L, 100L, 300L)))
+    assert(mmSnapshot(mv) == mmDirect(src))
+    // a group whose rows all die leaves the view
+    src.deleteWhere(col("typ") === "y")
+    c.poll()
+    assert(mmSnapshot(mv).keySet == Set("x"))
+  }
+
+  test("minmax: replayed polls no-op; rebuild carries the extrema; tracked replace folds") {
+    val (src, mv, c) = mmRig("mm3")
+    src.append(rows((1, "x", 1.0), (2, "x", 5.0)))
+    assert(c.poll() == 1)
+    assert(c.poll() == 0)
+    // a change-tracked repair that replaces the max with a bigger value:
+    // the delete touches the stored max → recompute leg; the insert is
+    // in the same poll's delta
+    src.replaceWhere(col("id") === 2, rows((2, "x", 8.0)), trackChanges = true)
+    c.poll()
+    assert(mmSnapshot(mv) == Map("x" -> (2L, 900L, 100L, 800L)))
+    assert(mmSnapshot(mv) == mmDirect(src))
+    c.rebuild()
+    assert(mmSnapshot(mv) == mmDirect(src))
+  }
+
+  test("minmax property: random append/delete/replace histories converge to the direct aggregate") {
+    for (seed <- Seq(11, 42)) {
+      val rnd = new Random(seed)
+      val (src, mv, c) = mmRig(s"mmprop$seed")
+      val types = Vector("a", "b")
+      var nextId = 0L
+      for (_ <- 0 until 8) {
+        val op = if (src.currentVersion == 0) 0 else rnd.nextInt(3)
+        op match {
+          case 0 =>
+            val batch = (0 until (1 + rnd.nextInt(4))).map { _ =>
+              nextId += 1
+              (nextId, types(rnd.nextInt(types.size)), rnd.nextInt(1000) / 100.0)
+            }
+            src.append(rows(batch: _*))
+          case 1 =>
+            // random predicate delete — sometimes extremum, sometimes interior
+            src.deleteWhere(col("value") >= lit(rnd.nextInt(10).toDouble))
+          case _ =>
+            // a replace refuses over pending position deletes (raw-file
+            // rewrite) — compact first, the documented order
+            if (src.commits.lastOption.exists(_.posDeleteFilesOrEmpty.nonEmpty))
+              src.compact()
+            val t = types(rnd.nextInt(types.size))
+            nextId += 1
+            src.replaceWhere(col("typ") === t,
+              rows((nextId, t, rnd.nextInt(1000) / 100.0)), trackChanges = true)
+        }
+        if (rnd.nextDouble() < 0.5) c.poll()
+      }
+      c.poll()
+      assert(mmSnapshot(mv) == mmDirect(src), s"seed $seed diverged")
+    }
+  }
+
   test("property: random append/tracked-replace histories at random poll boundaries converge") {
     for (seed <- Seq(7, 23)) {
       val rnd = new Random(seed)
