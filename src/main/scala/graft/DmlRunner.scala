@@ -1,0 +1,234 @@
+package graft
+
+import graft.tables.{GraftTable, TableCatalog}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+/** X4 — SQL DML over the snapshot-log tables: the reference's
+  * materializer issues its repairs as SQL TEXT against Iceberg
+  * (`scripts/materialize.sh:197-216`: `DELETE FROM iceberg.db.<t> WHERE
+  * <pred incl. IN (SELECT ...)>` then `INSERT INTO iceberg.db.<t>
+  * SELECT ...`), and until now that text only replayed through the
+  * Scala table API. This runner translates the four DML verbs onto the
+  * table ops with the right 100 TB cost shape per table kind:
+  *
+  *  - `DELETE FROM t WHERE p`  → [[GraftTable.deleteWhere]] — position
+  *    deletes (O(matches) tombstones, zero rewrite) on append/COW
+  *    tables, key-granular equality deletes on merge-on-read;
+  *  - `UPDATE t SET c = e, ... [WHERE p]` → keyed tables upsert the
+  *    updated rows (O(batch), merge-on-read stays O(batch) write);
+  *    unkeyed tables [[GraftTable.replaceWhere]] (delete+re-insert,
+  *    auto-compacting first if position deletes pend — the documented
+  *    raw-rewrite ordering);
+  *  - `INSERT INTO t [(cols)] SELECT ...|VALUES ...` →
+  *    [[GraftTable.append]] (positional when no column list, like SQL);
+  *  - `MERGE INTO t USING src ON <key equalities> WHEN MATCHED THEN
+  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` →
+  *    [[GraftTable.upsert]] — exactly the upsert-shaped MERGE; any
+  *    other ON/action shape refuses loudly rather than approximating.
+  *
+  * Non-DML statements (SET / SELECT / CREATE TEMP VIEW ...) run through
+  * `spark.sql` as in [[SqlRunner]]. Every catalog table is (re-)published
+  * as a temp view under its name BEFORE EACH statement — a logical read
+  * pins the snapshot current at registration, so each statement (and
+  * each DML's subqueries) sees its predecessors' writes, Trino's
+  * read-committed statement semantics. Catalog-qualified names
+  * (`iceberg.db.foo`) resolve by last segment, so the reference text
+  * needs no rewriting. Returns the LAST statement's result; DML
+  * statements yield a one-row (verb, table) marker frame so a
+  * DML-final script still returns something inspectable.
+  */
+object DmlRunner {
+
+  private val DeleteRe =
+    """(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?$""".r
+  private val UpdateRe =
+    """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+  private val InsertRe =
+    """(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|WITH|TABLE)\b.+)$""".r
+  private val MergeRe =
+    ("""(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)(?:\s+(?:AS\s+)?(\w+))?""" +
+      """\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""").r
+
+  /** Last identifier segment: `iceberg.db.foo` → `foo`. */
+  private def baseName(qualified: String): String =
+    qualified.split('.').last
+
+  /** Split a SET list on top-level commas (quote- and paren-aware, so
+    * `SET v = round(a, 2), w = 'x,y'` splits correctly).
+    */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case '(' if !inQuote => depth += 1; cur += '('
+      case ')' if !inQuote => depth -= 1; cur += ')'
+      case ',' if !inQuote && depth == 0 =>
+        out += cur.toString.trim; cur.clear()
+      case ch => cur += ch
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  private def marker(spark: SparkSession, verb: String, table: String): DataFrame = {
+    import spark.implicits._
+    Seq((verb, table)).toDF("dml", "table")
+  }
+
+  /** Run a script of SQL statements (DML + reads) against the catalog's
+    * tables inside a scoped `newSession` (conf/view isolation, the
+    * [[SqlRunner.run]] discipline — temp views are session-bound, so
+    * the table handles are re-opened ON the scoped session too).
+    * `registerExtras` publishes additional read-only views (e.g. the
+    * testdata tables) into the scoped session before any statement.
+    */
+  def run(spark: SparkSession, cat: TableCatalog, script: String,
+      registerExtras: SparkSession => Unit = _ => ()): DataFrame = {
+    val scoped = spark.newSession()
+    registerExtras(scoped)
+    val tables: Map[String, GraftTable] =
+      cat.names.map(n => n -> new GraftTable(scoped, cat.defn(n), cat.root)).toMap
+    val stmts = SqlRunner.splitStatements(script)
+    require(stmts.nonEmpty, "empty SQL script")
+    var last: DataFrame = null
+    stmts.foreach { stmt =>
+      // publish every catalog table at ITS CURRENT snapshot — a logical
+      // read pins the snapshot at plan time, so re-registering per
+      // statement is what gives statement-level read-committed
+      tables.foreach { case (n, t) =>
+        if (t.currentVersion > 0) t.readLogical().createOrReplaceTempView(n)
+        else scoped.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          t.currentSchema).createOrReplaceTempView(n)
+      }
+      // catalog-qualified names (`iceberg.db.foo`) resolve to the temp
+      // views by LAST segment — applied to the whole statement so
+      // qualified names inside subqueries and plain SELECTs replay
+      // verbatim too (the reference's scripts qualify every reference)
+      val rewritten = tables.keys.foldLeft(stmt)((s, n) =>
+        s.replaceAll(s"""(?i)\\b\\w+\\.\\w+\\.$n\\b""", n))
+      val r = runStatement(scoped, tables, rewritten)
+      if (r != null) last = r
+    }
+    require(last != null, "script contained only SET statements")
+    last
+  }
+
+  private def resolve(tables: Map[String, GraftTable], qualified: String): GraftTable =
+    tables.getOrElse(baseName(qualified),
+      throw new IllegalArgumentException(s"unknown DML target table: $qualified"))
+
+  private def runStatement(spark: SparkSession, tables: Map[String, GraftTable],
+      stmt: String): DataFrame = stmt match {
+    case DeleteRe(name, whereOrNull) =>
+      val t = resolve(tables, name)
+      val cond = Option(whereOrNull).map(expr).getOrElse(lit(true))
+      t.deleteWhere(cond)
+      marker(spark, "DELETE", t.defn.name)
+    case UpdateRe(name, setList, whereOrNull) =>
+      val t = resolve(tables, name)
+      runUpdate(spark, t, setList, Option(whereOrNull))
+      marker(spark, "UPDATE", t.defn.name)
+    case InsertRe(name, colsOrNull, query) =>
+      val t = resolve(tables, name)
+      val src = spark.sql(query)
+      val want = t.currentSchema.fieldNames
+      val aligned = Option(colsOrNull) match {
+        case Some(colList) =>
+          val names = colList.split(',').map(_.trim)
+          require(names.sorted.sameElements(want.sorted.toArray[String]),
+            s"${t.defn.name}: INSERT column list must cover the schema " +
+              s"(${want.mkString(", ")}) — partial inserts are not supported")
+          src.toDF(names.toIndexedSeq: _*)
+        case None =>
+          require(src.columns.length == want.length,
+            s"${t.defn.name}: INSERT arity ${src.columns.length} != ${want.length}")
+          src.toDF(want.toIndexedSeq: _*) // positional, like SQL
+      }
+      t.append(castTo(aligned, t))
+      marker(spark, "INSERT", t.defn.name)
+    case MergeRe(name, _, using, _, on, _*) =>
+      val t = resolve(tables, name)
+      runMerge(spark, t, using.trim, on)
+      marker(spark, "MERGE", t.defn.name)
+    case other =>
+      SqlRunner.applySetOrSql(spark, other)
+  }
+
+  /** SQL's implicit write-side cast: align a frame's column TYPES to
+    * the table schema (a `VALUES (1, 'a', 1.0)` literal types as
+    * INT/DECIMAL — appended raw, the parquet physical types would
+    * diverge from the declared schema and reads would miscarry).
+    */
+  private def castTo(df: DataFrame, t: GraftTable): DataFrame = {
+    val schema = t.currentSchema
+    df.select(schema.fields.map(f => df.col(f.name).cast(f.dataType).as(f.name))
+      .toIndexedSeq: _*)
+  }
+
+  private def runUpdate(spark: SparkSession, t: GraftTable,
+      setList: String, where: Option[String]): Unit = {
+    val cond: Column = where.map(expr).getOrElse(lit(true))
+    val assignments = splitTopLevel(setList).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"${t.defn.name}: bad SET assignment '$a'")
+      val name = a.substring(0, i).trim
+      require(t.currentSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"${t.defn.name}: SET names unknown column '$name'")
+      require(!t.defn.keys.exists(_.equalsIgnoreCase(name)),
+        s"${t.defn.name}: cannot UPDATE identifier key '$name'")
+      name -> expr(a.substring(i + 1).trim)
+    }
+    val updated = castTo(assignments.foldLeft(t.readLogical().filter(cond)) {
+      case (d, (n, e)) => d.withColumn(n, e)
+    }, t)
+    if (t.defn.isUpsert) {
+      // keyed table: the updated rows upsert by key — O(batch), and the
+      // merge-on-read form never rewrites survivors
+      t.upsert(updated)
+    } else {
+      // unkeyed: delete+re-insert of the affected rows. A raw rewrite
+      // refuses over pending position deletes, so materialize them
+      // first (the maintenance ordering a lakehouse operator runs
+      // anyway; at 100 TB the compact is O(deleted-touched files))
+      if (t.commits.lastOption.exists(_.posDeleteFilesOrEmpty.nonEmpty)) t.compact()
+      t.replaceWhere(cond, updated)
+    }
+  }
+
+  private def runMerge(spark: SparkSession, t: GraftTable,
+      using: String, on: String): Unit = {
+    require(t.defn.isUpsert,
+      s"${t.defn.name}: MERGE INTO needs a keyed (upsert) table")
+    // the source: a parenthesized subquery or a view name
+    val src =
+      if (using.startsWith("(")) spark.sql(using.stripPrefix("(").stripSuffix(")"))
+      else spark.table(using)
+    // the ON clause must be exactly the identifier-key equalities — the
+    // one MERGE shape with upsert semantics; anything else (partial
+    // keys, extra predicates) would NOT be latest-wins-per-key and
+    // refuses rather than approximating
+    val eqRe = """(?i)\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*""".r
+    val onCols = on.split("(?i)\\bAND\\b").toSeq.map {
+      case eqRe(a, b) =>
+        require(a.equalsIgnoreCase(b),
+          s"${t.defn.name}: MERGE ON must equate same-named key columns, got '$a = $b'")
+        a.toLowerCase
+      case other =>
+        throw new IllegalArgumentException(
+          s"${t.defn.name}: unsupported MERGE ON term '$other' — key equalities only")
+    }
+    require(onCols.sorted == t.defn.keys.map(_.toLowerCase).sorted,
+      s"${t.defn.name}: MERGE ON columns (${onCols.mkString(", ")}) must be " +
+        s"exactly the identifier keys (${t.defn.keys.mkString(", ")})")
+    val want = t.currentSchema.fieldNames
+    require(src.columns.map(_.toLowerCase).sorted.sameElements(
+        want.map(_.toLowerCase).sorted.toArray[String]),
+      s"${t.defn.name}: MERGE source columns must match the schema for SET */INSERT *")
+    t.upsert(castTo(src.select(want.map(src.col).toIndexedSeq: _*), t))
+  }
+}

@@ -46,6 +46,16 @@ object SqlRunner {
 
   private val SetStmt = """(?is)SET\s+(\S+)\s*=\s*'?([^';]*?)'?\s*""".r
 
+  /** One non-DML statement: `SET k=v` lands on the session conf (and
+    * returns null), anything else runs through `spark.sql`. Shared with
+    * [[DmlRunner]] so the two runners can't drift on SET handling.
+    */
+  private[graft] def applySetOrSql(spark: SparkSession, stmt: String): DataFrame =
+    stmt match {
+      case SetStmt(k, v) => spark.conf.set(k.trim, v.trim); null
+      case other => spark.sql(other)
+    }
+
   /** Run a script over the testdata tables at `dir`. The script runs in
     * its own `newSession()` (shared SparkContext + builder confs, private
     * SQLConf and temp-view registry), so its SET statements and views
@@ -60,9 +70,9 @@ object SqlRunner {
     val stmts = splitStatements(script)
     require(stmts.nonEmpty, "empty SQL script")
     var last: DataFrame = null
-    stmts.foreach {
-      case SetStmt(k, v) => scoped.conf.set(k.trim, v.trim)
-      case stmt => last = scoped.sql(stmt)
+    stmts.foreach { stmt =>
+      val r = applySetOrSql(scoped, stmt)
+      if (r != null) last = r
     }
     require(last != null, "script contained only SET statements")
     last

@@ -1,6 +1,10 @@
 package graft.operators
 
-import graft.{QueryDef, SqlRunner}
+import java.nio.file.{Files, Paths}
+
+import graft.{DmlRunner, QueryDef, SqlRunner, Tables}
+import graft.tables.{TableCatalog, TableDef}
+import org.apache.spark.sql.types._
 
 /** X2 driven through the oracle gate: a multi-statement SQL script (SET
   * conf + temp-view staging + final SELECT) executed by [[SqlRunner]]
@@ -35,5 +39,125 @@ object RunnerOps {
            |FROM orders
            |GROUP BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(x2SqlRunner)
+  private def scratch(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_warehouse", name)
+    graft.FsUtil.deleteRecursively(p)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** X4 — the reference's DML repair text replayed VERBATIM against the
+    * snapshot-log tables (scripts/materialize.sh:197-216 issues its
+    * repairs as `DELETE FROM iceberg.db.<t> WHERE <fk> IN (SELECT ...)`
+    * then `INSERT INTO iceberg.db.<t> SELECT ...` — text that until now
+    * only replayed through the Scala table API). The script loads the
+    * events through two qualified INSERT SELECTs, zeroes the error
+    * money with an UPDATE (an unkeyed table → delete+re-insert of the
+    * affected rows), and runs the materializer's signature
+    * DELETE-with-IN-subquery, which lands as POSITION DELETES —
+    * O(matches) tombstones, zero rewrite. The final SELECT reads the
+    * post-DML table; DuckDB restates the end state in one query, so a
+    * verb that mis-translated (wrong rows deleted, UPDATE leak, INSERT
+    * drift) fails the hash.
+    */
+  val x4SqlDml: QueryDef = QueryDef(
+    "x4_sql_dml",
+    (s, dir) => {
+      val wh = scratch("x4")
+      val cat = new TableCatalog(s, wh, Seq(TableDef("dml_events", eventsSchema)))
+      DmlRunner.run(s, cat,
+        """INSERT INTO iceberg.db.dml_events
+          |SELECT event_id, ts, user_id, event_type, round(value, 2)
+          |FROM events WHERE ts < TIMESTAMP '2024-01-16';
+          |
+          |INSERT INTO iceberg.db.dml_events
+          |SELECT event_id, ts, user_id, event_type, round(value, 2)
+          |FROM events WHERE ts >= TIMESTAMP '2024-01-16';
+          |
+          |UPDATE iceberg.db.dml_events SET value = 0.0 WHERE event_type = 'error';
+          |
+          |DELETE FROM iceberg.db.dml_events
+          |WHERE user_id IN (
+          |  SELECT user_id FROM iceberg.db.dml_events
+          |  GROUP BY user_id HAVING max(value) > 300
+          |);
+          |
+          |SELECT event_id, ts, user_id, event_type, value
+          |FROM iceberg.db.dml_events
+          |""".stripMargin,
+        registerExtras = scoped =>
+          Tables(scoped, dir).events.createOrReplaceTempView("events"))
+    },
+    Some("""WITH loaded AS (
+           |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           |         CASE WHEN event_type = 'error' THEN 0.0
+           |              ELSE round(value, 2) END AS value
+           |  FROM events)
+           |SELECT event_id, ts, user_id, event_type, value
+           |FROM loaded
+           |WHERE user_id NOT IN (
+           |  SELECT user_id FROM loaded GROUP BY user_id HAVING max(value) > 300
+           |)""".stripMargin))
+
+  /** X5 — MERGE INTO as SQL text: the upsert-shaped MERGE (ON = the
+    * identifier keys, `UPDATE SET *` / `INSERT *`) lands as
+    * [[graft.tables.GraftTable.upsert]] — latest-wins per key, the
+    * same semantics the s5 oracle pins for the Scala API, now reachable
+    * from the SQL surface. Two half-month aggregates merge; the oracle
+    * is s5's FULL JOIN + COALESCE restatement.
+    */
+  val x5SqlMerge: QueryDef = QueryDef(
+    "x5_sql_merge",
+    (s, dir) => {
+      val wh = scratch("x5")
+      val aggSchema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("total_value", DoubleType)))
+      val cat = new TableCatalog(s, wh, Seq(
+        TableDef("user_metrics", aggSchema, keys = Seq("user_id", "event_type"))))
+      DmlRunner.run(s, cat,
+        """INSERT INTO user_metrics
+          |SELECT user_id, event_type, count(*), round(sum(value), 2)
+          |FROM events WHERE ts < TIMESTAMP '2024-01-16'
+          |GROUP BY user_id, event_type;
+          |
+          |MERGE INTO user_metrics USING (
+          |  SELECT user_id, event_type, count(*) AS n,
+          |         round(sum(value), 2) AS total_value
+          |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+          |  GROUP BY user_id, event_type
+          |) s
+          |ON user_metrics.user_id = s.user_id
+          |   AND user_metrics.event_type = s.event_type
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *;
+          |
+          |SELECT user_id, event_type, n, total_value FROM user_metrics
+          |""".stripMargin,
+        registerExtras = scoped =>
+          Tables(scoped, dir).events.createOrReplaceTempView("events"))
+    },
+    Some("""WITH a AS (SELECT user_id, event_type, count(*) AS n,
+           |                  round(sum(value), 2) AS total_value
+           |           FROM events WHERE ts < TIMESTAMP '2024-01-16'
+           |           GROUP BY user_id, event_type),
+           |     b AS (SELECT user_id, event_type, count(*) AS n,
+           |                  round(sum(value), 2) AS total_value
+           |           FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+           |           GROUP BY user_id, event_type)
+           |SELECT user_id, event_type,
+           |       coalesce(b.n, a.n) AS n,
+           |       coalesce(b.total_value, a.total_value) AS total_value
+           |FROM a FULL JOIN b USING (user_id, event_type)""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(x2SqlRunner, x4SqlDml, x5SqlMerge)
 }

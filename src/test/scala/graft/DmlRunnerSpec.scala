@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import graft.tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL DML surface (X4): the reference's materializer repair text
+  * (DELETE FROM ... WHERE fk IN (SELECT ...), INSERT INTO ... SELECT)
+  * replays verbatim against the snapshot-log tables, each verb landing
+  * on the table op with the right cost shape — DELETE → position/
+  * equality tombstones, keyed UPDATE → upsert, MERGE → upsert —
+  * with statement-level read-committed between statements.
+  */
+class DmlRunnerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_dml_wh", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("typ", StringType),
+    StructField("v", DoubleType)))
+
+  test("INSERT SELECT / UPDATE / DELETE with IN-subquery replay; DELETE lands as position deletes") {
+    val cat = new TableCatalog(spark, freshRoot("d1"), Seq(TableDef("t", schema)))
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0), (4, 'c', 4.0);
+        |UPDATE t SET v = v * 10 WHERE typ = 'a';
+        |DELETE FROM t WHERE id IN (SELECT id FROM t WHERE v >= 20.0);
+        |SELECT id, typ, v FROM t
+        |""".stripMargin)
+    assert(out.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "a", 10.0), (2L, "b", 2.0), (4L, "c", 4.0)))
+    // the DELETE wrote tombstones, not a rewrite
+    val t = cat.table("t")
+    assert(t.commits.last.op == "delete-pos")
+    assert(t.commits.last.posDeleteFilesOrEmpty.nonEmpty)
+  }
+
+  test("catalog-qualified names resolve; statements see predecessors' writes (read-committed)") {
+    val cat = new TableCatalog(spark, freshRoot("d2"), Seq(TableDef("t2", schema)))
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO iceberg.db.t2 VALUES (1, 'a', 5.0);
+        |-- the second INSERT's SELECT reads the first's rows
+        |INSERT INTO iceberg.db.t2 SELECT id + 1, typ, v + 1 FROM t2;
+        |SELECT count(*) AS n, round(sum(v), 1) AS total FROM iceberg.db.t2
+        |""".stripMargin)
+    assert(out.columns.toSeq == Seq("n", "total"))
+    val row = out.head()
+    assert(row.getLong(0) == 2L && row.getDouble(1) == 11.0)
+  }
+
+  test("keyed UPDATE lands as an upsert; MERGE INTO upserts the source") {
+    val cat = new TableCatalog(spark, freshRoot("d3"), Seq(
+      TableDef("k", schema, keys = Seq("id"))))
+    DmlRunner.run(spark, cat,
+      """INSERT INTO k VALUES (1, 'a', 1.0), (2, 'b', 2.0);
+        |UPDATE k SET v = 9.0 WHERE typ = 'b';
+        |SELECT * FROM k
+        |""".stripMargin)
+    val k = cat.table("k")
+    assert(k.commits.last.op == "upsert", "keyed UPDATE must upsert, not rewrite-all")
+    assert(k.readLogical().filter(col("id") === 2).head().getDouble(2) == 9.0)
+    DmlRunner.run(spark, cat,
+      """MERGE INTO k USING (SELECT 2 AS id, 'b' AS typ, 20.0 AS v
+        |                    UNION ALL SELECT 5, 'e', 50.0) s
+        |ON k.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *;
+        |SELECT * FROM k
+        |""".stripMargin)
+    val rows = k.readLogical().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 1.0), (2L, 20.0), (5L, 50.0)))
+  }
+
+  test("UPDATE after DELETE auto-compacts the pending tombstones first") {
+    val cat = new TableCatalog(spark, freshRoot("d4"), Seq(TableDef("t4", schema)))
+    DmlRunner.run(spark, cat,
+      """INSERT INTO t4 VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0);
+        |DELETE FROM t4 WHERE id = 2;
+        |UPDATE t4 SET v = 0.0 WHERE typ = 'c';
+        |SELECT id, typ, v FROM t4
+        |""".stripMargin)
+    val t = cat.table("t4")
+    assert(t.commits.last.posDeleteFilesOrEmpty.isEmpty)
+    assert(t.readLogical().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq == Seq((1L, 1.0), (3L, 0.0)))
+  }
+
+  test("DELETE on a merge-on-read table lands as equality tombstones") {
+    val cat = new TableCatalog(spark, freshRoot("d5"), Seq(
+      TableDef("m", schema, keys = Seq("id"), mergeOnRead = true)))
+    val m = cat.table("m")
+    m.upsert({ import spark.implicits._
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "typ", "v") })
+    DmlRunner.run(spark, cat,
+      """DELETE FROM m WHERE typ = 'b';
+        |SELECT * FROM m
+        |""".stripMargin)
+    assert(m.commits.last.op == "delete-mor")
+    assert(m.readLogical().count() == 1)
+  }
+
+  test("refusals: unknown table, UPDATE of a key column, non-upsert-shaped MERGE") {
+    val cat = new TableCatalog(spark, freshRoot("d6"), Seq(
+      TableDef("k6", schema, keys = Seq("id"))))
+    DmlRunner.run(spark, cat, "INSERT INTO k6 VALUES (1, 'a', 1.0); SELECT * FROM k6")
+    intercept[IllegalArgumentException] {
+      DmlRunner.run(spark, cat, "DELETE FROM nope WHERE 1=1")
+    }
+    intercept[IllegalArgumentException] {
+      DmlRunner.run(spark, cat, "UPDATE k6 SET id = 2 WHERE typ = 'a'")
+    }
+    intercept[IllegalArgumentException] {
+      DmlRunner.run(spark, cat,
+        """MERGE INTO k6 USING (SELECT 1 AS id, 'a' AS typ, 2.0 AS v) s
+          |ON k6.typ = s.typ
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
+
+  test("SET statements scope to the run; extra views register on the scoped session") {
+    val cat = new TableCatalog(spark, freshRoot("d7"), Seq(TableDef("t7", schema)))
+    val before = spark.conf.getOption("spark.sql.dml.probe")
+    val out = DmlRunner.run(spark, cat,
+      """SET spark.sql.dml.probe = leaked;
+        |INSERT INTO t7 SELECT id, typ, v FROM seed_rows;
+        |SELECT count(*) AS n FROM t7
+        |""".stripMargin,
+      registerExtras = s => {
+        import s.implicits._
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "typ", "v")
+          .createOrReplaceTempView("seed_rows")
+      })
+    assert(out.head().getLong(0) == 2L)
+    assert(spark.conf.getOption("spark.sql.dml.probe") == before,
+      "SET must not leak into the caller's session")
+  }
+}
