@@ -340,6 +340,75 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE=posdel: the position-delete scale probe (round
+    // 14). Claims under test on a k×-grown sorted events table, deleting
+    // a FIXED one-day error slice (the replica shifts ts, so the slice
+    // stays fixed-size while the table grows):
+    //  (a) pruned deleteWhere reads O(window) and writes O(matches) —
+    //      its commit time must stay ~flat as k grows, while the
+    //      unpruned form is scan-shaped (the honest contrast) and
+    //      replaceWhere with the same prune still REWRITES the touched
+    //      window (strictly more write than the tombstone);
+    //  (b) the tombstoned read pays only a bounded broadcast-anti-join
+    //      premium over the plain read;
+    //  (c) compact after the delete rewrites ONLY the files the
+    //      tombstones reference — ~flat as k grows.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("posdel")) {
+      import graft.tables.{RangePrune, TableCatalog, TableDef}
+      val eventsSchema = graft.operators.MaterializeOps.eventsSchema
+      def once[A](label: String)(f: => A): Double = {
+        val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
+        println(f"  $label%-24s $s%8.2f s"); s
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val dayLo = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+      val dayHi = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+      val cond = col("event_type") === "error" &&
+        col("ts") >= lit(dayLo) && col("ts") < lit(dayHi)
+      val prune = Some(RangePrune("ts", dayLo.getTime * 1000L, dayHi.getTime * 1000L))
+      val rows = for (k <- Seq(1, 10, 30)) yield {
+        val dir = s"$outRoot/pd_x$k"
+        buildEventsReplica(spark, sfDir, dir, k)
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val whRoot = s"$dir/whpd"
+        val p = Paths.get(whRoot)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+        // ts-sorted appends (the streaming-ingest layout) are what give
+        // the pruned delete its footer file-skip; three tables so each
+        // strategy starts from the identical layout
+        val cat = new TableCatalog(spark, whRoot, Seq(
+          TableDef("t_pruned", eventsSchema, sortOrder = Seq("ts")),
+          TableDef("t_full", eventsSchema, sortOrder = Seq("ts")),
+          TableDef("t_replace", eventsSchema, sortOrder = Seq("ts"))))
+        val nRows = ev.count()
+        println(s"== posdel ${k}x ($nRows rows) ==")
+        Seq("t_pruned", "t_full", "t_replace").foreach(n => cat.table(n).append(ev))
+        val tp = cat.table("t_pruned")
+        val tf = cat.table("t_full")
+        val tr = cat.table("t_replace")
+        val readPlain = once("read_plain")(noop(tp.readLogical()))
+        val delPruned = once("pos_delete_pruned")(tp.deleteWhere(cond, prune))
+        val delFull = once("pos_delete_unpruned")(tf.deleteWhere(cond))
+        val readTomb = once("read_tombstoned")(noop(tp.readLogical()))
+        // probe-scale target (files are MBs here, not 128 MB): carry vs
+        // rewrite must be decided by tombstone references, not by every
+        // file being "small"
+        val comp = once("compact_touched")(tp.compact(targetBytes = 256L * 1024))
+        val repl = once("replace_pruned_contrast")(tr.replaceWhere(cond,
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            eventsSchema), prune))
+        (k, nRows, readPlain, delPruned, delFull, readTomb, comp, repl)
+      }
+      println("\n| k | rows | plain read | pruned delete | unpruned delete | tombstoned read | compact | pruned replace |")
+      rows.foreach { case (k, n, rp, dp, df, rt, c, r) =>
+        println(f"| ${k}x | $n | $rp%.2f s | $dp%.2f s | $df%.2f s | $rt%.2f s | $c%.2f s | $r%.2f s |") }
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE=twin: the streamed-twin protocol probe. The
     // twin rows' bench cost is claimed to be FIXED protocol overhead
     // (staging write, micro-batch planning, exactly-once commits,

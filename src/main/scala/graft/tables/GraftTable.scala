@@ -1021,7 +1021,17 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * commit (single writer task); an Iceberg-scale deployment shards
     * delete files per partition — the read semantics are unchanged.
     */
-  def deleteWhere(condition: org.apache.spark.sql.Column): CommitMeta = {
+  def deleteWhere(condition: org.apache.spark.sql.Column): CommitMeta =
+    deleteWhere(condition, None)
+
+  /** With a [[RangePrune]] hint, the match scan opens ONLY the files
+    * whose footer bounds intersect the range (same caller contract as
+    * [[replaceWhere]]: every row the condition can match lies inside
+    * it) — a bounded predicate delete then reads O(window), writes
+    * O(matches), and rewrites nothing.
+    */
+  def deleteWhere(condition: org.apache.spark.sql.Column,
+      prune: Option[RangePrune]): CommitMeta = {
     if (defn.mergeOnRead)
       return deleteKeys(readLogical().filter(condition))
     val prev = commits.lastOption
@@ -1029,7 +1039,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       return prev.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
     val snap = prev.get
     val logical = currentSchema
-    val base = readFilesLogicalSpecAware(snap.files, logical, Some(snap),
+    val (_, overlapping) = classifyLiveFiles(prune)
+    val base = readFilesLogicalSpecAware(overlapping, logical, Some(snap),
       withPos = true)
     val visible = snap.posDeleteFilesOrEmpty.keys.toSeq.sorted match {
       case Nil => base

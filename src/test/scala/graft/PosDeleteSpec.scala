@@ -155,6 +155,34 @@ class PosDeleteSpec extends AnyFunSuite {
     assert(t.readLogical().count() == 6)
   }
 
+  test("pruned deleteWhere scans only footer-overlapping files") {
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def tdf(ids: Range, day: Int) = {
+      import spark.implicits._
+      ids.map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), i.toDouble))
+        .toDF("id", "ts", "v")
+    }
+    val t = new GraftTable(spark, TableDef("pd7", tsSchema), freshRoot("pd7"))
+    t.append(tdf(0 until 10, 1))  // day-1 file(s)
+    t.append(tdf(10 until 20, 5)) // day-5 file(s)
+    val lo = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime * 1000L
+    val hi = java.sql.Timestamp.valueOf("2024-01-05 23:59:59").getTime * 1000L
+    t.deleteWhere(col("v") >= 15.0, Some(RangePrune("ts", lo, hi)))
+    val out = t.readLogical()
+    assert(out.count() == 15)
+    assert(out.filter(col("v") >= 15.0).count() == 0)
+    // the tombstones reference ONLY day-5 files: compact must carry the
+    // day-1 file by name (tiny target → size is never the reason)
+    val before = t.commits.find(_.version == 1).get.files.toSet
+    t.compact(targetBytes = 1024)
+    val after = t.commits.last.files.toSet
+    assert(before.subsetOf(after), "un-referenced day-1 files must carry by name")
+  }
+
   test("pos deletes compose with partition layout and a renamed column") {
     val t = new GraftTable(spark,
       TableDef("pd6", schema, partitions = Seq(IdentityTransform("grp"))),
