@@ -560,9 +560,52 @@ object IngestOracleOps {
     mv.readLogical()
   }
 
+  /** Streamed MIN/MAX-tracking CDC consumer (the m11 hybrid under the
+    * micro-batch cadence): each batch appends into the source and the
+    * consumer folds it — extrema maintained by the insert-monotone fold
+    * alone while the stream runs — then a post-stream predicate delete
+    * removes each type's TOP values, forcing the delete-of-extremum
+    * keyed-recompute leg through the same changelog poll. Hash-matching
+    * DuckDB's single-shot recompute proves the hybrid converges under
+    * arbitrary arrival slicing, exactly-once included.
+    */
+  val cdcIngestMinmax: QueryDef = QueryDef(
+    "cdc_ingest_minmax",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM events
+      |WHERE NOT (value > 300)
+      |GROUP BY 1""".stripMargin) { t =>
+    import graft.materialize.CdcAggConsumer
+    import graft.operators.MaterializeOps
+    import org.apache.spark.sql.types._
+    val stage = stageDir("graft_cdc_mm_ingest")
+    val ev = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val mmSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("cents", LongType),
+      StructField("min_cents", LongType),
+      StructField("max_cents", LongType)))
+    val src = new GraftTable(t.spark,
+      TableDef("cdc_src_mm", MaterializeOps.eventsSchema), s"$stage/src")
+    val mv = new GraftTable(t.spark,
+      TableDef("agg_minmax_tw", mmSchema, keys = Seq("event_type")), s"$stage/mv")
+    val consumer = new CdcAggConsumer(t.spark, src, mv,
+      groupCols = Seq("event_type"), valueCol = "value", trackMinMax = true)
+    streamCorpus(t.spark, ev, stage, 3)(
+      CdcIngest.run(_, src, consumer, s"$stage/ck"))
+    src.deleteWhere(col("value") > 300) // extremum deletes → recompute leg
+    consumer.poll()
+    mv.readLogical()
+  }
+
   val all: Seq[QueryDef] = Seq(
     lmIngestScores, clfIngestScores, tempIngestSample, bm25IngestTopk,
     annIngestTopk, keepbestIngestResolve, neardupIngestPairs,
     substringIngestCut, a7HourlyUpsert, x1MultisinkFanout, w3WatermarkDrop,
-    dsirIngestScores, cdcIngestAgg)
+    dsirIngestScores, cdcIngestAgg, cdcIngestMinmax)
 }

@@ -197,6 +197,18 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus word stream must never sort for the vocab probe:\n$plan")
   }
 
+  test("pending position deletes anti-join as a BROADCAST left-anti, never a shuffle") {
+    // s25's `live` leg reads through un-compacted (file, pos) tombstones:
+    // the tombstone side is O(matches) — broadcast is the only acceptable
+    // plan shape (a shuffled anti-join would re-shuffle the whole table
+    // to subtract a few thousand rows)
+    val plan = planOf("s25_pos_delete")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"pos-delete read must broadcast the tombstones:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the table side must never sort for the tombstone probe:\n$plan")
+  }
+
   test("one-pass funnel counts never Expand the input stream") {
     val plan = planOf("a2_funnel_onepass")
     assert(!plan.contains("Expand"),

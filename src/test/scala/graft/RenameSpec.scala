@@ -172,6 +172,17 @@ class RenameSpec extends AnyFunSuite {
     assert(t.readLogical().filter(col("amount") === 2.0).count() == 5)
   }
 
+  test("mixed-epoch logical read plans as a union of scans — no shuffle, no join") {
+    val t = new GraftTable(spark, TableDef("rn10", schema), freshRoot("rn10"))
+    t.append(df(0 until 4, 1, 1.0))
+    t.renameColumn("v", "amount")
+    t.append(df(4 until 6, 2, 2.0).withColumnRenamed("v", "amount"))
+    val plan = t.readLogical().queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"rename resolution must stay a per-group scan+alias:\n$plan")
+  }
+
   test("refusals: keys, partition sources, sort columns, collisions, bad names") {
     val t = new GraftTable(spark,
       TableDef("rn9", schema, partitions = Seq(DayTransform("ts")),
