@@ -46,10 +46,49 @@ object DmlRunner {
     """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
   private val InsertRe =
     """(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|WITH|TABLE)\b.+)$""".r
-  private val MergeRe =
-    ("""(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(.+?)(?:\s+(?:AS\s+)?(\w+))?""" +
-      """\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+  private val MergeHead =
+    """(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?\w+)?\s+USING\s+""".r
+  private val MergeTail =
+    ("""(?is)^\s*(?:(?:AS\s+)?(\w+)\s+)?ON\s+(.+?)""" +
+      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""").r
+
+  /** Parse the upsert-shaped MERGE: (target, usingSource, onClause).
+    * The USING source is consumed PAREN-AWARE (a subquery may itself
+    * contain `JOIN ... ON` — a regex splitting on the first ` ON `
+    * would truncate it), then the tail must be exactly the
+    * `ON ... UPDATE SET * / INSERT *` shape.
+    */
+  private def parseMerge(stmt: String): Option[(String, String, String)] =
+    MergeHead.findFirstMatchIn(stmt).map { m =>
+      val rest = stmt.substring(m.end).trim
+      val (usingText, afterUsing) =
+        if (rest.startsWith("(")) {
+          var depth = 0; var i = 0; var inQ = false; var end = -1
+          while (i < rest.length && end < 0) {
+            rest(i) match {
+              case '\'' => inQ = !inQ
+              case '(' if !inQ => depth += 1
+              case ')' if !inQ => depth -= 1; if (depth == 0) end = i
+              case _ =>
+            }
+            i += 1
+          }
+          require(end > 0, "unbalanced parentheses in MERGE USING source")
+          (rest.substring(0, end + 1), rest.substring(end + 1))
+        } else {
+          val w = rest.takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+          require(w.nonEmpty, "MERGE USING needs a view name or a (subquery)")
+          (w, rest.substring(w.length))
+        }
+      MergeTail.findFirstMatchIn(afterUsing) match {
+        case Some(t) => (m.group(1), usingText, t.group(2))
+        case None => throw new IllegalArgumentException(
+          "unsupported MERGE shape — only `MERGE INTO t USING src ON <key " +
+            "equalities> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+            "THEN INSERT *` maps to upsert semantics")
+      }
+    }
 
   /** Last identifier segment: `iceberg.db.foo` → `foo`. */
   private def baseName(qualified: String): String =
@@ -151,10 +190,15 @@ object DmlRunner {
       }
       t.append(castTo(aligned, t))
       marker(spark, "INSERT", t.defn.name)
-    case MergeRe(name, _, using, _, on, _*) =>
-      val t = resolve(tables, name)
-      runMerge(spark, t, using.trim, on)
-      marker(spark, "MERGE", t.defn.name)
+    case merge if merge.trim.toUpperCase.startsWith("MERGE") =>
+      parseMerge(merge.trim) match {
+        case Some((name, using, on)) =>
+          val t = resolve(tables, name)
+          runMerge(spark, t, using.trim, on)
+          marker(spark, "MERGE", t.defn.name)
+        case None =>
+          throw new IllegalArgumentException(s"unparseable MERGE statement: $merge")
+      }
     case other =>
       SqlRunner.applySetOrSql(spark, other)
   }

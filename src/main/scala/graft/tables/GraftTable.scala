@@ -225,37 +225,64 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       .withDefaultValue(defn.partitions)
   }
 
-  /** Parsed rename log of a snapshot, ascending by version. */
+  /** Parsed column-provenance log of a snapshot, ascending by version.
+    * Entry kinds (the `|`-separated triple):
+    *  - rename `v|old|new` (both non-empty) — resolution walks it back;
+    *  - add    `v||name`   (old empty) — recorded ONLY for a
+    *    resurrection-prone add (the name once existed as a column or a
+    *    rename side): files written before `v` must read the column as
+    *    ABSENT even when their footers carry an identically-named dead
+    *    column (Iceberg's field-ids prevent the same resurrection);
+    *  - drop   `v|name|`   (new empty) — never matched by resolution;
+    *    the permanent record that `name` once existed, surviving
+    *    snapshot expiry so a later re-add is detected as prone.
+    */
   private def renameLogOf(snap: Option[CommitMeta]): Seq[(Int, String, String)] =
     snap.map(_.renamesOrEmpty).getOrElse(Nil).map { s =>
-      val parts = s.split('|')
+      val parts = s.split("\\|", -1)
       require(parts.length == 3, s"${defn.name}: bad rename log entry '$s'")
       (parts(0).toInt, parts(1), parts(2))
     }
 
   /** The name a file written at `fileVersion` STORES for the column
-    * currently (per `log`) called `cur`: renames that landed after the
-    * file was written are walked back newest-first, so chained renames
-    * (a→b at v5, b→c at v9) and freed-then-reused names resolve
-    * correctly. Identity when the log is empty — the common case pays
-    * nothing.
+    * currently (per `log`) called `cur` — or None when the column is
+    * ABSENT for that file (it predates a resurrection-prone add).
+    * Renames that landed after the file was written are walked back
+    * newest-first, so chained renames (a→b at v5, b→c at v9) and
+    * freed-then-reused names resolve correctly. Identity when the log
+    * is empty — the common case pays nothing.
     */
   private def storedNameOf(cur: String, fileVersion: Int,
-      log: Seq[(Int, String, String)]): String = {
+      log: Seq[(Int, String, String)]): Option[String] = {
     var name = cur
     log.reverseIterator.foreach { case (rv, o, n) =>
-      if (rv > fileVersion && name == n) name = o
+      if (rv > fileVersion && n.nonEmpty && name == n) name = o
     }
-    name
+    if (name.isEmpty) None else Some(name)
   }
 
-  /** current-name → stored-name map for a whole logical schema; files
-    * that predate every rename (or a log-free table) get the identity
-    * map.
+  /** current-name → stored-name map for a whole logical schema (None =
+    * absent for that epoch); files that predate every entry (or a
+    * log-free table) get the identity map.
     */
   private def storedNamesAt(logical: StructType, fileVersion: Int,
-      log: Seq[(Int, String, String)]): Map[String, String] =
+      log: Seq[(Int, String, String)]): Map[String, Option[String]] =
     logical.fieldNames.map(c => c -> storedNameOf(c, fileVersion, log)).toMap
+
+  /** True iff adding `name` now could RESURRECT dead data: the name was
+    * ever a column (any committed schema, the declared one, or either
+    * side of a log entry), so a live file may physically store an
+    * identically-named dead column. Such adds get a log entry; ordinary
+    * adds (the overwhelmingly common case) record nothing and behave
+    * exactly as before.
+    */
+  private def resurrectionProne(name: String, cs: Seq[CommitMeta]): Boolean = {
+    val log = renameLogOf(cs.lastOption)
+    log.exists(e => e._2.equalsIgnoreCase(name) || e._3.equalsIgnoreCase(name)) ||
+      defn.schema.fieldNames.exists(_.equalsIgnoreCase(name)) ||
+      cs.flatMap(_.schemaDdlOrNone).exists(ddl =>
+        StructType.fromDDL(ddl).fieldNames.exists(_.equalsIgnoreCase(name)))
+  }
 
   // ---- commit log ----
 
@@ -537,10 +564,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     if (log.nonEmpty) {
       val firstSeen = firstSeenByFile(cs)
       val stale = snap.files.exists(f => storedNamesAt(logical,
-        firstSeen.getOrElse(f, Int.MaxValue), log).exists { case (c, s) => c != s })
+        firstSeen.getOrElse(f, Int.MaxValue), log).exists { case (c, s) => s != Some(c) })
       require(!stale,
         s"${defn.name}: physical read over files written before a column " +
-          "rename — use readLogical(), or compact() to migrate the names")
+          "rename (or a re-added column) — use readLogical(), or compact()")
     }
     val phys = physicalSchemaOf(logical, spec)
     if (snap.files.isEmpty)
@@ -644,7 +671,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       def epoch(f: String): Map[String, String] =
         if (log.isEmpty) Map.empty
         else storedNamesAt(logical, firstSeen.getOrElse(f, Int.MaxValue), log)
-          .collect { case (c, s) if c != s => s -> c } // stored → current
+          .collect { case (c, Some(s)) if c != s => s -> c } // stored → current
       val fields = snap.files
         .groupBy(f => (PartitionTransform.specDdl(byFile(f)),
           epoch(f).toSeq.sorted.mkString(",")))
@@ -714,8 +741,18 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val dup = fields.groupBy(_.name.toLowerCase).collect { case (n, fs) if fs.size > 1 => n }
     require(dup.isEmpty, s"${defn.name}: duplicate added column(s) ${dup.mkString(", ")}")
     val next = StructType(cur.fields ++ fields)
-    writeCommit("evolve-schema", commits.lastOption.map(_.files).getOrElse(Nil),
-      newSchemaDdl = Some(next.toDDL))
+    val cs = commits
+    // a re-add of a name that ever existed gets an `add` log entry so
+    // files predating it read the column as ABSENT (not as whatever
+    // dead values their footers still carry under that name)
+    val v = currentVersion + 1
+    val proneEntries = fields.filter(f => resurrectionProne(f.name, cs))
+      .map(f => s"$v||${f.name}")
+    writeCommit("evolve-schema", cs.lastOption.map(_.files).getOrElse(Nil),
+      newSchemaDdl = Some(next.toDDL),
+      newRenames =
+        if (proneEntries.isEmpty) None
+        else Some(cs.lastOption.map(_.renamesOrEmpty).getOrElse(Nil) ++ proneEntries))
   }
 
   /** Iceberg-style DROP COLUMN: metadata-only — the column's values stay
@@ -747,8 +784,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           s"${defn.name}: a partition transform depends on a dropped column " +
             s"(${e.getMessage.linesIterator.next()})")
     }
-    writeCommit("evolve-schema", commits.lastOption.map(_.files).getOrElse(Nil),
-      newSchemaDdl = Some(next.toDDL))
+    val cs = commits
+    val v = currentVersion + 1
+    // drop entries are the PERMANENT record that these names existed
+    // (they survive snapshot expiry), so a later re-add is detected as
+    // resurrection-prone; resolution itself never matches them
+    val dropEntries = names.map(n => s"$v|${have(n.toLowerCase)}|")
+    writeCommit("evolve-schema", cs.lastOption.map(_.files).getOrElse(Nil),
+      newSchemaDdl = Some(next.toDDL),
+      newRenames = Some(cs.lastOption.map(_.renamesOrEmpty).getOrElse(Nil) ++ dropEntries))
   }
 
   /** Iceberg-style RENAME COLUMN: a METADATA-ONLY commit (zero data
@@ -1219,7 +1263,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     if (log.isEmpty) _ => cur
     else {
       val firstSeen = firstSeenByFile(commits)
+      // absent-for-epoch → probe a name no footer has: stats come back
+      // unusable and the caller degrades to reading the file (safe)
       f => storedNameOf(cur, firstSeen.getOrElse(f, Int.MaxValue), log)
+        .getOrElse(" absent")
     }
   }
 
@@ -1383,23 +1430,35 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // current-named
     val firstSeen: Map[String, Int] =
       if (log.isEmpty) Map.empty else firstSeenByFile(commits)
-    def storedOf(f: String): Map[String, String] =
+    // non-identity resolutions only: Some(other) = stored under a
+    // pre-rename name; None = ABSENT for this epoch (predates a
+    // resurrection-prone re-add — must NOT read the dead same-named
+    // column the file may still carry)
+    def storedOf(f: String): Map[String, Option[String]] =
       if (log.isEmpty) Map.empty
       else storedNamesAt(logical, firstSeen.getOrElse(f, Int.MaxValue), log)
-        .filter { case (c, s) => c != s }
+        .filter { case (c, s) => s != Some(c) }
     files.groupBy(f => (PartitionTransform.specDdl(byFile(f)),
-        storedOf(f).toSeq.sorted.mkString(",")))
+        storedOf(f).toSeq.sortBy(_._1).mkString(",")))
       .toSeq.sortBy(_._1)
       .map { case (_, fs) =>
         val stored = storedOf(fs.head)
         if (stored.isEmpty)
           readFilesAs(fs, logical, byFile(fs.head)).select(logicalCols ++ posCols: _*)
         else {
-          val storedSchema = StructType(logical.fields.map(f =>
-            f.copy(name = stored.getOrElse(f.name, f.name))))
+          val storedSchema = StructType(logical.fields.flatMap(f =>
+            stored.get(f.name) match {
+              case Some(None) => None // absent: never read the dead column
+              case Some(Some(s)) => Some(f.copy(name = s))
+              case None => Some(f)
+            }))
           readFilesAs(fs, storedSchema, byFile(fs.head))
-            .select(logical.fieldNames.map(n =>
-              col(stored.getOrElse(n, n)).as(n)) ++ posCols: _*)
+            .select(logical.fields.map(f => stored.get(f.name) match {
+              case Some(None) =>
+                org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+              case Some(Some(s)) => col(s).as(f.name)
+              case None => col(f.name)
+            }) ++ posCols: _*)
         }
       }
       .reduce(_.unionByName(_))
@@ -1512,9 +1571,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     else {
       val logical = currentSchema
       val firstSeen = firstSeenByFile(commits)
+      // any non-identity resolution flags migration: renamed-stored
+      // files AND absent-for-epoch files (pre-resurrection) — rewriting
+      // the latter materializes the nulls and drops the dead bytes,
+      // which is also what lets their first-seen commits (which the
+      // resolution depends on — see expireSnapshots) expire afterwards.
+      // A plain non-prone ADD records no entry, so it still never
+      // forces a rewrite (the metadata-only contract).
       snap.files.filter(f => storedNamesAt(logical,
         firstSeen.getOrElse(f, Int.MaxValue), log)
-        .exists { case (c, s) => c != s }).toSet
+        .exists { case (c, s) => s != Some(c) }).toSet
     }
   }
 
@@ -1813,19 +1879,29 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   /** M8a — expire snapshots older than `olderThanMs`, always keeping the
     * latest (reference: expire_snapshots(retention_threshold => '7d')).
-    * For merge-on-read tables, a commit that is the first-seen version
-    * of a still-live file is ALSO kept: the latest-wins merge orders
-    * files by that version, and losing it would collapse sequence
-    * groups and resurface superseded rows (Iceberg's analog: snapshots
-    * whose delete files are still referenced can't expire — compact
-    * first, then expire).
+    * A commit that is the first-seen version of a still-live file is
+    * ALSO kept when that version is load-bearing:
+    *  - merge-on-read tables — the latest-wins merge orders files by it
+    *    (losing it would collapse sequence groups and resurface
+    *    superseded rows), and
+    *  - tables with a column-provenance log (renames / resurrection-
+    *    prone re-adds) — stored-name resolution derives each file's
+    *    epoch from it (losing it would resurrect dead columns or
+    *    mis-alias renamed ones).
+    * Iceberg's analog both times: snapshots still referenced by scan
+    * metadata can't expire — compact first (which migrates the files
+    * to the current epoch/sequence), then expire.
     */
   def expireSnapshots(olderThanMs: Long): Int = {
     requireMain("expireSnapshots")
     val cs = commits
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // drop-only logs never affect resolution (a drop entry's empty NEW
+    // side matches no trace), so a table that only ever dropped columns
+    // keeps the unpinned retention behavior
+    val resolutionEntries = renameLogOf(cs.lastOption).exists(_._3.nonEmpty)
     val needed: Set[Int] =
-      if (!defn.mergeOnRead) Set.empty
+      if (!defn.mergeOnRead && !resolutionEntries) Set.empty
       else {
         val live = cs.lastOption.map(_.files).getOrElse(Nil)
         live.map(firstSeenByFile(cs)).toSet
@@ -1911,13 +1987,21 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         val spec = c.partSpecDdlOrNone.map(PartitionTransform.parseSpec)
           .getOrElse(defn.partitions)
         val stored = storedNamesAt(logical, c.version, endLog)
-          .filter { case (cur, s) => cur != s }
+          .filter { case (cur, s) => s != Some(cur) }
         val base =
           if (stored.isEmpty) readFilesAs(files, logical, spec).select(logicalCols: _*)
-          else readFilesAs(files, StructType(logical.fields.map(f =>
-              f.copy(name = stored.getOrElse(f.name, f.name)))), spec)
-            .select(logical.fieldNames.map(n => org.apache.spark.sql.functions
-              .col(stored.getOrElse(n, n)).as(n)): _*)
+          else readFilesAs(files, StructType(logical.fields.flatMap(f =>
+              stored.get(f.name) match {
+                case Some(None) => None
+                case Some(Some(s)) => Some(f.copy(name = s))
+                case None => Some(f)
+              })), spec)
+            .select(logical.fields.map(f => stored.get(f.name) match {
+              case Some(None) => org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
+              case Some(Some(s)) => org.apache.spark.sql.functions.col(s).as(f.name)
+              case None => org.apache.spark.sql.functions.col(f.name)
+            }): _*)
         Some(base
           .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))
           .withColumn("_change_type", org.apache.spark.sql.functions.lit(changeType)))

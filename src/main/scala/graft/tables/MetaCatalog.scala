@@ -267,9 +267,12 @@ object MetaCatalog {
 
   /** Iceberg's `$files` metadata table (core columns): the CURRENT
     * snapshot's data files with per-file row counts (the commit log's
-    * manifest `record_count` analog) and on-disk sizes. File lists are
-    * driver-small by the same construction as the commit log, so the
-    * scan stays local; at manifest scale this becomes a distributed
+    * manifest `record_count` analog) and on-disk sizes, plus any
+    * PENDING delete files under Iceberg's content enum — 1 = position
+    * deletes, 2 = equality deletes — so an operator can see exactly the
+    * tombstone debt the next compaction will materialize. File lists
+    * are driver-small by the same construction as the commit log, so
+    * the scan stays local; at manifest scale this becomes a distributed
     * scan over manifest files, which is what Iceberg itself does.
     */
   val FilesSchema: StructType = StructType(Seq(
@@ -294,12 +297,20 @@ object MetaCatalog {
             val tbl = new GraftTable(spark, TableDef(base, StructType(Nil)), warehouse)
             val cur = tbl.commits.lastOption
             val rowCounts = cur.map(_.fileRowsOrEmpty).getOrElse(Map.empty)
-            cur.map(_.files).getOrElse(Nil).map { f =>
+            // content per Iceberg's enum: 0 = data, 1 = position deletes,
+            // 2 = equality deletes (the two pending-tombstone kinds)
+            val entries =
+              cur.map(_.files).getOrElse(Nil).map(f => (0, f)) ++
+                cur.map(_.posDeleteFilesOrEmpty.keys.toSeq.sorted).getOrElse(Nil)
+                  .map(f => (1, f)) ++
+                cur.map(_.morDeleteFilesOrEmpty.keys.toSeq.sorted).getOrElse(Nil)
+                  .map(f => (2, f))
+            entries.map { case (content, f) =>
               val p = java.nio.file.Paths.get(s"${tbl.dataPath}/$f")
               val size =
                 try java.nio.file.Files.size(p) catch { case _: Throwable => 0L }
               new GenericInternalRow(Array[Any](
-                0, // content: 0 = data (Iceberg's enum)
+                content,
                 UTF8String.fromString(p.toString),
                 UTF8String.fromString("PARQUET"),
                 rowCounts.getOrElse(f, 0L),

@@ -84,6 +84,24 @@ class DmlRunnerSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1.0), (2L, 20.0), (5L, 50.0)))
   }
 
+  test("MERGE USING a subquery that itself contains a JOIN ... ON parses paren-aware") {
+    val cat = new TableCatalog(spark, freshRoot("d8"), Seq(
+      TableDef("k8", schema, keys = Seq("id"))))
+    DmlRunner.run(spark, cat,
+      """INSERT INTO k8 VALUES (1, 'a', 1.0);
+        |MERGE INTO k8 USING (
+        |  SELECT l.id, l.typ, r.v
+        |  FROM (SELECT 1 AS id, 'a' AS typ) l
+        |  JOIN (SELECT 1 AS id, 42.0 AS v) r ON l.id = r.id
+        |) s
+        |ON k8.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *;
+        |SELECT * FROM k8
+        |""".stripMargin)
+    assert(cat.table("k8").readLogical().head().getDouble(2) == 42.0)
+  }
+
   test("UPDATE after DELETE auto-compacts the pending tombstones first") {
     val cat = new TableCatalog(spark, freshRoot("d4"), Seq(TableDef("t4", schema)))
     DmlRunner.run(spark, cat,

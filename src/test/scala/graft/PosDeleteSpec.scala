@@ -155,6 +155,30 @@ class PosDeleteSpec extends AnyFunSuite {
     assert(t.readLogical().count() == 6)
   }
 
+  test("$files metadata lists pending tombstones under Iceberg's content enum") {
+    val root = freshRoot("pd8")
+    val t = new GraftTable(spark, TableDef("pd8t", schema), root)
+    t.append(df(0 until 10, "a", 1.0))
+    t.deleteWhere(col("id") < 3)
+    val m = new GraftTable(spark,
+      TableDef("pd8m", schema, keys = Seq("id"), mergeOnRead = true), root)
+    m.upsert(df(0 until 6, "a", 1.0))
+    m.deleteKeys(df(0 until 2, "a", 1.0))
+    spark.conf.set("spark.sql.catalog.pdcat", "graft.tables.MetaCatalog")
+    spark.conf.set("spark.sql.catalog.pdcat.warehouse", root)
+    def contents(tbl: String): Seq[Int] =
+      spark.sql(s"SELECT content FROM pdcat.db.`$tbl$$files`")
+        .collect().map(_.getInt(0)).toSeq
+    // content: 0 = data, 1 = position deletes, 2 = equality deletes
+    assert(contents("pd8t").toSet == Set(0, 1), contents("pd8t").toString)
+    assert(contents("pd8m").toSet == Set(0, 2), contents("pd8m").toString)
+    // compaction materializes the debt: only data files remain
+    t.compact()
+    m.compact()
+    assert(contents("pd8t").toSet == Set(0))
+    assert(contents("pd8m").toSet == Set(0))
+  }
+
   test("pruned deleteWhere scans only footer-overlapping files") {
     val tsSchema = StructType(Seq(
       StructField("id", LongType),

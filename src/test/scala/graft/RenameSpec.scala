@@ -172,6 +172,48 @@ class RenameSpec extends AnyFunSuite {
     assert(t.readLogical().filter(col("amount") === 2.0).count() == 5)
   }
 
+  test("re-adding a dropped column must NOT resurrect dead values from old files") {
+    val t = new GraftTable(spark, TableDef("rn11", schema), freshRoot("rn11"))
+    t.append(df(0 until 4, 1, 7.0)) // v1: files physically store v=7.0
+    t.dropColumns("v") // v2
+    t.addColumns(StructField("v", DoubleType)) // v3: a NEW column, same name
+    val out = t.readLogical()
+    assert(out.filter(col("v").isNotNull).count() == 0,
+      "old files' dead 'v' values leaked into the re-added column")
+    t.append(df(4 until 6, 2, 2.0)) // v4: genuinely carries the new v
+    val out2 = t.readLogical()
+    assert(out2.filter(col("v") === 2.0).count() == 2)
+    assert(out2.filter(col("v").isNull).count() == 4)
+    // time travel: the pre-drop snapshot still serves the ORIGINAL values
+    assert(t.readLogical(Some(1)).filter(col("v") === 7.0).count() == 4)
+    // expiry must KEEP the first-seen commits epoch resolution depends
+    // on (the MOR-sequence protection, extended to provenance logs)
+    Thread.sleep(2)
+    t.expireSnapshots(0L)
+    assert(t.readLogical().filter(col("v").isNull).count() == 4,
+      "expiry destroyed the first-seen versions the epoch resolution needs")
+    // compact migrates the epochs (materializes the nulls, drops the
+    // dead bytes); only then can history fully expire
+    assert(t.needsCompaction(), "absent-epoch files must flag migration")
+    t.compact()
+    Thread.sleep(2)
+    t.expireSnapshots(0L)
+    assert(t.commits.size == 1)
+    assert(t.readLogical().filter(col("v").isNull).count() == 4)
+  }
+
+  test("re-adding a renamed-away name must NOT alias the old column's data") {
+    val t = new GraftTable(spark, TableDef("rn12", schema), freshRoot("rn12"))
+    t.append(df(0 until 3, 1, 9.0)) // v1: stores 'v'
+    t.renameColumn("v", "w") // v2: frees 'v'
+    t.addColumns(StructField("v", DoubleType)) // v3: new column reuses the name
+    val out = t.readLogical()
+    // the RENAMED column still serves the old data; the re-added one is null
+    assert(out.filter(col("w") === 9.0).count() == 3)
+    assert(out.filter(col("v").isNotNull).count() == 0,
+      "old files' 'v' data leaked into the re-added column instead of 'w'")
+  }
+
   test("mixed-epoch logical read plans as a union of scans — no shuffle, no join") {
     val t = new GraftTable(spark, TableDef("rn10", schema), freshRoot("rn10"))
     t.append(df(0 until 4, 1, 1.0))

@@ -11,12 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
 /** Randomized schema-evolution histories vs a driver-side shadow model:
-  * random interleavings of appends/upserts, column ADDs and DROPs, and
-  * compactions must leave `readLogical` equal to the shadow (rows as
-  * Map(column → value), null-filled for pre-ADD rows, projected after a
-  * DROP) — and every historical snapshot must still read with ITS
-  * schema. Catches cross-op interactions single-path tests can't
-  * (e.g. a drop after a compact after an add, under both table modes).
+  * random interleavings of appends/upserts, column ADDs, DROPs, and
+  * RENAMEs (round 14), and compactions must leave `readLogical` equal
+  * to the shadow (rows as Map(column → value), null-filled for pre-ADD
+  * rows, projected after a DROP, values following the name across a
+  * RENAME) — and every historical snapshot must still read with ITS
+  * schema. Because drops and renames FREE names the add op can pick
+  * again, random histories exercise the resurrection guard (a re-added
+  * name must read as null on files that still physically store the
+  * dead column). Catches cross-op interactions single-path tests can't.
   */
 class SchemaEvolutionPropertySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -29,10 +32,12 @@ class SchemaEvolutionPropertySpec extends AnyFunSuite {
     p.toString
   }
 
-  // candidate evolvable columns (beyond the permanent id/v)
-  private val pool = Vector("c1", "c2", "c3")
+  // candidate evolvable columns (beyond the permanent id/v); rename
+  // targets come from the same small space so freed names get REUSED
+  // by later adds — the resurrection-guard regime
+  private val pool = Vector("c1", "c2", "c3", "r1", "r2")
 
-  for (seed <- Seq(5L, 77L)) {
+  for (seed <- Seq(5L, 77L, 1234L)) {
     test(s"random add/drop/write/compact histories match the shadow model (seed $seed)") {
       val rnd = new Random(seed)
       for (mor <- Seq(false, true)) {
@@ -74,8 +79,8 @@ class SchemaEvolutionPropertySpec extends AnyFunSuite {
           }
         }
         write(4, upsert = false, 0.0)
-        for (step <- 1 to 10) {
-          rnd.nextInt(5) match {
+        for (step <- 1 to 14) {
+          rnd.nextInt(6) match {
             case 0 => write(2, upsert = false, step * 1.0)
             case 1 => write(2, upsert = true, step * 10.0)
             case 2 =>
@@ -94,6 +99,23 @@ class SchemaEvolutionPropertySpec extends AnyFunSuite {
                 t.dropColumns(c)
                 cols = cols.filterNot(_ == c)
                 shadow.keys.toSeq.foreach(i => shadow(i) = shadow(i) - c)
+              }
+            case 4 =>
+              // RENAME a pool column to a free pool name: values follow
+              // the name in the shadow; the old name becomes addable
+              // again (and a later add must then read pre-rename files
+              // as null, not as the renamed column's dead bytes)
+              val renameable = cols.filter(pool.contains)
+              val free = pool.filterNot(cols.contains)
+              if (renameable.nonEmpty && free.nonEmpty) {
+                val from = renameable(rnd.nextInt(renameable.size))
+                val to = free(rnd.nextInt(free.size))
+                t.renameColumn(from, to)
+                cols = cols.map(c => if (c == from) to else c)
+                shadow.keys.toSeq.foreach { i =>
+                  val m = shadow(i)
+                  shadow(i) = m - from + (to -> m(from))
+                }
               }
             case _ => t.compact(targetBytes = 64L * 1024)
           }

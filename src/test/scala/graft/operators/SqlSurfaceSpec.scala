@@ -87,7 +87,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(hist(0).isNullAt(1) && hist(1).getLong(1) == 1L, hist.mkString(";"))
     val files = withAnsiQuotes(spark.sql(
       """SELECT file_path, file_format, record_count, file_size_in_bytes
-        |FROM iceberg.db."bid_requests$files"""".stripMargin).collect())
+        |FROM iceberg.db."bid_requests$files" WHERE content = 0""".stripMargin).collect())
     assert(files.nonEmpty, "current snapshot must have data files")
     assert(files.forall(_.getString(1) == "PARQUET"))
     assert(files.forall(_.getLong(3) > 0L), "file sizes must be stat'ed, not zero")
