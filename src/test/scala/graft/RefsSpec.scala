@@ -133,6 +133,29 @@ class RefsSpec extends AnyFunSuite {
     assert(out.filter(col("id") >= 5 && col("grp") === "b").count() == 7)
   }
 
+  test("renames and position deletes staged on a branch publish intact") {
+    val t = new GraftTable(spark, TableDef("r8", schema), freshRoot("r8"))
+    t.append(df(0 until 10, "a", 1.0)) // main v1
+    val b = t.createBranch("audit")
+    b.renameColumn("v", "amount") // branch v2 (provenance log entry)
+    b.deleteWhere(org.apache.spark.sql.functions.col("id") < 3) // branch v3 (tombstones)
+    b.append(df(10 until 12, "b", 2.0).withColumnRenamed("v", "amount")) // branch v4
+    // main is blind to all of it
+    assert(t.readLogical().columns.contains("v") && t.currentVersion == 1)
+    t.fastForward("audit")
+    val out = t.readLogical()
+    assert(out.columns.contains("amount") && !out.columns.contains("v"))
+    assert(out.count() == 9)
+    assert(out.filter(col("id") < 3).count() == 0)
+    assert(out.filter(col("amount") === 1.0).count() == 7,
+      "pre-rename files must serve under the new name after the publish")
+    // the published log carries the provenance + tombstones: compact
+    // materializes both and the read is unchanged
+    t.compact()
+    assert(t.readLogical().count() == 9)
+    assert(t.read().columns.contains("amount"))
+  }
+
   test("tags pin snapshots, exempt them from expiry, and read with the tag-time schema") {
     val t = new GraftTable(spark, TableDef("r5", schema), freshRoot("r5"))
     t.append(df(0 until 4, "a", 1.0)) // v1
