@@ -90,6 +90,50 @@ object DmlRunner {
       }
     }
 
+  // Trino-style maintenance procedures (scripts/maintenance.sh:66-79
+  // issues exactly these) and the ALTER COLUMN DDL trio
+  private val AlterExecRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+EXECUTE\s+(\w+)\s*\(([^)]*)\)\s*$""".r
+  private val AlterAddRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*$""".r
+  private val AlterDropRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMNS?\s+([\w\s,]+)$""".r
+  private val AlterRenameRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+
+  /** `'128MB'` / `'64kB'` / `'1GB'` → bytes. */
+  private[graft] def parseBytes(s: String): Long = {
+    val m = """(?i)'?\s*(\d+)\s*(B|KB|MB|GB)?\s*'?""".r
+      .findFirstMatchIn(s.trim).getOrElse(
+        throw new IllegalArgumentException(s"bad size literal: '$s'"))
+    val n = m.group(1).toLong
+    Option(m.group(2)).map(_.toUpperCase) match {
+      case Some("KB") => n * 1024L
+      case Some("MB") => n * 1024L * 1024
+      case Some("GB") => n * 1024L * 1024 * 1024
+      case _ => n
+    }
+  }
+
+  /** `'7d'` / `'12h'` / `'30m'` / `'45s'` → milliseconds. */
+  private[graft] def parseDurationMs(s: String): Long = {
+    val m = """(?i)'?\s*(\d+)\s*(d|h|m|s)\s*'?""".r
+      .findFirstMatchIn(s.trim).getOrElse(
+        throw new IllegalArgumentException(s"bad duration literal: '$s'"))
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case "d" => n * 86400000L
+      case "h" => n * 3600000L
+      case "m" => n * 60000L
+      case "s" => n * 1000L
+    }
+  }
+
+  /** The value of a `name => 'value'` argument list entry, if present. */
+  private def namedArg(args: String, name: String): Option[String] =
+    s"""(?i)$name\\s*=>\\s*('[^']*'|\\S+)""".r
+      .findFirstMatchIn(args).map(_.group(1))
+
   /** Last identifier segment: `iceberg.db.foo` → `foo`. */
   private def baseName(qualified: String): String =
     qualified.split('.').last
@@ -190,6 +234,41 @@ object DmlRunner {
       }
       t.append(castTo(aligned, t))
       marker(spark, "INSERT", t.defn.name)
+    case AlterExecRe(name, proc, args) =>
+      val t = resolve(tables, name)
+      proc.toLowerCase match {
+        case "optimize" =>
+          // Trino: ALTER TABLE t EXECUTE optimize(file_size_threshold => '128MB')
+          val target = namedArg(args, "file_size_threshold")
+            .map(parseBytes).getOrElse(128L * 1024 * 1024)
+          t.compact(targetBytes = target)
+        case "expire_snapshots" =>
+          val retention = namedArg(args, "retention_threshold")
+            .map(parseDurationMs).getOrElse(7L * 86400000)
+          t.expireSnapshots(retention)
+        case "remove_orphan_files" =>
+          // the engine's orphan sweep reclaims files referenced by NO
+          // surviving snapshot; Iceberg's retention_threshold guards
+          // in-flight multi-writer uploads, which a single-writer log
+          // has none of — the argument is accepted and moot
+          t.removeOrphans()
+        case other => throw new IllegalArgumentException(
+          s"${t.defn.name}: unknown table procedure '$other' — " +
+            "optimize / expire_snapshots / remove_orphan_files")
+      }
+      marker(spark, s"EXECUTE $proc", baseName(name))
+    case AlterRenameRe(name, from, to) =>
+      val t = resolve(tables, name)
+      t.renameColumn(from, to)
+      marker(spark, "RENAME COLUMN", t.defn.name)
+    case AlterAddRe(name, colList) =>
+      val t = resolve(tables, name)
+      t.addColumns(org.apache.spark.sql.types.StructType.fromDDL(colList).fields: _*)
+      marker(spark, "ADD COLUMNS", t.defn.name)
+    case AlterDropRe(name, colList) =>
+      val t = resolve(tables, name)
+      t.dropColumns(colList.split(',').map(_.trim).toIndexedSeq: _*)
+      marker(spark, "DROP COLUMNS", t.defn.name)
     case merge if merge.trim.toUpperCase.startsWith("MERGE") =>
       parseMerge(merge.trim) match {
         case Some((name, using, on)) =>

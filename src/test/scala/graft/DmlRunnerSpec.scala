@@ -130,6 +130,43 @@ class DmlRunnerSpec extends AnyFunSuite {
     assert(m.readLogical().count() == 1)
   }
 
+  test("maintenance.sh's ALTER TABLE EXECUTE trio replays verbatim") {
+    val cat = new TableCatalog(spark, freshRoot("d9"), Seq(TableDef("t9", schema)))
+    val t = cat.table("t9")
+    // the streaming-sliver shape: several small commits to compact
+    for (i <- 0 until 4) {
+      import spark.implicits._
+      t.append(Seq((i.toLong, "a", i.toDouble)).toDF("id", "typ", "v"))
+    }
+    val filesBefore = t.commits.last.files.size
+    Thread.sleep(2)
+    // EXACT text shape from scripts/maintenance.sh:66-79
+    DmlRunner.run(spark, cat,
+      """ALTER TABLE t9 EXECUTE optimize(file_size_threshold => '128MB');
+        |ALTER TABLE t9 EXECUTE expire_snapshots(retention_threshold => '0s');
+        |ALTER TABLE t9 EXECUTE remove_orphan_files(retention_threshold => '7d');
+        |SELECT count(*) AS n FROM t9
+        |""".stripMargin)
+    assert(t.commits.last.files.size < filesBefore, "optimize must compact")
+    assert(t.commits.size == 1, "expire_snapshots must retire superseded commits")
+    assert(t.readLogical().count() == 4)
+  }
+
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN DDL lands as metadata-only evolution") {
+    val cat = new TableCatalog(spark, freshRoot("d10"), Seq(TableDef("t10", schema)))
+    DmlRunner.run(spark, cat,
+      """INSERT INTO t10 VALUES (1, 'a', 1.5);
+        |ALTER TABLE t10 RENAME COLUMN v TO amount;
+        |ALTER TABLE t10 ADD COLUMNS (note STRING);
+        |ALTER TABLE t10 DROP COLUMN typ;
+        |SELECT * FROM t10
+        |""".stripMargin)
+    val t = cat.table("t10")
+    assert(t.currentSchema.fieldNames.toSeq == Seq("id", "amount", "note"))
+    val row = t.readLogical().head()
+    assert(row.getDouble(1) == 1.5 && row.isNullAt(2))
+  }
+
   test("refusals: unknown table, UPDATE of a key column, non-upsert-shaped MERGE") {
     val cat = new TableCatalog(spark, freshRoot("d6"), Seq(
       TableDef("k6", schema, keys = Seq("id"))))
