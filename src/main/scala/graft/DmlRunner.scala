@@ -46,6 +46,8 @@ object DmlRunner {
     """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
   private val InsertRe =
     """(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|WITH|TABLE)\b.+)$""".r
+  private val InsertOverwriteRe =
+    """(?is)^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|WITH|TABLE)\b.+)$""".r
   private val MergeHead =
     """(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?\w+)?\s+USING\s+""".r
   private val MergeTail =
@@ -218,22 +220,12 @@ object DmlRunner {
       marker(spark, "UPDATE", t.defn.name)
     case InsertRe(name, colsOrNull, query) =>
       val t = resolve(tables, name)
-      val src = spark.sql(query)
-      val want = t.currentSchema.fieldNames
-      val aligned = Option(colsOrNull) match {
-        case Some(colList) =>
-          val names = colList.split(',').map(_.trim)
-          require(names.sorted.sameElements(want.sorted.toArray[String]),
-            s"${t.defn.name}: INSERT column list must cover the schema " +
-              s"(${want.mkString(", ")}) — partial inserts are not supported")
-          src.toDF(names.toIndexedSeq: _*)
-        case None =>
-          require(src.columns.length == want.length,
-            s"${t.defn.name}: INSERT arity ${src.columns.length} != ${want.length}")
-          src.toDF(want.toIndexedSeq: _*) // positional, like SQL
-      }
-      t.append(castTo(aligned, t))
+      t.append(alignInsert(spark, t, Option(colsOrNull), query))
       marker(spark, "INSERT", t.defn.name)
+    case InsertOverwriteRe(name, colsOrNull, query) =>
+      val t = resolve(tables, name)
+      t.overwrite(alignInsert(spark, t, Option(colsOrNull), query))
+      marker(spark, "INSERT OVERWRITE", t.defn.name)
     case AlterExecRe(name, proc, args) =>
       val t = resolve(tables, name)
       proc.toLowerCase match {
@@ -280,6 +272,29 @@ object DmlRunner {
       }
     case other =>
       SqlRunner.applySetOrSql(spark, other)
+  }
+
+  /** Align an INSERT source to the table schema: column-list mapping
+    * when given (must cover the schema), positional otherwise — SQL's
+    * rules — then the implicit write-side cast.
+    */
+  private def alignInsert(spark: SparkSession, t: GraftTable,
+      colsOrNull: Option[String], query: String): DataFrame = {
+    val src = spark.sql(query)
+    val want = t.currentSchema.fieldNames
+    val aligned = colsOrNull match {
+      case Some(colList) =>
+        val names = colList.split(',').map(_.trim)
+        require(names.sorted.sameElements(want.sorted.toArray[String]),
+          s"${t.defn.name}: INSERT column list must cover the schema " +
+            s"(${want.mkString(", ")}) — partial inserts are not supported")
+        src.toDF(names.toIndexedSeq: _*)
+      case None =>
+        require(src.columns.length == want.length,
+          s"${t.defn.name}: INSERT arity ${src.columns.length} != ${want.length}")
+        src.toDF(want.toIndexedSeq: _*) // positional, like SQL
+    }
+    castTo(aligned, t)
   }
 
   /** SQL's implicit write-side cast: align a frame's column TYPES to

@@ -130,6 +130,18 @@ class DmlRunnerSpec extends AnyFunSuite {
     assert(m.readLogical().count() == 1)
   }
 
+  test("INSERT OVERWRITE replaces the table content (CTAS refresh shape)") {
+    val cat = new TableCatalog(spark, freshRoot("d11"), Seq(TableDef("t11", schema)))
+    DmlRunner.run(spark, cat,
+      """INSERT INTO t11 VALUES (1, 'a', 1.0), (2, 'b', 2.0);
+        |INSERT OVERWRITE t11 SELECT id, typ, v * 100 FROM t11 WHERE typ = 'a';
+        |SELECT * FROM t11
+        |""".stripMargin)
+    val rows = cat.table("t11").readLogical().collect()
+    assert(rows.length == 1 && rows.head.getDouble(2) == 100.0)
+    assert(cat.table("t11").commits.last.op == "overwrite")
+  }
+
   test("maintenance.sh's ALTER TABLE EXECUTE trio replays verbatim") {
     val cat = new TableCatalog(spark, freshRoot("d9"), Seq(TableDef("t9", schema)))
     val t = cat.table("t9")
