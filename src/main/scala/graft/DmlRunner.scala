@@ -103,6 +103,10 @@ object DmlRunner {
   private val AlterRenameRe =
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
 
+  // Trino/Iceberg procedure-call style: CALL iceberg.system.<proc>(...)
+  private val CallRe =
+    """(?is)^CALL\s+[\w.]*system\.(\w+)\s*\((.*)\)\s*$""".r
+
   /** `'128MB'` / `'64kB'` / `'1GB'` → bytes. */
   private[graft] def parseBytes(s: String): Long = {
     val m = """(?i)'?\s*(\d+)\s*(B|KB|MB|GB)?\s*'?""".r
@@ -249,6 +253,48 @@ object DmlRunner {
             "optimize / expire_snapshots / remove_orphan_files")
       }
       marker(spark, s"EXECUTE $proc", baseName(name))
+    case CallRe(proc, args) =>
+      // positional-or-named args; the table is the first 'db.t' literal
+      val argList = splitTopLevel(args).map(_.trim)
+      def tableArg: GraftTable = {
+        val named = namedArg(args, "table").orElse(namedArg(args, "schema_table"))
+        val raw = named.orElse(argList.headOption).getOrElse(
+          throw new IllegalArgumentException(s"CALL $proc: missing table argument"))
+        resolve(tables, raw.stripPrefix("'").stripSuffix("'"))
+      }
+      proc.toLowerCase match {
+        case "rollback_to_snapshot" =>
+          // CALL iceberg.system.rollback_to_snapshot('db.t', <version>)
+          val t = tableArg
+          val v = namedArg(args, "snapshot_id").orElse(argList.lift(1)).getOrElse(
+            throw new IllegalArgumentException(
+              s"CALL rollback_to_snapshot: missing snapshot id")).trim.toInt
+          t.rollback(v)
+          marker(spark, "ROLLBACK", t.defn.name)
+        case "fast_forward" =>
+          // CALL iceberg.system.fast_forward('db.t', 'main', 'audit'):
+          // publish the staged branch onto main (the WAP publish leg)
+          val t = tableArg
+          val to = namedArg(args, "to").orElse(argList.lift(2)).getOrElse(
+            throw new IllegalArgumentException(
+              s"CALL fast_forward: missing source branch")).trim
+              .stripPrefix("'").stripSuffix("'")
+          t.fastForward(to)
+          marker(spark, "FAST_FORWARD", t.defn.name)
+        case "expire_snapshots" =>
+          val t = tableArg
+          val retention = namedArg(args, "retention_threshold")
+            .map(parseDurationMs).getOrElse(7L * 86400000)
+          t.expireSnapshots(retention)
+          marker(spark, "EXPIRE_SNAPSHOTS", t.defn.name)
+        case "remove_orphan_files" =>
+          val t = tableArg
+          t.removeOrphans()
+          marker(spark, "REMOVE_ORPHAN_FILES", t.defn.name)
+        case other => throw new IllegalArgumentException(
+          s"unknown procedure 'system.$other' — rollback_to_snapshot / " +
+            "fast_forward / expire_snapshots / remove_orphan_files")
+      }
     case AlterRenameRe(name, from, to) =>
       val t = resolve(tables, name)
       t.renameColumn(from, to)

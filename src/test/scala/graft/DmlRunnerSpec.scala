@@ -179,6 +179,28 @@ class DmlRunnerSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 1.5 && row.isNullAt(2))
   }
 
+  test("CALL system procedures: rollback_to_snapshot and fast_forward replay as text") {
+    val cat = new TableCatalog(spark, freshRoot("d12"), Seq(TableDef("t12", schema)))
+    val t = cat.table("t12")
+    DmlRunner.run(spark, cat,
+      """INSERT INTO t12 VALUES (1, 'a', 1.0);
+        |INSERT INTO t12 VALUES (2, 'bad', -9.0);
+        |CALL iceberg.system.rollback_to_snapshot('db.t12', 1);
+        |SELECT * FROM t12
+        |""".stripMargin)
+    assert(t.readLogical().count() == 1)
+    assert(t.commits.last.op == "rollback")
+    // WAP publish via CALL: stage programmatically, publish as SQL text
+    val b = t.createBranch("audit")
+    b.append({ import spark.implicits._
+      Seq((3L, "c", 3.0)).toDF("id", "typ", "v") })
+    DmlRunner.run(spark, cat,
+      """CALL iceberg.system.fast_forward('db.t12', 'main', 'audit');
+        |SELECT * FROM t12""".stripMargin)
+    assert(t.readLogical().count() == 2)
+    assert(t.branches.isEmpty)
+  }
+
   test("refusals: unknown table, UPDATE of a key column, non-upsert-shaped MERGE") {
     val cat = new TableCatalog(spark, freshRoot("d6"), Seq(
       TableDef("k6", schema, keys = Seq("id"))))
