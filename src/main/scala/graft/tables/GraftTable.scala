@@ -423,7 +423,6 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * dumps elsewhere in the session keep the default format.
     */
   private def writeFiles(df: DataFrame, numPartitions: Option[Int] = None): Seq[String] = {
-    val before = listDataFiles()
     val clustered = withPartitionCols(df)
     // hash-distribute on the partition values before a partitioned write
     // (Iceberg write.distribution-mode=hash): without it every task
@@ -456,6 +455,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val ordered =
       if (scols.isEmpty) physical
       else physical.sortWithinPartitions((pcols ++ scols): _*)
+    writePhysical(ordered)
+  }
+
+  /** The raw write step shared by [[writeFiles]] and the partitioned
+    * z-order rewrite (which arranges its own distribution and must not
+    * have it re-shuffled): timestamp discipline + partitionBy + the
+    * added-files diff.
+    */
+  private def writePhysical(ordered: DataFrame): Seq[String] = {
+    val before = listDataFiles()
     val key = "spark.sql.parquet.outputTimestampType"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
@@ -1669,15 +1678,23 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * interleaved bit stays below the sign bit at any column count.
     * Integral/timestamp columns only
     * (those are the ones parquet footers carry orderable INT64 stats
-    * for). Unpartitioned tables here; a partitioned 100 TB deployment
-    * applies the identical rewrite within each partition.
+    * for). A PARTITIONED table applies the identical rewrite WITHIN
+    * each partition: rows range-distribute on (partition values, z) —
+    * so a slice never mixes z-ranges across partition values except at
+    * slice boundaries — and sort within, giving every file inside a
+    * partition directory a narrow box in each clustered dimension on
+    * top of the directory pruning the partitioning already provides
+    * (Iceberg's sort-strategy rewrite_data_files composes the same
+    * way). Partition-transform SOURCE columns are not meaningful
+    * z-columns there (the directory already splits them) and refuse.
     */
   def compactZOrder(zcols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024): CommitMeta = {
     import org.apache.spark.sql.functions._
     require(zcols.size >= 2, "z-order clustering needs at least 2 columns")
-    require(currentPartitions.isEmpty,
-      s"${defn.name}: z-order rewrite expects an unpartitioned table")
+    zcols.foreach(c => require(!currentPartitions.exists(_.source.equalsIgnoreCase(c)),
+      s"${defn.name}: '$c' is a partition-transform source — the directory " +
+        "layout already clusters it; z-order the residual columns"))
     val live = commits.lastOption.map(_.files).getOrElse(Nil)
     require(live.nonEmpty, s"${defn.name}: nothing to z-order")
     val df = readLogical()
@@ -1713,11 +1730,26 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         shiftleft(shiftright(bc, b).bitwiseAND(lit(1L)), b * n + i)
       }
     }.reduce(_ + _)
-    val ordered = df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .select(currentSchema.fieldNames.map(col): _*)
-    val added = writeFiles(ordered)
+    val added =
+      if (currentPartitions.isEmpty) {
+        val ordered = df.withColumn("__z", z)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .select(currentSchema.fieldNames.map(col): _*)
+        writeFiles(ordered)
+      } else {
+        // within-partition form: range-distribute on (partition values,
+        // z) so each output slice is a contiguous z-range inside one
+        // partition (boundary slices split by directory at write), then
+        // sort within — and write DIRECTLY (writeFiles would re-shuffle
+        // to one task per partition value, collapsing the z split)
+        val pcols = partCols.map(col)
+        val shaped = withPartitionCols(df.withColumn("__z", z))
+          .repartitionByRange(math.max(nFiles, 2), (pcols :+ col("__z")): _*)
+          .sortWithinPartitions((pcols :+ col("__z")): _*)
+          .select(currentSchema.fieldNames.map(col) ++ pcols: _*)
+        writePhysical(shaped)
+      }
     // the clustering rewrite reads the visible state and replaces every
     // file — pending tombstones (either kind) are materialized
     writeCommit("zorder", added, morDeletes = _ => Map.empty,

@@ -329,6 +329,55 @@ class TablesSpec extends AnyFunSuite {
     assert(t.snapshots.orderBy("version").collect().last.getString(2) == "zorder")
   }
 
+  test("partitioned z-order clusters WITHIN each partition directory") {
+    val zschema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("day", StringType),
+      StructField("user_id", LongType),
+      StructField("event_id", LongType)))
+    val t = new GraftTable(spark,
+      TableDef("tzp", zschema, partitions = Seq(IdentityTransform("day"))),
+      freshRoot("tzp"))
+    val nRows = 40000
+    def chunk(r: Range) = {
+      import spark.implicits._
+      r.map { i =>
+        (i.toLong, s"d${i % 2}", (i * 2654435761L) % 100000L, (i * 40503L) % 100000L)
+      }.toDF("id", "day", "user_id", "event_id")
+    }
+    // four appends, each covering both days and the full user/event range
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try {
+      (0 until 4).foreach(q =>
+        t.append(chunk(q * nRows / 4 until (q + 1) * nRows / 4).coalesce(1)))
+      val before = t.readLogical().orderBy("id").collect().toSeq
+      // partition sources refuse as z-columns (the directory covers them)
+      intercept[IllegalArgumentException] {
+        t.compactZOrder(Seq("day", "user_id"))
+      }
+      t.compactZOrder(Seq("user_id", "event_id"), targetBytes = 64 * 1024)
+      assert(t.readLogical().orderBy("id").collect().toSeq == before,
+        "z-order rewrite must not change table content")
+      // layout: still partition dirs, multiple z-clustered files per dir
+      val byDir = t.commits.last.files.groupBy(_.split('/').head)
+      assert(byDir.keySet == Set("p_day=d0", "p_day=d1"), byDir.keySet.toString)
+      assert(byDir.values.forall(_.size >= 2),
+        s"expected a multi-file z-split inside each partition: " +
+          byDir.view.mapValues(_.size).toMap.toString)
+      // both clustered columns prune WITHIN the partition count
+      val filesAfter = t.commits.last.files.size
+      val uid = t.readRangeLogical("user_id", 0L, 100000L / 8).inputFiles.length
+      val eid = t.readRangeLogical("event_id", 0L, 100000L / 8).inputFiles.length
+      assert(uid < filesAfter, s"user_id range read $uid of $filesAfter files")
+      assert(eid < filesAfter, s"event_id range read $eid of $filesAfter files")
+    } finally prior match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("snapshots table records version, operation, and row counts") {
     val t = new GraftTable(spark, TableDef("t7", schema), freshRoot("t7"))
     t.append(df(0 until 10, "a", 1.0))
