@@ -865,10 +865,40 @@ object StorageOps {
         col("event_type"), col("value"))
   }
 
+  /** S26 — PARTITIONED z-order through the oracle (round 14's
+    * within-partition rewrite): a day-partitioned table takes the full
+    * events set, then the clustering rewrite range-distributes on
+    * (partition value, z(user_id, event_id)) and writes DIRECTLY
+    * (bypassing the one-task-per-partition distribution that would
+    * collapse the z split) — the one write path in the engine that
+    * doesn't go through writeFiles' repartition, so it gets its own
+    * cross-engine content pin: the read-back must hash-match the plain
+    * source select exactly (a boundary slice split across directories
+    * that dropped or duplicated rows fails here). The multi-file
+    * per-directory split and the two-column pruning are TablesSpec's;
+    * this row pins "the rewrite touches nothing but layout".
+    */
+  val s26ZOrderPartitioned: QueryDef = QueryDef(
+    "s26_zorder_partitioned",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |       round(value, 2) AS value
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s26")
+    val cat = new TableCatalog(t.spark, wh, Seq(
+      TableDef("zorderp_t", eventsSchema, partitions = Seq(DayTransform("ts")))))
+    val tbl = cat.table("zorderp_t")
+    tbl.append(eventsSrc(t))
+    tbl.compactZOrder(Seq("user_id", "event_id"), targetBytes = 64L * 1024)
+    require(tbl.commits.last.files.forall(_.contains("p_ts_day=")),
+      "rewrite must keep the partition directory layout")
+    tbl.readLogical()
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
       s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace,
       s18SchemaEvolution, s19WapPublish, s20MorDelete, s21PartitionEvolution,
-      s22Rollback, s23SortOrder, s24Rename, s25PosDelete, m9PurgeIsolation)
+      s22Rollback, s23SortOrder, s24Rename, s25PosDelete, s26ZOrderPartitioned,
+      m9PurgeIsolation)
 }
