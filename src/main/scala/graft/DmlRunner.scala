@@ -144,6 +144,41 @@ object DmlRunner {
   private def baseName(qualified: String): String =
     qualified.split('.').last
 
+  /** Rewrite catalog-qualified table names to their bare temp-view
+    * names OUTSIDE single-quoted string literals (a literal like
+    * `'iceberg.db.foo'` must survive verbatim). Three-part names
+    * (`<catalog>.<schema>.t`) always rewrite; two-part names rewrite
+    * only under the reference's `db` schema segment (its scripts
+    * qualify every table as `iceberg.db.<t>`) — a generic two-part
+    * match would clobber `alias.column` references. Names are
+    * regex-quoted, so no metacharacter in a table name can widen the
+    * match.
+    */
+  private[graft] def rewriteQualified(stmt: String, names: Iterable[String]): String = {
+    import java.util.regex.{Matcher, Pattern}
+    val res = names.toSeq.map(n => Pattern.compile(
+      s"""(?i)\\b(?:\\w+\\.\\w+|db)\\.${Pattern.quote(n)}\\b""") -> n)
+    // alternating unquoted/quoted runs; a doubled '' stays inside quotes
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val cur = new StringBuilder
+    var inQ = false
+    stmt.foreach {
+      case '\'' if !inQ =>
+        if (cur.nonEmpty) { segs += ((cur.toString, false)); cur.clear() }
+        inQ = true; cur += '\''
+      case '\'' =>
+        cur += '\''; segs += ((cur.toString, true)); cur.clear(); inQ = false
+      case ch => cur += ch
+    }
+    if (cur.nonEmpty) segs += ((cur.toString, inQ))
+    segs.map {
+      case (text, true) => text
+      case (text, false) =>
+        res.foldLeft(text) { case (s, (p, n)) =>
+          p.matcher(s).replaceAll(Matcher.quoteReplacement(n)) }
+    }.mkString
+  }
+
   /** Split a SET list on top-level commas (quote- and paren-aware, so
     * `SET v = round(a, 2), w = 'x,y'` splits correctly).
     */
@@ -194,12 +229,11 @@ object DmlRunner {
         else scoped.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           t.currentSchema).createOrReplaceTempView(n)
       }
-      // catalog-qualified names (`iceberg.db.foo`) resolve to the temp
-      // views by LAST segment — applied to the whole statement so
-      // qualified names inside subqueries and plain SELECTs replay
+      // catalog-qualified names (`iceberg.db.foo`, `db.foo`) resolve to
+      // the temp views by LAST segment — applied to the whole statement
+      // so qualified names inside subqueries and plain SELECTs replay
       // verbatim too (the reference's scripts qualify every reference)
-      val rewritten = tables.keys.foldLeft(stmt)((s, n) =>
-        s.replaceAll(s"""(?i)\\b\\w+\\.\\w+\\.$n\\b""", n))
+      val rewritten = rewriteQualified(stmt, tables.keys)
       val r = runStatement(scoped, tables, rewritten)
       if (r != null) last = r
     }
@@ -367,9 +401,16 @@ object DmlRunner {
         s"${t.defn.name}: cannot UPDATE identifier key '$name'")
       name -> expr(a.substring(i + 1).trim)
     }
-    val updated = castTo(assignments.foldLeft(t.readLogical().filter(cond)) {
-      case (d, (n, e)) => d.withColumn(n, e)
-    }, t)
+    require(assignments.map(_._1.toLowerCase).distinct.size == assignments.size,
+      s"${t.defn.name}: duplicate column in SET list")
+    // SQL evaluates every SET RHS against the OLD row — a single select
+    // substituting the assigned columns, never a sequential withColumn
+    // fold (there, `SET a = 1, b = a + 1` would see the NEW a)
+    val byName = assignments.map { case (n, e) => n.toLowerCase -> e }.toMap
+    val updated = castTo(t.readLogical().filter(cond).select(
+      t.currentSchema.fieldNames.map(f =>
+        byName.get(f.toLowerCase).map(_.as(f)).getOrElse(col(f))).toIndexedSeq: _*),
+      t)
     if (t.defn.isUpsert) {
       // keyed table: the updated rows upsert by key — O(batch), and the
       // merge-on-read form never rewrites survivors

@@ -146,7 +146,7 @@ object SearchOps {
     val tf = toks.filter(col("term").isin(QueryTerms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val tot = t.documents.agg(count(lit(1)).as("nn"))
-      .crossJoin(dl.agg(sum(col("dl")).as("ll")))
+      .crossJoin(broadcast(dl.agg(sum(col("dl")).as("ll"))))
     bm25Rank(tf, dl, tot, BmTopK)
   }
 

@@ -129,15 +129,19 @@ final class CdcAggConsumer(
       // a delete at or past a stored extremum may have removed it — the
       // group's true new extremum needs the remaining values, so those
       // groups (and only those) re-aggregate from source. A group the
-      // target has never seen self-maintains (its extrema come entirely
-      // from this delta's inserts; a delete there would fold n to ≤ 0
-      // and leave the view). Persisted: read twice below (split + keys),
-      // and a recompute would otherwise re-derive the whole delta.
+      // target has never seen whose poll window carries ONLY inserts
+      // self-maintains (extrema come entirely from __ins_min/__ins_max);
+      // but a new group whose window mixes inserts with a partial delete
+      // (append then delete-pos consumed in one poll, n stays > 0) must
+      // also recompute — its __ins_* still include the deleted values.
+      // Persisted: read twice below (split + keys), and a recompute
+      // would otherwise re-derive the whole delta.
       val joined = delta.join(target.readLogical(), groupCols, "left_outer")
         .withColumn("__recompute",
-          col("min_cents").isNotNull &&
-            ((col("__del_min").isNotNull && col("__del_min") <= col("min_cents")) ||
-             (col("__del_max").isNotNull && col("__del_max") >= col("max_cents"))))
+          (col("__del_min").isNotNull || col("__del_max").isNotNull) &&
+            (col("min_cents").isNull ||
+             col("__del_min") <= col("min_cents") ||
+             col("__del_max") >= col("max_cents")))
         .persist()
       try {
         val self = joined.filter(!col("__recompute"))

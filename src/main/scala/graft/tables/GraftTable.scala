@@ -1275,7 +1275,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       // absent-for-epoch → probe a name no footer has: stats come back
       // unusable and the caller degrades to reading the file (safe)
       f => storedNameOf(cur, firstSeen.getOrElse(f, Int.MaxValue), log)
-        .getOrElse(" absent")
+        .getOrElse("\u0000absent")
     }
   }
 
@@ -1415,7 +1415,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   }
 
   private def readFilesLogicalSpecAware(files: Seq[String], logical: StructType,
-      snap: Option[CommitMeta], withPos: Boolean = false): DataFrame = {
+      snap: Option[CommitMeta], withPos: Boolean = false,
+      renameLog: Option[Seq[(Int, String, String)]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val posCols =
       if (withPos) Seq(relFileCol.as("__file"),
@@ -1433,7 +1434,11 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val byFile = effSnap.map(specsByFile)
       .getOrElse(Map.empty[String, Seq[PartitionTransform]]
         .withDefaultValue(defn.partitions))
-    val log = renameLogOf(effSnap)
+    // rename resolution defaults to the snapshot's own log; a caller
+    // projecting a LATER schema (readChanges' range-end contract)
+    // overrides with the later log so post-snapshot renames still map
+    // the file's stored names onto the projected ones
+    val log = renameLog.getOrElse(renameLogOf(effSnap))
     // the first-seen index is only needed once a rename exists; a file
     // outside any commit's live set (defensive default) reads as
     // current-named
@@ -1880,8 +1885,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val pending = b.commits.filter(_.version > fork).sortBy(_.version)
     val head = currentVersion
     if (head != fork) {
-      val resumable = head > fork &&
-        pending.headOption.forall(_.version == head + 1) &&
+      // resume demands staged commits REMAIN to move (pending.nonEmpty):
+      // an empty pending with a diverged main is indistinguishable from
+      // a branch that never staged anything, and success(0) there would
+      // silently swallow the divergence. (A crash AFTER the last move
+      // leaves pending empty too — the refusal below is still the right
+      // recovery: every staged json already lives on main, so the
+      // advised dropBranch deletes nothing of value.)
+      val resumable = head > fork && pending.nonEmpty &&
+        pending.head.version == head + 1 &&
         ((fork + 1) to head).forall(v => Files.exists(commitPath(v)))
       require(resumable,
         s"${defn.name}: main advanced past the '$name' fork " +
@@ -2069,8 +2081,13 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           val refFiles = pairs.select("__file").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
           val predecessor = commits.find(_.version == c.version - 1)
+          // specs resolve via the predecessor (the referenced files'
+          // writing epoch) but renames via endLog — this leg projects
+          // the range-END schema like every other leg, so a rename
+          // landing between the delete-pos commit and the range end
+          // must still map the files' stored names onto it
           val rows = readFilesLogicalSpecAware(refFiles, logical, predecessor,
-            withPos = true)
+            withPos = true, renameLog = Some(endLog))
           Some(rows.join(pairs, Seq("__file", "__pos"), "left_semi")
             .select(logicalCols: _*)
             .withColumn("_change_version", org.apache.spark.sql.functions.lit(c.version))

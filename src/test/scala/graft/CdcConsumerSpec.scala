@@ -197,6 +197,27 @@ class CdcConsumerSpec extends AnyFunSuite {
     assert(mmSnapshot(mv).keySet == Set("x"))
   }
 
+  test("minmax: a NEW group's append + partial delete consumed in one poll recomputes") {
+    val (src, mv, c) = mmRig("mm4")
+    // target has never seen "z"; its first poll window carries both the
+    // inserts and a delete of one of them (n stays > 0). The __ins_*
+    // extrema still include the deleted value, so self-maintaining from
+    // them would be silently wrong — the consumer must take the
+    // recompute leg.
+    src.append(rows((1, "z", 9.0), (2, "z", 1.0), (3, "z", 4.0)))
+    src.deleteWhere(col("id") === 1) // z's max (9.0) dies pre-first-poll
+    c.poll()
+    assert(mmSnapshot(mv) == Map("z" -> (2L, 500L, 100L, 400L)))
+    assert(mmSnapshot(mv) == mmDirect(src))
+    // same shape against a target that already holds OTHER groups
+    src.append(rows((4, "w", 0.2), (5, "w", 6.0)))
+    src.deleteWhere(col("id") === 4) // w's min dies in w's first window
+    c.poll()
+    assert(mmSnapshot(mv) == Map(
+      "z" -> (2L, 500L, 100L, 400L), "w" -> (1L, 600L, 600L, 600L)))
+    assert(mmSnapshot(mv) == mmDirect(src))
+  }
+
   test("minmax: replayed polls no-op; rebuild carries the extrema; tracked replace folds") {
     val (src, mv, c) = mmRig("mm3")
     src.append(rows((1, "x", 1.0), (2, "x", 5.0)))

@@ -60,6 +60,34 @@ class DmlRunnerSpec extends AnyFunSuite {
     assert(row.getLong(0) == 2L && row.getDouble(1) == 11.0)
   }
 
+  test("UPDATE evaluates every SET RHS against the OLD row (SQL multi-assignment)") {
+    val cat = new TableCatalog(spark, freshRoot("d1b"), Seq(TableDef("t", schema)))
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO t VALUES (1, 'a', 2.0);
+        |-- SQL: both RHS see the OLD row, so v and the typ-derived value
+        |-- must not observe each other's assignment
+        |UPDATE t SET v = v * 10, typ = concat(typ, cast(v AS INT));
+        |SELECT id, typ, v FROM t
+        |""".stripMargin)
+    val r = out.head()
+    assert(r.getString(1) == "a2", s"typ saw the NEW v: ${r.getString(1)}")
+    assert(r.getDouble(2) == 20.0)
+    // duplicate assignment refuses
+    intercept[IllegalArgumentException] {
+      DmlRunner.run(spark, cat, "UPDATE t SET v = 1.0, v = 2.0")
+    }
+  }
+
+  test("qualified-name rewrite skips string literals and matches 2-part db.t names") {
+    val cat = new TableCatalog(spark, freshRoot("d2b"), Seq(TableDef("t2", schema)))
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO db.t2 VALUES (1, 'iceberg.db.t2', 1.0);
+        |SELECT typ FROM iceberg.db.t2 WHERE typ = 'iceberg.db.t2'
+        |""".stripMargin)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("iceberg.db.t2"),
+      "a quoted literal was rewritten")
+  }
+
   test("keyed UPDATE lands as an upsert; MERGE INTO upserts the source") {
     val cat = new TableCatalog(spark, freshRoot("d3"), Seq(
       TableDef("k", schema, keys = Seq("id"))))

@@ -223,4 +223,20 @@ class PosDeleteSpec extends AnyFunSuite {
     assert(t.readLogical().count() == 10)
     assert(t.read().filter(col("p_grp") === "a").count() == 6)
   }
+
+  test("changelog delete-pos leg resolves renames landing AFTER the delete commit") {
+    val t = new GraftTable(spark, TableDef("pd7", schema), freshRoot("pd7"))
+    t.append(df(0 until 6, "a", 1.5)) // v1
+    t.deleteWhere(col("id") < 2) // v2: pos-delete of ids 0,1
+    t.renameColumn("v", "amount") // v3: rename lands INSIDE the range
+    val ch = t.readChanges(1, 3)
+    // the range-end schema names the column `amount`; the delete leg's
+    // rows were stored under `v` and must still carry their values —
+    // a predecessor-log resolution would null-fill them
+    assert(ch.columns.contains("amount"))
+    val dels = ch.filter(col("_change_type") === "delete").collect()
+    assert(dels.length == 2)
+    assert(dels.forall(r => r.getDouble(r.fieldIndex("amount")) == 1.5),
+      "delete-pos rows lost the renamed column's values")
+  }
 }

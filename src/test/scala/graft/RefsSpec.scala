@@ -119,6 +119,23 @@ class RefsSpec extends AnyFunSuite {
     t.dropBranch("audit")
   }
 
+  test("diverged main + branch with NO staged commits refuses (never a silent no-op)") {
+    val t = new GraftTable(spark, TableDef("r8", schema), freshRoot("r8"))
+    t.append(df(0 until 5, "a", 1.0)) // v1 (fork)
+    t.createBranch("audit") // nothing ever staged
+    t.append(df(5 until 8, "b", 2.0)) // main's OWN v2 — divergence
+    // empty pending must NOT satisfy the resume check: main's v2 exists
+    // and is "contiguous" vacuously, but nothing was ever staged — a
+    // success(0) here would swallow the divergence
+    val e = intercept[IllegalArgumentException] { t.fastForward("audit") }
+    assert(e.getMessage.contains("cannot fast-forward"))
+    t.dropBranch("audit")
+    // an UN-diverged empty branch still publishes as a clean zero
+    val b2 = t.createBranch("audit2")
+    assert(t.fastForward("audit2") == 0)
+    assert(b2 != null)
+  }
+
   test("branch of a merge-on-read table keeps latest-wins ordering across the fork") {
     val t = new GraftTable(spark,
       TableDef("r4", schema, keys = Seq("id"), mergeOnRead = true), freshRoot("r4"))
