@@ -1,8 +1,8 @@
 package graft
 
-import graft.tables.{GraftTable, TableCatalog}
+import graft.tables.{GraftTable, TableCatalog, TableDef}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{col, expr, lit, when}
 
 /** X4 — SQL DML over the snapshot-log tables: the reference's
   * materializer issues its repairs as SQL TEXT against Iceberg
@@ -48,20 +48,45 @@ object DmlRunner {
     """(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|WITH|TABLE)\b.+)$""".r
   private val InsertOverwriteRe =
     """(?is)^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|WITH|TABLE)\b.+)$""".r
+  private val CtasRe =
+    """(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s+AS\s+((?:SELECT|WITH|VALUES|TABLE)\b.+)$""".r
+  /** Schema DDL sidecar a CTAS table leaves beside its commit log. */
+  private val CtasSchemaSidecar = "_ctas_schema.ddl"
+  private val DropTableRe =
+    """(?is)^DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*$""".r
   private val MergeHead =
-    """(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?\w+)?\s+USING\s+""".r
-  private val MergeTail =
-    ("""(?is)^\s*(?:(?:AS\s+)?(\w+)\s+)?ON\s+(.+?)""" +
-      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
-      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""").r
+    """(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+""".r
+  private val MergeOn =
+    """(?is)^\s*(?:(?:AS\s+)?(\w+)\s+)?ON\s+(.+?)\s+(WHEN\s+.+)$""".r
 
-  /** Parse the upsert-shaped MERGE: (target, usingSource, onClause).
-    * The USING source is consumed PAREN-AWARE (a subquery may itself
-    * contain `JOIN ... ON` — a regex splitting on the first ` ON `
-    * would truncate it), then the tail must be exactly the
-    * `ON ... UPDATE SET * / INSERT *` shape.
+  /** One parsed `WHEN` clause of a MERGE. `set` is the raw assignment
+    * list text for UPDATE ("*" for `SET *`), null for DELETE/INSERT.
     */
-  private def parseMerge(stmt: String): Option[(String, String, String)] =
+  private final case class MergeClause(matched: Boolean, cond: Option[String],
+      verb: String, set: String = null)
+
+  private val WhenUpdateRe =
+    """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
+  private val WhenDeleteRe =
+    """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE$""".r
+  private val WhenInsertRe =
+    """(?is)^NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*$""".r
+
+  /** Parsed MERGE: target, target alias, source text, source alias,
+    * ON clause, WHEN clauses in statement order.
+    */
+  private final case class MergeStmt(target: String, targetAlias: Option[String],
+      using: String, srcAlias: Option[String], on: String,
+      clauses: Seq[MergeClause])
+
+  /** Parse a MERGE statement. The USING source is consumed PAREN-AWARE
+    * (a subquery may itself contain `JOIN ... ON` — a regex splitting
+    * on the first ` ON ` would truncate it); the WHEN tail splits on
+    * top-level `WHEN` keywords, each clause matched against the three
+    * supported shapes (UPDATE SET assignments-or-*, DELETE, INSERT *).
+    * Anything else refuses loudly rather than approximating.
+    */
+  private def parseMerge(stmt: String): Option[MergeStmt] =
     MergeHead.findFirstMatchIn(stmt).map { m =>
       val rest = stmt.substring(m.end).trim
       val (usingText, afterUsing) =
@@ -83,13 +108,50 @@ object DmlRunner {
           require(w.nonEmpty, "MERGE USING needs a view name or a (subquery)")
           (w, rest.substring(w.length))
         }
-      MergeTail.findFirstMatchIn(afterUsing) match {
-        case Some(t) => (m.group(1), usingText, t.group(2))
-        case None => throw new IllegalArgumentException(
-          "unsupported MERGE shape — only `MERGE INTO t USING src ON <key " +
-            "equalities> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
-            "THEN INSERT *` maps to upsert semantics")
+      val onM = MergeOn.findFirstMatchIn(afterUsing).getOrElse(
+        throw new IllegalArgumentException(
+          s"unparseable MERGE ON/WHEN tail: $afterUsing"))
+      // split the WHEN tail on top-level WHEN keywords (quote-aware; a
+      // paren depth check guards conds containing subexpressions)
+      val tail = onM.group(3)
+      val whenStarts = {
+        val re = """(?i)\bWHEN\b""".r
+        var depth = 0; var inQ = false
+        val starts = Seq.newBuilder[Int]
+        var i = 0
+        while (i < tail.length) {
+          tail(i) match {
+            case '\'' => inQ = !inQ
+            case '(' if !inQ => depth += 1
+            case ')' if !inQ => depth -= 1
+            case _ =>
+          }
+          if (!inQ && depth == 0 && re.pattern.matcher(tail)
+              .region(i, math.min(i + 5, tail.length)).lookingAt()) starts += i
+          i += 1
+        }
+        starts.result()
       }
+      val clauses = whenStarts.zipAll(whenStarts.drop(1).map(Some(_)), 0, None)
+        .map { case (s, e) =>
+          tail.substring(s, e.getOrElse(tail.length)).trim
+            .replaceAll("""(?is)^WHEN\s+""", "").replaceAll(";\\s*$", "").trim
+        }
+        .map {
+          case WhenUpdateRe(cond, set) =>
+            MergeClause(matched = true, Option(cond), "update", set.trim)
+          case WhenDeleteRe(cond) =>
+            MergeClause(matched = true, Option(cond), "delete")
+          case WhenInsertRe(cond) =>
+            MergeClause(matched = false, Option(cond), "insert")
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE WHEN clause '$other' — supported: " +
+              "[NOT] MATCHED [AND <cond>] THEN UPDATE SET <assignments|*> " +
+              "/ DELETE / INSERT *")
+        }
+      require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+      MergeStmt(m.group(1), Option(m.group(2)), usingText,
+        Option(onM.group(1)), onM.group(2), clauses)
     }
 
   // Trino-style maintenance procedures (scripts/maintenance.sh:66-79
@@ -215,8 +277,25 @@ object DmlRunner {
       registerExtras: SparkSession => Unit = _ => ()): DataFrame = {
     val scoped = spark.newSession()
     registerExtras(scoped)
-    val tables: Map[String, GraftTable] =
-      cat.names.map(n => n -> new GraftTable(scoped, cat.defn(n), cat.root)).toMap
+    // mutable: CTAS adds runner-created tables, DROP TABLE removes them
+    val tables = scala.collection.mutable.Map[String, GraftTable](
+      cat.names.map(n => n -> new GraftTable(scoped, cat.defn(n), cat.root)): _*)
+    val declared = cat.names.toSet
+    // re-open tables a PREVIOUS run created via CTAS (the reference's
+    // materializer is a cron: run 1 creates the mat table, every later
+    // run sees it exists and goes incremental) — their schema rides a
+    // DDL sidecar, since a CTAS table has no declared TableDef
+    Option(new java.io.File(cat.root).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !declared.contains(d.getName))
+      .foreach { d =>
+        val sidecar = java.nio.file.Paths.get(d.getPath, CtasSchemaSidecar)
+        if (java.nio.file.Files.exists(sidecar)) {
+          val ddl = java.nio.file.Files.readString(sidecar)
+          tables(d.getName) = new GraftTable(scoped,
+            TableDef(d.getName, org.apache.spark.sql.types.StructType.fromDDL(ddl)),
+            cat.root)
+        }
+      }
     val stmts = SqlRunner.splitStatements(script)
     require(stmts.nonEmpty, "empty SQL script")
     var last: DataFrame = null
@@ -232,21 +311,67 @@ object DmlRunner {
       // catalog-qualified names (`iceberg.db.foo`, `db.foo`) resolve to
       // the temp views by LAST segment — applied to the whole statement
       // so qualified names inside subqueries and plain SELECTs replay
-      // verbatim too (the reference's scripts qualify every reference)
-      val rewritten = rewriteQualified(stmt, tables.keys)
-      val r = runStatement(scoped, tables, rewritten)
+      // verbatim too (the reference's scripts qualify every reference).
+      // Temp views count: materialize.sh qualifies its VIEW reads
+      // (`CREATE TABLE ... AS SELECT * FROM iceberg.db.v_x`) the same
+      // way it qualifies tables.
+      val views = scoped.catalog.listTables().collect().map(_.name)
+      val rewritten = rewriteQualified(stmt, tables.keys.toSet ++ views)
+      val r = runStatement(scoped, tables, declared, cat.root, rewritten)
       if (r != null) last = r
     }
     require(last != null, "script contained only SET statements")
     last
   }
 
-  private def resolve(tables: Map[String, GraftTable], qualified: String): GraftTable =
+  private def resolve(tables: scala.collection.Map[String, GraftTable],
+      qualified: String): GraftTable =
     tables.getOrElse(baseName(qualified),
       throw new IllegalArgumentException(s"unknown DML target table: $qualified"))
 
-  private def runStatement(spark: SparkSession, tables: Map[String, GraftTable],
-      stmt: String): DataFrame = stmt match {
+  private def runStatement(spark: SparkSession,
+      tables: scala.collection.mutable.Map[String, GraftTable],
+      declared: Set[String], root: String, stmt: String): DataFrame = stmt match {
+    case CtasRe(ifNotExists, name, select) =>
+      // M1 as SQL text (scripts/materialize.sh:84 opens every mat table
+      // with `CREATE TABLE iceberg.db.<t> AS SELECT * FROM ...`): the
+      // result materializes as an `overwrite` commit of a NEW
+      // runner-scoped table under the same warehouse root
+      val base = baseName(name)
+      if (tables.contains(base)) {
+        require(ifNotExists != null,
+          s"table $base already exists — CREATE TABLE ... AS refuses " +
+            "(use IF NOT EXISTS for the materializer's table-exists skip)")
+        marker(spark, "CREATE TABLE (exists)", base)
+      } else {
+        val df = spark.sql(select)
+        val t = new GraftTable(spark, TableDef(base, df.schema), root)
+        t.overwrite(df)
+        // schema sidecar: a later run (new DmlRunner.run) re-opens this
+        // table by reading it back — CTAS tables have no declared def
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(root, base, CtasSchemaSidecar), df.schema.toDDL)
+        tables(base) = t
+        marker(spark, "CREATE TABLE AS", base)
+      }
+    case DropTableRe(ifExists, name) =>
+      val base = baseName(name)
+      tables.get(base) match {
+        case None =>
+          require(ifExists != null, s"unknown table to DROP: $base")
+          marker(spark, "DROP TABLE (absent)", base)
+        case Some(_) =>
+          // only runner-created (CTAS) tables drop; catalog-declared
+          // tables are administered through the TableCatalog (purge),
+          // and silently unregistering one here would desync the two
+          require(!declared.contains(base),
+            s"$base is catalog-declared — DROP TABLE only removes " +
+              "runner-created (CTAS) tables; use TableCatalog.purge")
+          tables.remove(base)
+          spark.catalog.dropTempView(base)
+          graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(root, base))
+          marker(spark, "DROP TABLE", base)
+      }
     case DeleteRe(name, whereOrNull) =>
       val t = resolve(tables, name)
       val cond = Option(whereOrNull).map(expr).getOrElse(lit(true))
@@ -343,9 +468,9 @@ object DmlRunner {
       marker(spark, "DROP COLUMNS", t.defn.name)
     case merge if merge.trim.toUpperCase.startsWith("MERGE") =>
       parseMerge(merge.trim) match {
-        case Some((name, using, on)) =>
-          val t = resolve(tables, name)
-          runMerge(spark, t, using.trim, on)
+        case Some(ms) =>
+          val t = resolve(tables, ms.target)
+          runMerge(spark, t, ms)
           marker(spark, "MERGE", t.defn.name)
         case None =>
           throw new IllegalArgumentException(s"unparseable MERGE statement: $merge")
@@ -425,20 +550,20 @@ object DmlRunner {
     }
   }
 
-  private def runMerge(spark: SparkSession, t: GraftTable,
-      using: String, on: String): Unit = {
+  private def runMerge(spark: SparkSession, t: GraftTable, ms: MergeStmt): Unit = {
     require(t.defn.isUpsert,
       s"${t.defn.name}: MERGE INTO needs a keyed (upsert) table")
     // the source: a parenthesized subquery or a view name
     val src =
-      if (using.startsWith("(")) spark.sql(using.stripPrefix("(").stripSuffix(")"))
-      else spark.table(using)
+      if (ms.using.startsWith("("))
+        spark.sql(ms.using.stripPrefix("(").stripSuffix(")"))
+      else spark.table(ms.using)
     // the ON clause must be exactly the identifier-key equalities — the
-    // one MERGE shape with upsert semantics; anything else (partial
+    // one MERGE join with per-key semantics; anything else (partial
     // keys, extra predicates) would NOT be latest-wins-per-key and
     // refuses rather than approximating
     val eqRe = """(?i)\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*""".r
-    val onCols = on.split("(?i)\\bAND\\b").toSeq.map {
+    val onCols = ms.on.split("(?i)\\bAND\\b").toSeq.map {
       case eqRe(a, b) =>
         require(a.equalsIgnoreCase(b),
           s"${t.defn.name}: MERGE ON must equate same-named key columns, got '$a = $b'")
@@ -451,9 +576,79 @@ object DmlRunner {
       s"${t.defn.name}: MERGE ON columns (${onCols.mkString(", ")}) must be " +
         s"exactly the identifier keys (${t.defn.keys.mkString(", ")})")
     val want = t.currentSchema.fieldNames
-    require(src.columns.map(_.toLowerCase).sorted.sameElements(
-        want.map(_.toLowerCase).sorted.toArray[String]),
-      s"${t.defn.name}: MERGE source columns must match the schema for SET */INSERT *")
-    t.upsert(castTo(src.select(want.map(src.col).toIndexedSeq: _*), t))
+    // fast path — the exact upsert shape commits one upsert (O(batch),
+    // merge-on-read stays zero-rewrite)
+    val upsertShaped = ms.clauses.map(c => (c.matched, c.cond, c.verb, c.set)) ==
+      Seq((true, None, "update", "*"), (false, None, "insert", null))
+    if (upsertShaped) {
+      require(src.columns.map(_.toLowerCase).sorted.sameElements(
+          want.map(_.toLowerCase).sorted.toArray[String]),
+        s"${t.defn.name}: MERGE source columns must match the schema for SET */INSERT *")
+      t.upsert(castTo(src.select(want.map(src.col).toIndexedSeq: _*), t))
+      return
+    }
+    // general path — conditional UPDATE with explicit assignments,
+    // MATCHED DELETE, conditional INSERT *: one keyed replace commit
+    // over EXACTLY the touched keys (replaceKeys), never a table
+    // rewrite. WHEN clauses apply first-match-wins per matched pair,
+    // SQL MERGE's clause-order semantics; every SET RHS (and clause
+    // cond) sees the OLD target row joined with its source row, both
+    // addressable by alias.
+    val tA = ms.targetAlias.getOrElse(t.defn.name)
+    val sA = ms.srcAlias.getOrElse("__merge_src")
+    val tgt = t.readLogical().as(tA)
+    val srcA = src.as(sA)
+    val keyCond = onCols.map(k => col(s"$tA.$k") === col(s"$sA.$k")).reduce(_ && _)
+    val matchedClauses = ms.clauses.filter(_.matched)
+    val insertClauses = ms.clauses.filterNot(_.matched)
+    require(insertClauses.size <= 1,
+      s"${t.defn.name}: at most one WHEN NOT MATCHED clause is supported")
+    val joined = tgt.join(srcA, keyCond, "inner")
+    val action = matchedClauses.zipWithIndex
+      .foldLeft(when(lit(false), lit(-1))) { case (acc, (c, i)) =>
+        acc.when(c.cond.map(expr).getOrElse(lit(true)), lit(i))
+      }.otherwise(lit(-1))
+    val acted = joined.withColumn("__action", action)
+    def updateProjection(set: String): Seq[org.apache.spark.sql.Column] =
+      if (set.trim == "*") want.toSeq.map(c => col(s"$sA.$c").as(c))
+      else {
+        val assigns = splitTopLevel(set).map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"${t.defn.name}: bad MERGE SET assignment '$a'")
+          val raw = a.substring(0, i).trim
+          val name = // an assignment may target-qualify its column
+            if (raw.toLowerCase.startsWith(tA.toLowerCase + "."))
+              raw.substring(tA.length + 1)
+            else raw
+          require(want.exists(_.equalsIgnoreCase(name)),
+            s"${t.defn.name}: MERGE SET names unknown column '$name'")
+          require(!t.defn.keys.exists(_.equalsIgnoreCase(name)),
+            s"${t.defn.name}: cannot MERGE-update identifier key '$name'")
+          name.toLowerCase -> expr(a.substring(i + 1).trim)
+        }
+        require(assigns.map(_._1).distinct.size == assigns.size,
+          s"${t.defn.name}: duplicate column in MERGE SET list")
+        val byName = assigns.toMap
+        want.toSeq.map(c =>
+          byName.get(c.toLowerCase).map(_.as(c)).getOrElse(col(s"$tA.$c").as(c)))
+      }
+    val updates = matchedClauses.zipWithIndex.collect {
+      case (c, i) if c.verb == "update" =>
+        acted.filter(col("__action") === i).select(updateProjection(c.set): _*)
+    }
+    val inserts = insertClauses.map { c =>
+      val anti = srcA.join(tgt, keyCond, "left_anti")
+      val filtered = c.cond.map(x => anti.filter(expr(x))).getOrElse(anti)
+      require(want.forall(cn => src.columns.exists(_.equalsIgnoreCase(cn))),
+        s"${t.defn.name}: MERGE source must carry every table column for INSERT *")
+      filtered.select(want.toSeq.map(cn => col(cn)): _*)
+    }
+    val replacement = (updates ++ inserts).reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), t.currentSchema))
+    val staleKeys = acted.filter(col("__action") >= 0)
+      .select(t.defn.keys.map(k => col(s"$tA.$k").as(k)): _*)
+    t.replaceKeys(staleKeys = staleKeys, keyCols = t.defn.keys,
+      replacement = castTo(replacement, t))
   }
 }

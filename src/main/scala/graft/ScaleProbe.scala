@@ -205,6 +205,68 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE=manifest: commit-metadata scaling. Builds
+    // sort-ordered tables at ~0.5k / ~5k / ~15k live files and
+    // measures, at each size: the wall time and persisted JSON bytes of
+    // ONE more append commit (must stay flat — the json carries chunk
+    // refs bounded by the fold-smallest merge, never the file list),
+    // and a range-pruned read + footer-watermark lookup with the
+    // footer-probe counter sampled around them (must be ZERO — bounds
+    // come from the manifest entries persisted at write time). This is
+    // the 100× check on the manifest design: per-commit metadata IO is
+    // O(delta); the remaining O(live) work is in-memory map building,
+    // the same shape as Iceberg's manifest-list scan.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("manifest")) {
+      import graft.tables.{GraftTable, TableDef}
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("value", DoubleType)))
+      val ev = Tables(spark, sfDir).events.select(col("ts"),
+        round(col("value"), 2).as("value"))
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", "512") // 512 files/append
+      // the probe SIMULATES a many-file table; AQE's small-partition
+      // coalesce would collapse each append back to one file
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try {
+        for (k <- Seq(1, 10, 30)) {
+          val wh = s"$outRoot/manifest_x$k"
+          val p = Paths.get(wh)
+          if (Files.exists(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => Files.delete(f))
+          val t = new GraftTable(spark, TableDef("probe", schema,
+            sortOrder = Seq("ts")), wh)
+          for (i <- 0 until k) // day-shifted slices → range-disjoint files
+            t.append(ev.withColumn("ts",
+              col("ts") + expr(s"INTERVAL ${i * 31} DAYS")))
+          val live = t.commits.last.files.size
+          println(s"== manifest ${k}x ($live live files) ==")
+          val t0 = System.nanoTime()
+          t.append(ev.limit(10000))
+          val commitS = (System.nanoTime() - t0) / 1e9
+          val jsonBytes = Files.size(Paths.get(
+            s"$wh/probe/_commits/commit-${t.currentVersion}.json"))
+          val chunkRefs = t.commits.last.manifestsOrEmpty.size
+          val probes0 = GraftTable.footerProbeCount.get()
+          val lo = ev.agg(min(col("ts"))).collect().head.getTimestamp(0).getTime * 1000L
+          val t1 = System.nanoTime()
+          val pruned = t.readRangeLogical("ts", lo, lo + 3L * 86400000000L).count()
+          val wm = t.columnMaxMicros("ts")
+          val readS = (System.nanoTime() - t1) / 1e9
+          val probes = GraftTable.footerProbeCount.get() - probes0
+          println(f"  append_commit        $commitS%8.2f s  json=${jsonBytes}B refs=$chunkRefs")
+          println(f"  pruned_read+wm       $readS%8.2f s  rows=$pruned wm=${wm.isDefined} footer_probes=$probes")
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      }
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE=mat: the materializer scale probe. Each replica
     // copy SHIFTS ts by 31 days, so the fact table's TIME SPAN (and row
     // count) grows k× while the straggler window stays a fixed 3-day

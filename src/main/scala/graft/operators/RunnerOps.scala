@@ -159,5 +159,127 @@ object RunnerOps {
            |       coalesce(b.total_value, a.total_value) AS total_value
            |FROM a FULL JOIN b USING (user_id, event_type)""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(x2SqlRunner, x4SqlDml, x5SqlMerge)
+  /** X6 — the reference materializer's FULL-PASS protocol replayed
+    * verbatim as text (scripts/materialize.sh:84-95 creates each mat
+    * table with `CREATE TABLE iceberg.db.<t> AS SELECT * FROM
+    * iceberg.db.<view>`, then rewrites the watermark row; :106-108 is
+    * the watermark-missing full reload, `DELETE FROM` + `INSERT INTO
+    * ... SELECT`). Two SEPARATE runner invocations: run 1 executes the
+    * create branch, run 2 the reload branch — which only works if a
+    * later run re-opens the CTAS table run 1 created (the cron shape).
+    * The oracle restates the view; a Scala require pins the watermark
+    * bookkeeping at the source max.
+    */
+  val x6SqlMaterialize: QueryDef = QueryDef(
+    "x6_sql_materialize",
+    (s, dir) => {
+      val wh = scratch("x6")
+      val wmSchema = StructType(Seq(
+        StructField("table_name", StringType),
+        StructField("last_materialized_at", TimestampType)))
+      val cat = new TableCatalog(s, wh, Seq(
+        TableDef("materialization_watermarks", wmSchema)))
+      val extras: org.apache.spark.sql.SparkSession => Unit = scoped => {
+        Tables(scoped, dir).events.createOrReplaceTempView("events")
+        scoped.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW v_hourly_metrics AS
+            |SELECT date_trunc('hour', ts) AS hour, event_type,
+            |       count(*) AS n_events, round(sum(value), 2) AS total_value
+            |FROM events GROUP BY 1, 2""".stripMargin)
+      }
+      DmlRunner.run(s, cat,
+        """CREATE TABLE iceberg.db.mat_hourly_metrics AS
+          |SELECT * FROM iceberg.db.v_hourly_metrics;
+          |DELETE FROM iceberg.db.materialization_watermarks
+          |WHERE table_name = 'mat_hourly_metrics';
+          |INSERT INTO iceberg.db.materialization_watermarks
+          |SELECT 'mat_hourly_metrics', MAX(ts) FROM iceberg.db.events;
+          |SELECT count(*) AS n FROM iceberg.db.mat_hourly_metrics
+          |""".stripMargin, extras)
+      // the cron's NEXT pass, a fresh runner: watermark-missing full
+      // reload (materialize.sh:106-108) against the re-opened table
+      val out = DmlRunner.run(s, cat,
+        """DELETE FROM iceberg.db.mat_hourly_metrics;
+          |INSERT INTO iceberg.db.mat_hourly_metrics
+          |SELECT * FROM iceberg.db.v_hourly_metrics;
+          |DELETE FROM iceberg.db.materialization_watermarks
+          |WHERE table_name = 'mat_hourly_metrics';
+          |INSERT INTO iceberg.db.materialization_watermarks
+          |SELECT 'mat_hourly_metrics', MAX(ts) FROM iceberg.db.events;
+          |SELECT hour, event_type, n_events, total_value
+          |FROM iceberg.db.mat_hourly_metrics
+          |""".stripMargin, extras)
+      // watermark bookkeeping pins at the source max, exactly one row
+      val wm = cat.table("materialization_watermarks").readLogical().collect()
+      require(wm.length == 1 && wm.head.getString(0) == "mat_hourly_metrics",
+        s"watermark bookkeeping drifted: ${wm.mkString(", ")}")
+      out
+    },
+    Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+           |       event_type, count(*) AS n_events,
+           |       round(sum(value), 2) AS total_value
+           |FROM events
+           |GROUP BY 1, 2""".stripMargin))
+
+  /** X7 — general MERGE shapes as text: explicit `SET col = expr`
+    * assignment lists (RHS reading BOTH aliases' OLD values),
+    * `WHEN MATCHED AND <cond> THEN DELETE` ahead of a catch-all UPDATE
+    * (first-match-wins, SQL clause order), and a conditional
+    * `WHEN NOT MATCHED AND ... THEN INSERT *` — landing as ONE keyed
+    * replace commit over exactly the touched keys. The DuckDB oracle
+    * restates the end state with a FULL JOIN + CASE (DuckDB 1.0 has no
+    * MERGE), so a mis-routed clause, a NEW-row RHS leak, or a lost
+    * untouched key all hash-mismatch.
+    */
+  val x7SqlMergeAssign: QueryDef = QueryDef(
+    "x7_sql_merge_assign",
+    (s, dir) => {
+      val wh = scratch("x7")
+      val aggSchema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("n", LongType),
+        StructField("total_value", DoubleType)))
+      val cat = new TableCatalog(s, wh, Seq(
+        TableDef("user_totals", aggSchema, keys = Seq("user_id"))))
+      DmlRunner.run(s, cat,
+        """INSERT INTO user_totals
+          |SELECT user_id, count(*), round(sum(value), 2)
+          |FROM events WHERE ts < TIMESTAMP '2024-01-16'
+          |GROUP BY user_id;
+          |
+          |MERGE INTO user_totals t USING (
+          |  SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+          |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+          |  GROUP BY user_id
+          |) s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED AND t.user_id % 7 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET n = t.n + s.n,
+          |  total_value = round(t.total_value + s.total_value, 2)
+          |WHEN NOT MATCHED AND s.user_id % 2 = 0 THEN INSERT *;
+          |
+          |SELECT user_id, n, total_value FROM user_totals
+          |""".stripMargin,
+        registerExtras = scoped =>
+          Tables(scoped, dir).events.createOrReplaceTempView("events"))
+    },
+    Some("""WITH a AS (SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+           |           FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+           |           GROUP BY user_id),
+           |     b AS (SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+           |           FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+           |           GROUP BY user_id)
+           |SELECT user_id,
+           |       CASE WHEN b.n IS NULL THEN a.n
+           |            WHEN a.n IS NULL THEN b.n
+           |            ELSE a.n + b.n END AS n,
+           |       CASE WHEN b.n IS NULL THEN a.total_value
+           |            WHEN a.n IS NULL THEN b.total_value
+           |            ELSE round(a.total_value + b.total_value, 2) END AS total_value
+           |FROM a FULL JOIN b USING (user_id)
+           |WHERE NOT (a.n IS NOT NULL AND b.n IS NOT NULL AND user_id % 7 = 0)
+           |  AND (a.n IS NOT NULL OR user_id % 2 = 0)""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(x2SqlRunner, x4SqlDml, x5SqlMerge, x6SqlMaterialize, x7SqlMergeAssign)
 }

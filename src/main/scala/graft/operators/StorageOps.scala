@@ -894,11 +894,50 @@ object StorageOps {
     tbl.readLogical()
   }
 
+  /** S27 — the `$manifests` metadata surface, content-pinned: commit
+    * metadata (manifest entries' record counts and write-time `ts`
+    * bounds) must reconstruct the source aggregate EXACTLY, without
+    * touching a data file — rows from the entries' `r`, the time span
+    * from the entries' per-column bounds. The DuckDB oracle recomputes
+    * count/min/max from the raw source, so a manifest that dropped an
+    * entry, double-counted a carried file, or recorded a wrong bound
+    * hash-mismatches. A footer-probe counter guard asserts the ZERO
+    * data-file-IO property directly; chunk-count >= 2 proves the
+    * aggregate spans multiple chunks (carry + fresh), not one blob.
+    */
+  val s27Manifests: QueryDef = QueryDef(
+    "s27_manifests",
+    """SELECT count(*) AS n_rows,
+      |       min(CAST(ts AS TIMESTAMP)) AS min_ts,
+      |       max(CAST(ts AS TIMESTAMP)) AS max_ts
+      |FROM events""".stripMargin) { t =>
+    val wh = scratch("s27")
+    val cat = new TableCatalog(t.spark, wh, Seq(TableDef("event_log", eventsSchema)))
+    val tbl = cat.table("event_log")
+    val src = eventsSrc(t)
+    tbl.append(src.filter(col("event_type") =!= "error")) // chunk 1
+    tbl.append(src.filter(col("event_type") === "error")) // chunk 2 (carry + fresh)
+    val probes = GraftTable.footerProbeCount.get()
+    val entries = tbl.manifestEntries
+    require(entries.map(_._1).distinct.size >= 2,
+      "expected the live set to span multiple manifest chunks")
+    val bounds = entries.flatMap(_._2.boundsOrNone).flatten.filter(_.c == "ts")
+    require(bounds.nonEmpty, "manifest entries carry no ts bounds")
+    require(GraftTable.footerProbeCount.get() == probes,
+      "manifest reconstruction paid data-file footer IO")
+    import t.spark.implicits._
+    Seq((entries.map(_._2.r).sum, bounds.map(_.lo).min, bounds.map(_.hi).max))
+      .toDF("n_rows", "lo", "hi")
+      .select(col("n_rows"),
+        timestamp_micros(col("lo")).as("min_ts"),
+        timestamp_micros(col("hi")).as("max_ts"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s4PartitionedWrite, s5UpsertLatest, s5UpsertMor, s10Snapshots,
       s11BucketedJoin, s12CompactRoundtrip, s13TimeTravel, s14ZOrderRoundtrip,
       s15ExpireOrphans, s16IncrementalRead, s17ChangelogReplace,
       s18SchemaEvolution, s19WapPublish, s20MorDelete, s21PartitionEvolution,
       s22Rollback, s23SortOrder, s24Rename, s25PosDelete, s26ZOrderPartitioned,
-      m9PurgeIsolation)
+      s27Manifests, m9PurgeIsolation)
 }

@@ -11,12 +11,19 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** One committed snapshot of a table. `files` is the FULL live file list
-  * (relative to the table's data dir), not a delta — so any snapshot is
-  * readable on its own (time travel, S10) and expiring old snapshots
-  * never breaks later ones. At 100 TB the file list would move into
-  * manifest files; the commit protocol itself is scale-independent
-  * (one small JSON per commit, written atomically via tmp+rename).
+/** One committed snapshot of a table. IN MEMORY, `files` is the FULL
+  * live file list (relative to the table's data dir), not a delta — so
+  * any snapshot is readable on its own (time travel, S10) and expiring
+  * old snapshots never breaks later ones. ON DISK, the file list (with
+  * per-file rows/specs/column bounds) lives in immutable MANIFEST CHUNK
+  * files ([[ManifestStore]]) that the commit json references by name —
+  * the persisted json is O(this commit's delta), so commit metadata
+  * cost stays flat as the live file count grows (Iceberg's
+  * manifest-list design; the reference's tables are all Iceberg
+  * format-version 2). [[GraftTable.commits]] resolves chunk references
+  * back into the full in-memory view once per handle. Pre-manifest
+  * commit jsons (inline `files`/`fileRows`/`fileSpecs`, no `manifests`)
+  * still read; the next commit migrates their entries into chunks.
   */
 final case class CommitMeta(
     version: Int,
@@ -37,7 +44,8 @@ final case class CommitMeta(
     fileSpecs: Map[String, String] = Map.empty,
     renames: Seq[String] = Nil,
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
-    posDeleteFiles: Map[String, Int] = Map.empty) {
+    posDeleteFiles: Map[String, Int] = Map.empty,
+    manifests: Seq[String] = Nil) {
   /** Jackson leaves a missing field null on old commit jsons. */
   def sinkBatchesOrEmpty: Map[String, Long] =
     Option(sinkBatches).getOrElse(Map.empty)
@@ -131,6 +139,12 @@ final case class CommitMeta(
     */
   def posDeleteFilesOrEmpty: Map[String, Int] =
     Option(posDeleteFiles).getOrElse(Map.empty)
+
+  /** Names of the manifest chunks whose entries form this snapshot's
+    * live file set. Empty on pre-manifest commit jsons (which carry
+    * the file list inline) — see the class doc.
+    */
+  def manifestsOrEmpty: Seq[String] = Option(manifests).getOrElse(Nil)
 }
 
 /** Conservative file-pruning hint for replace commits: every row the
@@ -180,6 +194,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   Files.createDirectories(Paths.get(commitsDir))
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  // manifest chunks are shared by main and every branch (branch commits
+  // reference the same chunk files; fast-forward moves only jsons)
+  private val manifestStore = new ManifestStore(s"$tableDir/_manifests", mapper)
 
   private def timed[A](label: String)(body: => A): A =
     graft.Timing.timed(defn.name, label)(body)
@@ -305,6 +323,21 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   private val commitCache =
     scala.collection.concurrent.TrieMap[(String, Long, Long), CommitMeta]()
 
+  /** Manifest chunk sizing: entries per chunk (a full chunk json is a
+    * few hundred KB — one metadata IO, Iceberg-manifest-sized) and the
+    * reference-count ceiling that triggers the fold-smallest merge.
+    */
+  private val ChunkTargetEntries = 1024
+  private val MaxChunkRefs = 24
+
+  /** Footer stats of freshly written (immutable) files, one open each:
+    * row count + per-INT64-column min/max — keyed by relative path,
+    * shared between append's zero-row check and writeCommit's manifest
+    * entry build so each new file's footer opens exactly once.
+    */
+  private val footerStatsCache =
+    scala.collection.concurrent.TrieMap[String, (Long, Seq[ColumnBound])]()
+
   private def contentKey(bytes: Array[Byte]): Long = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
@@ -317,18 +350,54 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         val bytes = Files.readAllBytes(f.toPath)
         commitCache.getOrElseUpdate(
           (f.getName, bytes.length.toLong, contentKey(bytes)),
-          mapper.readValue(bytes, classOf[CommitMeta]))
+          resolveManifests(mapper.readValue(bytes, classOf[CommitMeta])))
       }
       .sortBy(_.version).toSeq
   }
 
+  /** Rebuild the in-memory full-file-list view from a persisted
+    * manifest-format commit (files/fileRows/fileSpecs were stripped at
+    * write time — see [[writeCommit]]). Cached with the parse, so the
+    * chunk walk happens once per commit json per handle; the chunk
+    * parses themselves cache in the [[ManifestStore]].
+    */
+  private def resolveManifests(c: CommitMeta): CommitMeta = {
+    val ms = c.manifestsOrEmpty
+    if (ms.isEmpty) c
+    else {
+      val entries = ms.flatMap(manifestStore.read)
+      c.copy(files = entries.map(_.p),
+        fileRows = entries.map(e => e.p -> e.r).toMap,
+        fileSpecs = entries.flatMap(e => e.specOrNone.map(e.p -> _)).toMap)
+    }
+  }
+
+  /** file → write-time column bounds, from a snapshot's manifest
+    * entries — the metadata-log replacement for per-file footer probes
+    * on the range-pruning and watermark paths. Files from pre-manifest
+    * commits (or migrated entries with unknown bounds) are absent;
+    * callers fall back to a footer read for exactly those.
+    */
+  private def manifestBoundsOf(snap: CommitMeta): Map[String, Map[String, (Long, Long)]] =
+    snap.manifestsOrEmpty.flatMap(manifestStore.read)
+      .flatMap(e => e.boundsOrNone.map(bs =>
+        e.p -> bs.map(cb => cb.c -> (cb.lo, cb.hi)).toMap)).toMap
+
   def currentVersion: Int = commits.lastOption.map(_.version).getOrElse(0)
 
-  /** Commit `files` as the new live set. Row counts come from the
-    * previous commit's per-file map where a file is carried over; only
-    * files NOT in the previous commit (the ones this operation wrote)
-    * have their footers read — commit cost is O(new files) regardless of
-    * how many live files are carried.
+  /** Commit `files` as the new live set. Row counts AND column bounds
+    * come from the previous commit's manifest entries where a file is
+    * carried over; only files NOT in the previous commit (the ones this
+    * operation wrote) have their footers read (once — the same open
+    * harvests rows + bounds) — commit cost is O(new files) regardless
+    * of how many live files are carried. The persisted json stores
+    * manifest chunk NAMES, never the file list: an append-shaped commit
+    * writes one new chunk and carries prior chunks by reference; a
+    * commit that removes files (or restamps specs) rewrites only the
+    * touched chunks. Chunk-reference growth is bounded by merging the
+    * smallest chunks into the commit's own write once the ref count
+    * exceeds [[GraftTable.MaxChunkRefs]] — logarithmic amortized
+    * rewrite, Iceberg's `rewrite_manifests` folded into the commit.
     */
   private def writeCommit(op: String, files: Seq[String],
       knownRows: Map[String, Long] = Map.empty,
@@ -341,8 +410,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       newRenames: Option[Seq[String]] = None,
       posDeletes: Map[String, Int] => Map[String, Int] = identity): CommitMeta = {
     val prevMeta = commits.lastOption
+    val prevFiles = prevMeta.map(_.files.toSet).getOrElse(Set.empty)
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
-    val fileRows = files.par.map(f => f -> prevRows.getOrElse(f, footerRowCount(Seq(f)))).seq.toMap
+    // one footer open per ADDED file harvests rows + INT64 bounds for
+    // the manifest entry (parallel, cached per handle — append's own
+    // zero-row check already primed it)
+    val addedStats: Map[String, (Long, Seq[ColumnBound])] =
+      files.filterNot(prevFiles).par.map(f => f -> footerStats(f)).seq.toMap
+    val fileRows = files.par.map(f => f -> prevRows.getOrElse(f,
+      addedStats.get(f).map(_._1).getOrElse(footerStats(f)._1))).seq.toMap
     // partition-spec bookkeeping: the carried spec, plus (once the table
     // has ever evolved) per-file write-spec provenance. New files were
     // written under the spec in effect BEFORE this commit (an evolve
@@ -388,12 +464,48 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // pending position-delete tombstones carry like equality tombstones
     val carriedPosDeletes =
       posDeletes(prevMeta.map(_.posDeleteFilesOrEmpty).getOrElse(Map.empty))
+    // ---- manifest chunking: persisted metadata is O(this delta) ----
+    val fileSet = files.toSet
+    // a prior chunk carries BY REFERENCE iff every entry survives with
+    // identical rows/spec — otherwise its survivors spill into this
+    // commit's own chunk write with their (immutable) bounds kept.
+    // Spec restamps (first partition evolution, rollback overrides)
+    // and removals are what break the carry.
+    val (carriedOk, toSpill) = prevMeta.map(_.manifestsOrEmpty).getOrElse(Nil)
+      .partition(n => manifestStore.read(n).forall(e =>
+        fileSet.contains(e.p) && e.r == fileRows(e.p) &&
+          e.specOrNone == fileSpecs.get(e.p)))
+    // bound ref growth: once the json would reference too many chunks,
+    // fold the smallest ones into this commit's write (amortized: a
+    // chunk is re-merged O(log files) times over the table's life)
+    val (carried, merged) =
+      if (carriedOk.size < MaxChunkRefs) (carriedOk, Nil)
+      else carriedOk.sortBy(n => manifestStore.read(n).size)
+        .splitAt(MaxChunkRefs / 2).swap
+    val pool = (toSpill ++ merged).flatMap(manifestStore.read)
+      .filter(e => fileSet.contains(e.p))
+      .map(e => e.copy(r = fileRows(e.p), s = fileSpecs.get(e.p).orNull))
+    val covered = carried.flatMap(n => manifestStore.read(n).map(_.p)).toSet ++
+      pool.map(_.p)
+    // files never chunked yet: this commit's additions (bounds from the
+    // footer harvest) and any carried-over entries of a PRE-manifest
+    // predecessor json (one-time migration; bounds unknown → null)
+    val fresh = files.filterNot(covered).map(f => ManifestEntry(
+      f, fileRows(f), fileSpecs.get(f).orNull,
+      addedStats.get(f).map(_._2).orNull))
+    val newChunks = (pool ++ fresh).grouped(ChunkTargetEntries).map(
+      manifestStore.write).toSeq
+    val chunkNames = carried ++ newChunks
     val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op,
       fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows, changeFiles,
       deleteFiles, carriedSchema, carriedMorDeletes, carriedSpecDdl, fileSpecs,
-      carriedRenames, carriedPosDeletes)
+      carriedRenames, carriedPosDeletes, chunkNames)
+    // persist the STRIPPED form — the chunk references are the durable
+    // file list; the full in-memory view rebuilds via resolveManifests
+    val persisted = meta.copy(files = Nil, fileRows = Map.empty,
+      fileSpecs = Map.empty)
     val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
-    Files.writeString(tmp, mapper.writeValueAsString(meta))
+    Files.writeString(tmp, mapper.writeValueAsString(persisted))
     Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
     meta
   }
@@ -1244,14 +1356,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     prune match {
       case None => (Nil, live)
       case Some(p) =>
-        // independent per-file footer reads — driver-side metadata IO,
-        // parallelized so a many-file snapshot classifies in ~one read's
-        // latency rather than N of them. Footers store the WRITE-TIME
-        // column name, so a renamed pruning column is probed under each
-        // file's stored name (a miss there degrades to rewrite, never
-        // to a wrong carry).
+        // bounds come from the snapshot's MANIFEST entries (persisted at
+        // write time) — a metadata-log lookup, zero data-file footer IO.
+        // Manifests store bounds under the WRITE-TIME column name, so a
+        // renamed pruning column is probed under each file's stored name
+        // (a miss there degrades to rewrite, never to a wrong carry).
+        // Only files migrated from pre-manifest commits (no recorded
+        // bounds at all) fall back to a parallel footer probe.
         val stored = storedColumnByFile(p.column)
-        val bounds = live.par.map(f => f -> fileBoundsMicros(f, stored(f))).seq
+        val bounds = boundsByFile(commits.lastOption, live, stored)
         if (bounds.exists(_._2.isEmpty)) (Nil, live)
         else {
           val (out, in) = bounds.partition {
@@ -1261,6 +1374,30 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           (out.map(_._1), in.map(_._1))
         }
     }
+  }
+
+  /** Per-file bounds of a (possibly renamed) column over `files`:
+    * manifest entries first — a key present is the written bounds, a
+    * key absent from a RECORDED bounds map means the stats were
+    * unusable at write time (same verdict a footer probe would reach,
+    * without the IO) — and a parquet footer probe only for files whose
+    * entry predates bounds recording entirely.
+    */
+  private def boundsByFile(snap: Option[CommitMeta], files: Seq[String],
+      stored: String => String): Seq[(String, Option[(Long, Long)])] = {
+    val persisted = snap.map(manifestBoundsOf).getOrElse(Map.empty)
+    val rows = snap.map(_.fileRowsOrEmpty).getOrElse(Map.empty)
+    files.par.map { f =>
+      f -> (persisted.get(f) match {
+        // a zero-row file (Spark's schema-only artifact) has no blocks
+        // and so no recorded columns — its bounds are the empty range
+        // for EVERY column, same as a footer probe would conclude
+        case Some(_) if rows.getOrElse(f, -1L) == 0L =>
+          Some((Long.MaxValue, Long.MinValue))
+        case Some(bm) => bm.get(stored(f))
+        case None => fileBoundsMicros(f, stored(f))
+      })
+    }.seq
   }
 
   /** file → the name the file's FOOTER stores for the current logical
@@ -1287,6 +1424,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * (MaxValue, MinValue), which intersects nothing.
     */
   private def fileBoundsMicros(file: String, colName: String): Option[(Long, Long)] = {
+    GraftTable.footerProbeCount.incrementAndGet() // test pin: the pruned
+    // path on manifest-format tables must never reach this fallback
     val conf = spark.sessionState.newHadoopConf()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(s"$dataDir/$file"), conf)
@@ -1321,7 +1460,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   def columnMaxMicros(colName: String): Option[Long] = {
     val live = commits.lastOption.map(_.files).getOrElse(Nil)
     val stored = storedColumnByFile(colName)
-    val bounds = live.par.map(f => fileBoundsMicros(f, stored(f))).seq
+    val bounds = boundsByFile(commits.lastOption, live, stored).map(_._2)
     if (bounds.exists(_.isEmpty)) None
     else bounds.flatten.map(_._2).filter(_ != Long.MinValue) match {
       case Nil => None
@@ -1483,15 +1622,54 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * in table size: Iceberg records the same per-file counts in its
     * manifests from write metrics rather than re-reading the data.
     */
-  private def footerRowCount(files: Seq[String]): Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    files.map { f =>
+  private def footerRowCount(files: Seq[String]): Long =
+    files.map(footerStats(_)._1).sum
+
+  /** One footer open per (immutable) file: row count + `[min, max]` of
+    * every column whose statistics decode as INT64 — the write-time
+    * harvest that feeds the manifest entries, so range pruning
+    * ([[classifyLiveFiles]]) and watermark reads ([[columnMaxMicros]])
+    * later resolve from the metadata log with ZERO data-file footer
+    * IO (Iceberg records the same bounds in its manifests from write
+    * metrics). Per-column semantics mirror [[fileBoundsMicros]]: an
+    * all-null column records the empty range (MaxValue, MinValue);
+    * unusable stats (missing, non-INT64, null-count unknown) omit the
+    * column. Cached per handle so append's zero-row check and
+    * writeCommit share a single open.
+    */
+  private def footerStats(file: String): (Long, Seq[ColumnBound]) =
+    footerStatsCache.getOrElseUpdate(file, {
+      val conf = spark.sessionState.newHadoopConf()
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(s"$dataDir/$f"), conf)
+        .fromPath(new org.apache.hadoop.fs.Path(s"$dataDir/$file"), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
-  }
+      try {
+        var rows = 0L
+        val lo = scala.collection.mutable.Map[String, Long]()
+        val hi = scala.collection.mutable.Map[String, Long]()
+        val seen = scala.collection.mutable.Set[String]()
+        val bad = scala.collection.mutable.Set[String]()
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          rows += b.getRowCount
+          b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            seen += name
+            val s = c.getStatistics
+            if (s == null) bad += name
+            else if (s.hasNonNullValue) (s.genericGetMin, s.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                lo(name) = math.min(lo.getOrElse(name, Long.MaxValue), mn)
+                hi(name) = math.max(hi.getOrElse(name, Long.MinValue), mx)
+              case _ => bad += name // non-INT64: no orderable bounds kept
+            }
+            else if (!(s.isNumNullsSet && s.getNumNulls == b.getRowCount)) bad += name
+          }
+        }
+        val bounds = seen.diff(bad).toSeq.sorted.map(n => ColumnBound(n,
+          lo.getOrElse(n, Long.MaxValue), hi.getOrElse(n, Long.MinValue)))
+        (rows, bounds)
+      } finally r.close()
+    })
 
   // ---- streaming sink bookkeeping ----
 
@@ -1971,10 +2149,16 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     def refsOf(c: CommitMeta): Seq[String] =
       c.files ++ c.deleteFilesOrEmpty ++ c.morDeleteFilesOrEmpty.keys ++
         c.posDeleteFilesOrEmpty.keys
-    val branchRefs = branches.flatMap(b => branchView(b).commits.flatMap(refsOf)).toSet
+    val branchViews = branches.map(branchView)
+    val branchRefs = branchViews.flatMap(_.commits.flatMap(refsOf)).toSet
     val referenced = commits.flatMap(refsOf).toSet ++ branchRefs
     val orphans = listDataFiles() -- referenced
     orphans.foreach(f => Files.deleteIfExists(Paths.get(s"$dataDir/$f")))
+    // the manifest leg: chunks referenced by no surviving commit json
+    // (expired snapshots, dropped branches) go with the data orphans —
+    // not counted in the return value, which stays "data files removed"
+    manifestStore.sweep(
+      (commits ++ branchViews.flatMap(_.commits)).flatMap(_.manifestsOrEmpty).toSet)
     // prune now-empty partition dirs
     def sweep(dir: File): Unit = {
       Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach(sweep)
@@ -2202,6 +2386,29 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       c.version, new java.sql.Timestamp(c.tsMs), c.op, c.rowCount, c.files.size))
     spark.createDataFrame(rows.asJava, schema)
   }
+
+  /** The CURRENT snapshot's manifest entries, with the chunk each lives
+    * in — the raw feed for the `$manifests` metadata table and the
+    * s27 oracle (whose row counts and column bounds must reconstruct
+    * the source aggregate without touching a data file).
+    */
+  def manifestEntries: Seq[(String, ManifestEntry)] =
+    commits.lastOption.map(_.manifestsOrEmpty).getOrElse(Nil)
+      .flatMap(n => manifestStore.read(n).map(n -> _))
+
+  /** Per-chunk stats of the current snapshot, Iceberg-`$manifests`
+    * shaped: (path, length bytes, added-at version, data file count,
+    * record count). Added-at = the FIRST commit referencing the chunk
+    * (chunks are immutable, so that is the commit that wrote it).
+    */
+  def manifestInfo: Seq[(String, Long, Int, Int, Long)] = {
+    val cs = commits
+    cs.lastOption.map(_.manifestsOrEmpty).getOrElse(Nil).map { n =>
+      val entries = manifestStore.read(n)
+      val addedAt = cs.find(_.manifestsOrEmpty.contains(n)).map(_.version).getOrElse(0)
+      (n, manifestStore.sizeBytes(n), addedAt, entries.size, entries.map(_.r).sum)
+    }
+  }
 }
 
 object GraftTable {
@@ -2219,4 +2426,12 @@ object GraftTable {
     * shuffled anti-join (and compaction should have run long before).
     */
   val PosDeleteBroadcastBytes: Long = 32L * 1024 * 1024
+
+  /** Count of per-file parquet-footer bound probes ([[fileBoundsMicros]]
+    * calls) — the metadata-IO the manifest bounds exist to eliminate.
+    * Tests pin that pruned reads and watermark lookups on
+    * manifest-format tables leave this untouched; only files migrated
+    * from pre-manifest commit jsons may pay the fallback.
+    */
+  val footerProbeCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }

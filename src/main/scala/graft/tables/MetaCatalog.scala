@@ -60,6 +60,7 @@ final class MetaCatalog extends V2TableCatalog {
       case "files" => new MetaCatalog.FilesTable(base, warehouse)
       case "refs" => new MetaCatalog.RefsTable(base, warehouse)
       case "partitions" => new MetaCatalog.PartitionsTable(base, warehouse)
+      case "manifests" => new MetaCatalog.ManifestsTable(base, warehouse)
       case _ => refuse()
     }
   }
@@ -281,6 +282,44 @@ object MetaCatalog {
     StructField("file_format", StringType, nullable = false),
     StructField("record_count", LongType, nullable = false),
     StructField("file_size_in_bytes", LongType, nullable = false)))
+
+  /** Iceberg's `$manifests` metadata table (core columns): the CURRENT
+    * snapshot's manifest chunk files — path, on-disk length, the
+    * snapshot that added the chunk (chunks are immutable, so first
+    * reference = writer), data file count, and record count. This is
+    * the operator's view of commit-metadata health: chunk count bounded
+    * by the fold-smallest merge, per-chunk entry counts near the chunk
+    * target, record counts summing to the snapshot's row count.
+    */
+  val ManifestsSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("added_snapshot_id", LongType, nullable = false),
+    StructField("added_data_files_count", IntegerType, nullable = false),
+    StructField("record_count", LongType, nullable = false)))
+
+  private final class ManifestsTable(base: String, warehouse: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"$base$$manifests"
+    override def schema(): StructType = ManifestsSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan with LocalScan {
+          override def readSchema(): StructType = ManifestsSchema
+          override def rows(): Array[InternalRow] = {
+            val spark = SparkSession.active
+            val tbl = new GraftTable(spark, TableDef(base, StructType(Nil)), warehouse)
+            tbl.manifestInfo.map { case (path, len, added, nFiles, recs) =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(path), len, added.toLong, nFiles, recs)
+              ): InternalRow
+            }.toArray
+          }
+        }
+      }
+  }
 
   private final class FilesTable(base: String, warehouse: String)
       extends Table with SupportsRead {

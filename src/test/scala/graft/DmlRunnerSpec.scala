@@ -229,6 +229,65 @@ class DmlRunnerSpec extends AnyFunSuite {
     assert(t.branches.isEmpty)
   }
 
+  test("CREATE TABLE AS materializes a runner-scoped table; DROP TABLE removes it") {
+    val cat = new TableCatalog(spark, freshRoot("d10"), Seq(TableDef("base", schema)))
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO base VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0);
+        |CREATE TABLE iceberg.db.mat_sums AS
+        |  SELECT typ, sum(v) AS total FROM iceberg.db.base GROUP BY typ;
+        |-- the materializer's table-exists skip: second CTAS must no-op
+        |CREATE TABLE IF NOT EXISTS iceberg.db.mat_sums AS SELECT 1 AS junk;
+        |-- the new table is a first-class DML target
+        |DELETE FROM iceberg.db.mat_sums WHERE typ = 'b';
+        |SELECT typ, total FROM iceberg.db.mat_sums
+        |""".stripMargin)
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 4.0)))
+    // plain CTAS on an existing table refuses; DROP removes CTAS tables
+    intercept[IllegalArgumentException] {
+      DmlRunner.run(spark, cat, "CREATE TABLE base AS SELECT 1 AS x")
+    }
+    val out2 = DmlRunner.run(spark, cat,
+      """DROP TABLE iceberg.db.mat_sums;
+        |DROP TABLE IF EXISTS mat_sums;
+        |SELECT count(*) AS n FROM base
+        |""".stripMargin)
+    assert(out2.head().getLong(0) == 3L)
+    // declared tables never DROP through the runner
+    intercept[IllegalArgumentException] {
+      DmlRunner.run(spark, cat, "DROP TABLE base")
+    }
+  }
+
+  test("general MERGE: explicit SET assignments, MATCHED AND cond, MATCHED DELETE, conditional INSERT") {
+    val cat = new TableCatalog(spark, freshRoot("d11"), Seq(
+      TableDef("acct", schema, keys = Seq("id"))))
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO acct VALUES (1, 'keep', 10.0), (2, 'bump', 20.0),
+        |                        (3, 'dead', 30.0), (4, 'keep', 40.0);
+        |MERGE INTO acct t USING (
+        |  SELECT 2 AS id, 'x' AS typ, 0.0 AS v, 5.0 AS delta UNION ALL
+        |  SELECT 3, 'x', 0.0, 0.0 UNION ALL
+        |  SELECT 9, 'new', 90.0, 99.0 UNION ALL
+        |  SELECT 10, 'small', 1.0, 0.5
+        |) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.typ = 'dead' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta, typ = concat(t.typ, '!')
+        |WHEN NOT MATCHED AND s.delta > 50.0 THEN INSERT *
+        |;
+        |SELECT id, typ, v FROM acct
+        |""".stripMargin)
+    // first-match-wins: id=3 deletes before the catch-all update; SET
+    // RHS sees the OLD target row joined with its source row; the
+    // conditional INSERT admits id=9 and filters id=10; untouched rows
+    // (1, 4) survive a keyed replace over exactly the touched keys
+    assert(out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "keep", 10.0), (2L, "bump!", 25.0), (4L, "keep", 40.0),
+        (9L, "new", 90.0)))
+  }
+
   test("refusals: unknown table, UPDATE of a key column, non-upsert-shaped MERGE") {
     val cat = new TableCatalog(spark, freshRoot("d6"), Seq(
       TableDef("k6", schema, keys = Seq("id"))))
@@ -245,6 +304,14 @@ class DmlRunnerSpec extends AnyFunSuite {
           |ON k6.typ = s.typ
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // INSERT with an explicit column/VALUES list is not a supported
+    // WHEN shape — refuse loudly, never approximate
+    intercept[IllegalArgumentException] {
+      DmlRunner.run(spark, cat,
+        """MERGE INTO k6 USING (SELECT 1 AS id, 'a' AS typ, 2.0 AS v) s
+          |ON k6.id = s.id
+          |WHEN NOT MATCHED THEN INSERT (id, typ, v) VALUES (s.id, s.typ, s.v)""".stripMargin)
     }
   }
 

@@ -154,6 +154,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 1))
   }
 
+  test("$manifests metadata table serves per-chunk stats that tile the live snapshot") {
+    SqlSurfaceOps.registerSurface(spark, sf)
+    import graft.tables.{GraftTable, MetaCatalog, TableDef}
+    import org.apache.spark.sql.types._
+    val wh = MetaCatalog.DefaultWarehouse
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(s"$wh/mf_probe"))
+    val t = new GraftTable(spark, TableDef("mf_probe",
+      StructType(Seq(StructField("id", LongType)))), wh)
+    import spark.implicits._
+    t.append((0L until 7L).toDF("id")) // v1 -> chunk 1
+    t.append((7L until 10L).toDF("id")) // v2 -> carries chunk 1, adds chunk 2
+    val got = withAnsiQuotes(spark.sql(
+      """SELECT path, length, added_snapshot_id, added_data_files_count, record_count
+        |FROM iceberg.db."mf_probe$manifests" ORDER BY added_snapshot_id""".stripMargin)
+      .collect())
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(got.length == 2)
+    assert(got.map(_._3).toSeq == Seq(1L, 2L), s"added snapshots: $got")
+    assert(got.map(_._5).sum == 10L, "chunk record counts must tile the snapshot")
+    assert(got.forall(_._2 > 0L))
+    assert(got.map(_._4).sum == t.commits.last.files.size)
+  }
+
   test("single-table example texts agree with an independent recomputation") {
     SqlSurfaceOps.registerSurface(spark, sf)
     val br = spark.table("bid_requests")
