@@ -60,10 +60,13 @@ object DmlRunner {
     """(?is)^\s*(?:(?:AS\s+)?(\w+)\s+)?ON\s+(.+?)\s+(WHEN\s+.+)$""".r
 
   /** One parsed `WHEN` clause of a MERGE. `set` is the raw assignment
-    * list text for UPDATE ("*" for `SET *`), null for DELETE/INSERT.
+    * list text for UPDATE ("*" for `SET *`), the raw `(cols) VALUES
+    * (exprs)` text for a column-list INSERT (null for `INSERT *`),
+    * null for DELETE.
     */
   private final case class MergeClause(matched: Boolean, cond: Option[String],
-      verb: String, set: String = null)
+      verb: String, set: String = null, insertCols: Seq[String] = Nil,
+      insertValues: Seq[String] = Nil)
 
   private val WhenUpdateRe =
     """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+)$""".r
@@ -71,6 +74,8 @@ object DmlRunner {
     """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE$""".r
   private val WhenInsertRe =
     """(?is)^NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*$""".r
+  private val WhenInsertValuesRe =
+    """(?is)^NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)$""".r
 
   /** Parsed MERGE: target, target alias, source text, source alias,
     * ON clause, WHEN clauses in statement order.
@@ -144,6 +149,10 @@ object DmlRunner {
             MergeClause(matched = true, Option(cond), "delete")
           case WhenInsertRe(cond) =>
             MergeClause(matched = false, Option(cond), "insert")
+          case WhenInsertValuesRe(cond, cols, values) =>
+            MergeClause(matched = false, Option(cond), "insert",
+              insertCols = cols.split(',').map(_.trim).toSeq,
+              insertValues = splitTopLevel(values))
           case other => throw new IllegalArgumentException(
             s"unsupported MERGE WHEN clause '$other' — supported: " +
               "[NOT] MATCHED [AND <cond>] THEN UPDATE SET <assignments|*> " +
@@ -639,10 +648,36 @@ object DmlRunner {
     val inserts = insertClauses.map { c =>
       val anti = srcA.join(tgt, keyCond, "left_anti")
       val filtered = c.cond.map(x => anti.filter(expr(x))).getOrElse(anti)
-      require(want.forall(cn => src.columns.exists(_.equalsIgnoreCase(cn))),
-        s"${t.defn.name}: MERGE source must carry every table column for INSERT *")
-      filtered.select(want.toSeq.map(cn => col(cn)): _*)
+      if (c.insertCols.isEmpty) {
+        require(want.forall(cn => src.columns.exists(_.equalsIgnoreCase(cn))),
+          s"${t.defn.name}: MERGE source must carry every table column for INSERT *")
+        filtered.select(want.toSeq.map(cn => col(cn)): _*)
+      } else {
+        // INSERT (cols) VALUES (exprs): exprs evaluate against the
+        // source row; unlisted columns null-fill (SQL), keys must be
+        // listed (an unkeyed insert row is unaddressable)
+        require(c.insertCols.size == c.insertValues.size,
+          s"${t.defn.name}: MERGE INSERT arity ${c.insertValues.size} != " +
+            s"column list ${c.insertCols.size}")
+        val byName = c.insertCols.map(_.toLowerCase)
+          .zip(c.insertValues.map(v => expr(v))).toMap
+        require(byName.size == c.insertCols.size,
+          s"${t.defn.name}: duplicate column in MERGE INSERT list")
+        c.insertCols.foreach(cn => require(want.exists(_.equalsIgnoreCase(cn)),
+          s"${t.defn.name}: MERGE INSERT names unknown column '$cn'"))
+        t.defn.keys.foreach(k => require(byName.contains(k.toLowerCase),
+          s"${t.defn.name}: MERGE INSERT must list identifier key '$k'"))
+        filtered.select(want.toSeq.map(cn => byName.get(cn.toLowerCase)
+          .map(_.as(cn)).getOrElse(lit(null).cast(
+            t.currentSchema(cn).dataType).as(cn))): _*)
+      }
     }
+    // SQL MERGE errors when several source rows hit one target row — a
+    // silent arbitrary-winner here would corrupt; one aggregate guards
+    require(src.groupBy(onCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() == 0,
+      s"${t.defn.name}: MERGE source has duplicate key tuples — " +
+        "SQL MERGE forbids multiple matches per target row")
     val replacement = (updates ++ inserts).reduceOption(_.unionByName(_))
       .getOrElse(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), t.currentSchema))

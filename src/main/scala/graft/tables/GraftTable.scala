@@ -570,43 +570,65 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     writePhysical(ordered)
   }
 
-  /** The raw write step shared by [[writeFiles]] and the partitioned
-    * z-order rewrite (which arranges its own distribution and must not
-    * have it re-shuffled): timestamp discipline + partitionBy + the
-    * added-files diff.
+  /** Run one Spark write into a fresh STAGING dir, then move the
+    * written files into the data dir preserving their (partition)
+    * relative paths. The post-write walk touches only THIS write's
+    * files — never the table — so write-side file discovery is O(new
+    * files), where the previous append-to-dataDir before/after diff
+    * paid TWO full-table directory listings per commit (the last
+    * O(live-files) IO on the write path; at object-store scale that
+    * LIST volume dominates the commit — Iceberg writers avoid it the
+    * same way, collecting task-written paths through the commit
+    * protocol instead of listing). Crash story: files move one atomic
+    * rename at a time (same filesystem — staging lives beside the data
+    * dir); a crash mid-move leaves unreferenced data files and a
+    * staging remnant, both reclaimed by [[removeOrphans]] — no
+    * snapshot ever references a file that is not fully in place.
     */
-  private def writePhysical(ordered: DataFrame): Seq[String] = {
-    val before = listDataFiles()
+  private def writeStaged(write: String => Unit): Seq[String] = {
+    val staging = Paths.get(
+      s"$tableDir/_staging/${java.util.UUID.randomUUID()}")
     val key = "spark.sql.parquet.outputTimestampType"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
-    try {
-      val writer = ordered.write.mode("append")
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dataDir)
-    } finally prior match {
+    try write(staging.toString)
+    finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-    (listDataFiles() -- before).toSeq.sorted
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val rels = walk(staging.toFile)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map { f =>
+        val rel = staging.relativize(f.toPath)
+        val dest = Paths.get(dataDir).resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+        rel.toString
+      }
+    graft.FsUtil.deleteRecursively(staging) // _SUCCESS + empty dirs
+    rels.sorted
   }
+
+  /** The raw write step shared by [[writeFiles]] and the partitioned
+    * z-order rewrite (which arranges its own distribution and must not
+    * have it re-shuffled): timestamp discipline + partitionBy, staged.
+    */
+  private def writePhysical(ordered: DataFrame): Seq[String] =
+    writeStaged { dir =>
+      val writer = ordered.write.mode("append")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer).parquet(dir)
+    }
 
   /** Write rows OUTSIDE the partition layout (equality-delete tombstone
     * files — key tuples only, so partition sources may be absent).
     * Same timestamp discipline as [[writeFiles]]; never listed in a
     * commit's `files`, so no data read ever sees them by accident.
     */
-  private def writeRawFiles(df: DataFrame): Seq[String] = {
-    val before = listDataFiles()
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try df.write.mode("append").parquet(dataDir)
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-    (listDataFiles() -- before).toSeq.sorted
-  }
+  private def writeRawFiles(df: DataFrame): Seq[String] =
+    writeStaged(dir => df.write.mode("append").parquet(dir))
 
   // ---- reads ----
 
@@ -2159,6 +2181,9 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // not counted in the return value, which stays "data files removed"
     manifestStore.sweep(
       (commits ++ branchViews.flatMap(_.commits)).flatMap(_.manifestsOrEmpty).toSet)
+    // a staging remnant can only be a crashed write (single-writer —
+    // nothing is in flight during maintenance): reclaim wholesale
+    graft.FsUtil.deleteRecursively(Paths.get(s"$tableDir/_staging"))
     // prune now-empty partition dirs
     def sweep(dir: File): Unit = {
       Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach(sweep)

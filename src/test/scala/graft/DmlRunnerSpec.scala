@@ -305,14 +305,40 @@ class DmlRunnerSpec extends AnyFunSuite {
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    // INSERT with an explicit column/VALUES list is not a supported
-    // WHEN shape — refuse loudly, never approximate
+    // an unsupported WHEN shape (NOT MATCHED BY SOURCE) refuses loudly
     intercept[IllegalArgumentException] {
       DmlRunner.run(spark, cat,
         """MERGE INTO k6 USING (SELECT 1 AS id, 'a' AS typ, 2.0 AS v) s
           |ON k6.id = s.id
-          |WHEN NOT MATCHED THEN INSERT (id, typ, v) VALUES (s.id, s.typ, s.v)""".stripMargin)
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
+    // a source with duplicate key tuples refuses (SQL MERGE semantics)
+    intercept[IllegalArgumentException] {
+      DmlRunner.run(spark, cat,
+        """MERGE INTO k6 USING (SELECT 1 AS id, 'a' AS typ, 2.0 AS v
+          |                     UNION ALL SELECT 1, 'b', 3.0) s
+          |ON k6.id = s.id
+          |WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
+
+  test("MERGE INSERT (cols) VALUES (exprs): listed columns evaluate, unlisted null-fill") {
+    val cat = new TableCatalog(spark, freshRoot("d12"), Seq(
+      TableDef("k12", schema, keys = Seq("id"))))
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO k12 VALUES (1, 'a', 1.0);
+        |MERGE INTO k12 t USING (
+        |  SELECT 1 AS id, 5.0 AS amt UNION ALL SELECT 2, 7.0
+        |) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.amt
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.amt * 2);
+        |SELECT id, typ, v FROM k12
+        |""".stripMargin)
+    assert(out.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq ==
+      Seq((1L, Some("a"), 5.0), (2L, None, 14.0)))
   }
 
   test("SET statements scope to the run; extra views register on the scoped session") {
