@@ -250,6 +250,43 @@ object DmlRunner {
     }.mkString
   }
 
+  private val AsOfRe =
+    """(?is)\b(\w+)\s+FOR\s+(TIMESTAMP|SYSTEM_TIME|VERSION|SYSTEM_VERSION)\s+AS\s+OF\s+(TIMESTAMP\s+'[^']*'|'[^']*'|\d+)""".r
+
+  /** Time-travel SQL (the reference showcases `SELECT * FROM t FOR
+    * TIMESTAMP AS OF …`; Trino/Iceberg accept VERSION and TIMESTAMP
+    * forms): each `t FOR … AS OF …` over a catalog table pins the
+    * resolved snapshot into a scoped temp view and substitutes the
+    * view name, so the statement replays verbatim. Non-table names
+    * (views, already-pinned reads) pass through untouched.
+    */
+  private def pinAsOf(tables: scala.collection.Map[String, GraftTable],
+      stmt: String): String = {
+    var i = 0
+    AsOfRe.replaceAllIn(stmt, m => {
+      import java.util.regex.Matcher
+      tables.get(m.group(1)) match {
+        case None => Matcher.quoteReplacement(m.matched)
+        case Some(t) =>
+          i += 1
+          val view = s"${m.group(1)}__asof_$i"
+          val kind = m.group(2).toUpperCase
+          val arg = m.group(3)
+          val df =
+            if (kind == "VERSION" || kind == "SYSTEM_VERSION")
+              t.readLogical(Some(arg.toInt))
+            else {
+              val s0 = arg.replaceAll("(?i)^TIMESTAMP\\s+", "")
+                .stripPrefix("'").stripSuffix("'")
+              val s1 = if (s0.contains(" ")) s0 else s"$s0 00:00:00"
+              t.readAsOfLogical(java.sql.Timestamp.valueOf(s1).getTime)
+            }
+          df.createOrReplaceTempView(view)
+          Matcher.quoteReplacement(view)
+      }
+    })
+  }
+
   /** Split a SET list on top-level commas (quote- and paren-aware, so
     * `SET v = round(a, 2), w = 'x,y'` splits correctly).
     */
@@ -325,7 +362,8 @@ object DmlRunner {
       // (`CREATE TABLE ... AS SELECT * FROM iceberg.db.v_x`) the same
       // way it qualifies tables.
       val views = scoped.catalog.listTables().collect().map(_.name)
-      val rewritten = rewriteQualified(stmt, tables.keys.toSet ++ views)
+      val rewritten = pinAsOf(tables,
+        rewriteQualified(stmt, tables.keys.toSet ++ views))
       val r = runStatement(scoped, tables, declared, cat.root, rewritten)
       if (r != null) last = r
     }

@@ -280,6 +280,50 @@ object RunnerOps {
            |WHERE NOT (a.n IS NOT NULL AND b.n IS NOT NULL AND user_id % 7 = 0)
            |  AND (a.n IS NOT NULL OR user_id % 2 = 0)""".stripMargin))
 
+  /** X8 — time-travel SQL text (`FOR VERSION AS OF` / `FOR TIMESTAMP
+    * AS OF`, the Trino/Iceberg forms the reference's design showcases):
+    * two loads, then one statement reading the v1 snapshot, the
+    * same snapshot by its commit timestamp, and the current table —
+    * all three legs in verbatim text. The oracle restates the three
+    * counts from the raw source; a mis-pinned snapshot (off-by-one
+    * version, wrong timestamp resolution) shifts a leg's count and
+    * fails the hash. The programmatic twin is `s13_time_travel`.
+    */
+  val x8SqlTimetravel: QueryDef = QueryDef(
+    "x8_sql_timetravel",
+    (s, dir) => {
+      val wh = scratch("x8")
+      val cat = new TableCatalog(s, wh, Seq(TableDef("tt_events", eventsSchema)))
+      DmlRunner.run(s, cat,
+        """INSERT INTO iceberg.db.tt_events
+          |SELECT event_id, ts, user_id, event_type, round(value, 2)
+          |FROM events WHERE event_type <> 'error';
+          |INSERT INTO iceberg.db.tt_events
+          |SELECT event_id, ts, user_id, event_type, round(value, 2)
+          |FROM events WHERE event_type = 'error'""".stripMargin,
+        registerExtras = scoped =>
+          Tables(scoped, dir).events.createOrReplaceTempView("events"))
+      val ts1 = new java.sql.Timestamp(
+        cat.table("tt_events").commits.head.tsMs).toString
+      DmlRunner.run(s, cat,
+        s"""SELECT 1 AS leg, count(*) AS n
+           |FROM iceberg.db.tt_events FOR VERSION AS OF 1
+           |UNION ALL
+           |SELECT 2, count(*)
+           |FROM iceberg.db.tt_events FOR TIMESTAMP AS OF TIMESTAMP '$ts1'
+           |UNION ALL
+           |SELECT 3, count(*) FROM iceberg.db.tt_events
+           |""".stripMargin,
+        registerExtras = scoped =>
+          Tables(scoped, dir).events.createOrReplaceTempView("events"))
+    },
+    Some("""SELECT 1 AS leg, count(*) AS n FROM events WHERE event_type <> 'error'
+           |UNION ALL
+           |SELECT 2, count(*) FROM events WHERE event_type <> 'error'
+           |UNION ALL
+           |SELECT 3, count(*) FROM events""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(x2SqlRunner, x4SqlDml, x5SqlMerge, x6SqlMaterialize, x7SqlMergeAssign)
+    Seq(x2SqlRunner, x4SqlDml, x5SqlMerge, x6SqlMaterialize, x7SqlMergeAssign,
+      x8SqlTimetravel)
 }

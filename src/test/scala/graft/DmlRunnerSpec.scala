@@ -288,6 +288,24 @@ class DmlRunnerSpec extends AnyFunSuite {
         (9L, "new", 90.0)))
   }
 
+  test("FOR VERSION/TIMESTAMP AS OF pins snapshots inside verbatim SQL text") {
+    val cat = new TableCatalog(spark, freshRoot("d13"), Seq(TableDef("tt", schema)))
+    DmlRunner.run(spark, cat,
+      """INSERT INTO tt VALUES (1, 'a', 1.0), (2, 'a', 2.0);
+        |INSERT INTO tt VALUES (3, 'b', 3.0)""".stripMargin)
+    val t = cat.table("tt")
+    val ts1 = new java.sql.Timestamp(t.commits.head.tsMs).toString
+    val out = DmlRunner.run(spark, cat,
+      s"""SELECT 1 AS leg, count(*) AS n FROM iceberg.db.tt FOR VERSION AS OF 1
+         |UNION ALL
+         |SELECT 2, count(*) FROM tt FOR TIMESTAMP AS OF TIMESTAMP '$ts1'
+         |UNION ALL
+         |SELECT 3, count(*) FROM tt
+         |""".stripMargin)
+    assert(out.orderBy("leg").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 2L), (2, 2L), (3, 3L)))
+  }
+
   test("refusals: unknown table, UPDATE of a key column, non-upsert-shaped MERGE") {
     val cat = new TableCatalog(spark, freshRoot("d6"), Seq(
       TableDef("k6", schema, keys = Seq("id"))))
