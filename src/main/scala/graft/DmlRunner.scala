@@ -655,7 +655,11 @@ object DmlRunner {
       .foldLeft(when(lit(false), lit(-1))) { case (acc, (c, i)) =>
         acc.when(c.cond.map(expr).getOrElse(lit(true)), lit(i))
       }.otherwise(lit(-1))
-    val acted = joined.withColumn("__action", action)
+    // persisted: the matched join feeds one select per UPDATE clause
+    // plus the stale-key projection — recomputing it per consumer would
+    // re-run the join 2-3 times (the CdcAggConsumer split discipline)
+    val acted = joined.withColumn("__action", action).persist()
+    try {
     def updateProjection(set: String): Seq[org.apache.spark.sql.Column] =
       if (set.trim == "*") want.toSeq.map(c => col(s"$sA.$c").as(c))
       else {
@@ -723,5 +727,6 @@ object DmlRunner {
       .select(t.defn.keys.map(k => col(s"$tA.$k").as(k)): _*)
     t.replaceKeys(staleKeys = staleKeys, keyCols = t.defn.keys,
       replacement = castTo(replacement, t))
+    } finally acted.unpersist()
   }
 }
