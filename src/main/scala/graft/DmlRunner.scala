@@ -116,12 +116,18 @@ object DmlRunner {
       val onM = MergeOn.findFirstMatchIn(afterUsing).getOrElse(
         throw new IllegalArgumentException(
           s"unparseable MERGE ON/WHEN tail: $afterUsing"))
-      // split the WHEN tail on top-level WHEN keywords (quote-aware; a
-      // paren depth check guards conds containing subexpressions)
+      // split the WHEN tail on top-level WHEN keywords: quote- and
+      // paren-aware, CASE…END-aware (a `CASE WHEN` inside a SET
+      // expression is NOT a clause boundary), and word-boundary-exact
+      // (a column named ts_when must not split mid-identifier)
       val tail = onM.group(3)
+      def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+      def isWord(i: Int, w: String): Boolean =
+        tail.regionMatches(true, i, w, 0, w.length) &&
+          (i == 0 || !wordChar(tail(i - 1))) &&
+          (i + w.length == tail.length || !wordChar(tail(i + w.length)))
       val whenStarts = {
-        val re = """(?i)\bWHEN\b""".r
-        var depth = 0; var inQ = false
+        var depth = 0; var inQ = false; var caseDepth = 0
         val starts = Seq.newBuilder[Int]
         var i = 0
         while (i < tail.length) {
@@ -131,8 +137,11 @@ object DmlRunner {
             case ')' if !inQ => depth -= 1
             case _ =>
           }
-          if (!inQ && depth == 0 && re.pattern.matcher(tail)
-              .region(i, math.min(i + 5, tail.length)).lookingAt()) starts += i
+          if (!inQ && depth == 0) {
+            if (isWord(i, "CASE")) caseDepth += 1
+            else if (isWord(i, "END")) caseDepth = math.max(0, caseDepth - 1)
+            else if (caseDepth == 0 && isWord(i, "WHEN")) starts += i
+          }
           i += 1
         }
         starts.result()
@@ -225,11 +234,13 @@ object DmlRunner {
     * regex-quoted, so no metacharacter in a table name can widen the
     * match.
     */
-  private[graft] def rewriteQualified(stmt: String, names: Iterable[String]): String = {
-    import java.util.regex.{Matcher, Pattern}
-    val res = names.toSeq.map(n => Pattern.compile(
-      s"""(?i)\\b(?:\\w+\\.\\w+|db)\\.${Pattern.quote(n)}\\b""") -> n)
-    // alternating unquoted/quoted runs; a doubled '' stays inside quotes
+  /** Apply `f` to the UNQUOTED runs of a statement, leaving
+    * single-quoted string literals byte-identical (a doubled `''`
+    * stays inside quotes). Shared by the qualified-name rewrite and
+    * the time-travel pin — both must never touch SQL text carried as
+    * DATA in a literal.
+    */
+  private def mapUnquoted(stmt: String)(f: String => String): String = {
     val segs = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     val cur = new StringBuilder
     var inQ = false
@@ -242,12 +253,27 @@ object DmlRunner {
       case ch => cur += ch
     }
     if (cur.nonEmpty) segs += ((cur.toString, inQ))
-    segs.map {
-      case (text, true) => text
-      case (text, false) =>
-        res.foldLeft(text) { case (s, (p, n)) =>
-          p.matcher(s).replaceAll(Matcher.quoteReplacement(n)) }
-    }.mkString
+    segs.map { case (text, quoted) => if (quoted) text else f(text) }.mkString
+  }
+
+  /** `twoPartNames` additionally rewrite as bare `db.<name>` — catalog
+    * TABLES only, never temp views: the reference qualifies its views
+    * three-part, and a 2-part match over view names would clobber an
+    * alias-qualified column reference that happens to share a view's
+    * name (`WITH db AS (...) SELECT db.events`).
+    */
+  private[graft] def rewriteQualified(stmt: String, names: Iterable[String],
+      twoPartNames: Set[String] = Set.empty): String = {
+    import java.util.regex.{Matcher, Pattern}
+    val res = names.toSeq.map { n =>
+      val two = if (twoPartNames.contains(n)) """|db""" else ""
+      Pattern.compile(
+        s"""(?i)\\b(?:\\w+\\.\\w+$two)\\.${Pattern.quote(n)}\\b""") -> n
+    }
+    mapUnquoted(stmt) { text =>
+      res.foldLeft(text) { case (s, (p, n)) =>
+        p.matcher(s).replaceAll(Matcher.quoteReplacement(n)) }
+    }
   }
 
   private val AsOfRe =
@@ -262,22 +288,42 @@ object DmlRunner {
     */
   private def pinAsOf(tables: scala.collection.Map[String, GraftTable],
       stmt: String): String = {
+    // a match STARTING inside a string literal is DATA, not a read —
+    // skip it (the legitimate form's own TIMESTAMP '…' argument
+    // extends INTO a literal, so mapUnquoted segmentation would break
+    // the pattern; only the table-name start position must be code)
+    val quoteStarts = {
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var inQ = false; var start = -1
+      stmt.zipWithIndex.foreach { case (c, idx) =>
+        if (c == '\'') {
+          if (!inQ) { inQ = true; start = idx }
+          else { inQ = false; spans += ((start, idx + 1)) }
+        }
+      }
+      if (inQ) spans += ((start, stmt.length))
+      spans.toSeq
+    }
+    def inLiteral(pos: Int) = quoteStarts.exists(s => pos >= s._1 && pos < s._2)
     var i = 0
     AsOfRe.replaceAllIn(stmt, m => {
       import java.util.regex.Matcher
-      tables.get(m.group(1)) match {
+      tables.get(m.group(1)).filter(_ => !inLiteral(m.start)) match {
         case None => Matcher.quoteReplacement(m.matched)
         case Some(t) =>
           i += 1
           val view = s"${m.group(1)}__asof_$i"
           val kind = m.group(2).toUpperCase
-          val arg = m.group(3)
+          // quoted or bare for both kinds; ISO 'T' separators accepted
+          val arg = m.group(3).replaceAll("(?i)^TIMESTAMP\\s+", "")
+            .stripPrefix("'").stripSuffix("'").trim
           val df =
-            if (kind == "VERSION" || kind == "SYSTEM_VERSION")
+            if (kind == "VERSION" || kind == "SYSTEM_VERSION") {
+              require(arg.matches("\\d+"),
+                s"FOR $kind AS OF needs a numeric snapshot version, got '$arg'")
               t.readLogical(Some(arg.toInt))
-            else {
-              val s0 = arg.replaceAll("(?i)^TIMESTAMP\\s+", "")
-                .stripPrefix("'").stripSuffix("'")
+            } else {
+              val s0 = arg.replace('T', ' ')
               val s1 = if (s0.contains(" ")) s0 else s"$s0 00:00:00"
               t.readAsOfLogical(java.sql.Timestamp.valueOf(s1).getTime)
             }
@@ -363,7 +409,8 @@ object DmlRunner {
       // way it qualifies tables.
       val views = scoped.catalog.listTables().collect().map(_.name)
       val rewritten = pinAsOf(tables,
-        rewriteQualified(stmt, tables.keys.toSet ++ views))
+        rewriteQualified(stmt, tables.keys.toSet ++ views,
+          twoPartNames = tables.keys.toSet))
       val r = runStatement(scoped, tables, declared, cat.root, rewritten)
       if (r != null) last = r
     }
@@ -644,7 +691,11 @@ object DmlRunner {
     val tA = ms.targetAlias.getOrElse(t.defn.name)
     val sA = ms.srcAlias.getOrElse("__merge_src")
     val tgt = t.readLogical().as(tA)
-    val srcA = src.as(sA)
+    // persisted: the source subquery feeds the matched inner join, the
+    // NOT MATCHED anti join, AND the duplicate-key guard — unpersisted
+    // it would re-run (an aggregation, typically) three times
+    val srcP = src.persist()
+    val srcA = srcP.as(sA)
     val keyCond = onCols.map(k => col(s"$tA.$k") === col(s"$sA.$k")).reduce(_ && _)
     val matchedClauses = ms.clauses.filter(_.matched)
     val insertClauses = ms.clauses.filterNot(_.matched)
@@ -716,7 +767,7 @@ object DmlRunner {
     }
     // SQL MERGE errors when several source rows hit one target row — a
     // silent arbitrary-winner here would corrupt; one aggregate guards
-    require(src.groupBy(onCols.map(col): _*).count()
+    require(srcP.groupBy(onCols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count() == 0,
       s"${t.defn.name}: MERGE source has duplicate key tuples — " +
         "SQL MERGE forbids multiple matches per target row")
@@ -727,6 +778,6 @@ object DmlRunner {
       .select(t.defn.keys.map(k => col(s"$tA.$k").as(k)): _*)
     t.replaceKeys(staleKeys = staleKeys, keyCols = t.defn.keys,
       replacement = castTo(replacement, t))
-    } finally acted.unpersist()
+    } finally { acted.unpersist(); srcP.unpersist(); () }
   }
 }

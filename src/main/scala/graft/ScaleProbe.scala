@@ -232,10 +232,7 @@ object ScaleProbe {
       try {
         for (k <- Seq(1, 10, 30)) {
           val wh = s"$outRoot/manifest_x$k"
-          val p = Paths.get(wh)
-          if (Files.exists(p))
-            Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(f => Files.delete(f))
+          graft.FsUtil.deleteRecursively(Paths.get(wh))
           val t = new GraftTable(spark, TableDef("probe", schema,
             sortOrder = Seq("ts")), wh)
           for (i <- 0 until k) // day-shifted slices → range-disjoint files

@@ -378,10 +378,28 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * commits (or migrated entries with unknown bounds) are absent;
     * callers fall back to a footer read for exactly those.
     */
-  private def manifestBoundsOf(snap: CommitMeta): Map[String, Map[String, (Long, Long)]] =
-    snap.manifestsOrEmpty.flatMap(manifestStore.read)
-      .flatMap(e => e.boundsOrNone.map(bs =>
-        e.p -> bs.map(cb => cb.c -> (cb.lo, cb.hi)).toMap)).toMap
+  // single-entry memo, NOT a map: every caller queries the latest
+  // snapshot, and a per-snapshot map would retain one O(live files)
+  // bounds map per commit for the handle's lifetime (a poll/cron loop
+  // commits constantly). Keyed by the chunk-name list itself — UUID
+  // names are never reused, purge-rebuild included.
+  @volatile private var boundsMemo:
+      (Seq[String], Map[String, Map[String, (Long, Long)]]) = (null, null)
+
+  private def manifestBoundsOf(snap: CommitMeta): Map[String, Map[String, (Long, Long)]] = {
+    val key = snap.manifestsOrEmpty
+    val memo = boundsMemo
+    if (memo._1 == key) memo._2
+    else {
+      // rebuilding an O(live files) map per pruned read would turn
+      // every range query into O(table) driver CPU
+      val v = key.flatMap(manifestStore.read)
+        .flatMap(e => e.boundsOrNone.map(bs =>
+          e.p -> bs.map(cb => cb.c -> (cb.lo, cb.hi)).toMap)).toMap
+      boundsMemo = (key, v)
+      v
+    }
+  }
 
   def currentVersion: Int = commits.lastOption.map(_.version).getOrElse(0)
 

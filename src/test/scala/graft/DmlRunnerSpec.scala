@@ -306,6 +306,49 @@ class DmlRunnerSpec extends AnyFunSuite {
       Seq((1, 2L), (2, 2L), (3, 3L)))
   }
 
+  test("AS OF inside a string literal is data; quoted/ISO arguments are tolerated") {
+    val cat = new TableCatalog(spark, freshRoot("d14"), Seq(
+      TableDef("audit", StructType(Seq(StructField("id", LongType),
+        StructField("sql_text", StringType)))),
+      TableDef("tt2", schema)))
+    DmlRunner.run(spark, cat, "INSERT INTO tt2 VALUES (1, 'a', 1.0)")
+    // 1. a literal CARRYING time-travel SQL must survive verbatim —
+    //    no view pinning, no mangling (and version 9 doesn't even exist)
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO audit VALUES (1, 'SELECT * FROM tt2 FOR VERSION AS OF 9');
+        |SELECT sql_text FROM audit""".stripMargin)
+    assert(out.head().getString(0) == "SELECT * FROM tt2 FOR VERSION AS OF 9")
+    // 2. a quoted version argument works (Trino accepts both)
+    val n = DmlRunner.run(spark, cat,
+      "SELECT count(*) AS n FROM tt2 FOR VERSION AS OF '1'").head().getLong(0)
+    assert(n == 1L)
+    // 3. an ISO 'T' timestamp parses
+    val ts = new java.sql.Timestamp(cat.table("tt2").commits.head.tsMs)
+      .toString.replace(' ', 'T')
+    val n2 = DmlRunner.run(spark, cat,
+      s"SELECT count(*) AS n FROM tt2 FOR TIMESTAMP AS OF '$ts'").head().getLong(0)
+    assert(n2 == 1L)
+  }
+
+  test("MERGE SET with a CASE WHEN expression parses (no clause-boundary split)") {
+    val cat = new TableCatalog(spark, freshRoot("d15"), Seq(
+      TableDef("k15", schema, keys = Seq("id"))))
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO k15 VALUES (1, 'a', 1.0), (2, 'b', 2.0);
+        |MERGE INTO k15 t USING (
+        |  SELECT 1 AS id, 10.0 AS amt UNION ALL SELECT 2, -1.0
+        |) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = CASE WHEN s.amt > 0 THEN s.amt ELSE t.v END
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.amt);
+        |SELECT id, typ, v FROM k15
+        |""".stripMargin)
+    assert(out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((1L, 10.0), (2L, 2.0)))
+  }
+
   test("refusals: unknown table, UPDATE of a key column, non-upsert-shaped MERGE") {
     val cat = new TableCatalog(spark, freshRoot("d6"), Seq(
       TableDef("k6", schema, keys = Seq("id"))))
