@@ -61,6 +61,7 @@ final class MetaCatalog extends V2TableCatalog {
       case "refs" => new MetaCatalog.RefsTable(base, warehouse)
       case "partitions" => new MetaCatalog.PartitionsTable(base, warehouse)
       case "manifests" => new MetaCatalog.ManifestsTable(base, warehouse)
+      case "entries" => new MetaCatalog.EntriesTable(base, warehouse)
       case _ => refuse()
     }
   }
@@ -315,6 +316,54 @@ object MetaCatalog {
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(path), len, added.toLong, nFiles, recs)
               ): InternalRow
+            }.toArray
+          }
+        }
+      }
+  }
+
+  /** Iceberg's `$entries` metadata table (flattened): one row per data
+    * file per manifest chunk of the CURRENT snapshot, carrying the
+    * write-time stats the planner actually uses — record count, the
+    * partition spec the file was written under (null = the declared
+    * spec), and the per-column INT64 `[min, max]` bounds range pruning
+    * resolves from (`lower_bounds`/`upper_bounds` in Iceberg; one map
+    * here since both ends are INT64). This is the observability window
+    * into WHY a pruned read skipped a file.
+    */
+  val EntriesSchema: StructType = StructType(Seq(
+    StructField("manifest_path", StringType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("partition_spec", StringType, nullable = true),
+    StructField("bounds", MapType(StringType, ArrayType(LongType)), nullable = true)))
+
+  private final class EntriesTable(base: String, warehouse: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"$base$$entries"
+    override def schema(): StructType = EntriesSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan with LocalScan {
+          override def readSchema(): StructType = EntriesSchema
+          override def rows(): Array[InternalRow] = {
+            val spark = SparkSession.active
+            val tbl = new GraftTable(spark, TableDef(base, StructType(Nil)), warehouse)
+            tbl.manifestEntries.map { case (chunk, e) =>
+              val bounds = e.boundsOrNone.map { bs =>
+                new ArrayBasedMapData(
+                  new GenericArrayData(bs.map(cb => UTF8String.fromString(cb.c)).toArray[Any]),
+                  new GenericArrayData(bs.map(cb =>
+                    new GenericArrayData(Array[Any](cb.lo, cb.hi))).toArray[Any]))
+              }.orNull
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(chunk),
+                UTF8String.fromString(e.p),
+                e.r,
+                e.specOrNone.map(UTF8String.fromString).orNull,
+                bounds)): InternalRow
             }.toArray
           }
         }

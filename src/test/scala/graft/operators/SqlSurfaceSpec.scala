@@ -177,6 +177,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got.map(_._4).sum == t.commits.last.files.size)
   }
 
+  test("$entries metadata table exposes per-file record counts and pruning bounds") {
+    SqlSurfaceOps.registerSurface(spark, sf)
+    import graft.tables.{GraftTable, MetaCatalog, TableDef}
+    import org.apache.spark.sql.types._
+    val wh = MetaCatalog.DefaultWarehouse
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(s"$wh/en_probe"))
+    val t = new GraftTable(spark, TableDef("en_probe",
+      StructType(Seq(StructField("id", LongType)))), wh)
+    import spark.implicits._
+    t.append((0L until 9L).toDF("id"))
+    val got = withAnsiQuotes(spark.sql(
+      """SELECT file_path, record_count,
+        |       bounds['id'][0] AS id_lo, bounds['id'][1] AS id_hi
+        |FROM iceberg.db."en_probe$entries"""".stripMargin).collect())
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(1)).sum == 9L, "entry record counts must tile the snapshot")
+    // the recorded bounds must cover exactly the written id range
+    assert(got.map(_.getLong(2)).min == 0L && got.map(_.getLong(3)).max == 8L)
+  }
+
   test("single-table example texts agree with an independent recomputation") {
     SqlSurfaceOps.registerSurface(spark, sf)
     val br = spark.table("bid_requests")
