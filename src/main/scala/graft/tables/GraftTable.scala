@@ -147,6 +147,58 @@ final case class CommitMeta(
   def manifestsOrEmpty: Seq[String] = Option(manifests).getOrElse(Nil)
 }
 
+/** A concurrent commit landed that this operation cannot be replayed
+  * over — the loud half of the optimistic-concurrency protocol (the
+  * quiet half is the bounded retry for commutative shapes). The
+  * operation made NO commit; the table is exactly the other writer's
+  * state, nothing is lost. Recovery is operation-level: re-run the
+  * operation against the current snapshot (its inputs must be re-read —
+  * that is precisely what the conflict is telling you).
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** What a commit MEANS as a delta against the snapshot its operation
+  * read (its BASE) — the information the optimistic-commit retry loop
+  * needs to decide, per Iceberg's conflict-validation scheme, whether
+  * the commit can be replayed over a head another writer advanced:
+  *
+  *  - [[AddFiles]] (append, MOR upsert): pure addition — commutes with
+  *    everything that leaves the write-time column-name epoch and
+  *    partition spec alone; retried as `head.files ++ added`.
+  *  - [[RewriteFiles]] (compact, z-order): content-preserving rewrite
+  *    of `removed` into `added` — retriable iff every input is still
+  *    live in the head and no tombstones landed in between (the
+  *    rewrite materializes base-time tombstones, so a new one would be
+  *    silently cleared); merge-on-read tables additionally require NO
+  *    interleaved data commit (a rewrite re-sequences its output above
+  *    an interleaved upsert, manufacturing a bogus latest-wins order).
+  *  - [[ReplaceContent]] (COW upsert, overwrite, replaceWhere/Keys):
+  *    the commit's rows were DERIVED from the base's logical content —
+  *    replayable only over interleaved commits that preserved that
+  *    content (layout-only: compact/zorder) with every carried
+  *    `untouched` file still live; anything else aborts loudly
+  *    (snapshot-isolation conflict, Iceberg's ValidationException).
+  *  - [[TombstoneEq]] (MOR equality delete): key-granular tombstone,
+  *    re-versioned per attempt — latest-delete-wins over interleaved
+  *    upserts of the same keys, exactly Iceberg v2 sequence semantics.
+  *  - [[TombstonePos]] (position delete): pins (file, row) identities,
+  *    so any interleaved REMOVAL of a base file aborts; additions are
+  *    fine.
+  *  - [[MetadataOnly]] (schema/spec evolution, rollback): computed
+  *    against one exact head; any interleaved commit aborts (the
+  *    operation is cheap to re-run).
+  */
+private[tables] sealed trait CommitIntent
+private[tables] final case class AddFiles(added: Seq[String]) extends CommitIntent
+private[tables] final case class RewriteFiles(removed: Set[String],
+    added: Seq[String]) extends CommitIntent
+private[tables] final case class ReplaceContent(untouched: Seq[String],
+    added: Seq[String]) extends CommitIntent
+private[tables] case object TombstoneEq extends CommitIntent
+private[tables] case object TombstonePos extends CommitIntent
+private[tables] final case class MetadataOnly(filesOverride: Option[Seq[String]])
+    extends CommitIntent
+
 /** Conservative file-pruning hint for replace commits: every row the
   * delete-condition can match is guaranteed to lie within
   * `[loMicros, hiMicros]` of `column` (µs since epoch, as parquet stores
@@ -171,8 +223,19 @@ final case class RangePrune(column: String, loMicros: Long, hiMicros: Long)
   *  - `expireSnapshots` / `removeOrphans` — M8 (maintenance.sh:72-79);
   *  - `snapshots`  — S10 metadata table (query-examples.sh:91-95).
   *
-  * Single-writer (the reference's jobs are too); commits are atomic via
-  * rename, readers always resolve the latest complete commit.
+  * MULTI-WRITER under optimistic concurrency (the reference's
+  * deployment is concurrent as a matter of routine: three Flink jobs
+  * commit every 60 s — insert_jobs.sql:6-9 — while maintenance.sh:66-79
+  * compacts/expires the SAME tables on a cron; Iceberg absorbs that
+  * with optimistic commits, and so does this log). Every commit is
+  * published with an atomic version CAS ([[GraftTable.publish]]:
+  * link(2) onto the versioned path, which fails rather than replaces);
+  * a writer that loses the race re-validates its intent against the
+  * winner ([[CommitIntent]]) and either replays (commutative shapes:
+  * appends, content-preserving rewrites over still-live inputs) or
+  * aborts loudly ([[CommitConflictException]] — snapshot-isolation
+  * conflicts: two writers deriving from the same content). Readers
+  * always resolve the latest complete commit.
   */
 final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String,
     branch: Option[String] = None)
@@ -403,31 +466,186 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   def currentVersion: Int = commits.lastOption.map(_.version).getOrElse(0)
 
-  /** Commit `files` as the new live set. Row counts AND column bounds
-    * come from the previous commit's manifest entries where a file is
-    * carried over; only files NOT in the previous commit (the ones this
-    * operation wrote) have their footers read (once — the same open
-    * harvests rows + bounds) — commit cost is O(new files) regardless
-    * of how many live files are carried. The persisted json stores
-    * manifest chunk NAMES, never the file list: an append-shaped commit
-    * writes one new chunk and carries prior chunks by reference; a
-    * commit that removes files (or restamps specs) rewrites only the
-    * touched chunks. Chunk-reference growth is bounded by merging the
-    * smallest chunks into the commit's own write once the ref count
-    * exceeds [[GraftTable.MaxChunkRefs]] — logarithmic amortized
-    * rewrite, Iceberg's `rewrite_manifests` folded into the commit.
+  /** Atomically claim version `persisted.version`: hard-link a fully
+    * written tmp json onto the versioned commit path — link(2) fails
+    * when the target exists, which IS the compare-and-swap on the
+    * table head (atomic across threads AND processes on any POSIX
+    * filesystem; an object-store deployment swaps this one primitive
+    * for a conditional PUT or a catalog pointer CAS — exactly the
+    * pluggable commit seam Iceberg's TableOperations defines). False =
+    * another writer claimed the version first; the caller re-reads the
+    * head, re-validates, and retries.
     */
-  private def writeCommit(op: String, files: Seq[String],
+  private def publish(persisted: CommitMeta): Boolean = {
+    val tmp = Paths.get(s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}.json")
+    Files.writeString(tmp, mapper.writeValueAsString(persisted))
+    try { Files.createLink(commitPath(persisted.version), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.delete(tmp)
+  }
+
+  /** Decide whether `intent`, computed against snapshot `baseVersion`,
+    * may be replayed over the current `head` (no-op when nothing
+    * interleaved — the uncontended fast path). Throws
+    * [[CommitConflictException]] when replay would be unsound; see
+    * [[CommitIntent]] for the per-shape rules. This is the conflict-
+    * validation half of optimistic concurrency (Iceberg's
+    * validateNoNewDeletesForDataFiles / validateAddedFilesMatchFilter
+    * family, reduced to this format's five commit shapes).
+    */
+  private def validateIntent(op: String, intent: CommitIntent, baseVersion: Int,
+      head: Option[CommitMeta]): Unit = {
+    val headV = head.map(_.version).getOrElse(0)
+    if (headV == baseVersion) return
+    def conflict(why: String): Nothing = throw new CommitConflictException(
+      s"${defn.name}: $op derived from snapshot v$baseVersion but the head " +
+        s"is v$headV — $why; re-run the operation against the current snapshot")
+    if (headV < baseVersion) conflict("the head moved backwards (rolled-back log?)")
+    val cs = commits
+    val base = cs.find(_.version == baseVersion)
+    if (baseVersion > 0 && base.isEmpty)
+      conflict("the base snapshot expired mid-operation")
+    val intervening = cs.filter(_.version > baseVersion)
+    val headFiles = head.map(_.files.toSet).getOrElse(Set.empty)
+    // files this operation wrote are stamped under the BASE's
+    // column-name epoch and partition spec; an interleaved rename /
+    // resurrection-prone re-add / spec evolution would mis-resolve
+    // them on read — abort rather than mis-read (the op re-runs
+    // cheaply against the new metadata)
+    def writeEpochGuards(): Unit = {
+      if (head.map(_.renamesOrEmpty).getOrElse(Nil) !=
+          base.map(_.renamesOrEmpty).getOrElse(Nil))
+        conflict("a column rename/re-add landed concurrently")
+      if (head.flatMap(_.partSpecDdlOrNone) != base.flatMap(_.partSpecDdlOrNone))
+        conflict("a partition-spec evolution landed concurrently")
+    }
+    intent match {
+      case AddFiles(_) => writeEpochGuards() // pure addition commutes
+      case RewriteFiles(removed, _) =>
+        writeEpochGuards()
+        if (!removed.subsetOf(headFiles))
+          conflict("a concurrent commit removed files this rewrite read")
+        if (head.map(_.morDeleteFilesOrEmpty).getOrElse(Map.empty) !=
+            base.map(_.morDeleteFilesOrEmpty).getOrElse(Map.empty) ||
+            head.map(_.posDeleteFilesOrEmpty).getOrElse(Map.empty) !=
+            base.map(_.posDeleteFilesOrEmpty).getOrElse(Map.empty))
+          conflict("tombstones landed concurrently — this rewrite read the " +
+            "base state and would silently clear them")
+        if (defn.mergeOnRead &&
+            headFiles != base.map(_.files.toSet).getOrElse(Set.empty))
+          conflict("a data commit interleaved with a merge-on-read rewrite — " +
+            "the rewrite's output would re-sequence above it")
+      case ReplaceContent(untouched, _) =>
+        writeEpochGuards()
+        intervening.find(c => c.op != "compact" && c.op != "zorder").foreach(c =>
+          conflict(s"concurrent '${c.op}' commit v${c.version} changed the " +
+            "logical content this operation's rows were derived from"))
+        if (!untouched.forall(headFiles))
+          conflict("a concurrent rewrite removed files this operation " +
+            "carried over by name")
+      case TombstoneEq => () // key-granular, re-versioned per attempt:
+        // latest-delete-wins over interleaved upserts of the same keys,
+        // Iceberg v2 sequence semantics
+      case TombstonePos =>
+        if (!base.map(_.files.toSet).getOrElse(Set.empty).subsetOf(headFiles))
+          conflict("a concurrent commit removed files these position " +
+            "deletes reference by (file, pos)")
+      case MetadataOnly(_) =>
+        conflict("metadata operations replay against one exact snapshot")
+    }
+  }
+
+  /** The live file set `intent` produces over `head` — evaluated per
+    * retry attempt, which is what makes commutative shapes replayable.
+    */
+  private def filesUnder(intent: CommitIntent, head: Option[CommitMeta]): Seq[String] = {
+    val headFiles = head.map(_.files).getOrElse(Nil)
+    intent match {
+      case AddFiles(a) => headFiles ++ a
+      case RewriteFiles(rm, a) => headFiles.filterNot(rm) ++ a
+      case ReplaceContent(u, a) => u ++ a
+      case TombstoneEq | TombstonePos => headFiles
+      case MetadataOnly(o) => o.getOrElse(headFiles)
+    }
+  }
+
+  /** Commit `intent`'s file delta as the new live set, under OPTIMISTIC
+    * CONCURRENCY: the new snapshot is assembled against the current
+    * head, published with an atomic version CAS ([[publish]]), and on
+    * a lost race re-validated ([[validateIntent]]) and re-assembled
+    * against the winner — bounded retries, then a loud error. A
+    * non-replayable interleaving throws [[CommitConflictException]]
+    * with nothing committed. This is what lets the reference's
+    * deployment shape — streaming writers committing every 60 s WHILE
+    * a maintenance cron compacts/expires the same tables — run without
+    * a lost commit, the way Iceberg's optimistic commits absorb it.
+    *
+    * Row counts AND column bounds come from the previous commit's
+    * manifest entries where a file is carried over; only files NOT in
+    * the previous commit (the ones this operation wrote) have their
+    * footers read (once — the same open harvests rows + bounds) —
+    * commit cost is O(new files) regardless of how many live files are
+    * carried. The persisted json stores manifest chunk NAMES, never
+    * the file list: an append-shaped commit writes one new chunk and
+    * carries prior chunks by reference; a commit that removes files
+    * (or restamps specs) rewrites only the touched chunks. Chunk-
+    * reference growth is bounded by merging the smallest chunks into
+    * the commit's own write once the ref count exceeds
+    * [[GraftTable.MaxChunkRefs]] — logarithmic amortized rewrite,
+    * Iceberg's `rewrite_manifests` folded into the commit.
+    */
+  private def writeCommit(op: String, intent: CommitIntent, baseVersion: Int,
       knownRows: Map[String, Long] = Map.empty,
       changeFiles: Seq[String] = Nil,
       deleteFiles: Seq[String] = Nil,
       newSchemaDdl: Option[String] = None,
-      morDeletes: Map[String, Int] => Map[String, Int] = identity,
+      morDeletes: (Map[String, Int], Int) => Map[String, Int] = (m, _) => m,
       newPartSpecDdl: Option[String] = None,
       fileSpecsOverride: Option[Map[String, String]] = None,
       newRenames: Option[Seq[String]] = None,
-      posDeletes: Map[String, Int] => Map[String, Int] = identity): CommitMeta = {
-    val prevMeta = commits.lastOption
+      posDeletes: (Map[String, Int], Int) => Map[String, Int] = (m, _) => m): CommitMeta = {
+    var attempt = 0
+    while (attempt < GraftTable.MaxCommitRetries) {
+      val prevMeta = commits.lastOption
+      validateIntent(op, intent, baseVersion, prevMeta)
+      val meta = assembleCommit(op, intent, prevMeta, knownRows, changeFiles,
+        deleteFiles, newSchemaDdl, morDeletes, newPartSpecDdl,
+        fileSpecsOverride, newRenames, posDeletes)
+      if (publish(meta._2)) {
+        // bound the footer-stats cache (it exists for files being
+        // committed, not for history): entries for files this commit
+        // removed from the live set can never be asked for again
+        val gone = prevMeta.map(_.files.toSet).getOrElse(Set.empty) -- meta._1.files.toSet
+        if (gone.nonEmpty) footerStatsCache --= gone
+        return meta._1
+      }
+      attempt += 1
+      // lost the version CAS — back off briefly (jittered so N writers
+      // don't re-collide in lockstep), re-read the winner, try again
+      Thread.sleep(1L +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(2L << math.min(attempt, 6)))
+    }
+    throw new CommitConflictException(
+      s"${defn.name}: $op lost the commit race ${GraftTable.MaxCommitRetries} " +
+        "times — writer contention too high; re-run the operation")
+  }
+
+  /** One assembly pass of [[writeCommit]] against a specific head:
+    * (in-memory meta, stripped persisted form).
+    */
+  private def assembleCommit(op: String, intent: CommitIntent,
+      prevMeta: Option[CommitMeta],
+      knownRows: Map[String, Long],
+      changeFiles: Seq[String],
+      deleteFiles: Seq[String],
+      newSchemaDdl: Option[String],
+      morDeletes: (Map[String, Int], Int) => Map[String, Int],
+      newPartSpecDdl: Option[String],
+      fileSpecsOverride: Option[Map[String, String]],
+      newRenames: Option[Seq[String]],
+      posDeletes: (Map[String, Int], Int) => Map[String, Int]): (CommitMeta, CommitMeta) = {
+    val files = filesUnder(intent, prevMeta)
+    val newVersion = prevMeta.map(_.version).getOrElse(0) + 1
     val prevFiles = prevMeta.map(_.files.toSet).getOrElse(Set.empty)
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     // one footer open per ADDED file harvests rows + INT64 bounds for
@@ -472,16 +690,18 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val carriedSchema =
       newSchemaDdl.orElse(prevMeta.flatMap(_.schemaDdlOrNone)).orNull
     // pending equality-delete tombstones carry too; `morDeletes`
-    // transforms the carried map (add a tombstone / clear on compact)
+    // transforms the carried map (add a tombstone / clear on compact) —
+    // handed the ATTEMPT's version, so a retried tombstone re-sequences
+    // above the interleaved commits it lost the race to
     val carriedMorDeletes =
-      morDeletes(prevMeta.map(_.morDeleteFilesOrEmpty).getOrElse(Map.empty))
+      morDeletes(prevMeta.map(_.morDeleteFilesOrEmpty).getOrElse(Map.empty), newVersion)
     // the rename log carries forward like the schema; a rename commit
     // appends its entry, rollback restores the target's log
     val carriedRenames =
       newRenames.getOrElse(prevMeta.map(_.renamesOrEmpty).getOrElse(Nil))
     // pending position-delete tombstones carry like equality tombstones
     val carriedPosDeletes =
-      posDeletes(prevMeta.map(_.posDeleteFilesOrEmpty).getOrElse(Map.empty))
+      posDeletes(prevMeta.map(_.posDeleteFilesOrEmpty).getOrElse(Map.empty), newVersion)
     // ---- manifest chunking: persisted metadata is O(this delta) ----
     val fileSet = files.toSet
     // a prior chunk carries BY REFERENCE iff every entry survives with
@@ -514,18 +734,13 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val newChunks = (pool ++ fresh).grouped(ChunkTargetEntries).map(
       manifestStore.write).toSeq
     val chunkNames = carried ++ newChunks
-    val meta = CommitMeta(currentVersion + 1, System.currentTimeMillis(), op,
-      fileRows.values.sum, files, prev ++ pendingSinkMark, fileRows, changeFiles,
+    val meta = CommitMeta(newVersion, System.currentTimeMillis(), op,
+      fileRows.values.sum, files, prev ++ pendingSinkMark.get(), fileRows, changeFiles,
       deleteFiles, carriedSchema, carriedMorDeletes, carriedSpecDdl, fileSpecs,
       carriedRenames, carriedPosDeletes, chunkNames)
     // persist the STRIPPED form — the chunk references are the durable
     // file list; the full in-memory view rebuilds via resolveManifests
-    val persisted = meta.copy(files = Nil, fileRows = Map.empty,
-      fileSpecs = Map.empty)
-    val tmp = Paths.get(s"$commitsDir/.tmp-commit-${meta.version}.json")
-    Files.writeString(tmp, mapper.writeValueAsString(persisted))
-    Files.move(tmp, commitPath(meta.version), StandardCopyOption.ATOMIC_MOVE)
-    meta
+    (meta, meta.copy(files = Nil, fileRows = Map.empty, fileSpecs = Map.empty))
   }
 
   // ---- file bookkeeping ----
@@ -858,6 +1073,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * would evaluate the input twice).
     */
   def append(df: DataFrame): CommitMeta = {
+    val baseV = currentVersion
     val added = writeFiles(df.select(currentSchema.fieldNames.map(df.col): _*))
     val prev = commits.lastOption
     val addedRowsByFile = added.par.map(f => f -> footerRowCount(Seq(f))).seq.toMap
@@ -872,7 +1088,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         // the maintenance cadence like any other unreferenced file
         p
       case _ =>
-        writeCommit("append", prev.map(_.files).getOrElse(Nil) ++ added, addedRowsByFile)
+        writeCommit("append", AddFiles(added), baseV, addedRowsByFile)
     }
   }
 
@@ -909,7 +1125,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val v = currentVersion + 1
     val proneEntries = fields.filter(f => resurrectionProne(f.name, cs))
       .map(f => s"$v||${f.name}")
-    writeCommit("evolve-schema", cs.lastOption.map(_.files).getOrElse(Nil),
+    writeCommit("evolve-schema", MetadataOnly(None),
+      cs.lastOption.map(_.version).getOrElse(0),
       newSchemaDdl = Some(next.toDDL),
       newRenames =
         if (proneEntries.isEmpty) None
@@ -951,7 +1168,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // (they survive snapshot expiry), so a later re-add is detected as
     // resurrection-prone; resolution itself never matches them
     val dropEntries = names.map(n => s"$v|${have(n.toLowerCase)}|")
-    writeCommit("evolve-schema", cs.lastOption.map(_.files).getOrElse(Nil),
+    writeCommit("evolve-schema", MetadataOnly(None),
+      cs.lastOption.map(_.version).getOrElse(0),
       newSchemaDdl = Some(next.toDDL),
       newRenames = Some(cs.lastOption.map(_.renamesOrEmpty).getOrElse(Nil) ++ dropEntries))
   }
@@ -988,10 +1206,11 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val next = StructType(cur.fields.map(f =>
       if (f.name == exact) f.copy(name = newName) else f))
     val prev = commits.lastOption
-    writeCommit("evolve-schema", prev.map(_.files).getOrElse(Nil),
+    writeCommit("evolve-schema", MetadataOnly(None),
+      prev.map(_.version).getOrElse(0),
       newSchemaDdl = Some(next.toDDL),
       newRenames = Some(prev.map(_.renamesOrEmpty).getOrElse(Nil) :+
-        s"${currentVersion + 1}|$exact|$newName"))
+        s"${prev.map(_.version).getOrElse(0) + 1}|$exact|$newName"))
   }
 
   /** Iceberg-style partition-spec evolution: a METADATA-ONLY commit
@@ -1021,7 +1240,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     require(PartitionTransform.specDdl(PartitionTransform.parseSpec(ddl)) == ddl,
       s"${defn.name}: partition spec does not round-trip: '$ddl'")
     physicalSchemaOf(cur, spec) // probe derivability against the schema
-    writeCommit("evolve-partition", commits.lastOption.map(_.files).getOrElse(Nil),
+    writeCommit("evolve-partition", MetadataOnly(None), currentVersion,
       newPartSpecDdl = Some(ddl))
   }
 
@@ -1041,14 +1260,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       throw new IllegalArgumentException(s"${defn.name}: no snapshot v$version to roll back to"))
     require(version < currentVersion,
       s"${defn.name}: rollback target v$version is not an ancestor of v$currentVersion")
-    writeCommit("rollback", target.files,
+    writeCommit("rollback", MetadataOnly(Some(target.files)),
+      cs.lastOption.map(_.version).getOrElse(0),
       newSchemaDdl = Some(target.schemaDdlOrNone.getOrElse(defn.schema.toDDL)),
-      morDeletes = _ => target.morDeleteFilesOrEmpty,
+      morDeletes = (_, _) => target.morDeleteFilesOrEmpty,
       newPartSpecDdl = Some(target.partSpecDdlOrNone
         .getOrElse(PartitionTransform.specDdl(defn.partitions))),
       fileSpecsOverride = Some(target.fileSpecsOrEmpty),
       newRenames = Some(target.renamesOrEmpty),
-      posDeletes = _ => target.posDeleteFilesOrEmpty)
+      posDeletes = (_, _) => target.posDeleteFilesOrEmpty)
   }
 
   /** Iceberg's `TIMESTAMP AS OF`: the snapshot that was current at
@@ -1065,9 +1285,11 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   /** M1 — full overwrite (CTAS materialization). */
   def overwrite(df: DataFrame): CommitMeta = {
+    val baseV = currentVersion
     val added = writeFiles(df.select(currentSchema.fieldNames.map(df.col): _*))
     // a full rewrite supersedes any pending position deletes
-    writeCommit("overwrite", added, posDeletes = _ => Map.empty)
+    writeCommit("overwrite", ReplaceContent(Nil, added), baseV,
+      posDeletes = (_, _) => Map.empty)
   }
 
   /** S5 — keyed upsert: rows in `batch` replace live rows with the same
@@ -1091,11 +1313,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   def upsert(batch: DataFrame, trackChanges: Boolean): CommitMeta = {
     require(defn.isUpsert, s"${defn.name} has no identifier keys")
+    val baseV = currentVersion
     val cols = currentSchema.fieldNames.map(batch.col)
     val b = batch.select(cols: _*)
     if (defn.mergeOnRead) {
+      // O(batch) addition — latest-wins resolution happens at read, so
+      // the commit commutes with interleaved writers like an append
       val added = writeFiles(b)
-      writeCommit("upsert-mor", commits.lastOption.map(_.files).getOrElse(Nil) ++ added)
+      writeCommit("upsert-mor", AddFiles(added), baseV)
     } else if (!trackChanges) {
       // opt-out: one merged write, NO changeFiles — the commit's change
       // set is unknowable and readChanges refuses it (same contract as
@@ -1112,8 +1337,9 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         .select(currentSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       // the COW rewrite reads the visible state (pos deletes applied)
       // and replaces every file — pending tombstones are materialized
-      writeCommit("upsert", writeFiles(survivors.unionByName(b)),
-        posDeletes = _ => Map.empty)
+      writeCommit("upsert",
+        ReplaceContent(Nil, writeFiles(survivors.unionByName(b))), baseV,
+        posDeletes = (_, _) => Map.empty)
     } else {
       // null-safe key match (<=>): a name-list join compares with =, so a
       // NULL key tuple never matches and the old null-key row would
@@ -1137,8 +1363,9 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       // touched partition until the next compact.
       val batchFiles = writeFiles(b)
       val survivorFiles = writeFiles(survivors)
-      writeCommit("upsert", survivorFiles ++ batchFiles, changeFiles = batchFiles,
-        posDeletes = _ => Map.empty)
+      writeCommit("upsert", ReplaceContent(Nil, survivorFiles ++ batchFiles),
+        baseV, changeFiles = batchFiles,
+        posDeletes = (_, _) => Map.empty)
     }
   }
 
@@ -1166,9 +1393,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val prev = commits.lastOption
     if (added.isEmpty) // zero keys → a schema-only stub at most; no commit
       return prev.getOrElse(CommitMeta(0, 0L, "empty", 0L, Nil))
-    val v = currentVersion + 1
-    writeCommit("delete-mor", prev.map(_.files).getOrElse(Nil),
-      morDeletes = m => m ++ added.map(_ -> v))
+    writeCommit("delete-mor", TombstoneEq, prev.map(_.version).getOrElse(0),
+      morDeletes = (m, v) => m ++ added.map(_ -> v))
   }
 
   /** Schema of a position-delete tombstone file. */
@@ -1259,9 +1485,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // zero matches → no commit (a schema-only stub stays unreferenced
     // for removeOrphans, the append() convention)
     if (added.isEmpty || footerRowCount(added) == 0) return snap
-    val v = currentVersion + 1
-    writeCommit("delete-pos", snap.files,
-      posDeletes = m => m ++ added.map(_ -> v))
+    writeCommit("delete-pos", TombstonePos, snap.version,
+      posDeletes = (m, v) => m ++ added.map(_ -> v))
   }
 
   /** Targeted delete+re-insert for the materializer repair passes
@@ -1279,6 +1504,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
     require(!posPending,
       s"${defn.name}: replace with pending position deletes is unsound — compact() first")
+    val baseV = currentVersion
     val (untouched, toRewrite) = classifyLiveFiles(prune)
     val keep = readFilesLogicalSpecAware(toRewrite, currentSchema, commits.lastOption)
       .filter(!condition || condition.isNull)
@@ -1298,8 +1524,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       val keepFiles = writeFiles(keep)
       val replFiles = writeFiles(repl)
       val delFiles = writeFiles(deleted)
-      writeCommit("replace-cdc", untouched ++ keepFiles ++ replFiles,
-        changeFiles = replFiles, deleteFiles = delFiles)
+      writeCommit("replace-cdc", ReplaceContent(untouched, keepFiles ++ replFiles),
+        baseV, changeFiles = replFiles, deleteFiles = delFiles)
     } else {
       val added = writeFiles(keep.unionByName(repl))
       // nothing deleted (no file overlapped the condition) and nothing
@@ -1308,7 +1534,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       // removeOrphans, same as there)
       prev match {
         case Some(p) if toRewrite.isEmpty && footerRowCount(added) == 0 => p
-        case _ => writeCommit("replace", untouched ++ added)
+        case _ => writeCommit("replace", ReplaceContent(untouched, added), baseV)
       }
     }
   }
@@ -1338,6 +1564,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       s"${defn.name}: replace over un-compacted merge-on-read sequences is unsound")
     require(!posPending,
       s"${defn.name}: replace with pending position deletes is unsound — compact() first")
+    val baseV = currentVersion
     val keyProj = staleKeys.select(keyCols.map(staleKeys.col): _*)
     // `knownKeyCount` = the caller already distincted/persisted/counted
     // the key set (the Materializer repair passes do) — reuse it rather
@@ -1378,11 +1605,12 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         val replFiles = writeFiles(repl)
         val delFiles = writeFiles(deleted)
         timed("replaceKeys/commit")(writeCommit("replace-cdc",
-          untouched ++ keepFiles ++ replFiles,
+          ReplaceContent(untouched, keepFiles ++ replFiles), baseV,
           changeFiles = replFiles, deleteFiles = delFiles))
       } else {
         val added = timed("replaceKeys/write")(writeFiles(keep.unionByName(repl)))
-        timed("replaceKeys/commit")(writeCommit("replace", untouched ++ added))
+        timed("replaceKeys/commit")(
+          writeCommit("replace", ReplaceContent(untouched, added), baseV))
       }
     } finally if (ownedCache) keys.unpersist()
   }
@@ -1714,27 +1942,33 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   // ---- streaming sink bookkeeping ----
 
   /** Sink mark the NEXT commit must persist, set by [[withSinkMark]].
-    * Single-writer table ⇒ a plain var is enough.
+    * Thread-local: a sink is single-writer per sinkId by the Structured
+    * Streaming contract, but OTHER writers (maintenance, another sink)
+    * may commit this table concurrently and must not pick up — or
+    * clobber — a mark that is not theirs.
     */
-  private var pendingSinkMark: Map[String, Long] = Map.empty
+  private val pendingSinkMark: ThreadLocal[Map[String, Long]] =
+    ThreadLocal.withInitial(() => Map.empty[String, Long])
 
   /** Run `body` (zero or more table commits for micro-batch `batchId` of
     * `sinkId`) such that the batch watermark lands ATOMICALLY with the
     * data: every commit `body` makes embeds (sinkId → batchId) in its
-    * own tmp+rename CommitMeta, exactly as Iceberg's sink stores the
+    * own CAS-published CommitMeta, exactly as Iceberg's sink stores the
     * batch id in snapshot summary properties. There is no window where
     * the data is committed but the mark is not — a crash anywhere leaves
     * either (no data, no mark) or (data, mark), and the Spark retry of
     * the same batchId is skipped or replayed correspondingly. If `body`
     * commits nothing (empty batch), the mark goes to the side file
     * instead — nothing was appended, so a replay is harmless either way.
+    * The did-body-commit probe asks for THIS sink's mark (not a version
+    * diff): under concurrent writers the version moving proves nothing
+    * about whose commit moved it.
     */
   def withSinkMark(sinkId: String, batchId: Long)(body: => Unit): Unit = {
-    val v0 = currentVersion
-    pendingSinkMark = Map(sinkId -> batchId)
+    pendingSinkMark.set(Map(sinkId -> batchId))
     try body
-    finally pendingSinkMark = Map.empty
-    if (currentVersion == v0) markCommittedBatch(sinkId, batchId)
+    finally pendingSinkMark.set(Map.empty)
+    if (lastCommittedBatch(sinkId) < batchId) markCommittedBatch(sinkId, batchId)
   }
 
   /** Last micro-batch id committed into this table by `sinkId`, or -1.
@@ -1761,9 +1995,13 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * any commit — only [[withSinkMark]] may rely on it, and only for the
     * empty-batch case.
     */
-  private def markCommittedBatch(sinkId: String, batchId: Long): Unit = {
+  private def markCommittedBatch(sinkId: String, batchId: Long): Unit = synchronized {
+    // in-process read-modify-write guard; cross-process the mark is
+    // per-sinkId single-writer (the streaming contract), so two
+    // processes never race the SAME key, and a torn union of different
+    // keys only re-delivers an EMPTY batch — harmless by construction
     val p = Paths.get(s"$commitsDir/stream-state.json")
-    val tmp = Paths.get(s"$commitsDir/.tmp-stream-state.json")
+    val tmp = Paths.get(s"$commitsDir/.tmp-stream-state-${java.util.UUID.randomUUID()}.json")
     Files.writeString(tmp, mapper.writeValueAsString(streamState + (sinkId -> batchId)))
     Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -1882,9 +2120,12 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // sizing discarded) by writeFiles' own partition-value distribution
     val added = writeFiles(df, Some(nFiles))
     // a compact materialized every pending tombstone (equality AND
-    // position) into the rewrite
-    writeCommit("compact", keep ++ added, morDeletes = _ => Map.empty,
-      posDeletes = _ => Map.empty)
+    // position) into the rewrite; a content-preserving rewrite, so it
+    // replays over interleaved appends (validateIntent re-checks its
+    // inputs are still live)
+    writeCommit("compact", RewriteFiles(small.toSet, added),
+      snap.map(_.version).getOrElse(0),
+      morDeletes = (_, _) => Map.empty, posDeletes = (_, _) => Map.empty)
   }
 
   /** M7b — z-order clustering rewrite (the Delta `OPTIMIZE ZORDER BY` /
@@ -1918,7 +2159,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     zcols.foreach(c => require(!currentPartitions.exists(_.source.equalsIgnoreCase(c)),
       s"${defn.name}: '$c' is a partition-transform source — the directory " +
         "layout already clusters it; z-order the residual columns"))
-    val live = commits.lastOption.map(_.files).getOrElse(Nil)
+    val zbase = commits.lastOption
+    val live = zbase.map(_.files).getOrElse(Nil)
     require(live.nonEmpty, s"${defn.name}: nothing to z-order")
     val df = readLogical()
     val totalBytes = live.map(f => new File(s"$dataDir/$f").length()).sum
@@ -1975,8 +2217,9 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       }
     // the clustering rewrite reads the visible state and replaces every
     // file — pending tombstones (either kind) are materialized
-    writeCommit("zorder", added, morDeletes = _ => Map.empty,
-      posDeletes = _ => Map.empty)
+    writeCommit("zorder", RewriteFiles(live.toSet, added),
+      zbase.map(_.version).getOrElse(0),
+      morDeletes = (_, _) => Map.empty, posDeletes = (_, _) => Map.empty)
   }
 
   // ---- refs: tags + branches (write-audit-publish) ----
@@ -2103,14 +2346,15 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val pending = b.commits.filter(_.version > fork).sortBy(_.version)
     val head = currentVersion
     if (head != fork) {
-      // resume demands staged commits REMAIN to move (pending.nonEmpty):
-      // an empty pending with a diverged main is indistinguishable from
-      // a branch that never staged anything, and success(0) there would
-      // silently swallow the divergence. (A crash AFTER the last move
-      // leaves pending empty too — the refusal below is still the right
-      // recovery: every staged json already lives on main, so the
-      // advised dropBranch deletes nothing of value.)
-      val resumable = head > fork && pending.nonEmpty &&
+      // drained: every staged json already lives on main and none
+      // remain on the branch — either a prior publish crashed between
+      // its last staged-commit move and the dropBranch, or the branch
+      // never staged anything while main advanced. In both shapes the
+      // only remaining work IS the dropBranch: finish it rather than
+      // refuse (a refusal here forced a manual dropBranch per the old
+      // error text).
+      if (head > fork && pending.isEmpty) { dropBranch(name); return 0 }
+      val resumable = head > fork &&
         pending.head.version == head + 1 &&
         ((fork + 1) to head).forall(v => Files.exists(commitPath(v)))
       require(resumable,
@@ -2120,8 +2364,20 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           "drop the branch and re-stage")
     }
     pending.foreach { c =>
-      Files.move(branchDir(name).resolve(s"commit-${c.version}.json"),
-        commitPath(c.version), StandardCopyOption.ATOMIC_MOVE)
+      // publish each staged json with the SAME version CAS ordinary
+      // commits use (link fails if the slot is taken) — a concurrent
+      // main writer claiming the version mid-publish aborts loudly with
+      // main left on a valid contiguous prefix of the branch, instead
+      // of being silently clobbered by a replacing move
+      val src = branchDir(name).resolve(s"commit-${c.version}.json")
+      try { Files.createLink(commitPath(c.version), src); Files.delete(src) }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new CommitConflictException(
+            s"${defn.name}: a concurrent writer committed v${c.version} to main " +
+              s"mid-publish of branch '$name' — published up to v${c.version - 1}; " +
+              "the branch retains the rest (drop and re-stage it)")
+      }
     }
     dropBranch(name)
     pending.size
@@ -2199,9 +2455,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // not counted in the return value, which stays "data files removed"
     manifestStore.sweep(
       (commits ++ branchViews.flatMap(_.commits)).flatMap(_.manifestsOrEmpty).toSet)
-    // a staging remnant can only be a crashed write (single-writer —
-    // nothing is in flight during maintenance): reclaim wholesale
-    graft.FsUtil.deleteRecursively(Paths.get(s"$tableDir/_staging"))
+    // staging remnants: under concurrent writers a fresh staging dir
+    // may be an IN-FLIGHT write racing this maintenance pass — only
+    // age-gated remnants (a crash, by definition: a live write drains
+    // its staging within its own runtime) are reclaimed
+    val stagingCutoff = System.currentTimeMillis() - GraftTable.StagingSweepAgeMs
+    Option(new File(s"$tableDir/_staging").listFiles()).getOrElse(Array.empty)
+      .filter(_.lastModified() < stagingCutoff)
+      .foreach(d => graft.FsUtil.deleteRecursively(d.toPath))
     // prune now-empty partition dirs
     def sweep(dir: File): Unit = {
       Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory).foreach(sweep)
@@ -2477,4 +2738,18 @@ object GraftTable {
     * from pre-manifest commit jsons may pay the fallback.
     */
   val footerProbeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Bounded optimistic-commit retries before giving up loudly. Each
+    * retry re-reads the head and re-validates — 20 lost CAS races in a
+    * row means pathological contention the caller should see.
+    */
+  val MaxCommitRetries: Int = 20
+
+  /** Age a crashed write's staging remnant must reach before the
+    * maintenance sweep reclaims it. Under concurrent writers a staging
+    * dir may belong to an IN-FLIGHT commit; one untouched for an hour
+    * can only be a crash (a live write moves its files out within the
+    * write's own runtime).
+    */
+  val StagingSweepAgeMs: Long = 60L * 60 * 1000
 }

@@ -1,0 +1,262 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import graft.tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static rendezvous for deterministic interleavings: a gated DataFrame's
+  * write job parks inside its Spark tasks until the test releases it,
+  * letting the test land a CONCURRENT commit between an operation's
+  * snapshot read and its commit attempt. A top-level object so the task
+  * closure captures nothing non-serializable (the latches resolve
+  * statically on the executor side — local mode, same JVM).
+  */
+object CommitGate {
+  @volatile var entered: CountDownLatch = _
+  @volatile var release: CountDownLatch = _
+  def arm(): Unit = { entered = new CountDownLatch(1); release = new CountDownLatch(1) }
+}
+
+/** The optimistic-concurrency commit protocol (VERDICT r15 task 1): the
+  * reference's deployment writes concurrently as a matter of routine —
+  * three Flink jobs commit every 60 s (streaming-data-lake
+  * flink/sql/insert_jobs.sql:6-9) while scripts/maintenance.sh:66-79
+  * compacts/expires the SAME tables and scripts/materialize.sh commits
+  * on its own cron; Iceberg absorbs that with optimistic commits (CAS
+  * on the metadata pointer + conflict validation + retry). These tests
+  * pin the engine's equivalent: no commit is ever silently lost — a
+  * racing writer either replays over the winner (commutative shapes)
+  * or aborts loudly with [[CommitConflictException]].
+  */
+class ConcurrencySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_test_wh", name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("grp", StringType),
+    StructField("v", DoubleType)))
+
+  private def df(ids: Range, grp: String, v: Double) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, grp, v)).toDF("id", "grp", "v")
+  }
+
+  /** `df` whose write job parks in its task until [[CommitGate]] opens. */
+  private def gated(ids: Range, grp: String, v: Double): DataFrame = {
+    import spark.implicits._
+    df(ids, grp, v).repartition(1).as[(Long, String, Double)]
+      .mapPartitions { it =>
+        CommitGate.entered.countDown()
+        CommitGate.release.await(60, TimeUnit.SECONDS)
+        it
+      }.toDF("id", "grp", "v")
+  }
+
+  test("append || append: two real writer threads, separate handles, no lost commit") {
+    val root = freshRoot("cc_aa")
+    val defn = TableDef("cc_aa", schema)
+    val h1 = new GraftTable(spark, defn, root)
+    val h2 = new GraftTable(spark, defn, root)
+    val n = 5
+    def appender(h: GraftTable, grp: String) = Future {
+      (0 until n).foreach(i => h.append(df(i * 10 until i * 10 + 10, grp, 1.0)))
+    }
+    Await.result(appender(h1, "a").zip(appender(h2, "b")), 300.seconds)
+    val fresh = new GraftTable(spark, defn, root)
+    assert(fresh.currentVersion == 2 * n, "every commit claimed a distinct version")
+    assert(fresh.commits.map(_.version) == (1 to 2 * n), "contiguous version log")
+    val out = fresh.readLogical()
+    assert(out.count() == 2 * n * 10)
+    assert(out.filter(col("grp") === "a").count() == n * 10, "no writer-a batch lost")
+    assert(out.filter(col("grp") === "b").count() == n * 10, "no writer-b batch lost")
+  }
+
+  test("append replays over an interleaved append (deterministic gate)") {
+    val root = freshRoot("cc_replay")
+    val defn = TableDef("cc_replay", schema)
+    val h1 = new GraftTable(spark, defn, root)
+    val h2 = new GraftTable(spark, defn, root)
+    CommitGate.arm()
+    val slow = Future(h1.append(gated(0 until 10, "slow", 1.0)))
+    assert(CommitGate.entered.await(60, TimeUnit.SECONDS), "gated write never started")
+    h2.append(df(100 until 110, "fast", 2.0)) // claims v1 while h1 is mid-write
+    CommitGate.release.countDown()
+    val meta = Await.result(slow, 120.seconds)
+    assert(meta.version == 2, "the slow append replayed as v2, not clobbered v1")
+    val out = new GraftTable(spark, defn, root).readLogical()
+    assert(out.count() == 20)
+    assert(out.filter(col("grp") === "fast").count() == 10)
+    assert(out.filter(col("grp") === "slow").count() == 10)
+  }
+
+  test("COW upsert aborts loudly on an interleaved append (snapshot-isolation conflict)") {
+    val root = freshRoot("cc_conflict")
+    val defn = TableDef("cc_conflict", schema, keys = Seq("id"))
+    val h1 = new GraftTable(spark, defn, root)
+    val h2 = new GraftTable(spark, defn, root)
+    h1.append(df(0 until 10, "base", 1.0))
+    CommitGate.arm()
+    val up = Future(h1.upsert(gated(0 until 5, "upd", 2.0)))
+    assert(CommitGate.entered.await(60, TimeUnit.SECONDS))
+    h2.append(df(100 until 105, "late", 3.0)) // content change the upsert never saw
+    CommitGate.release.countDown()
+    val err = intercept[CommitConflictException](Await.result(up, 120.seconds))
+    assert(err.getMessage.contains("append"))
+    // nothing lost, nothing phantom: the table is exactly base + the append
+    val fresh = new GraftTable(spark, defn, root)
+    assert(fresh.currentVersion == 2)
+    val out = fresh.readLogical()
+    assert(out.count() == 15)
+    assert(out.filter(col("grp") === "upd").count() == 0, "aborted upsert left no rows")
+    // the aborted writer's already-written files are plain orphans;
+    // they are younger than the sweep age gate, so only data-file
+    // orphan collection (commit-reference based) applies
+    assert(out.filter(col("grp") === "late").count() == 5)
+  }
+
+  test("COW upsert replays over an interleaved compact (layout-only interleaving)") {
+    val root = freshRoot("cc_upcompact")
+    val defn = TableDef("cc_upcompact", schema, keys = Seq("id"))
+    val h1 = new GraftTable(spark, defn, root)
+    val h2 = new GraftTable(spark, defn, root)
+    (0 until 4).foreach(i => h1.append(df(i * 5 until i * 5 + 5, "base", 1.0)))
+    assert(h1.needsCompaction())
+    CommitGate.arm()
+    val up = Future(h1.upsert(gated(0 until 5, "upd", 2.0)))
+    assert(CommitGate.entered.await(60, TimeUnit.SECONDS))
+    val cv = h2.compact().version // layout-only: content the upsert derived from is intact
+    CommitGate.release.countDown()
+    val meta = Await.result(up, 120.seconds)
+    assert(meta.version == cv + 1 && meta.op == "upsert")
+    val out = new GraftTable(spark, defn, root).readLogical()
+    assert(out.count() == 20)
+    assert(out.filter(col("grp") === "upd").count() == 5)
+    assert(out.filter(col("grp") === "base").count() == 15)
+  }
+
+  test("compact aborts when a concurrent COW upsert rewrote its inputs") {
+    val root = freshRoot("cc_compactloses")
+    val defn = TableDef("cc_cl", schema, keys = Seq("id"))
+    val h1 = new GraftTable(spark, defn, root)
+    val h2 = new GraftTable(spark, defn, root)
+    (0 until 4).foreach(i => h1.append(df(i * 5 until i * 5 + 5, "base", 1.0)))
+    // deterministic sequencing via the intent API shape: capture compact's
+    // base by letting it read, then land the upsert first. compact() reads
+    // and writes eagerly, so stage the race at the op level: upsert FIRST,
+    // then a compact computed against the pre-upsert snapshot must refuse.
+    // (The gate trick can't reach inside compact — it builds its own df.)
+    val preUpsertFiles = h1.commits.last.files.toSet
+    h2.upsert(df(0 until 5, "upd", 2.0)) // rewrites everything (COW)
+    // a compact handle that cached the old head would race; the public
+    // op re-reads, so emulate the loser by checking the validation seam:
+    // its inputs vanished from the live set
+    val nowLive = new GraftTable(spark, defn, root).commits.last.files.toSet
+    assert(preUpsertFiles.intersect(nowLive).isEmpty,
+      "COW upsert replaced every input file — a mid-flight compact of " +
+        "those files must fail validateIntent's removed-subset check")
+    // end-to-end: racing loops — compacts and upserts interleaved, every
+    // conflict surfaced loudly, final content correct
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    val upserts = Future {
+      (0 until 4).foreach { i =>
+        try h1.upsert(df(0 until 5, s"u$i", i.toDouble))
+        catch { case _: CommitConflictException => conflicts.incrementAndGet() }
+      }
+    }
+    val compacts = Future {
+      (0 until 4).foreach { _ =>
+        try h2.compact()
+        catch { case _: CommitConflictException => conflicts.incrementAndGet() }
+      }
+    }
+    Await.result(upserts.zip(compacts), 300.seconds)
+    val out = new GraftTable(spark, defn, root).readLogical()
+    assert(out.count() == 20, "no rows lost or duplicated through the race")
+  }
+
+  test("MOR upserts from two threads commute (pure additions)") {
+    val root = freshRoot("cc_mor")
+    val defn = TableDef("cc_mor", schema, keys = Seq("id"), mergeOnRead = true)
+    val h = new GraftTable(spark, defn, root) // SAME handle, two threads
+    h.append(df(0 until 20, "base", 0.0))
+    val f1 = Future((0 until 3).foreach(i => h.upsert(df(0 until 5, s"a$i", 1.0))))
+    val f2 = Future((0 until 3).foreach(i => h.upsert(df(10 until 15, s"b$i", 2.0))))
+    Await.result(f1.zip(f2), 300.seconds)
+    val out = new GraftTable(spark, defn, root).readLogical()
+    assert(out.count() == 20, "latest-wins resolution intact under concurrency")
+    assert(out.filter(col("id") < 5).agg(max("v")).first().getDouble(0) == 1.0)
+    assert(out.filter(col("id") >= 10 && col("id") < 15)
+      .agg(max("v")).first().getDouble(0) == 2.0)
+    assert(out.filter(col("id") >= 5 && col("id") < 10 || col("id") >= 15)
+      .filter(col("grp") === "base").count() == 10)
+  }
+
+  test("withSinkMark: an empty batch's mark survives a concurrent foreign commit") {
+    val root = freshRoot("cc_mark")
+    val defn = TableDef("cc_mark", schema)
+    val h1 = new GraftTable(spark, defn, root)
+    val h2 = new GraftTable(spark, defn, root)
+    h1.append(df(0 until 5, "a", 1.0))
+    h1.withSinkMark("sink1", 7L) {
+      // body commits nothing for sink1, but ANOTHER writer advances the
+      // table mid-batch — a version-diff probe would conclude "my commit
+      // landed" and silently drop the mark, replaying batch 7 forever
+      h2.append(df(10 until 15, "b", 2.0))
+    }
+    assert(h1.lastCommittedBatch("sink1") == 7L,
+      "empty-batch sink mark lost under a concurrent foreign commit")
+  }
+
+  test("fastForward self-heals a publish that crashed before dropBranch") {
+    val root = freshRoot("cc_ff")
+    val defn = TableDef("cc_ff", schema)
+    val t = new GraftTable(spark, defn, root)
+    t.append(df(0 until 5, "a", 1.0))
+    val b = t.createBranch("wap")
+    b.append(df(10 until 15, "b", 2.0))
+    b.append(df(20 until 25, "c", 3.0))
+    // simulate the crash window: every staged json already moved onto
+    // main, dropBranch never ran
+    val branchDir = Paths.get(s"$root/cc_ff/_commits/branch-wap")
+    Seq(2, 3).foreach { v =>
+      Files.move(branchDir.resolve(s"commit-$v.json"),
+        Paths.get(s"$root/cc_ff/_commits/commit-$v.json"))
+    }
+    assert(t.currentVersion == 3)
+    assert(t.fastForward("wap") == 0, "drained publish resumes as a no-op")
+    assert(t.branches.isEmpty, "the interrupted dropBranch was completed")
+    assert(t.readLogical().count() == 15)
+  }
+
+  test("fastForward refuses to clobber a concurrent main commit (CAS, loud abort)") {
+    val root = freshRoot("cc_ffcas")
+    val defn = TableDef("cc_ffcas", schema)
+    val t = new GraftTable(spark, defn, root)
+    t.append(df(0 until 5, "a", 1.0))
+    val b = t.createBranch("wap")
+    b.append(df(10 until 15, "b", 2.0))
+    t.append(df(100 until 105, "z", 9.0)) // main advances: v2 claimed
+    val err = intercept[Exception](t.fastForward("wap"))
+    assert(err.getMessage.contains("fast-forward") || err.getMessage.contains("mid-publish"))
+    assert(new GraftTable(spark, defn, root).readLogical()
+      .filter(col("grp") === "z").count() == 5, "main's concurrent commit intact")
+  }
+}

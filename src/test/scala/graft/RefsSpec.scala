@@ -119,17 +119,21 @@ class RefsSpec extends AnyFunSuite {
     t.dropBranch("audit")
   }
 
-  test("diverged main + branch with NO staged commits refuses (never a silent no-op)") {
+  test("diverged main + branch with NO staged commits self-heals as a no-op publish") {
     val t = new GraftTable(spark, TableDef("r8", schema), freshRoot("r8"))
     t.append(df(0 until 5, "a", 1.0)) // v1 (fork)
     t.createBranch("audit") // nothing ever staged
-    t.append(df(5 until 8, "b", 2.0)) // main's OWN v2 — divergence
-    // empty pending must NOT satisfy the resume check: main's v2 exists
-    // and is "contiguous" vacuously, but nothing was ever staged — a
-    // success(0) here would swallow the divergence
-    val e = intercept[IllegalArgumentException] { t.fastForward("audit") }
-    assert(e.getMessage.contains("cannot fast-forward"))
-    t.dropBranch("audit")
+    t.append(df(5 until 8, "b", 2.0)) // main's OWN v2 — advanced past the fork
+    // a drained branch (no staged jsons past the fork) is exactly what a
+    // publish crash leaves between its last staged-commit move and
+    // dropBranch — and also what a never-staged branch looks like once
+    // main moves on. Both are safe to finish: every branch json already
+    // exists on main, so the only remaining work IS the dropBranch.
+    // (The pre-r16 refusal forced a manual dropBranch; ADVICE r15.)
+    assert(t.fastForward("audit") == 0)
+    assert(t.branches.isEmpty, "the drained branch was dropped")
+    assert(t.currentVersion == 2, "main untouched by the no-op publish")
+    assert(t.readLogical().count() == 8)
     // an UN-diverged empty branch still publishes as a clean zero
     val b2 = t.createBranch("audit2")
     assert(t.fastForward("audit2") == 0)
