@@ -27,16 +27,27 @@ import org.apache.spark.sql.functions.{col, expr, lit, when}
   *    [[GraftTable.upsert]] — exactly the upsert-shaped MERGE; any
   *    other ON/action shape refuses loudly rather than approximating.
   *
+  * `CREATE [OR REPLACE] VIEW` / `DROP VIEW` (trino/apply_views.sh's
+  * statement shape) maintain PERSISTED catalog views: the body text
+  * lands in a `_views/` sidecar beside the table logs, registers as a
+  * scoped temp view through the same qualified-name rewrite, and
+  * re-registers in every later run — so apply_views.sh replays once and
+  * materialize.sh's `CREATE TABLE ... AS SELECT * FROM iceberg.db.<view>`
+  * works in any subsequent cron pass, like Trino's catalog views.
+  *
   * Non-DML statements (SET / SELECT / CREATE TEMP VIEW ...) run through
-  * `spark.sql` as in [[SqlRunner]]. Every catalog table is (re-)published
-  * as a temp view under its name BEFORE EACH statement — a logical read
+  * `spark.sql` as in [[SqlRunner]]. Every catalog table whose snapshot
+  * MOVED is (re-)published as a temp view under its name before each
+  * statement (O(changed tables) churn, not O(tables)) — a logical read
   * pins the snapshot current at registration, so each statement (and
   * each DML's subqueries) sees its predecessors' writes, Trino's
-  * read-committed statement semantics. Catalog-qualified names
-  * (`iceberg.db.foo`) resolve by last segment, so the reference text
-  * needs no rewriting. Returns the LAST statement's result; DML
-  * statements yield a one-row (verb, table) marker frame so a
-  * DML-final script still returns something inspectable.
+  * read-committed statement semantics; catalog views re-register off
+  * their stored body whenever a dependency moved, keeping them
+  * late-bound. Catalog-qualified names (`iceberg.db.foo`) resolve by
+  * last segment, so the reference text needs no rewriting. Returns the
+  * LAST statement's result; DML statements yield a one-row (verb,
+  * table) marker frame so a DML-final script still returns something
+  * inspectable.
   */
 object DmlRunner {
 
@@ -54,6 +65,14 @@ object DmlRunner {
   private val CtasSchemaSidecar = "_ctas_schema.ddl"
   private val DropTableRe =
     """(?is)^DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*$""".r
+  // CATALOG view DDL (trino/apply_views.sh:17-27 pastes one
+  // `CREATE OR REPLACE VIEW iceberg.db.v_x AS SELECT …` per
+  // trino/sql/*.sql). TEMPORARY view DDL deliberately does NOT match —
+  // it stays session-scoped through the spark.sql fallthrough.
+  private val CreateViewRe =
+    """(?is)^CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)$""".r
+  private val DropViewRe =
+    """(?is)^DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*$""".r
   private val MergeHead =
     """(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+""".r
   private val MergeOn =
@@ -224,6 +243,57 @@ object DmlRunner {
   private def baseName(qualified: String): String =
     qualified.split('.').last
 
+  // ---- persisted catalog views ----
+
+  /** View-definition sidecars: `<root>/_views/NNNN_<name>.sql` holds a
+    * runner-created view's ORIGINAL body text, creation-ordered by the
+    * counter prefix so a later run re-registers dependencies before
+    * dependents. The engine's analog of the reference's persisted Trino
+    * views: a view applied in one runner invocation (apply_views.sh)
+    * serves reads in every later one (materialize.sh's
+    * `CREATE TABLE ... AS SELECT * FROM iceberg.db.<view>`).
+    */
+  private def viewFiles(root: String): Seq[java.io.File] =
+    Option(java.nio.file.Paths.get(root, "_views").toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d+_.*\\.sql")).sortBy(_.getName).toSeq
+
+  private def viewFileOf(root: String, name: String): Option[java.io.File] =
+    viewFiles(root).find(_.getName.matches(
+      "\\d+_" + java.util.regex.Pattern.quote(name) + "\\.sql"))
+
+  private def loadViewDefs(root: String)
+      : scala.collection.mutable.LinkedHashMap[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    viewFiles(root).foreach { f =>
+      out(f.getName.replaceFirst("^\\d+_", "").stripSuffix(".sql")) =
+        java.nio.file.Files.readString(f.toPath)
+    }
+    out
+  }
+
+  private def persistViewDef(root: String, name: String, body: String): Unit = {
+    val dir = java.nio.file.Paths.get(root, "_views")
+    java.nio.file.Files.createDirectories(dir)
+    val target = viewFileOf(root, name).map(_.toPath).getOrElse {
+      val next = viewFiles(root).size + 1
+      dir.resolve(f"$next%04d_$name.sql")
+    }
+    java.nio.file.Files.writeString(target, body)
+  }
+
+  private def dropViewDef(root: String, name: String): Unit =
+    viewFileOf(root, name).foreach(_.delete())
+
+  /** Head-anchored temp-view-DDL detector: ONLY a statement that IS
+    * view DDL (not one merely carrying the words in a string literal —
+    * `INSERT ... VALUES ('CREATE VIEW')` must not match) triggers the
+    * rewrite-inventory refresh after the spark.sql fallthrough.
+    */
+  private[graft] val ViewDdlRe =
+    ("""(?is)^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?""" +
+      """(?:TEMP(?:ORARY)?\s+)?VIEW|DROP\s+VIEW)\b.*""").r
+
   /** Rewrite catalog-qualified table names to their bare temp-view
     * names OUTSIDE single-quoted string literals (a literal like
     * `'iceberg.db.foo'` must survive verbatim). Three-part names
@@ -323,9 +393,17 @@ object DmlRunner {
                 s"FOR $kind AS OF needs a numeric snapshot version, got '$arg'")
               t.readLogical(Some(arg.toInt))
             } else {
-              val s0 = arg.replace('T', ' ')
-              val s1 = if (s0.contains(" ")) s0 else s"$s0 00:00:00"
-              t.readAsOfLogical(java.sql.Timestamp.valueOf(s1).getTime)
+              // parse in the SESSION timezone (Timestamp.valueOf would
+              // use the JVM-default zone — this harness pins both to
+              // UTC, but a deployment that doesn't would see the pinned
+              // snapshot shift by the offset, and a date-only argument
+              // become JVM-local midnight)
+              val s0 = arg.replace(' ', 'T')
+              val s1 = if (s0.contains("T")) s0 else s"${s0}T00:00:00"
+              val zone = java.time.ZoneId.of(
+                t.spark.sessionState.conf.sessionLocalTimeZone)
+              t.readAsOfLogical(java.time.LocalDateTime.parse(s1)
+                .atZone(zone).toInstant.toEpochMilli)
             }
           df.createOrReplaceTempView(view)
           Matcher.quoteReplacement(view)
@@ -397,30 +475,90 @@ object DmlRunner {
     // ~1.3x on the multi-statement DML rows (AB_BENCH_round r15)
     var views: Set[String] =
       scoped.catalog.listTables().collect().map(_.name).toSet
-    val viewDdl = """(?is).*\b(CREATE|DROP)\b.*\bVIEW\b.*""".r
-    stmts.foreach { stmt =>
-      // publish every catalog table at ITS CURRENT snapshot — a logical
-      // read pins the snapshot at plan time, so re-registering per
-      // statement is what gives statement-level read-committed
+    // persisted catalog views a PREVIOUS run (or this one) created via
+    // CREATE [OR REPLACE] VIEW — re-registered whenever a dependency
+    // may have moved (see below)
+    val viewDefs = loadViewDefs(cat.root)
+    var viewsFresh = false
+    // registration trim: re-publish a table's temp view only when its
+    // snapshot version moved (or the table is new) — a logical read
+    // pins the snapshot at registration, so refreshing exactly the
+    // moved tables per statement gives the same statement-level
+    // read-committed as the old register-everything loop at
+    // O(changed), not O(tables), plan/catalog churn per statement
+    val registeredAt = scala.collection.mutable.Map[String, Int]()
+    def refreshTables(): Boolean = {
+      var changed = false
+      registeredAt.keys.filterNot(tables.contains).toSeq
+        .foreach { n => registeredAt.remove(n); changed = true }
       tables.foreach { case (n, t) =>
-        if (t.currentVersion > 0) t.readLogical().createOrReplaceTempView(n)
-        else scoped.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          t.currentSchema).createOrReplaceTempView(n)
+        val v = t.currentVersion
+        if (!registeredAt.get(n).contains(v)) {
+          if (v > 0) t.readLogical().createOrReplaceTempView(n)
+          else scoped.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            t.currentSchema).createOrReplaceTempView(n)
+          registeredAt(n) = v
+          changed = true
+        }
       }
-      // catalog-qualified names (`iceberg.db.foo`, `db.foo`) resolve to
-      // the temp views by LAST segment — applied to the whole statement
-      // so qualified names inside subqueries and plain SELECTs replay
-      // verbatim too (the reference's scripts qualify every reference).
-      // Temp views count: materialize.sh qualifies its VIEW reads
-      // (`CREATE TABLE ... AS SELECT * FROM iceberg.db.v_x`) the same
-      // way it qualifies tables.
-      val rewritten = pinAsOf(tables,
-        rewriteQualified(stmt, tables.keys.toSet ++ views,
-          twoPartNames = tables.keys.toSet))
-      val r = runStatement(scoped, tables, declared, cat.root, rewritten)
-      if (r != null) last = r
-      if (viewDdl.pattern.matcher(stmt).matches())
-        views = scoped.catalog.listTables().collect().map(_.name).toSet
+      changed
+    }
+    // a Spark temp view pins its ANALYZED plan at CREATE, so catalog
+    // views re-register from their stored ORIGINAL body whenever a base
+    // table moved — that body re-resolves against the freshly
+    // registered snapshots, which is what makes the runner's views
+    // late-bound like Trino's (a view created before an INSERT reads
+    // the post-INSERT table in the next statement)
+    def registerView(name: String, body: String): Unit = {
+      val rewritten = rewriteQualified(body,
+        tables.keys.toSet ++ viewDefs.keys ++ views,
+        twoPartNames = tables.keys.toSet)
+      scoped.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $rewritten")
+    }
+    stmts.foreach { stmt =>
+      val tablesMoved = refreshTables()
+      if ((tablesMoved || !viewsFresh) && viewDefs.nonEmpty) {
+        viewDefs.foreach { case (n, b) => registerView(n, b) }
+        viewsFresh = true
+      }
+      stmt match {
+        case CreateViewRe(orReplace, name, body) =>
+          val base = baseName(name)
+          require(!tables.contains(base),
+            s"$base is a table — CREATE VIEW cannot shadow it")
+          require(orReplace != null || !viewDefs.contains(base),
+            s"view $base already exists — use CREATE OR REPLACE VIEW")
+          viewDefs(base) = body
+          persistViewDef(cat.root, base, body)
+          registerView(base, body)
+          views += base
+          last = marker(scoped, "CREATE VIEW", base)
+        case DropViewRe(_, name) if viewDefs.contains(baseName(name)) =>
+          val base = baseName(name)
+          viewDefs.remove(base)
+          dropViewDef(cat.root, base)
+          scoped.catalog.dropTempView(base)
+          views -= base
+          last = marker(scoped, "DROP VIEW", base)
+        case DropViewRe(ifExists, name)
+            if ifExists != null && !views.contains(baseName(name)) =>
+          last = marker(scoped, "DROP VIEW (absent)", baseName(name))
+        case _ =>
+          // catalog-qualified names (`iceberg.db.foo`, `db.foo`) resolve
+          // to the temp views by LAST segment — applied to the whole
+          // statement so qualified names inside subqueries and plain
+          // SELECTs replay verbatim too (the reference's scripts qualify
+          // every reference). Temp views count: materialize.sh qualifies
+          // its VIEW reads (`CREATE TABLE ... AS SELECT * FROM
+          // iceberg.db.v_x`) the same way it qualifies tables.
+          val rewritten = pinAsOf(tables,
+            rewriteQualified(stmt, tables.keys.toSet ++ viewDefs.keys ++ views,
+              twoPartNames = tables.keys.toSet))
+          val r = runStatement(scoped, tables, declared, cat.root, rewritten)
+          if (r != null) last = r
+          if (ViewDdlRe.pattern.matcher(stmt).matches())
+            views = scoped.catalog.listTables().collect().map(_.name).toSet
+      }
     }
     require(last != null, "script contained only SET statements")
     last

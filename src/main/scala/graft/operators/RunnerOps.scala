@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.{Files, Paths}
 
 import graft.{DmlRunner, QueryDef, SqlRunner, Tables}
+import graft.rtb.RtbIngest
 import graft.tables.{TableCatalog, TableDef}
 import org.apache.spark.sql.types._
 
@@ -323,7 +324,185 @@ object RunnerOps {
            |UNION ALL
            |SELECT 3, count(*) FROM events""".stripMargin))
 
+  /** X9 — CATALOG VIEW DDL as verbatim text: run 1 replays
+    * trino/apply_views.sh's exact statement shape with the LITERAL file
+    * texts of v_agg_funnel_by_publisher.sql:1-38 and
+    * v_event_enriched_clicks.sql:1-19 (byte-for-byte, including the
+    * `iceberg.db.*` qualifications); run 2 — a SEPARATE runner
+    * invocation, proving the views PERSIST like Trino's — replays
+    * materialize.sh:84's consumer (`CREATE TABLE iceberg.db.mat_… AS
+    * SELECT * FROM iceberg.db.<view>`) and reads the mat table back,
+    * with the second view pinned by a scalar-subquery count. Both
+    * pasted views are money-free (distinct counts, exact ratios,
+    * row-level enrichment), so the verbatim text hash-matches DuckDB
+    * without the suite's cents rewrite. Fixtures are the landed-shape
+    * RTB tables (the flattening the `rtb_ingest_enrich` row pins) plus
+    * the standing SCD2 range dims with their derived attributes.
+    */
+  val x9SqlViews: QueryDef = QueryDef(
+    "x9_sql_views",
+    (s, dir) => {
+      val wh = scratch("x9")
+      val cat = new TableCatalog(s, wh, Seq.empty)
+      import org.apache.spark.sql.functions._
+      import RtbOracleOps.{ensureData, rangeDim, creativeFormatCol}
+      val rtb = RtbOracleOps.root
+      val extras: org.apache.spark.sql.SparkSession => Unit = scoped => {
+        ensureData(scoped)
+        scoped.read.parquet(s"$rtb/requests")
+          .select(col("id").as("request_id"),
+            coalesce(col("site.publisher.id"), col("app.publisher.id"))
+              .as("publisher_id"),
+            RtbIngest.parseTs(col("event_timestamp")).as("event_timestamp"))
+          .createOrReplaceTempView("bid_requests")
+        scoped.read.parquet(s"$rtb/responses")
+          .select(col("id").as("response_id"), col("ext.request_id").as("request_id"))
+          .createOrReplaceTempView("bid_responses")
+        scoped.read.parquet(s"$rtb/impressions")
+          .select(col("impression_id"), col("response_id"))
+          .createOrReplaceTempView("impressions")
+        scoped.read.parquet(s"$rtb/clicks")
+          .select(col("click_id"), col("request_id"), col("impression_id"),
+            col("imp_id"), col("bidder_id"), col("creative_id"), col("click_url"),
+            RtbIngest.parseTs(col("event_timestamp")).as("event_timestamp"))
+          .createOrReplaceTempView("clicks")
+        rangeDim(scoped, 30, "publisher_id", "publisher_name", "publisher")
+          .withColumn("vertical",
+            concat(lit("v"), (col("publisher_id") % 4).cast("string")))
+          .withColumn("tier", lit(1) + col("publisher_id") % 3)
+          .createOrReplaceTempView("dim_publisher")
+        rangeDim(scoped, 25, "bidder_id", "bidder_name", "bidder")
+          .createOrReplaceTempView("dim_bidder")
+        rangeDim(scoped, 200, "creative_id", "creative_name", "creative")
+          .withColumn("format", creativeFormatCol("creative_id"))
+          .createOrReplaceTempView("dim_creative")
+      }
+      // run 1 — apply_views.sh: the two literal trino/sql file texts
+      DmlRunner.run(s, cat,
+        """CREATE OR REPLACE VIEW iceberg.db.v_agg_funnel_by_publisher AS
+          |SELECT
+          |    date_trunc('hour', br.event_timestamp) AS hour_start,
+          |    br.publisher_id,
+          |    dp.publisher_name,
+          |    dp.vertical AS publisher_vertical,
+          |    dp.tier AS publisher_tier,
+          |    COUNT(DISTINCT br.request_id) AS bid_requests,
+          |    COUNT(DISTINCT resp.response_id) AS bid_responses,
+          |    COUNT(DISTINCT imp.impression_id) AS impressions,
+          |    COUNT(DISTINCT cl.click_id) AS clicks,
+          |    CASE
+          |        WHEN COUNT(DISTINCT br.request_id) > 0
+          |        THEN CAST(COUNT(DISTINCT resp.response_id) AS DOUBLE)
+          |            / CAST(COUNT(DISTINCT br.request_id) AS DOUBLE)
+          |        ELSE 0.0
+          |    END AS fill_rate,
+          |    CASE
+          |        WHEN COUNT(DISTINCT resp.response_id) > 0
+          |        THEN CAST(COUNT(DISTINCT imp.impression_id) AS DOUBLE)
+          |            / CAST(COUNT(DISTINCT resp.response_id) AS DOUBLE)
+          |        ELSE 0.0
+          |    END AS win_rate,
+          |    CASE
+          |        WHEN COUNT(DISTINCT imp.impression_id) > 0
+          |        THEN CAST(COUNT(DISTINCT cl.click_id) AS DOUBLE)
+          |            / CAST(COUNT(DISTINCT imp.impression_id) AS DOUBLE)
+          |        ELSE 0.0
+          |    END AS ctr
+          |FROM iceberg.db.bid_requests br
+          |LEFT JOIN iceberg.db.bid_responses resp ON br.request_id = resp.request_id
+          |LEFT JOIN iceberg.db.impressions imp ON resp.response_id = imp.response_id
+          |LEFT JOIN iceberg.db.clicks cl ON imp.impression_id = cl.impression_id
+          |LEFT JOIN iceberg.db.dim_publisher dp
+          |    ON br.publisher_id = dp.publisher_id AND dp.is_current = true
+          |GROUP BY
+          |    date_trunc('hour', br.event_timestamp),
+          |    br.publisher_id, dp.publisher_name, dp.vertical, dp.tier;
+          |CREATE OR REPLACE VIEW iceberg.db.v_event_enriched_clicks AS
+          |SELECT
+          |    cl.click_id,
+          |    cl.request_id,
+          |    cl.impression_id,
+          |    cl.imp_id,
+          |    cl.bidder_id,
+          |    db.bidder_name,
+          |    cl.creative_id,
+          |    dc.creative_name,
+          |    dc.format AS creative_format,
+          |    cl.click_url,
+          |    cl.event_timestamp
+          |FROM iceberg.db.clicks cl
+          |LEFT JOIN iceberg.db.dim_bidder db
+          |    ON cl.bidder_id = db.bidder_id AND db.is_current = true
+          |LEFT JOIN iceberg.db.dim_creative dc
+          |    ON cl.creative_id = dc.creative_id AND dc.is_current = true;
+          |""".stripMargin, extras)
+      // run 2 — materialize.sh:84's consumer, in a FRESH runner: the
+      // persisted views must re-register and serve the CTAS
+      DmlRunner.run(s, cat,
+        """CREATE TABLE iceberg.db.mat_agg_funnel_by_publisher AS
+          |SELECT * FROM iceberg.db.v_agg_funnel_by_publisher;
+          |SELECT f.hour_start, f.publisher_id, f.publisher_name,
+          |       f.publisher_vertical, f.publisher_tier,
+          |       f.bid_requests, f.bid_responses, f.impressions, f.clicks,
+          |       f.fill_rate, f.win_rate, f.ctr,
+          |       (SELECT count(*) FROM iceberg.db.v_event_enriched_clicks)
+          |         AS enriched_clicks
+          |FROM iceberg.db.mat_agg_funnel_by_publisher f
+          |""".stripMargin, extras)
+    },
+    Some {
+      val rtb = RtbOracleOps.root
+      s"""WITH dim_publisher AS (
+         |  SELECT publisher_id, publisher_name,
+         |         'v' || CAST(publisher_id % 4 AS VARCHAR) AS vertical,
+         |         1 + publisher_id % 3 AS tier, is_current
+         |  FROM (${RtbOracleOps.rangeDimSql(30, "publisher_id", "publisher_name", "publisher")})
+         |),
+         |br AS (SELECT id AS request_id,
+         |              coalesce(site['publisher']['id'], app['publisher']['id']) AS publisher_id,
+         |              ${RtbOracleOps.tsSql} AS event_ts
+         |       FROM read_parquet('$rtb/requests/*.parquet')),
+         |resp AS (SELECT id AS response_id, ext['request_id'] AS request_id
+         |         FROM read_parquet('$rtb/responses/*.parquet')),
+         |imp AS (SELECT impression_id, response_id
+         |        FROM read_parquet('$rtb/impressions/*.parquet')),
+         |cl AS (SELECT click_id, impression_id
+         |       FROM read_parquet('$rtb/clicks/*.parquet')),
+         |j AS (SELECT br.event_ts, br.publisher_id, br.request_id,
+         |             resp.response_id, imp.impression_id, cl.click_id,
+         |             dp.publisher_name, dp.vertical AS pv, dp.tier AS pt
+         |      FROM br
+         |      LEFT JOIN resp ON br.request_id = resp.request_id
+         |      LEFT JOIN imp ON resp.response_id = imp.response_id
+         |      LEFT JOIN cl ON imp.impression_id = cl.impression_id
+         |      LEFT JOIN dim_publisher dp
+         |        ON br.publisher_id = dp.publisher_id AND dp.is_current),
+         |f AS (SELECT date_trunc('hour', event_ts) AS hour_start,
+         |             publisher_id, publisher_name,
+         |             pv AS publisher_vertical, pt AS publisher_tier,
+         |             count(DISTINCT request_id) AS bid_requests,
+         |             count(DISTINCT response_id) AS bid_responses,
+         |             count(DISTINCT impression_id) AS impressions,
+         |             count(DISTINCT click_id) AS clicks,
+         |             CASE WHEN count(DISTINCT request_id) > 0
+         |                  THEN CAST(count(DISTINCT response_id) AS DOUBLE)
+         |                       / CAST(count(DISTINCT request_id) AS DOUBLE)
+         |                  ELSE 0.0 END AS fill_rate,
+         |             CASE WHEN count(DISTINCT response_id) > 0
+         |                  THEN CAST(count(DISTINCT impression_id) AS DOUBLE)
+         |                       / CAST(count(DISTINCT response_id) AS DOUBLE)
+         |                  ELSE 0.0 END AS win_rate,
+         |             CASE WHEN count(DISTINCT impression_id) > 0
+         |                  THEN CAST(count(DISTINCT click_id) AS DOUBLE)
+         |                       / CAST(count(DISTINCT impression_id) AS DOUBLE)
+         |                  ELSE 0.0 END AS ctr
+         |      FROM j GROUP BY 1, 2, 3, 4, 5)
+         |SELECT f.*, ec.enriched_clicks
+         |FROM f CROSS JOIN (SELECT count(*) AS enriched_clicks
+         |                   FROM read_parquet('$rtb/clicks/*.parquet')) ec""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(x2SqlRunner, x4SqlDml, x5SqlMerge, x6SqlMaterialize, x7SqlMergeAssign,
-      x8SqlTimetravel)
+      x8SqlTimetravel, x9SqlViews)
 }

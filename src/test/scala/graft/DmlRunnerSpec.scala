@@ -419,4 +419,86 @@ class DmlRunnerSpec extends AnyFunSuite {
     assert(spark.conf.getOption("spark.sql.dml.probe") == before,
       "SET must not leak into the caller's session")
   }
+
+  test("CREATE OR REPLACE VIEW persists across runs and stays late-bound") {
+    val root = freshRoot("d8")
+    val cat = new TableCatalog(spark, root, Seq(TableDef("t8", schema)))
+    // run 1 — apply_views.sh shape: view DDL only
+    DmlRunner.run(spark, cat,
+      """INSERT INTO iceberg.db.t8 VALUES (1, 'a', 1.0), (2, 'b', 2.0);
+        |CREATE OR REPLACE VIEW iceberg.db.v_t8 AS
+        |SELECT typ, count(*) AS n, round(sum(v), 1) AS total
+        |FROM iceberg.db.t8 GROUP BY typ
+        |""".stripMargin)
+    assert(Files.exists(Paths.get(root, "_views")), "view body persisted as a sidecar")
+    // run 2 — a FRESH runner invocation: the view re-registers AND is
+    // late-bound (reads the post-INSERT table in the same script)
+    val out = DmlRunner.run(spark, cat,
+      """INSERT INTO iceberg.db.t8 VALUES (3, 'a', 3.0);
+        |SELECT typ, n, total FROM iceberg.db.v_t8
+        |""".stripMargin)
+    assert(out.orderBy("typ").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 2L, 4.0), ("b", 1L, 2.0)),
+      "view must reflect rows inserted after its creation (late binding)")
+  }
+
+  test("plain CREATE VIEW refuses when the view exists; DROP VIEW removes the sidecar") {
+    val root = freshRoot("d9")
+    val cat = new TableCatalog(spark, root, Seq(TableDef("t9", schema)))
+    DmlRunner.run(spark, cat,
+      """INSERT INTO t9 VALUES (1, 'a', 1.0);
+        |CREATE VIEW v_t9 AS SELECT id FROM t9
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      DmlRunner.run(spark, cat, "CREATE VIEW v_t9 AS SELECT typ FROM t9")
+    }
+    assert(e.getMessage.contains("OR REPLACE"))
+    DmlRunner.run(spark, cat,
+      """CREATE OR REPLACE VIEW v_t9 AS SELECT typ FROM t9;
+        |DROP VIEW v_t9;
+        |DROP VIEW IF EXISTS v_t9;
+        |SELECT count(*) AS n FROM t9
+        |""".stripMargin)
+    val sidecars = Option(Paths.get(root, "_views").toFile.listFiles())
+      .getOrElse(Array.empty)
+    assert(sidecars.isEmpty, "DROP VIEW must delete the persisted body")
+    // and a fresh run no longer resolves it
+    val e2 = intercept[Exception] {
+      DmlRunner.run(spark, cat, "SELECT * FROM v_t9")
+    }
+    assert(e2.getMessage.toLowerCase.contains("v_t9"))
+  }
+
+  test("view-DDL inventory refresh is head-anchored: a 'CREATE VIEW' string literal is data") {
+    assert(DmlRunner.ViewDdlRe.pattern.matcher(
+      "CREATE OR REPLACE TEMPORARY VIEW x AS SELECT 1").matches())
+    assert(DmlRunner.ViewDdlRe.pattern.matcher("  drop view if exists y").matches())
+    assert(!DmlRunner.ViewDdlRe.pattern.matcher(
+      "INSERT INTO t VALUES ('CREATE VIEW v AS SELECT 1')").matches(),
+      "a statement merely CARRYING view-DDL words must not refresh the inventory")
+    assert(!DmlRunner.ViewDdlRe.pattern.matcher(
+      "SELECT 'DROP VIEW' AS label FROM t").matches())
+  }
+
+  test("FOR TIMESTAMP AS OF parses in the SESSION timezone, not the JVM default") {
+    val cat = new TableCatalog(spark, freshRoot("d10"), Seq(TableDef("t10", schema)))
+    DmlRunner.run(spark, cat, "INSERT INTO t10 VALUES (1, 'a', 1.0)")
+    Thread.sleep(5)
+    DmlRunner.run(spark, cat, "INSERT INTO t10 VALUES (2, 'b', 2.0)")
+    val t = cat.table("t10")
+    val v1Ms = t.commits.head.tsMs
+    // express v1's commit instant as a WALL-CLOCK string in a zone far
+    // from the harness's UTC default — correct parsing must interpret
+    // it in the session zone set by the script's own SET statement
+    val zone = java.time.ZoneId.of("Australia/Sydney")
+    val local = java.time.Instant.ofEpochMilli(v1Ms).atZone(zone).toLocalDateTime
+    val arg = local.toString.replace('T', ' ')
+    val out = DmlRunner.run(spark, cat,
+      s"""SET spark.sql.session.timeZone = Australia/Sydney;
+         |SELECT count(*) AS n FROM t10 FOR TIMESTAMP AS OF '$arg'
+         |""".stripMargin)
+    assert(out.head().getLong(0) == 1L,
+      "a Sydney-local timestamp parsed in the JVM-default zone would pin the wrong snapshot")
+  }
 }
