@@ -230,7 +230,7 @@ object ScaleProbe {
       // coalesce would collapse each append back to one file
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       try {
-        for (k <- Seq(1, 10, 30)) {
+        for (k <- Seq(1, 10, 30, 100)) {
           val wh = s"$outRoot/manifest_x$k"
           graft.FsUtil.deleteRecursively(Paths.get(wh))
           val t = new GraftTable(spark, TableDef("probe", schema,
@@ -246,6 +246,20 @@ object ScaleProbe {
           val jsonBytes = Files.size(Paths.get(
             s"$wh/probe/_commits/commit-${t.currentVersion}.json"))
           val chunkRefs = t.commits.last.manifestsOrEmpty.size
+          // the ASSEMBLY check (r15 missing #3 → r16 fast path): a
+          // 1-file append on a WARM handle isolates the driver-side
+          // commit cost — Spark's write of one file is a constant, so
+          // any growth with the live count would be assembly CPU. Must
+          // stay flat from 512 to 51k live files (predecessor-carried
+          // maps + all-chunks-by-reference, zero chunk scans).
+          spark.conf.set("spark.sql.shuffle.partitions", "1")
+          val tinyTimes = (0 until 3).map { _ =>
+            val s0 = System.nanoTime()
+            t.append(ev.limit(100))
+            (System.nanoTime() - s0) / 1e9
+          }
+          spark.conf.set("spark.sql.shuffle.partitions", "512")
+          val tinyS = tinyTimes.sorted.apply(1) // median of 3
           val probes0 = GraftTable.footerProbeCount.get()
           val lo = ev.agg(min(col("ts"))).collect().head.getTimestamp(0).getTime * 1000L
           val t1 = System.nanoTime()
@@ -254,6 +268,7 @@ object ScaleProbe {
           val readS = (System.nanoTime() - t1) / 1e9
           val probes = GraftTable.footerProbeCount.get() - probes0
           println(f"  append_commit        $commitS%8.2f s  json=${jsonBytes}B refs=$chunkRefs")
+          println(f"  tiny_append_warm     $tinyS%8.2f s  (median of 3; 1-file delta — assembly cost)")
           println(f"  pruned_read+wm       $readS%8.2f s  rows=$pruned wm=${wm.isDefined} footer_probes=$probes")
         }
       } finally {

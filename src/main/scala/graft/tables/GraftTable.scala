@@ -388,10 +388,33 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   /** Manifest chunk sizing: entries per chunk (a full chunk json is a
     * few hundred KB — one metadata IO, Iceberg-manifest-sized) and the
-    * reference-count ceiling that triggers the fold-smallest merge.
+    * reference-count ceiling that triggers the fold-undersized merge.
     */
   private val ChunkTargetEntries = 1024
   private val MaxChunkRefs = 24
+
+  /** Split the predecessor's chunk refs into (carried by reference,
+    * folded into this commit's own write). Folding triggers when the
+    * ref count would exceed [[MaxChunkRefs]] and merges ONLY
+    * UNDERSIZED chunks (≤ half the target): merging those actually
+    * reduces the count (amortized-logarithmic rewrites, Iceberg's
+    * `rewrite_manifests` folded into the commit), while a SATURATED
+    * chunk can never fold into fewer — rewriting it would be pure
+    * write amplification per commit, which is exactly what the
+    * pre-r16 fold-smallest rule degenerated into past ~24k files
+    * (12 full chunks re-serialized per append, measured at 100× in
+    * SCALING.md). Past saturation the ref count grows at its true
+    * floor, ceil(live / ChunkTargetEntries) — the commit json is then
+    * O(live/1024), the same O(#manifests) a real Iceberg manifest
+    * list carries.
+    */
+  private def foldChunks(prevChunks: Seq[String]): (Seq[String], Seq[String]) = {
+    if (prevChunks.size < MaxChunkRefs) return (prevChunks, Nil)
+    val undersized = prevChunks.filter(n =>
+      manifestStore.read(n).size <= ChunkTargetEntries / 2)
+    if (undersized.size < 2) (prevChunks, Nil)
+    else (prevChunks.filterNot(undersized.toSet), undersized)
+  }
 
   /** Footer stats of freshly written (immutable) files, one open each:
     * row count + per-INT64-column min/max — keyed by relative path,
@@ -476,10 +499,21 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * another writer claimed the version first; the caller re-reads the
     * head, re-validates, and retries.
     */
-  private def publish(persisted: CommitMeta): Boolean = {
+  private def publish(meta: CommitMeta, persisted: CommitMeta): Boolean = {
+    val bytes = mapper.writeValueAsString(persisted)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = Paths.get(s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}.json")
-    Files.writeString(tmp, mapper.writeValueAsString(persisted))
-    try { Files.createLink(commitPath(persisted.version), tmp); true }
+    Files.write(tmp, bytes)
+    try {
+      Files.createLink(commitPath(persisted.version), tmp)
+      // prime the parsed-commit cache with the ASSEMBLED in-memory view:
+      // this handle's next commits() serves its own commit without
+      // re-resolving manifest chunks — the predecessor-carry that keeps
+      // a long-lived writer's assembly O(delta) end to end
+      commitCache.put((s"commit-${persisted.version}.json",
+        bytes.length.toLong, contentKey(bytes)), meta)
+      true
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally Files.delete(tmp)
   }
@@ -611,7 +645,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       val meta = assembleCommit(op, intent, prevMeta, knownRows, changeFiles,
         deleteFiles, newSchemaDdl, morDeletes, newPartSpecDdl,
         fileSpecsOverride, newRenames, posDeletes)
-      if (publish(meta._2)) {
+      if (publish(meta._1, meta._2)) {
         // bound the footer-stats cache (it exists for files being
         // committed, not for history): entries for files this commit
         // removed from the live set can never be asked for again
@@ -632,6 +666,23 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 
   /** One assembly pass of [[writeCommit]] against a specific head:
     * (in-memory meta, stripped persisted form).
+    *
+    * COST SHAPE: the steady-state commit kinds — pure additions
+    * (append, MOR upsert) and tombstone commits (equality/position
+    * deletes), i.e. everything the reference's 60-second streaming
+    * cadence issues — take the O(DELTA) fast path: the file list, row
+    * map, spec map, and row-count total derive INCREMENTALLY from the
+    * predecessor's in-memory view (immutable-map structural sharing),
+    * every prior manifest chunk carries by reference without being
+    * scanned, and the only per-file work is the added files' footer
+    * harvest. Driver CPU per commit is then independent of the live
+    * file count — at millions of files an append costs what it costs
+    * at a thousand (Iceberg's fast-append). Rewrites (compact, zorder,
+    * replace, rollback) keep the full O(live) assembly: their intent
+    * already touches the live set wholesale, and they run on the
+    * maintenance cadence, not the ingest cadence. The one-time
+    * migration of a pre-manifest predecessor also takes the full pass
+    * (its row map must be rebuilt from footers once).
     */
   private def assembleCommit(op: String, intent: CommitIntent,
       prevMeta: Option[CommitMeta],
@@ -644,8 +695,53 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
       fileSpecsOverride: Option[Map[String, String]],
       newRenames: Option[Seq[String]],
       posDeletes: (Map[String, Int], Int) => Map[String, Int]): (CommitMeta, CommitMeta) = {
-    val files = filesUnder(intent, prevMeta)
     val newVersion = prevMeta.map(_.version).getOrElse(0) + 1
+    val prevSpecDdl = prevMeta.flatMap(_.partSpecDdlOrNone)
+    val prevFileSpecs = prevMeta.map(_.fileSpecsOrEmpty).getOrElse(Map.empty)
+    val writeSpecDdl = prevSpecDdl.getOrElse(PartitionTransform.specDdl(defn.partitions))
+    // ---- O(delta) fast path (see the method doc) ----
+    val fastAdds: Option[Seq[String]] = intent match {
+      case AddFiles(a)
+          if fileSpecsOverride.isEmpty && newPartSpecDdl.isEmpty => Some(a)
+      case TombstoneEq | TombstonePos => Some(Nil)
+      case _ => None
+    }
+    // a pre-manifest predecessor (inline file list, possibly no row
+    // map) must migrate through the full pass once
+    val fast = fastAdds.isDefined &&
+      prevMeta.forall(p => p.manifestsOrEmpty.nonEmpty || p.files.isEmpty)
+    if (fast) {
+      val added = fastAdds.get
+      // one footer open per added file: rows + bounds (cached — the
+      // caller's zero-row check already primed it)
+      val addedStats: Map[String, (Long, Seq[ColumnBound])] =
+        added.par.map(f => f -> footerStats(f)).seq.toMap
+      val addedRows: Map[String, Long] =
+        added.map(f => f -> knownRows.getOrElse(f, addedStats(f)._1)).toMap
+      val files = prevMeta.map(_.files).getOrElse(Nil) ++ added
+      val fileRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ addedRows
+      val rowCount = prevMeta.map(_.rowCount).getOrElse(0L) + addedRows.values.sum
+      val carriedSpecDdl = prevSpecDdl.orNull
+      val fileSpecs =
+        if (carriedSpecDdl == null) Map.empty[String, String]
+        else prevFileSpecs ++ added.map(_ -> writeSpecDdl)
+      // every carried file keeps identical rows/spec, so EVERY prior
+      // chunk carries by reference — no chunk is read, let alone
+      // scanned. Only the fold-undersized merge (amortized logarithmic)
+      // ever opens carried chunks here.
+      val prevChunks = prevMeta.map(_.manifestsOrEmpty).getOrElse(Nil)
+      val (carried, merged) = foldChunks(prevChunks)
+      val pool = merged.flatMap(manifestStore.read)
+      val fresh = added.map(f => ManifestEntry(
+        f, addedRows(f), fileSpecs.get(f).orNull, addedStats(f)._2))
+      val newChunks = (pool ++ fresh).grouped(ChunkTargetEntries)
+        .map(manifestStore.write).toSeq
+      return finishCommit(op, newVersion, rowCount, files, fileRows, fileSpecs,
+        carriedSpecDdl, carried ++ newChunks, prevMeta, changeFiles, deleteFiles,
+        newSchemaDdl, morDeletes, newRenames, posDeletes)
+    }
+    // ---- full assembly: rewrites, replaces, metadata ops, migration ----
+    val files = filesUnder(intent, prevMeta)
     val prevFiles = prevMeta.map(_.files.toSet).getOrElse(Set.empty)
     val prevRows = prevMeta.map(_.fileRowsOrEmpty).getOrElse(Map.empty) ++ knownRows
     // one footer open per ADDED file harvests rows + INT64 bounds for
@@ -659,10 +755,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // has ever evolved) per-file write-spec provenance. New files were
     // written under the spec in effect BEFORE this commit (an evolve
     // commit adds no files, so the distinction only matters there).
-    val prevSpecDdl = prevMeta.flatMap(_.partSpecDdlOrNone)
     val carriedSpecDdl = newPartSpecDdl.orElse(prevSpecDdl).orNull
-    val prevFileSpecs = prevMeta.map(_.fileSpecsOrEmpty).getOrElse(Map.empty)
-    val writeSpecDdl = prevSpecDdl.getOrElse(PartitionTransform.specDdl(defn.partitions))
     val fileSpecs: Map[String, String] =
       if (carriedSpecDdl == null) Map.empty // never evolved: declared spec everywhere
       else fileSpecsOverride match {
@@ -682,6 +775,53 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
           files.map(f => f -> m.getOrElse(f, targetSpec)).toMap
         case None => files.map(f => f -> prevFileSpecs.getOrElse(f, writeSpecDdl)).toMap
       }
+    // ---- manifest chunking: persisted metadata is O(this delta) ----
+    val fileSet = files.toSet
+    // a prior chunk carries BY REFERENCE iff every entry survives with
+    // identical rows/spec — otherwise its survivors spill into this
+    // commit's own chunk write with their (immutable) bounds kept.
+    // Spec restamps (first partition evolution, rollback overrides)
+    // and removals are what break the carry.
+    val (carriedOk, toSpill) = prevMeta.map(_.manifestsOrEmpty).getOrElse(Nil)
+      .partition(n => manifestStore.read(n).forall(e =>
+        fileSet.contains(e.p) && e.r == fileRows(e.p) &&
+          e.specOrNone == fileSpecs.get(e.p)))
+    // bound ref growth: once the json would reference too many chunks,
+    // fold the undersized ones into this commit's write (amortized: a
+    // chunk is re-merged O(log files) times over the table's life;
+    // saturated chunks never rewrite — see foldChunks)
+    val (carried, merged) = foldChunks(carriedOk)
+    val pool = (toSpill ++ merged).flatMap(manifestStore.read)
+      .filter(e => fileSet.contains(e.p))
+      .map(e => e.copy(r = fileRows(e.p), s = fileSpecs.get(e.p).orNull))
+    val covered = carried.flatMap(n => manifestStore.read(n).map(_.p)).toSet ++
+      pool.map(_.p)
+    // files never chunked yet: this commit's additions (bounds from the
+    // footer harvest) and any carried-over entries of a PRE-manifest
+    // predecessor json (one-time migration; bounds unknown → null)
+    val fresh = files.filterNot(covered).map(f => ManifestEntry(
+      f, fileRows(f), fileSpecs.get(f).orNull,
+      addedStats.get(f).map(_._2).orNull))
+    val newChunks = (pool ++ fresh).grouped(ChunkTargetEntries).map(
+      manifestStore.write).toSeq
+    finishCommit(op, newVersion, fileRows.values.sum, files, fileRows, fileSpecs,
+      carriedSpecDdl, carried ++ newChunks, prevMeta, changeFiles, deleteFiles,
+      newSchemaDdl, morDeletes, newRenames, posDeletes)
+  }
+
+  /** Shared tail of both assembly paths: carry the per-commit metadata
+    * (sink marks, schema, tombstone maps, rename log) and build the
+    * (in-memory, stripped-persisted) pair.
+    */
+  private def finishCommit(op: String, newVersion: Int, rowCount: Long,
+      files: Seq[String], fileRows: Map[String, Long],
+      fileSpecs: Map[String, String], carriedSpecDdl: String,
+      chunkNames: Seq[String], prevMeta: Option[CommitMeta],
+      changeFiles: Seq[String], deleteFiles: Seq[String],
+      newSchemaDdl: Option[String],
+      morDeletes: (Map[String, Int], Int) => Map[String, Int],
+      newRenames: Option[Seq[String]],
+      posDeletes: (Map[String, Int], Int) => Map[String, Int]): (CommitMeta, CommitMeta) = {
     // every commit carries the full per-sink batch watermark forward, so
     // the LATEST commit is always authoritative and expiring old
     // snapshots never loses a sink's mark
@@ -702,40 +842,8 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     // pending position-delete tombstones carry like equality tombstones
     val carriedPosDeletes =
       posDeletes(prevMeta.map(_.posDeleteFilesOrEmpty).getOrElse(Map.empty), newVersion)
-    // ---- manifest chunking: persisted metadata is O(this delta) ----
-    val fileSet = files.toSet
-    // a prior chunk carries BY REFERENCE iff every entry survives with
-    // identical rows/spec — otherwise its survivors spill into this
-    // commit's own chunk write with their (immutable) bounds kept.
-    // Spec restamps (first partition evolution, rollback overrides)
-    // and removals are what break the carry.
-    val (carriedOk, toSpill) = prevMeta.map(_.manifestsOrEmpty).getOrElse(Nil)
-      .partition(n => manifestStore.read(n).forall(e =>
-        fileSet.contains(e.p) && e.r == fileRows(e.p) &&
-          e.specOrNone == fileSpecs.get(e.p)))
-    // bound ref growth: once the json would reference too many chunks,
-    // fold the smallest ones into this commit's write (amortized: a
-    // chunk is re-merged O(log files) times over the table's life)
-    val (carried, merged) =
-      if (carriedOk.size < MaxChunkRefs) (carriedOk, Nil)
-      else carriedOk.sortBy(n => manifestStore.read(n).size)
-        .splitAt(MaxChunkRefs / 2).swap
-    val pool = (toSpill ++ merged).flatMap(manifestStore.read)
-      .filter(e => fileSet.contains(e.p))
-      .map(e => e.copy(r = fileRows(e.p), s = fileSpecs.get(e.p).orNull))
-    val covered = carried.flatMap(n => manifestStore.read(n).map(_.p)).toSet ++
-      pool.map(_.p)
-    // files never chunked yet: this commit's additions (bounds from the
-    // footer harvest) and any carried-over entries of a PRE-manifest
-    // predecessor json (one-time migration; bounds unknown → null)
-    val fresh = files.filterNot(covered).map(f => ManifestEntry(
-      f, fileRows(f), fileSpecs.get(f).orNull,
-      addedStats.get(f).map(_._2).orNull))
-    val newChunks = (pool ++ fresh).grouped(ChunkTargetEntries).map(
-      manifestStore.write).toSeq
-    val chunkNames = carried ++ newChunks
     val meta = CommitMeta(newVersion, System.currentTimeMillis(), op,
-      fileRows.values.sum, files, prev ++ pendingSinkMark.get(), fileRows, changeFiles,
+      rowCount, files, prev ++ pendingSinkMark.get(), fileRows, changeFiles,
       deleteFiles, carriedSchema, carriedMorDeletes, carriedSpecDdl, fileSpecs,
       carriedRenames, carriedPosDeletes, chunkNames)
     // persist the STRIPPED form — the chunk references are the durable
@@ -2703,7 +2811,13 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   /** Per-chunk stats of the current snapshot, Iceberg-`$manifests`
     * shaped: (path, length bytes, added-at version, data file count,
     * record count). Added-at = the FIRST commit referencing the chunk
-    * (chunks are immutable, so that is the commit that wrote it).
+    * (chunks are immutable, so that is the commit that wrote it) —
+    * derived from the SURVIVING log, so after the writing commit
+    * expires, added-at reports the oldest survivor that references the
+    * chunk instead (documented drift; persisting the writer version in
+    * the chunk would pin it exactly, but the column is informational —
+    * nothing resolves data from it — and the drift direction is always
+    * "later version", never a dangling one).
     */
   def manifestInfo: Seq[(String, Long, Int, Int, Long)] = {
     val cs = commits
