@@ -442,9 +442,27 @@ object DmlRunner {
     * the table handles are re-opened ON the scoped session too).
     * `registerExtras` publishes additional read-only views (e.g. the
     * testdata tables) into the scoped session before any statement.
+    *
+    * `atomic = true` stages EVERY statement's commits on a per-run WAP
+    * branch of each table and fast-forwards once at script end — the
+    * crash-window fix for the materializer's DELETE + re-INSERT repair
+    * pairs (materialize.sh:197-216): through Trino those are two
+    * autocommit statements, so a crash between them leaves the mat
+    * table missing rows; staged on a branch, main either sees the whole
+    * script's effect on a table or none of it. Statements inside the
+    * run still read their predecessors' staged writes (the branch IS
+    * the run's view). Publication is atomic PER TABLE (Iceberg has no
+    * cross-table transactions either — the repair pair targets one
+    * table, which is exactly the hole this closes); any failure before
+    * publish drops every branch, main untouched. Maintenance
+    * statements (ALTER ... EXECUTE, CALL system.*) and DROP TABLE
+    * refuse in atomic mode — compaction/expiry/dir-deletion are not
+    * stageable operations and belong to the non-atomic maintenance
+    * replay.
     */
   def run(spark: SparkSession, cat: TableCatalog, script: String,
-      registerExtras: SparkSession => Unit = _ => ()): DataFrame = {
+      registerExtras: SparkSession => Unit = _ => (),
+      atomic: Boolean = false): DataFrame = {
     val scoped = spark.newSession()
     registerExtras(scoped)
     // mutable: CTAS adds runner-created tables, DROP TABLE removes them
@@ -466,6 +484,18 @@ object DmlRunner {
             cat.root)
         }
       }
+    // atomic mode: swap every handle for a view of a per-run WAP branch;
+    // `mains` keeps the publish/abandon handles
+    val staging: Option[String] =
+      if (atomic) Some(s"dml-${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      else None
+    val mains = scala.collection.mutable.Map[String, GraftTable]()
+    staging.foreach { bn =>
+      tables.keys.toSeq.foreach { n =>
+        mains(n) = tables(n)
+        tables(n) = tables(n).createBranch(bn)
+      }
+    }
     val stmts = SqlRunner.splitStatements(script)
     require(stmts.nonEmpty, "empty SQL script")
     var last: DataFrame = null
@@ -515,6 +545,7 @@ object DmlRunner {
         twoPartNames = tables.keys.toSet)
       scoped.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $rewritten")
     }
+    try {
     stmts.foreach { stmt =>
       val tablesMoved = refreshTables()
       if ((tablesMoved || !viewsFresh) && viewDefs.nonEmpty) {
@@ -554,14 +585,29 @@ object DmlRunner {
           val rewritten = pinAsOf(tables,
             rewriteQualified(stmt, tables.keys.toSet ++ viewDefs.keys ++ views,
               twoPartNames = tables.keys.toSet))
-          val r = runStatement(scoped, tables, declared, cat.root, rewritten)
+          val r = runStatement(scoped, tables, declared, cat.root, rewritten,
+            staging, mains)
           if (r != null) last = r
           if (ViewDdlRe.pattern.matcher(stmt).matches())
             views = scoped.catalog.listTables().collect().map(_.name).toSet
       }
     }
     require(last != null, "script contained only SET statements")
+    // atomic publish: one fast-forward per table (atomic per table —
+    // the WAP publish leg); empty branches publish as a clean zero
+    staging.foreach(bn => mains.values.foreach(_.fastForward(bn)))
     last
+    } catch {
+      case e: Throwable =>
+        // abandon every staged branch: main never saw a byte; the
+        // branches' data files become orphans for the maintenance sweep
+        staging.foreach { bn =>
+          mains.values.foreach(m =>
+            try m.dropBranch(bn)
+            catch { case _: Exception => () }) // best-effort cleanup
+        }
+        throw e
+    }
   }
 
   private def resolve(tables: scala.collection.Map[String, GraftTable],
@@ -571,7 +617,10 @@ object DmlRunner {
 
   private def runStatement(spark: SparkSession,
       tables: scala.collection.mutable.Map[String, GraftTable],
-      declared: Set[String], root: String, stmt: String): DataFrame = stmt match {
+      declared: Set[String], root: String, stmt: String,
+      staging: Option[String] = None,
+      mains: scala.collection.mutable.Map[String, GraftTable] =
+        scala.collection.mutable.Map.empty): DataFrame = stmt match {
     case CtasRe(ifNotExists, name, select) =>
       // M1 as SQL text (scripts/materialize.sh:84 opens every mat table
       // with `CREATE TABLE iceberg.db.<t> AS SELECT * FROM ...`): the
@@ -586,15 +635,28 @@ object DmlRunner {
       } else {
         val df = spark.sql(select)
         val t = new GraftTable(spark, TableDef(base, df.schema), root)
-        t.overwrite(df)
         // schema sidecar: a later run (new DmlRunner.run) re-opens this
         // table by reading it back — CTAS tables have no declared def
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(root, base, CtasSchemaSidecar), df.schema.toDDL)
-        tables(base) = t
+        staging match {
+          case Some(bn) =>
+            // atomic mode: even the CTAS payload stages — a crash leaves
+            // an EMPTY table (sidecar + no commit), never a partial run
+            val b = t.createBranch(bn)
+            b.overwrite(df)
+            mains(base) = t
+            tables(base) = b
+          case None =>
+            t.overwrite(df)
+            tables(base) = t
+        }
         marker(spark, "CREATE TABLE AS", base)
       }
     case DropTableRe(ifExists, name) =>
+      require(staging.isEmpty,
+        "DROP TABLE is not stageable — directory deletion cannot be " +
+          "published atomically; run it outside atomic mode")
       val base = baseName(name)
       tables.get(base) match {
         case None =>
@@ -630,6 +692,9 @@ object DmlRunner {
       t.overwrite(alignInsert(spark, t, Option(colsOrNull), query))
       marker(spark, "INSERT OVERWRITE", t.defn.name)
     case AlterExecRe(name, proc, args) =>
+      require(staging.isEmpty,
+        s"ALTER TABLE EXECUTE $proc is maintenance, not stageable DML — " +
+          "run it outside atomic mode")
       val t = resolve(tables, name)
       proc.toLowerCase match {
         case "optimize" =>
@@ -653,6 +718,9 @@ object DmlRunner {
       }
       marker(spark, s"EXECUTE $proc", baseName(name))
     case CallRe(proc, args) =>
+      require(staging.isEmpty,
+        s"CALL system.$proc is maintenance, not stageable DML — " +
+          "run it outside atomic mode")
       // positional-or-named args; the table is the first 'db.t' literal
       val argList = splitTopLevel(args).map(_.trim)
       def tableArg: GraftTable = {
@@ -817,7 +885,16 @@ object DmlRunner {
         s"exactly the identifier keys (${t.defn.keys.mkString(", ")})")
     val want = t.currentSchema.fieldNames
     // fast path — the exact upsert shape commits one upsert (O(batch),
-    // merge-on-read stays zero-rewrite)
+    // merge-on-read stays zero-rewrite). INTENTIONAL semantic deviation
+    // from SQL MERGE, documented: duplicate source key tuples are NOT
+    // refused here — the upsert applies the whole batch latest-wins per
+    // key (both strategies keep a duplicate-keyed batch's duplicates,
+    // the s5 oracle contract), matching what the reference's Flink
+    // upsert sinks do with a keyed changelog stream. The general path
+    // below runs the SQL-MERGE duplicate guard because its clause
+    // routing (first-match-wins per matched PAIR) genuinely corrupts
+    // under multiple matches; the upsert shape has no per-pair routing
+    // to corrupt.
     val upsertShaped = ms.clauses.map(c => (c.matched, c.cond, c.verb, c.set)) ==
       Seq((true, None, "update", "*"), (false, None, "insert", null))
     if (upsertShaped) {

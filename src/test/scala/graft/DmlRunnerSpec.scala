@@ -501,4 +501,65 @@ class DmlRunnerSpec extends AnyFunSuite {
     assert(out.head().getLong(0) == 1L,
       "a Sydney-local timestamp parsed in the JVM-default zone would pin the wrong snapshot")
   }
+
+  test("atomic run: a crash between DELETE and INSERT leaves main untouched") {
+    val cat = new TableCatalog(spark, freshRoot("d11"), Seq(TableDef("t11", schema)))
+    DmlRunner.run(spark, cat,
+      "INSERT INTO t11 VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)")
+    val t = cat.table("t11")
+    val v0 = t.currentVersion
+    // the materializer repair pair (materialize.sh:197-216 shape) with a
+    // failure injected BETWEEN the DELETE and the re-INSERT — exactly
+    // the crash window; through Trino autocommit the table would be
+    // missing its 'a' rows now
+    intercept[Exception] {
+      DmlRunner.run(spark, cat,
+        """DELETE FROM iceberg.db.t11 WHERE typ = 'a';
+          |INSERT INTO no_such_table VALUES (1);
+          |INSERT INTO iceberg.db.t11 VALUES (1, 'a', 10.0), (3, 'a', 30.0)
+          |""".stripMargin, atomic = true)
+    }
+    val fresh = cat.table("t11")
+    assert(fresh.currentVersion == v0, "main advanced despite the aborted atomic run")
+    assert(fresh.readLogical().count() == 3, "the staged DELETE leaked onto main")
+    assert(fresh.branches.isEmpty, "the aborted run's branch was not abandoned")
+  }
+
+  test("atomic run publishes the whole script per table; result matches non-atomic") {
+    val root = freshRoot("d12")
+    val cat = new TableCatalog(spark, root, Seq(TableDef("t12", schema)))
+    DmlRunner.run(spark, cat,
+      "INSERT INTO t12 VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)")
+    val out = DmlRunner.run(spark, cat,
+      """DELETE FROM iceberg.db.t12 WHERE typ = 'a';
+        |INSERT INTO iceberg.db.t12 VALUES (1, 'a', 10.0), (3, 'a', 30.0);
+        |CREATE TABLE iceberg.db.t12_sum AS
+        |SELECT typ, round(sum(v), 1) AS total FROM iceberg.db.t12 GROUP BY typ;
+        |SELECT typ, total FROM iceberg.db.t12_sum
+        |""".stripMargin, atomic = true)
+    assert(out.orderBy("typ").collect().map(r => (r.getString(0), r.getDouble(1)))
+      .toSeq == Seq(("a", 40.0), ("b", 2.0)))
+    val t = cat.table("t12")
+    assert(t.branches.isEmpty, "run branch must be published and dropped")
+    assert(t.readLogical().count() == 3)
+    // the CTAS table also published onto its main
+    val sum = DmlRunner.run(spark, cat, "SELECT count(*) AS n FROM t12_sum")
+    assert(sum.head().getLong(0) == 2L)
+  }
+
+  test("atomic mode refuses maintenance statements and DROP TABLE") {
+    val cat = new TableCatalog(spark, freshRoot("d13"), Seq(TableDef("t13", schema)))
+    DmlRunner.run(spark, cat, "INSERT INTO t13 VALUES (1, 'a', 1.0)")
+    def refuses(stmt: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        DmlRunner.run(spark, cat, stmt, atomic = true)
+      }
+      assert(e.getMessage.contains(needle), s"$stmt → ${e.getMessage}")
+      assert(cat.table("t13").branches.isEmpty, "refusal must clean its branch up")
+    }
+    refuses("ALTER TABLE t13 EXECUTE optimize(file_size_threshold => '128MB')",
+      "atomic")
+    refuses("CALL iceberg.system.expire_snapshots('db.t13', '7d')", "atomic")
+    refuses("DROP TABLE t13", "atomic")
+  }
 }
