@@ -651,6 +651,10 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         // removed from the live set can never be asked for again
         val gone = prevMeta.map(_.files.toSet).getOrElse(Set.empty) -- meta._1.files.toSet
         if (gone.nonEmpty) footerStatsCache --= gone
+        // same discipline for the chunk-parse cache: a long-lived
+        // poll/cron writer otherwise accumulates one parsed chunk per
+        // chunk ever rewritten (see ManifestStore.prune)
+        manifestStore.prune(meta._1.manifestsOrEmpty.toSet)
         return meta._1
       }
       attempt += 1

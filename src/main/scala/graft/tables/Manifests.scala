@@ -87,6 +87,23 @@ final class ManifestStore(dir: String, mapper: ObjectMapper) {
 
   def sizeBytes(name: String): Long = Files.size(Paths.get(s"$dir/$name"))
 
+  /** Entries currently held by the parse cache (test/diagnostic). */
+  def cachedChunkCount: Int = cache.size
+
+  /** Bound the parse cache on a long-lived handle: once it grows past
+    * `floor` entries, drop every cached chunk not in `keep` (the
+    * snapshot the handle just committed or resolved). Chunks are
+    * immutable so eviction is purely a perf decision — a time-travel
+    * read of an evicted chunk re-parses from disk. Without this, a
+    * poll/cron writer on a high-churn table accumulates one parsed
+    * chunk (~1024 entries) per rewritten chunk for the life of the
+    * handle; the floor keeps steady-state churn (latest refs are
+    * bounded by the fold rule) from thrashing the cache.
+    */
+  def prune(keep: Set[String], floor: Int = 256): Unit =
+    if (cache.size > floor)
+      cache.keysIterator.filterNot(keep).toSeq.foreach(cache.remove)
+
   /** Delete chunk files referenced by NO surviving commit (main or any
     * branch) — the manifest leg of orphan cleanup. Returns the count
     * removed. Dotfiles (in-flight tmp writes) are never touched.

@@ -259,4 +259,56 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(new GraftTable(spark, defn, root).readLogical()
       .filter(col("grp") === "z").count() == 5, "main's concurrent commit intact")
   }
+
+  test("append || append across two JVMs: the CAS arbitrates cross-process") {
+    // the reference's writers are separate PROCESSES on separate hosts
+    // (Flink jobs + the maintenance cron) sharing only the table
+    // location; the hard-link CAS must hold across process boundaries,
+    // not just across threads in one JVM
+    val root = freshRoot("cc_jvm")
+    val defn = TableDef("cc_jvm", schema)
+    val n = 4
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+    val cmd = Seq(javaBin, "-Xmx4g") ++ opens ++ Seq(
+      "-cp", sys.props("java.class.path"),
+      "graft.ConcurrencyChildMain", root, "cc_jvm", n.toString, "child")
+    val logF = Files.createTempFile("cc_jvm_child", ".log").toFile
+    val child = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true).redirectOutput(logF).start()
+    try {
+      // wait for the child's FIRST commit so the race is real, then
+      // append from this JVM while the child keeps committing
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (new GraftTable(spark, defn, root).currentVersion < 1) {
+        assert(child.isAlive || child.exitValue() == 0,
+          s"child JVM died early:\n${new String(Files.readAllBytes(logF.toPath)).takeRight(2000)}")
+        assert(System.nanoTime() < deadline, "child JVM never committed")
+        Thread.sleep(100)
+      }
+      val h = new GraftTable(spark, defn, root)
+      (0 until n).foreach(i => h.append(df(i * 10 until i * 10 + 10, "parent", 1.0)))
+      assert(child.waitFor(120, TimeUnit.SECONDS), "child JVM did not exit")
+      assert(child.exitValue() == 0,
+        s"child JVM failed:\n${new String(Files.readAllBytes(logF.toPath)).takeRight(2000)}")
+      assert(new String(Files.readAllBytes(logF.toPath)).contains("CHILD_DONE"))
+      val fresh = new GraftTable(spark, defn, root)
+      assert(fresh.currentVersion == 2 * n, "every cross-process commit claimed a distinct version")
+      assert(fresh.commits.map(_.version) == (1 to 2 * n), "contiguous version log")
+      val out = fresh.readLogical()
+      assert(out.filter(col("grp") === "parent").count() == n * 10, "no parent batch lost")
+      assert(out.filter(col("grp") === "child").count() == n * 10, "no child batch lost")
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+      logF.delete()
+    }
+  }
 }

@@ -190,4 +190,23 @@ class ManifestSpec extends AnyFunSuite {
     assert(t.columnMaxMicros("uid").contains(24L))
     assert(GraftTable.footerProbeCount.get() == before)
   }
+
+  test("chunk-parse cache is bounded on a long-lived handle (prune keeps the live set)") {
+    val dir = freshRoot("m9")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      .registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val store = new ManifestStore(dir, mapper)
+    val names = (0 until 300).map(i =>
+      store.write(Seq(ManifestEntry(s"f$i.parquet", i.toLong))))
+    assert(store.cachedChunkCount == 300)
+    // below the floor nothing evicts (steady-state churn must not thrash)
+    store.prune(names.takeRight(5).toSet, floor = 1000)
+    assert(store.cachedChunkCount == 300)
+    // past the floor only the kept (live) set survives
+    store.prune(names.takeRight(5).toSet, floor = 256)
+    assert(store.cachedChunkCount == 5)
+    // evicted chunks are still readable — immutable files re-parse
+    assert(store.read(names.head).head.p == "f0.parquet")
+    assert(store.read(names.head).head.r == 0L)
+  }
 }
