@@ -73,6 +73,14 @@ object DmlRunner {
     """(?is)^CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)$""".r
   private val DropViewRe =
     """(?is)^DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*$""".r
+  // metadata inspection, the two shapes the reference's shell layer
+  // issues: scripts/setup.sh:135 polls `SHOW TABLES` to verify the
+  // catalog; scripts/maintenance.sh:57 gates every maintenance pass on
+  // `DESCRIBE ${table}` succeeding (output discarded — FAILURE is the
+  // table-does-not-exist signal that skips mat_* before first
+  // materialization)
+  private val ShowTablesRe = """(?is)^SHOW\s+TABLES$""".r
+  private val DescribeRe = """(?is)^(?:DESCRIBE|DESC)\s+([\w.]+)$""".r
   private val MergeHead =
     """(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+""".r
   private val MergeOn =
@@ -574,6 +582,24 @@ object DmlRunner {
         case DropViewRe(ifExists, name)
             if ifExists != null && !views.contains(baseName(name)) =>
           last = marker(scoped, "DROP VIEW (absent)", baseName(name))
+        case ShowTablesRe() =>
+          // Trino-shaped (one `Table` column, name-ordered); catalog
+          // views list alongside tables, as information_schema does
+          import scoped.implicits._
+          last = (tables.keys ++ viewDefs.keys).toSeq.sorted.toDF("Table")
+        case DescribeRe(name) =>
+          // resolve throws for a missing table exactly like Trino
+          // errors — maintenance.sh's gate relies on the failure
+          import scoped.implicits._
+          val base = baseName(name)
+          val sch =
+            if (tables.contains(base)) tables(base).currentSchema
+            else if (viewDefs.contains(base)) scoped.table(base).schema
+            else throw new IllegalArgumentException(
+              s"DESCRIBE $base: table does not exist")
+          last = sch.fields.toSeq
+            .map(f => (f.name, f.dataType.sql.toLowerCase, "", ""))
+            .toDF("Column", "Type", "Extra", "Comment")
         case _ =>
           // catalog-qualified names (`iceberg.db.foo`, `db.foo`) resolve
           // to the temp views by LAST segment — applied to the whole

@@ -205,6 +205,50 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE=conc: contended-commit cost. N writer threads
+    // (separate table handles, the reference's Flink-jobs-plus-cron
+    // shape) each append K small batches to ONE table; the probe
+    // reports wall time, lost-CAS retries, and per-commit cost vs the
+    // single-writer baseline. Appends are commutative, so every lost
+    // race replays O(delta) metadata — the retry count bounds the
+    // convergence cost (expected O(N) retries per round of N
+    // simultaneous commits, O(N^2) total for N writers x K appends in
+    // lockstep; jittered backoff keeps the real count far below that).
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("conc")) {
+      import graft.tables.{GraftTable, TableDef}
+      import org.apache.spark.sql.types._
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", DoubleType)))
+      val k = 8
+      println(s"== contended commits ($k appends/writer, one shared table) ==")
+      for (n <- Seq(1, 2, 4, 8)) {
+        val wh = s"$outRoot/conc_n$n"
+        graft.FsUtil.deleteRecursively(Paths.get(wh))
+        val defn = TableDef("probe", schema)
+        val base = spark.range(0, 1000).select(col("id"),
+          (col("id") * 1.5).as("v")).coalesce(1)
+        val r0 = GraftTable.commitRetryCount.get()
+        val t0 = System.nanoTime()
+        val writers = (0 until n).map { _ => Future {
+          val h = new GraftTable(spark, defn, wh)
+          (0 until k).foreach(_ => h.append(base))
+        }}
+        Await.result(Future.sequence(writers), 600.seconds)
+        val wallS = (System.nanoTime() - t0) / 1e9
+        val retries = GraftTable.commitRetryCount.get() - r0
+        val t = new GraftTable(spark, defn, wh)
+        require(t.currentVersion == n * k, s"lost commit: ${t.currentVersion} != ${n * k}")
+        require(t.readLogical().count() == n.toLong * k * 1000, "lost rows")
+        println(f"  writers=$n%d  wall=$wallS%7.2f s  commits=${n * k}%3d  " +
+          f"per_commit=${wallS / (n * k)}%5.3f s  lost_cas_retries=$retries%3d")
+      }
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE=manifest: commit-metadata scaling. Builds
     // sort-ordered tables at ~0.5k / ~5k / ~15k live files and
     // measures, at each size: the wall time and persisted JSON bytes of

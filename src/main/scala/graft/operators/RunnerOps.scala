@@ -502,7 +502,54 @@ object RunnerOps {
          |                   FROM read_parquet('$rtb/clicks/*.parquet')) ec""".stripMargin
     })
 
+  /** X10 — the reference's SHELL-layer metadata statements:
+    * `DESCRIBE ${table}` (scripts/maintenance.sh:57 — every maintenance
+    * pass gates on it; failure = the table-does-not-exist signal that
+    * skips mat_* tables before the first materialization run) and
+    * `SHOW TABLES` (scripts/setup.sh:135 — the catalog-verification
+    * poll). The row replays the full gate shape: DESCRIBE of the
+    * not-yet-created mat table must FAIL; after the materializer's CTAS
+    * it must succeed; SHOW TABLES lists declared and runner-created
+    * tables alike. Output = the Trino-shaped DESCRIBE of the CTAS
+    * table, cross-joined with the SHOW TABLES inventory (names
+    * concatenated, name-ordered).
+    */
+  val x10SqlShow: QueryDef = QueryDef(
+    "x10_sql_show",
+    (s, dir) => {
+      val wh = scratch("x10")
+      val wmSchema = StructType(Seq(
+        StructField("table_name", StringType),
+        StructField("watermark_ts", TimestampType)))
+      val cat = new TableCatalog(s, wh,
+        Seq(TableDef("materialization_watermarks", wmSchema)))
+      // the maintenance gate BEFORE first materialization: must fail
+      val gateFailed =
+        try { DmlRunner.run(s, cat, "DESCRIBE iceberg.db.mat_probe"); false }
+        catch { case _: Exception => true }
+      require(gateFailed,
+        "DESCRIBE of a missing table must fail — maintenance.sh's skip " +
+          "signal would otherwise run maintenance on nothing")
+      DmlRunner.run(s, cat,
+        """CREATE TABLE iceberg.db.mat_probe AS
+          |SELECT CAST(7 AS BIGINT) AS event_id, CAST('click' AS STRING) AS event_type,
+          |       CAST(1.5 AS DOUBLE) AS value""".stripMargin)
+      val desc = DmlRunner.run(s, cat, "DESCRIBE iceberg.db.mat_probe")
+      val shown = DmlRunner.run(s, cat, "SHOW TABLES")
+      import org.apache.spark.sql.functions._
+      desc.crossJoin(broadcast(shown.agg(
+        count(col("Table")).as("n_tables"),
+        concat_ws(",", sort_array(collect_list(col("Table")))).as("tables_list"))))
+    },
+    Some("""SELECT "Column", "Type", "Extra", "Comment",
+           |       CAST(n AS BIGINT) AS n_tables, tables_list
+           |FROM (VALUES
+           |  ('event_id',   'bigint', '', '', 2, 'mat_probe,materialization_watermarks'),
+           |  ('event_type', 'string', '', '', 2, 'mat_probe,materialization_watermarks'),
+           |  ('value',      'double', '', '', 2, 'mat_probe,materialization_watermarks'))
+           |AS t("Column", "Type", "Extra", "Comment", n, tables_list)""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x2SqlRunner, x4SqlDml, x5SqlMerge, x6SqlMaterialize, x7SqlMergeAssign,
-      x8SqlTimetravel, x9SqlViews)
+      x8SqlTimetravel, x9SqlViews, x10SqlShow)
 }

@@ -658,6 +658,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
         return meta._1
       }
       attempt += 1
+      GraftTable.commitRetryCount.incrementAndGet()
       // lost the version CAS — back off briefly (jittered so N writers
       // don't re-collide in lockstep), re-read the winner, try again
       Thread.sleep(1L +
@@ -2856,6 +2857,12 @@ object GraftTable {
     * from pre-manifest commit jsons may pay the fallback.
     */
   val footerProbeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Lost-CAS retry count across all tables (diagnostic — the
+    * contention probe samples it around racing-writer runs to report
+    * measured retry cost, SCALING.md's concurrency section).
+    */
+  val commitRetryCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Bounded optimistic-commit retries before giving up loudly. Each
     * retry re-reads the head and re-validates — 20 lost CAS races in a

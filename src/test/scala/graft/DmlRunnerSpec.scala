@@ -562,4 +562,28 @@ class DmlRunnerSpec extends AnyFunSuite {
     refuses("CALL iceberg.system.expire_snapshots('db.t13', '7d')", "atomic")
     refuses("DROP TABLE t13", "atomic")
   }
+
+  test("SHOW TABLES and DESCRIBE: the reference's shell-layer metadata statements") {
+    // maintenance.sh:57 gates every pass on `DESCRIBE ${table}`
+    // succeeding; setup.sh:135 polls `SHOW TABLES` to verify the catalog
+    val cat = new TableCatalog(spark, freshRoot("d14"), Seq(TableDef("t14", schema)))
+    DmlRunner.run(spark, cat, "INSERT INTO t14 VALUES (1, 'a', 1.0)")
+    DmlRunner.run(spark, cat,
+      "CREATE VIEW iceberg.db.v14 AS SELECT typ FROM iceberg.db.t14")
+    val shown = DmlRunner.run(spark, cat, "SHOW TABLES")
+    assert(shown.columns.toSeq == Seq("Table"))
+    assert(shown.collect().map(_.getString(0)).toSeq == Seq("t14", "v14"),
+      "views list alongside tables, name-ordered")
+    val desc = DmlRunner.run(spark, cat, "DESCRIBE iceberg.db.t14")
+    assert(desc.columns.toSeq == Seq("Column", "Type", "Extra", "Comment"))
+    assert(desc.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("id", "bigint"), ("typ", "string"), ("v", "double")))
+    // DESC abbreviation + view target
+    val vdesc = DmlRunner.run(spark, cat, "DESC v14")
+    assert(vdesc.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("typ", "string")))
+    // the gate signal: a missing table FAILS (mat_* before first run)
+    val e = intercept[Exception](DmlRunner.run(spark, cat, "DESCRIBE mat_probe"))
+    assert(e.getMessage.contains("does not exist"))
+  }
 }
