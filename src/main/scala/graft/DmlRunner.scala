@@ -734,10 +734,12 @@ object DmlRunner {
           t.expireSnapshots(retention)
         case "remove_orphan_files" =>
           // the engine's orphan sweep reclaims files referenced by NO
-          // surviving snapshot; Iceberg's retention_threshold guards
-          // in-flight multi-writer uploads, which a single-writer log
-          // has none of — the argument is accepted and moot
-          t.removeOrphans()
+          // surviving snapshot; retention_threshold is the concurrency
+          // guard (a racing writer's files sit unreferenced between
+          // its staging move and its publish CAS) — honored, Iceberg's
+          // 3d default when the script omits it
+          t.removeOrphans(minAgeMs = namedArg(args, "retention_threshold")
+            .map(parseDurationMs).getOrElse(3L * 86400000))
         case other => throw new IllegalArgumentException(
           s"${t.defn.name}: unknown table procedure '$other' — " +
             "optimize / expire_snapshots / remove_orphan_files")
@@ -782,7 +784,10 @@ object DmlRunner {
           marker(spark, "EXPIRE_SNAPSHOTS", t.defn.name)
         case "remove_orphan_files" =>
           val t = tableArg
-          t.removeOrphans()
+          // retention honored as the concurrency guard (see the ALTER
+          // EXECUTE route); Iceberg's 3d default when omitted
+          t.removeOrphans(minAgeMs = namedArg(args, "retention_threshold")
+            .map(parseDurationMs).getOrElse(3L * 86400000))
           marker(spark, "REMOVE_ORPHAN_FILES", t.defn.name)
         case other => throw new IllegalArgumentException(
           s"unknown procedure 'system.$other' — rollback_to_snapshot / " +

@@ -877,8 +877,11 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * Timestamps go out as INT64 TIMESTAMP(MICROS): the table layer
     * depends on ordered footer min/max for range pruning and metadata
     * watermark reads, and legacy INT96 stats are unusable. Scoped to
-    * this write (set/restore; the table is single-writer) so result
-    * dumps elsewhere in the session keep the default format.
+    * the set of in-flight graft writes on this session
+    * ([[GraftTable.withMicrosTimestamps]] — reference-counted so one
+    * concurrent writer's exit can't hand another the INT96 default
+    * mid-plan), restoring the prior conf when the last write exits so
+    * result dumps elsewhere in the session keep the default format.
     */
   private def writeFiles(df: DataFrame, numPartitions: Option[Int] = None): Seq[String] = {
     val clustered = withPartitionCols(df)
@@ -934,14 +937,7 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   private def writeStaged(write: String => Unit): Seq[String] = {
     val staging = Paths.get(
       s"$tableDir/_staging/${java.util.UUID.randomUUID()}")
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try write(staging.toString)
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    GraftTable.withMicrosTimestamps(spark)(write(staging.toString))
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
       else Seq(f)
@@ -2550,9 +2546,22 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * Delete-record files of surviving change-tracked commits are
     * referenced too: they are not live data, but they ARE the commit's
     * changelog payload and must survive exactly as long as its json.
+    *
+    * `minAgeMs` is the CONCURRENCY guard (Iceberg's `older_than`
+    * retention, which exists for exactly this): a racing writer's
+    * data/manifest files sit unreferenced between its staging move and
+    * its publish CAS, so a maintenance pass sharing the table must
+    * only reclaim orphans older than any plausible write duration —
+    * the reference's scripts pass 7d. The default 0 sweeps
+    * immediately, which is only safe when the caller KNOWS no write is
+    * in flight (the engine's single-threaded tests and oracle rows).
     */
-  def removeOrphans(): Int = {
+  def removeOrphans(minAgeMs: Long = 0L): Int = {
     requireMain("removeOrphans")
+    val ageCutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < ageCutoff
+      catch { case _: Exception => false } // vanished mid-scan: not ours to sweep
     // live BRANCH snapshots reference files main doesn't know yet —
     // those are the branch's staged payload, not orphans
     def refsOf(c: CommitMeta): Seq[String] =
@@ -2561,18 +2570,23 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     val branchViews = branches.map(branchView)
     val branchRefs = branchViews.flatMap(_.commits.flatMap(refsOf)).toSet
     val referenced = commits.flatMap(refsOf).toSet ++ branchRefs
-    val orphans = listDataFiles() -- referenced
+    val orphans = (listDataFiles() -- referenced)
+      .filter(f => oldEnough(Paths.get(s"$dataDir/$f")))
     orphans.foreach(f => Files.deleteIfExists(Paths.get(s"$dataDir/$f")))
     // the manifest leg: chunks referenced by no surviving commit json
     // (expired snapshots, dropped branches) go with the data orphans —
-    // not counted in the return value, which stays "data files removed"
+    // not counted in the return value, which stays "data files removed".
+    // Same age gate: a racing writer's fresh chunks are unreferenced
+    // until its publish lands
     manifestStore.sweep(
-      (commits ++ branchViews.flatMap(_.commits)).flatMap(_.manifestsOrEmpty).toSet)
+      (commits ++ branchViews.flatMap(_.commits)).flatMap(_.manifestsOrEmpty).toSet,
+      minAgeMs)
     // staging remnants: under concurrent writers a fresh staging dir
     // may be an IN-FLIGHT write racing this maintenance pass — only
     // age-gated remnants (a crash, by definition: a live write drains
     // its staging within its own runtime) are reclaimed
-    val stagingCutoff = System.currentTimeMillis() - GraftTable.StagingSweepAgeMs
+    val stagingCutoff = System.currentTimeMillis() -
+      math.max(minAgeMs, GraftTable.StagingSweepAgeMs)
     Option(new File(s"$tableDir/_staging").listFiles()).getOrElse(Array.empty)
       .filter(_.lastModified() < stagingCutoff)
       .foreach(d => graft.FsUtil.deleteRecursively(d.toPath))
@@ -2857,6 +2871,47 @@ object GraftTable {
     * from pre-manifest commit jsons may pay the fallback.
     */
   val footerProbeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-session depth of in-flight graft writes, guarding the
+    * `spark.sql.parquet.outputTimestampType = TIMESTAMP_MICROS` scope
+    * (the table layer depends on ordered INT64 footer min/max for its
+    * manifest bounds; the INT96 session default has no usable stats).
+    * The conf is SESSION state, so with concurrent writers a naive
+    * per-write set/restore races: writer A's restore can land between
+    * writer B's set and B's write-job conf capture, handing B INT96
+    * and silently stripping B's files of their write-time bounds.
+    * Reference-counted instead: set on the first concurrent write in
+    * a session, restore only when the last one exits. Keyed per
+    * session (cloned sessions — the DML runner's — have their own
+    * SQLConf).
+    */
+  private val microsDepth =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Integer]()
+  private val microsPrior =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Option[String]]()
+  private val MicrosKey = "spark.sql.parquet.outputTimestampType"
+  private[tables] def withMicrosTimestamps[T](spark: SparkSession)(f: => T): T = {
+    microsDepth.synchronized {
+      val d: Int = Option(microsDepth.get(spark)).fold(0)(_.intValue)
+      if (d == 0) {
+        microsPrior.put(spark, spark.conf.getOption(MicrosKey))
+        spark.conf.set(MicrosKey, "TIMESTAMP_MICROS")
+      }
+      microsDepth.put(spark, d + 1)
+    }
+    try f
+    finally microsDepth.synchronized {
+      val d: Int = microsDepth.get(spark).intValue - 1
+      if (d == 0) {
+        microsDepth.remove(spark)
+        microsPrior.remove(spark) match {
+          case Some(v) => spark.conf.set(MicrosKey, v)
+          case None => spark.conf.unset(MicrosKey)
+          case null => ()
+        }
+      } else microsDepth.put(spark, d)
+    }
+  }
 
   /** Lost-CAS retry count across all tables (diagnostic — the
     * contention probe samples it around racing-writer runs to report

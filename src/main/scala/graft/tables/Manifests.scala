@@ -106,12 +106,17 @@ final class ManifestStore(dir: String, mapper: ObjectMapper) {
 
   /** Delete chunk files referenced by NO surviving commit (main or any
     * branch) — the manifest leg of orphan cleanup. Returns the count
-    * removed. Dotfiles (in-flight tmp writes) are never touched.
+    * removed. Dotfiles (in-flight tmp writes) are never touched, and
+    * `minAgeMs` guards a CONCURRENT writer's freshly written chunks
+    * (unreferenced until its publish CAS lands) the same way the data
+    * sweep does.
     */
-  def sweep(referenced: Set[String]): Int = {
+  def sweep(referenced: Set[String], minAgeMs: Long = 0L): Int = {
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val files = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("manifest-") && !referenced(f.getName))
+      .filter(f => f.getName.startsWith("manifest-") && !referenced(f.getName) &&
+        f.lastModified() < cutoff)
     files.foreach { f => Files.deleteIfExists(f.toPath); cache.remove(f.getName) }
     files.length
   }

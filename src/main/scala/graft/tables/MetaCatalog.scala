@@ -148,8 +148,9 @@ object MetaCatalog {
   }
 
   /** Iceberg's `$history` metadata table: when each snapshot became
-    * current. The commit log is linear (single-writer), so every
-    * surviving snapshot is an ancestor of the current one.
+    * current. The commit log is linear (the version CAS serializes
+    * concurrent writers into one history), so every surviving snapshot
+    * is an ancestor of the current one.
     */
   val HistorySchema: StructType = StructType(Seq(
     StructField("made_current_at", TimestampType, nullable = false),

@@ -83,7 +83,9 @@ final class TableCatalog(spark: SparkSession, val root: String, defs: Seq[TableD
       val t = table(name)
       if (t.needsCompaction(targetBytes)) t.compact(targetBytes)
       t.expireSnapshots(retentionMs)
-      name -> t.removeOrphans()
+      // orphan sweep shares the retention: under concurrent writers it
+      // is the guard for in-flight commits' unreferenced files
+      name -> t.removeOrphans(minAgeMs = retentionMs)
     }.toMap
 
   /** M9 — purge: delete one table's data and commit log entirely

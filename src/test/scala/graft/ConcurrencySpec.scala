@@ -260,6 +260,68 @@ class ConcurrencySpec extends AnyFunSuite {
       .filter(col("grp") === "z").count() == 5, "main's concurrent commit intact")
   }
 
+  test("concurrent writers share one micros-timestamp conf scope (no mid-write INT96 leak)") {
+    // outputTimestampType is SESSION state; a per-write set/restore
+    // races under concurrency (writer A's restore between writer B's
+    // set and B's plan capture hands B INT96, whose footers have no
+    // usable timestamp stats — B's files silently lose their manifest
+    // bounds). The scope is reference-counted instead: pin the INT96
+    // default, race timestamped appends, then check every file kept
+    // its write-time bounds and the default came back.
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "INT96")
+    try {
+      val tsSchema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("v", DoubleType)))
+      val root = freshRoot("cc_micros")
+      val defn = TableDef("cc_micros", tsSchema)
+      val h1 = new GraftTable(spark, defn, root)
+      val h2 = new GraftTable(spark, defn, root)
+      import spark.implicits._
+      def tsDf(k: Int) = (0 until 20)
+        .map(i => (new java.sql.Timestamp(1700000000000L + k * 60000L + i * 1000L), i.toDouble))
+        .toDF("ts", "v")
+      def w(h: GraftTable, k0: Int) = Future {
+        (0 until 4).foreach(i => h.append(tsDf(k0 + i)))
+      }
+      Await.result(w(h1, 0).zip(w(h2, 100)), 300.seconds)
+      assert(spark.conf.get(key) == "INT96",
+        "session conf must be restored after the LAST concurrent write")
+      val fresh = new GraftTable(spark, defn, root)
+      val probes0 = GraftTable.footerProbeCount.get()
+      val wm = fresh.columnMaxMicros("ts")
+      assert(wm.isDefined, "watermark must resolve from manifest bounds")
+      assert(GraftTable.footerProbeCount.get() == probes0,
+        "a footer probe means some file was written INT96 and lost its bounds")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("orphan sweep with a retention spares a racing writer's unpublished files") {
+    // the in-flight window: a concurrent writer's data file and
+    // manifest chunk sit in place, referenced by NO snapshot, until its
+    // publish CAS lands — maintenance.sh's retention_threshold ('7d')
+    // is what keeps a shared-table sweep from eating them
+    val root = freshRoot("cc_orph")
+    val defn = TableDef("cc_orph", schema)
+    val t = new GraftTable(spark, defn, root)
+    t.append(df(0 until 10, "a", 1.0))
+    val inflight = Paths.get(root, "cc_orph", "data", "inflight-b.parquet")
+    Files.write(inflight, Array[Byte](1, 2, 3))
+    val chunk = Paths.get(root, "cc_orph", "_manifests", "manifest-inflight-b.json")
+    Files.writeString(chunk, """{"entries":[]}""")
+    assert(t.removeOrphans(minAgeMs = 3600L * 1000) == 0,
+      "retention must spare fresh unreferenced files (a racing commit in flight)")
+    assert(Files.exists(inflight) && Files.exists(chunk))
+    // the unguarded sweep (single-writer maintenance, the tests' shape)
+    // reclaims both immediately
+    assert(t.removeOrphans() == 1)
+    assert(!Files.exists(inflight) && !Files.exists(chunk))
+  }
+
   test("append || append across two JVMs: the CAS arbitrates cross-process") {
     // the reference's writers are separate PROCESSES on separate hosts
     // (Flink jobs + the maintenance cron) sharing only the table
