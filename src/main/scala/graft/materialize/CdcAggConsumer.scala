@@ -109,68 +109,82 @@ final class CdcAggConsumer(
     val deltaAggs = Seq(
       sum(sign).as("__dn"),
       sum(sign * cents).as("__dcents")) ++ minMaxDelta
+    // Persisted: the delta (group-cardinality-sized, bounded by the
+    // poll's touched keys) feeds BOTH the stale-key side and the
+    // replacement side of the keyed rewrite — without the persist each
+    // side re-runs the changelog read + partial-agg shuffle from
+    // scratch (guide §5: cache only what is reused AND expensive to
+    // recompute; this is exactly that). The count doubles as
+    // replaceKeys' knownKeyCount, so the rewrite skips its own
+    // distinct+persist+count pass over a recomputed delta.
     val delta = ch.groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-    if (!trackMinMax) {
-      val merged = delta
-        .join(target.readLogical(), groupCols, "left_outer")
-        .select(
-          groupCols.map(col) ++ Seq(
-            (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
-            (coalesce(col("cents"), lit(0L)) + col("__dcents")).as("cents")): _*)
-        .filter(col("n") > 0) // a group folded to zero leaves the view
-      target.withSinkMark(sinkId, to.toLong) {
-        target.replaceKeys(
-          staleKeys = delta.select(groupCols.map(col): _*),
-          keyCols = groupCols,
-          replacement = merged)
-      }
-    } else {
-      // a delete at or past a stored extremum may have removed it — the
-      // group's true new extremum needs the remaining values, so those
-      // groups (and only those) re-aggregate from source. A group the
-      // target has never seen whose poll window carries ONLY inserts
-      // self-maintains (extrema come entirely from __ins_min/__ins_max);
-      // but a new group whose window mixes inserts with a partial delete
-      // (append then delete-pos consumed in one poll, n stays > 0) must
-      // also recompute — its __ins_* still include the deleted values.
-      // Persisted: read twice below (split + keys), and a recompute
-      // would otherwise re-derive the whole delta.
-      val joined = delta.join(target.readLogical(), groupCols, "left_outer")
-        .withColumn("__recompute",
-          (col("__del_min").isNotNull || col("__del_max").isNotNull) &&
-            (col("min_cents").isNull ||
-             col("__del_min") <= col("min_cents") ||
-             col("__del_max") >= col("max_cents")))
-        .persist()
-      try {
-        val self = joined.filter(!col("__recompute"))
+      .persist()
+    try {
+      val nKeys = delta.count()
+      if (!trackMinMax) {
+        val merged = delta
+          .join(target.readLogical(), groupCols, "left_outer")
           .select(
             groupCols.map(col) ++ Seq(
               (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
-              (coalesce(col("cents"), lit(0L)) + col("__dcents")).as("cents"),
-              least(col("min_cents"), col("__ins_min")).as("min_cents"),
-              greatest(col("max_cents"), col("__ins_max")).as("max_cents")): _*)
-          .filter(col("n") > 0)
-        val recomputeKeys = joined.filter(col("__recompute"))
-          .select(groupCols.map(col): _*)
-        // key-pruned re-aggregation: one source scan semi-joined to the
-        // affected groups (broadcast — the key set is a subset of this
-        // poll's touched groups, bounded by the delta). Pinned to the
-        // polled version so a commit landing mid-poll can't leak ahead
-        // of the mark.
-        val recomputed = source.readLogical(Some(to))
-          .join(broadcast(recomputeKeys), groupCols, "left_semi")
-          .groupBy(groupCols.map(col): _*)
-          .agg(aggCols(col(valueCol)).head, aggCols(col(valueCol)).tail: _*)
+              (coalesce(col("cents"), lit(0L)) + col("__dcents")).as("cents")): _*)
+          .filter(col("n") > 0) // a group folded to zero leaves the view
         target.withSinkMark(sinkId, to.toLong) {
           target.replaceKeys(
             staleKeys = delta.select(groupCols.map(col): _*),
             keyCols = groupCols,
-            replacement = self.unionByName(recomputed))
+            replacement = merged,
+            knownKeyCount = Some(nKeys))
         }
-      } finally joined.unpersist()
-    }
+      } else {
+        // a delete at or past a stored extremum may have removed it — the
+        // group's true new extremum needs the remaining values, so those
+        // groups (and only those) re-aggregate from source. A group the
+        // target has never seen whose poll window carries ONLY inserts
+        // self-maintains (extrema come entirely from __ins_min/__ins_max);
+        // but a new group whose window mixes inserts with a partial delete
+        // (append then delete-pos consumed in one poll, n stays > 0) must
+        // also recompute — its __ins_* still include the deleted values.
+        // Persisted: read twice below (split + keys); the target re-read
+        // per pass would otherwise stack on the (persisted) delta.
+        val joined = delta.join(target.readLogical(), groupCols, "left_outer")
+          .withColumn("__recompute",
+            (col("__del_min").isNotNull || col("__del_max").isNotNull) &&
+              (col("min_cents").isNull ||
+               col("__del_min") <= col("min_cents") ||
+               col("__del_max") >= col("max_cents")))
+          .persist()
+        try {
+          val self = joined.filter(!col("__recompute"))
+            .select(
+              groupCols.map(col) ++ Seq(
+                (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
+                (coalesce(col("cents"), lit(0L)) + col("__dcents")).as("cents"),
+                least(col("min_cents"), col("__ins_min")).as("min_cents"),
+                greatest(col("max_cents"), col("__ins_max")).as("max_cents")): _*)
+            .filter(col("n") > 0)
+          val recomputeKeys = joined.filter(col("__recompute"))
+            .select(groupCols.map(col): _*)
+          // key-pruned re-aggregation: one source scan semi-joined to the
+          // affected groups (broadcast — the key set is a subset of this
+          // poll's touched groups, bounded by the delta). Pinned to the
+          // polled version so a commit landing mid-poll can't leak ahead
+          // of the mark.
+          val recomputed = source.readLogical(Some(to))
+            .join(broadcast(recomputeKeys), groupCols, "left_semi")
+            .groupBy(groupCols.map(col): _*)
+            .agg(aggCols(col(valueCol)).head, aggCols(col(valueCol)).tail: _*)
+          target.withSinkMark(sinkId, to.toLong) {
+            target.replaceKeys(
+              staleKeys = delta.select(groupCols.map(col): _*),
+              keyCols = groupCols,
+              replacement = self.unionByName(recomputed),
+              knownKeyCount = Some(nKeys))
+          }
+        } finally joined.unpersist()
+      }
+    } finally delta.unpersist()
     to - from
   }
 

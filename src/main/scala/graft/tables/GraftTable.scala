@@ -937,7 +937,12 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
   private def writeStaged(write: String => Unit): Seq[String] = {
     val staging = Paths.get(
       s"$tableDir/_staging/${java.util.UUID.randomUUID()}")
+    val writeT0 =
+      if (GraftTable.writeTiming) System.nanoTime() else 0L
     GraftTable.withMicrosTimestamps(spark)(write(staging.toString))
+    if (GraftTable.writeTiming)
+      System.err.println(f"[write-timing] ${defn.name} spark-write " +
+        f"${(System.nanoTime() - writeT0) / 1e9}%.3f s")
     def walk(f: File): Seq[File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
       else Seq(f)
@@ -2849,6 +2854,14 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
 }
 
 object GraftTable {
+  /** Dev-only write-path timing (GRAFT_WRITE_TIMING=1): one stderr line
+    * per staged Spark write so a profiling run can count the commits a
+    * protocol makes and what each write job costs. Read once — env never
+    * changes within a JVM and the flag sits on the hot write path.
+    */
+  private[tables] val writeTiming: Boolean =
+    sys.env.contains("GRAFT_WRITE_TIMING")
+
   /** Max distinct key tuples a repair pass will broadcast for its
     * delete/re-insert joins. 1M tuples of (timestamp, long-ish key)
     * ≈ tens of MB — comfortably under executor broadcast budgets on a
