@@ -9,8 +9,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that layout would change (nothing downstream assumes a single file).
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  /** Memoized relation per (session, dir, table): `spark.read.parquet`
+    * pays a driver-side footer read (schema) plus a directory listing
+    * (file index) on EVERY call, and a bench/verify run constructs each
+    * table relation hundreds of times over an immutable directory. The
+    * memo reuses the analyzed relation — the exact reuse a catalog
+    * table gets for free — and holds no row data, so it is not result
+    * caching: every action still scans the parquet. Callers that
+    * rewrite a directory mid-JVM must [[Tables.invalidate]] it first
+    * (none do today: the synthetic-corpus builders all create their dir
+    * before its first read and never rewrite it).
+    */
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.relationCache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.parquet` has shipped with two physical layouts for `ts`, so
     * the loader adapts to whatever actually arrives:
@@ -62,4 +74,14 @@ object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  private[graft] val relationCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  /** Drop memoized relations under `dir` — required before re-reading a
+    * directory that was rewritten in this JVM (the memoized relation
+    * pins the old file listing).
+    */
+  def invalidate(dir: String): Unit =
+    relationCache.keys.filter(_._2 == dir).foreach(relationCache.remove)
 }

@@ -339,8 +339,7 @@ object PrepOps {
   val sampleDsir: QueryDef =
     QueryDef("sample_dsir", dsirSql) { t =>
       val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
-      DsirScoring.score(docs,
-        DsirScoring.bucketCounts(DsirScoring.featureBuckets(docs)))
+      DsirScoring.scoreSelf(docs)
     }
 
   val all: Seq[QueryDef] =
