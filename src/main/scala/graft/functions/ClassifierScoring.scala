@@ -54,54 +54,31 @@ private[graft] object ClassifierScoring {
     * older dictionary). Irrelevant for the batch oracle, where the
     * dictionary covers the scored corpus and n_scored == n_words.
     */
-  def score(docs: DataFrame, dict: DataFrame): DataFrame =
-    scoreHist(wordHist(docs), dict)
-
-  /** Per-doc word histogram `(doc_id, source, word, c)` — occurrences
-    * collapse per (doc, word), so the join probe and any dictionary
-    * derived from it carry one row per distinct word per doc, and every
-    * occurrence sum becomes a c-weighted sum over the histogram.
-    */
-  def wordHist(docs: DataFrame): DataFrame =
-    words(docs).groupBy(col("doc_id"), col("source"), col("word"))
-      .agg(count(lit(1)).as("c"))
-
-  /** One-pass self-scored form (the batch `text_classifier_score`
-    * shape): dictionary and scores derive from ONE shared word
-    * histogram — build and probe sides canonicalize to the same
-    * exchange (ReusedExchange), so the corpus is split/exploded once
-    * where dictionary-from-raw + score-from-raw exploded it twice.
-    * C-weighted sums keep the integer ppm arithmetic identical.
-    */
-  def scoreSelf(docs: DataFrame): DataFrame = {
-    val hist = wordHist(docs)
-    val dict = hist.groupBy(col("word"))
-      .agg(sum(col("c")).as("c_all"),
-        sum(when(col("source").isin(LmScoring.TrainTier: _*), col("c"))
-          .otherwise(0L)).as("c_tr"))
-    scoreHist(hist, dict)
-  }
-
-  private def scoreHist(hist: DataFrame, dict: DataFrame): DataFrame = {
+  def score(docs: DataFrame, dict: DataFrame): DataFrame = {
     val tot = dict.agg(sum(col("c_all")).as("n_all"), sum(col("c_tr")).as("n_tr"))
-    hist.join(dict, Seq("word"), "left")
+    words(docs).join(dict, Seq("word"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("c"), col("c_all"),
+      .select(col("doc_id"), col("c_all"),
         // NULL dictionary counts propagate to a NULL ratio
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * c_tr * n_all)
                 div (CAST(c_all AS DECIMAL(38,0)) * n_tr) AS BIGINT)""").as("r"))
       .groupBy(col("doc_id"))
-      // n_scored counts MATCHED occurrences (the dict-side column
-      // non-null), exactly like the SQL twin's count(dict.word) over
-      // the un-collapsed stream — counting `r` would diverge on a
-      // matched word whose ratio is NULL (n_tr = 0, where Spark's div
-      // NULLs and DuckDB's // errors)
-      .agg(sum(col("c")).as("n_words"),
-        sum(when(col("c_all").isNotNull, col("c")).otherwise(0L)).as("n_scored"),
-        sum(col("c") * col("r")).as("sr"))
+      // n_scored counts MATCHED words (the dict-side column), exactly
+      // like the SQL twin's count(dict.word) — counting `r` would
+      // diverge on a matched word whose ratio is NULL (n_tr = 0, where
+      // Spark's div NULLs and DuckDB's // errors)
+      .agg(count(lit(1)).as("n_words"), count(col("c_all")).as("n_scored"),
+        sum(col("r")).as("sr"))
       .select(col("doc_id"), col("n_words"), col("n_scored"),
         expr("CASE WHEN n_scored > 0 THEN sr div n_scored END").as("classifier_score"),
         expr("CASE WHEN n_scored > 0 THEN sr div n_scored > 1000000 END")
           .as("is_high_quality"))
   }
+  // A histogram-shared one-pass form (dictionary + scores off one
+  // (doc, word, c) exchange) was tried and REVERTED: the word explode
+  // is a cheap split, words barely repeat within a doc, and the added
+  // full-width exchange measured 1.12× on text_classifier_score
+  // (tools/AB_BENCH_r17_batch1.json) — unlike DSIR, whose feature
+  // explode is expensive and whose B=4096 buckets collapse hard
+  // (DsirScoring.scoreSelf, 0.88× in the same A/B).
 }

@@ -57,57 +57,31 @@ private[graft] object LmScoring {
   def bigramCounts(tok: DataFrame): DataFrame =
     transitions(tok).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
 
-  /** Per-doc transition histogram `(doc_id, source, w1, w2, c)` —
-    * repeated pairs collapse per doc, so the dictionary joins probe one
-    * row per distinct pair per doc and every occurrence sum becomes a
-    * c-weighted sum. Also the shareable proxy for the self-trained
-    * batch shape: a dictionary derived from (a filter of) the same
-    * histogram reuses its exchange instead of re-exploding the corpus.
-    */
-  def transitionHist(tok: DataFrame): DataFrame = tok
-    .select(col("doc_id"), col("source"),
-      explode(expr(
-        "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS w1, arr[i+1] AS w2))"))
-        .as("pair"))
-    .select(col("doc_id"), col("source"),
-      col("pair.w1").as("w1"), col("pair.w2").as("w2"))
-    .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
-    .agg(count(lit(1)).as("c"))
-
-  /** Bigram counts from a transition histogram restricted to the train
-    * tier — equal to `bigramCounts(trainSlice(tok))` row for row, but
-    * computed ON TOP of the histogram's exchange (one corpus explode
-    * for dictionary + scoring instead of two).
-    */
-  def bigramCountsOfHist(hist: DataFrame): DataFrame =
-    hist.filter(col("source").isin(TrainTier: _*))
-      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c2"))
-
   /** Score every doc in `tok` against dictionaries `uni`/`big`:
     * `(doc_id, n_bigrams, n_unseen, lm_score)`. The token stream
     * hash-joins the two dictionaries (O(train vocab), never doc×doc);
     * the train total N = Σc1 rides along as a broadcast single row.
+    * (A (doc, w1, w2, c) histogram shared between scoring and the
+    * self-trained dictionary was tried and REVERTED — bigrams barely
+    * repeat within a document, so the histogram exchange carried the
+    * full transition stream for no collapse: 1.10–1.23× on the lm rows,
+    * tools/AB_BENCH_r17_batch1.json. See DsirScoring.scoreSelf for the
+    * case where the same restructure does pay.)
     */
-  def score(tok: DataFrame, uni: DataFrame, big: DataFrame): DataFrame =
-    scoreHist(transitionHist(tok), uni, big)
-
-  /** [[score]] over a prebuilt [[transitionHist]] — c-weighted sums
-    * keep the integer arithmetic exactly the per-occurrence one's.
-    */
-  def scoreHist(hist: DataFrame, uni: DataFrame, big: DataFrame): DataFrame = {
+  def score(tok: DataFrame, uni: DataFrame, big: DataFrame): DataFrame = {
     val tot = uni.agg(sum(col("c1")).as("n"))
-    hist
+    transitions(tok)
       .join(big, Seq("w1", "w2"), "left")
       .join(uni.select(col("word").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
       .join(uni.select(col("word").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("c"), col("c2"),
+      .select(col("doc_id"), col("c2"),
         when(col("c2").isNotNull, expr("1000000 * c2 div c1w1"))
           .otherwise(expr("400000 * coalesce(c1w2, 0L) div n")).as("p"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        sum(when(col("c2").isNull, col("c")).otherwise(0L)).as("n_unseen"),
-        sum(col("c") * col("p")).as("sp"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(col("p")).as("sp"))
       .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
         expr("sp div n_bigrams").as("lm_score"))
   }

@@ -325,14 +325,9 @@ object TextOps {
   /** The Spark side of [[lmScoreSql]] — shared by score and buckets. */
   private def lmScores(t: graft.Tables): org.apache.spark.sql.DataFrame = {
     val tok = LmScoring.tokenize(t.documents)
-    // ONE corpus explode: the scoring probe and the train-tier bigram
-    // dictionary both derive from the same transition histogram (its
-    // exchange is reused), where score-from-raw + dict-from-raw
-    // exploded every document's transitions twice
-    val hist = LmScoring.transitionHist(tok)
-    LmScoring.scoreHist(hist,
-      LmScoring.unigramCounts(LmScoring.trainSlice(tok)),
-      LmScoring.bigramCountsOfHist(hist))
+    val train = LmScoring.trainSlice(tok)
+    LmScoring.score(tok,
+      LmScoring.unigramCounts(train), LmScoring.bigramCounts(train))
   }
 
   val textLmScore: QueryDef =
@@ -472,7 +467,7 @@ object TextOps {
     * gate (and, through [[ClassifierScoring]], with the streamed twin).
     */
   private[functions] def classifierScores(t: graft.Tables): org.apache.spark.sql.DataFrame =
-    ClassifierScoring.scoreSelf(t.documents)
+    ClassifierScoring.score(t.documents, ClassifierScoring.dictionary(t.documents))
 
   val textClassifierScore: QueryDef = QueryDef(
     "text_classifier_score", classifierScoreSql)(classifierScores)
