@@ -101,7 +101,7 @@ object DashboardOps {
        |ORDER BY impression_count DESC, bidder_id NULLS FIRST
        |LIMIT 100""".stripMargin) { t =>
     ensureData(t.spark)
-    t.spark.read.parquet(s"$root/impressions")
+    RtbOracleOps.slice(t.spark, "impressions")
       .select(col("impression_id"), col("bidder_id")).distinct()
       .groupBy(col("bidder_id"))
       .agg(count(col("impression_id")).as("impression_count"))
@@ -121,7 +121,7 @@ object DashboardOps {
        |ORDER BY click_count DESC, creative_id NULLS FIRST
        |LIMIT 50""".stripMargin) { t =>
     ensureData(t.spark)
-    t.spark.read.parquet(s"$root/clicks")
+    RtbOracleOps.slice(t.spark, "clicks")
       .select(col("click_id"), col("creative_id")).distinct()
       .groupBy(col("creative_id"))
       .agg(count(col("click_id")).as("click_count"))
@@ -135,7 +135,7 @@ object DashboardOps {
     */
   private def enriched(spark: SparkSession): DataFrame =
     RtbIngest.flattenRequests(
-      spark.read.parquet(s"$root/requests").dropDuplicates("id"))
+      RtbOracleOps.slice(spark, "requests").dropDuplicates("id"))
 
   private val enrichedSql =
     s"""WITH x AS (
@@ -237,11 +237,11 @@ object DashboardOps {
        |ORDER BY total_revenue DESC, device_geo_country NULLS FIRST
        |LIMIT 20""".stripMargin) { t =>
     ensureData(t.spark)
-    val imp0 = t.spark.read.parquet(s"$root/impressions")
+    val imp0 = RtbOracleOps.slice(t.spark, "impressions")
       .groupBy(col("impression_id"), col("request_id"))
       .agg(max(col("win_price")).as("win_price"),
         max(RtbIngest.parseTs(col("event_timestamp"))).as("i_ts"))
-    val br0 = t.spark.read.parquet(s"$root/requests")
+    val br0 = RtbOracleOps.slice(t.spark, "requests")
       .groupBy(col("id").as("request_id"))
       .agg(min(col("device.geo.country")).as("device_geo_country"),
         max(RtbIngest.parseTs(col("event_timestamp"))).as("r_ts"))
@@ -290,7 +290,7 @@ object DashboardOps {
        |)""".stripMargin
 
   private[operators] def rollingTbl(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"$root/impressions")
+    RtbOracleOps.slice(spark, "impressions")
       .groupBy(col("impression_id"), col("bidder_id"))
       .agg(max(col("win_price")).as("win_price"),
         max(RtbIngest.parseTs(col("event_timestamp"))).as("event_ts"))
@@ -367,17 +367,17 @@ object DashboardOps {
        |)""".stripMargin
 
   private[operators] def funnelTbl(spark: SparkSession): DataFrame = {
-    val r = spark.read.parquet(s"$root/requests").dropDuplicates("id")
+    val r = RtbOracleOps.slice(spark, "requests").dropDuplicates("id")
       .select(col("id").as("request_id"),
         coalesce(col("site.publisher.id"), col("app.publisher.id")).as("publisher_id"),
         RtbIngest.parseTs(col("event_timestamp")).as("r_ts"))
-    val b = spark.read.parquet(s"$root/responses").dropDuplicates("id")
+    val b = RtbOracleOps.slice(spark, "responses").dropDuplicates("id")
       .select(col("id").as("response_id"), col("ext.request_id").as("b_request_id"),
         RtbIngest.parseTs(col("event_timestamp")).as("b_ts"))
-    val i = spark.read.parquet(s"$root/impressions").dropDuplicates("impression_id")
+    val i = RtbOracleOps.slice(spark, "impressions").dropDuplicates("impression_id")
       .select(col("impression_id"), col("response_id").as("i_response_id"),
         RtbIngest.parseTs(col("event_timestamp")).as("i_ts"))
-    val c = spark.read.parquet(s"$root/clicks").dropDuplicates("click_id")
+    val c = RtbOracleOps.slice(spark, "clicks").dropDuplicates("click_id")
       .select(col("click_id"), col("impression_id").as("c_impression_id"),
         RtbIngest.parseTs(col("event_timestamp")).as("c_ts"))
     r

@@ -83,7 +83,7 @@ object DqOps {
     ensureData(t.spark)
     val pub = coalesce(col("site.publisher.id"), col("app.publisher.id"))
     val ip = col("device.ip")
-    t.spark.read.parquet(s"$root/requests")
+    RtbOracleOps.slice(t.spark, "requests")
       .select(col("id").as("request_id"), col("site"), col("app"),
         col("device"), explode(col("imp")).as("imp_t"),
         RtbIngest.parseTs(col("event_timestamp")).as("event_ts"))

@@ -103,7 +103,7 @@ object ExampleQueryOps {
     */
   private[operators] def br(spark: SparkSession): DataFrame =
     RtbIngest.flattenRequests(
-        spark.read.parquet(s"$root/requests").dropDuplicates("id"))
+        RtbOracleOps.slice(spark, "requests").dropDuplicates("id"))
       .filter(col("publisher_id") > 0 && !col("is_private_ip") &&
         col("imp_bidfloor") > 0)
       .withColumnRenamed("banner_w", "imp_banner_w")
@@ -112,7 +112,7 @@ object ExampleQueryOps {
 
   private[operators] def bids(spark: SparkSession): DataFrame =
     RtbIngest.flattenBids(
-      spark.read.parquet(s"$root/responses").dropDuplicates("id"))
+      RtbOracleOps.slice(spark, "responses").dropDuplicates("id"))
 
   /** Exact average of a cents-precision double column: integer-cents sum,
     * then one double division chain written identically in both engines.
@@ -287,7 +287,7 @@ object ExampleQueryOps {
     ensureData(t.spark)
     val resp = bids(t.spark)
       .select(col("response_id"), col("bidder_id").as("bidder"))
-    val imp = t.spark.read.parquet(s"$root/impressions")
+    val imp = RtbOracleOps.slice(t.spark, "impressions")
       .dropDuplicates("impression_id")
       .select(col("impression_id"), col("response_id").as("i_response_id"))
     resp.join(imp, col("response_id") === col("i_response_id"), "left")
@@ -317,10 +317,10 @@ object ExampleQueryOps {
        |ORDER BY impressions DESC, creative_id NULLS FIRST
        |LIMIT 10""".stripMargin) { t =>
     ensureData(t.spark)
-    val imp = t.spark.read.parquet(s"$root/impressions")
+    val imp = RtbOracleOps.slice(t.spark, "impressions")
       .dropDuplicates("impression_id")
       .select(col("impression_id"), col("creative_id"))
-    val clk = t.spark.read.parquet(s"$root/clicks")
+    val clk = RtbOracleOps.slice(t.spark, "clicks")
       .dropDuplicates("click_id")
       .select(col("click_id"), col("impression_id").as("c_impression_id"))
     imp.join(clk, col("impression_id") === col("c_impression_id"), "left")
@@ -353,7 +353,7 @@ object ExampleQueryOps {
        |ORDER BY total_revenue DESC, publisher_id NULLS FIRST
        |LIMIT 10""".stripMargin) { t =>
     ensureData(t.spark)
-    val imp = t.spark.read.parquet(s"$root/impressions")
+    val imp = RtbOracleOps.slice(t.spark, "impressions")
       .dropDuplicates("impression_id")
       .select(col("impression_id"), col("request_id").as("i_request_id"),
         col("win_price"))
@@ -401,7 +401,7 @@ object ExampleQueryOps {
     val resp = bids(t.spark)
       .select(col("response_id"), col("bidder_id").as("bidder"),
         col("bid_price"))
-    val imp = t.spark.read.parquet(s"$root/impressions")
+    val imp = RtbOracleOps.slice(t.spark, "impressions")
       .dropDuplicates("impression_id")
       .select(col("response_id").as("i_response_id"), col("win_price"))
     resp.join(imp, col("response_id") === col("i_response_id"))

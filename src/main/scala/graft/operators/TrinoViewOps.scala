@@ -195,15 +195,15 @@ object TrinoViewOps {
        |            ELSE 0.0 END AS click_leakage_rate
        |FROM j GROUP BY 1, 2, 3, 4""".stripMargin) { t =>
     ensureData(t.spark)
-    val br = t.spark.read.parquet(s"$root/requests")
+    val br = RtbOracleOps.slice(t.spark, "requests")
       .select(col("id").as("request_id"),
         coalesce(col("site.publisher.id"), col("app.publisher.id")).as("publisher_id"),
         graft.rtb.RtbIngest.parseTs(col("event_timestamp")).as("event_ts"))
-    val resp = t.spark.read.parquet(s"$root/responses")
+    val resp = RtbOracleOps.slice(t.spark, "responses")
       .select(col("id").as("response_id"), col("ext.request_id").as("r_request_id"))
-    val imp = t.spark.read.parquet(s"$root/impressions")
+    val imp = RtbOracleOps.slice(t.spark, "impressions")
       .select(col("impression_id"), col("response_id").as("i_response_id"))
-    val cl = t.spark.read.parquet(s"$root/clicks")
+    val cl = RtbOracleOps.slice(t.spark, "clicks")
       .select(col("click_id"), col("impression_id").as("c_impression_id"))
     val dp = broadcast(
       rangeDim(t.spark, 30, "d_publisher_id", "publisher_name", "publisher")
