@@ -52,9 +52,9 @@ object IngestOracleOps {
     graft.GraftSession.withShufflePartitions(spark, n)(body)
 
   /** The lowered width for twin drains — comfortably parallel for
-    * O(batch partial) work, 4× fewer state/commit files per batch.
+    * O(batch partial) work, 8× fewer state/commit files per batch.
     */
-  private val TwinShuffleWidth = 8
+  private val TwinShuffleWidth = 4
 
   /** Run `body` with no-data micro-batches disabled, restoring after.
     * The upsert twins (a7/w3) emit in UPDATE mode, where results and
