@@ -45,6 +45,13 @@ object GraftSession {
       // read-only metadata catalog so query-examples #8's literal
       // `iceberg.db."bid_requests$snapshots"` resolves (see MetaCatalog)
       .config("spark.sql.catalog.iceberg", classOf[graft.tables.MetaCatalog].getName)
+      // checkpoint IO: local (file:) checkpoint dirs skip the
+      // FileContext + CRC-sidecar layer while keeping the atomic
+      // visibility contract; NON-file schemes (HDFS/S3 in a cluster
+      // deployment) delegate to Spark's stock manager inside the class,
+      // so the setting is scheme-adaptive, not a local-mode assumption
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        classOf[org.apache.spark.sql.execution.streaming.checkpointing.GraftLocalCheckpointFileManager].getName)
       .config("spark.ui.enabled", "false")
 
   /** Standard entry-point session: local[cpus], shuffle = cpus. */
