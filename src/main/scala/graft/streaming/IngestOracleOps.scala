@@ -181,7 +181,15 @@ object IngestOracleOps {
     "bm25_ingest_topk", SearchOps.bm25Topk.oracle.get) { t =>
     val stage = stageDir("graft_bm25_ingest")
     val docs = t.documents.select(col("doc_id"), col("text"))
-    val postings = new GraftTable(t.spark, PostingsIngest.postingsDef, s"$stage/idx")
+    // bucket count sized from the corpus volume (scan-stats estimate —
+    // driver-side, no job): 8 dirs for a KB-scale twin corpus instead
+    // of a 64-dir fan-out per micro-batch, growing to the serve-IO
+    // bound at warehouse scale (see PostingsIngest.bucketsForVolume)
+    val corpusBytes =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val postings = new GraftTable(t.spark,
+      PostingsIngest.postingsDefWith(PostingsIngest.bucketsForVolume(
+        corpusBytes.min(BigInt(Long.MaxValue)).toLong)), s"$stage/idx")
     val docStats = new GraftTable(t.spark, PostingsIngest.docStatsDef, s"$stage/idx")
     // 2 micro-batches, not 4: each append writes O(vocabulary)
     // term-partition directories, and two batches already prove the
@@ -227,7 +235,10 @@ object IngestOracleOps {
     val stage = stageDir("graft_kb_ingest")
     val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
     val partials = new GraftTable(t.spark, KeepBestIngest.partialsDef, s"$stage/kb")
-    streamCorpus(t.spark, docs, stage, 2)(
+    // width 8, not TwinShuffleWidth: the only twin the width-4 drain
+    // measured SLOWER (r17 AB_BENCH_r17_width ~1.07 — its per-batch
+    // keep-best partial aggregation is compute-, not state-file-bound)
+    streamCorpus(t.spark, docs, stage, 2, width = Some(8))(
       KeepBestIngest.run(_, partials, s"$stage/ck"))
     KeepBestIngest.compactPartials(partials)
     KeepBestIngest.resolve(partials)

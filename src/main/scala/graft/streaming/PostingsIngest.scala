@@ -31,20 +31,51 @@ import org.apache.spark.sql.types._
   */
 object PostingsIngest {
 
-  /** Bucket count — a layout CONSTANT (like the IVF codebook size):
-    * directories per micro-batch stay ≤ this at any vocabulary.
+  /** Default bucket count when the corpus volume is unknown at table
+    * creation — directories per micro-batch stay ≤ this at any
+    * vocabulary (the layout bound the identity transform lacks).
     */
   val TermBuckets = 64
 
+  /** Scale-adaptive bucket count from the corpus volume feeding the
+    * index (guide §6: output layout sized from data, not a constant
+    * tuned for one scale). Two bounds meet here:
+    *
+    *  - per-term serve IO opens ~postingsBytes / buckets per query
+    *    term, so buckets grows linearly with volume
+    *    (one bucket per [[BucketTargetBytes]] of corpus);
+    *  - per-micro-batch APPEND writes one file per touched bucket dir,
+    *    so tiny corpora must not pay a 64-dir fan-out for KBs of
+    *    postings — the floor of 8 keeps multi-bucket pruning
+    *    exercised, the 4096 cap keeps the directory count (and the
+    *    per-batch task fan-out) bounded at warehouse scale.
+    *
+    * Power of two so re-bucketing a growing table is a local split.
+    * The count is fixed PER TABLE at creation (the transform rides the
+    * commit log); serving reads the table's own spec (see
+    * [[bm25TopK]]), so layout and pruning cannot drift.
+    */
+  val BucketTargetBytes: Long = 32L << 20
+  def bucketsForVolume(corpusBytes: Long): Int = {
+    val want = math.max(1L, corpusBytes / BucketTargetBytes)
+    val pow2 = java.lang.Long.highestOneBit(math.min(want, 4096L))
+    math.max(8L, if (pow2 < want) pow2 * 2 else pow2).toInt.min(4096)
+  }
+
   private val termBucket = BucketTransform("term", TermBuckets)
 
-  val postingsDef: TableDef = TableDef("postings",
+  /** Postings table def with a caller-sized bucket count (twins size it
+    * from the staged corpus volume; [[postingsDef]] keeps the default).
+    */
+  def postingsDefWith(buckets: Int): TableDef = TableDef("postings",
     StructType(Seq(
       StructField("term", StringType),
       StructField("doc_id", LongType),
       StructField("tf", LongType))),
-    partitions = Seq(termBucket),
+    partitions = Seq(BucketTransform("term", buckets)),
     keys = Seq("term", "doc_id"))
+
+  val postingsDef: TableDef = postingsDefWith(TermBuckets)
 
   /** Driver-side bucket of a literal query term — the pruning key. */
   def bucketOf(term: String): Long = termBucket.bucketOf(term)
@@ -151,9 +182,15 @@ object PostingsIngest {
     */
   def bm25TopK(postings: GraftTable, docStats: GraftTable,
       terms: Seq[String], k: Int): DataFrame = {
-    val buckets = terms.map(bucketOf).distinct
+    // pruning key comes from the TABLE's own partition spec, so a
+    // volume-sized bucket count (bucketsForVolume) and the serve path
+    // can never disagree on the layout
+    val bt = postings.currentPartitions
+      .collectFirst { case b: BucketTransform if b.source == "term" => b }
+      .getOrElse(termBucket)
+    val buckets = terms.map(bt.bucketOf).distinct
     val tf = postings.read()
-      .filter(col(termBucket.name).isin(buckets: _*) &&
+      .filter(col(bt.name).isin(buckets: _*) &&
         col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val stats = docStats.readLogical()

@@ -132,4 +132,48 @@ class PostingsIngestSpec extends AnyFunSuite {
     }
     assert(docStats.readLogical().count() == docs.size)
   }
+
+  test("volume-sized bucket count: serve path prunes by the TABLE's own spec") {
+    // the sizing function obeys both documented bounds
+    assert(PostingsIngest.bucketsForVolume(0) == 8)
+    assert(PostingsIngest.bucketsForVolume(600L << 10) == 8) // KB-scale twin corpus
+    assert(PostingsIngest.bucketsForVolume(1L << 30) == 32)  // 1 GiB / 32 MiB
+    assert(PostingsIngest.bucketsForVolume(Long.MaxValue) == 4096)
+    // power of two throughout
+    for (b <- Seq(0L, 1L << 20, 1L << 28, 1L << 34, 1L << 44))
+      assert(Integer.bitCount(PostingsIngest.bucketsForVolume(b)) == 1)
+
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = fresh("vwh")
+    // non-default count: ranking must be identical and pruning must key
+    // off the table's spec, not the module default
+    val postings = new GraftTable(spark, PostingsIngest.postingsDefWith(8), wh)
+    val docStats = new GraftTable(spark, PostingsIngest.docStatsDef, wh)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc2(r.getLong(0), r.getString(1))).toSeq
+    val src = MemoryStream[Doc2]
+    val q = PostingsIngest.indexAppend(src.toDF(), postings, docStats, fresh("vck"))
+    src.addData(docs); q.processAllAvailable()
+    q.stop()
+
+    assert(postings.read().select("p_term_bucket").distinct().count() <= 8)
+    val terms = Seq("vector", "stream", "merge", "window", "hash")
+    val served = PostingsIngest.bm25TopK(postings, docStats, terms, 20)
+    val direct = SearchOps.bm25Topk.run(spark, sf)
+    assert(served.collect().toSeq.map(_.toSeq) == direct.collect().toSeq.map(_.toSeq),
+      "8-bucket postings must serve the raw-text ranking")
+    // pruned read: fewer files than the table holds (the spec's buckets)
+    val bt = graft.tables.BucketTransform("term", 8)
+    val pruned = postings.read()
+      .filter(col("p_term_bucket").isin(terms.map(bt.bucketOf).distinct: _*))
+    pruned.collect()
+    val opened = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(opened < postings.read().inputFiles.length,
+      "serve read must open only the query terms' bucket dirs")
+  }
 }
