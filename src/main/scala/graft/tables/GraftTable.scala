@@ -883,7 +883,54 @@ final class GraftTable(val spark: SparkSession, val defn: TableDef, root: String
     * mid-plan), restoring the prior conf when the last write exits so
     * result dumps elsewhere in the session keep the default format.
     */
+  /** Driver-local fast path: a commit whose rows are a tiny
+    * LocalRelation (a watermark row, a bookkeeping upsert, a VALUES
+    * insert) pays the full distributed-write floor — analyze/optimize,
+    * a scheduled task, the Hadoop commit protocol — to move a few
+    * hundred bytes that never left the driver. Write them directly
+    * through Spark's own ParquetWriteSupport instead (identical on-disk
+    * conventions, footer stats included — see GraftParquetBridge).
+    * Gated to: no explicit partition-count request, unpartitioned
+    * unsorted layout (partition/sort distribution is the distributed
+    * writer's job), and an ANALYZED plan that is just projections over
+    * one LocalRelation whose optimized form stays local and small. The
+    * analyzed-plan probe is pattern matching only; the optimizer runs
+    * solely on plans already known to be projection-over-local, so the
+    * distributed path never pays an extra optimization pass.
+    */
+  private def localRelationRows(df: DataFrame)
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @scala.annotation.tailrec
+    def leafLocal(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation => true
+      case pr: Project => leafLocal(pr.child)
+      case a: SubqueryAlias => leafLocal(a.child)
+      case _ => false
+    }
+    if (!leafLocal(df.queryExecution.analyzed)) return None
+    df.queryExecution.optimizedPlan match {
+      case l: LocalRelation
+          if l.data.lengthCompare(GraftTable.LocalWriteMaxRows) <= 0 =>
+        Some((df.schema, l.data))
+      case _ => None
+    }
+  }
+
   private def writeFiles(df: DataFrame, numPartitions: Option[Int] = None): Seq[String] = {
+    if (numPartitions.isEmpty && partCols.isEmpty && defn.sortOrder.isEmpty) {
+      localRelationRows(df) match {
+        case Some((schema, rows)) =>
+          return writeStaged { dir =>
+            org.apache.spark.sql.execution.datasources.parquet.GraftParquetBridge
+              .writeLocalFile(
+                s"$dir/part-00000-${java.util.UUID.randomUUID()}.parquet",
+                schema, rows.iterator, spark.sessionState.newHadoopConf(),
+                spark.conf.get("spark.sql.parquet.compression.codec", "snappy"))
+          }
+        case None => ()
+      }
+    }
     val clustered = withPartitionCols(df)
     // hash-distribute on the partition values before a partitioned write
     // (Iceberg write.distribution-mode=hash): without it every task
@@ -2861,6 +2908,13 @@ object GraftTable {
     */
   private[tables] val writeTiming: Boolean =
     sys.env.contains("GRAFT_WRITE_TIMING")
+
+  /** Row bound for the driver-local write fast path (writeFiles):
+    * enough for any bookkeeping/marker commit, far below anything a
+    * distributed write exists for. One file either way — a 10k-row
+    * LocalRelation is well under a single row group.
+    */
+  private[tables] val LocalWriteMaxRows = 10000
 
   /** Max distinct key tuples a repair pass will broadcast for its
     * delete/re-insert joins. 1M tuples of (timestamp, long-ish key)
