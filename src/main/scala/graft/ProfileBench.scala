@@ -33,8 +33,11 @@ object ProfileBench {
     // before the run (e.g. spark.sql.adaptive.enabled=false) so a
     // hypothesis can be priced without touching GraftSession
     sys.env.get("GRAFT_PROF_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      if (kv.trim.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v)
+        case _ => sys.error(s"GRAFT_PROF_CONF segment '$kv' lacks '=' " +
+          "(expected k1=v1;k2=v2)")
+      }
     })
     val sc = spark.sparkContext
 
@@ -155,13 +158,16 @@ object ProfileBench {
         .filter(_.end > 0).sortBy(s => -(s.end - s.start)).take(8)
       for (s <- top)
         println(f"  job ${s.id}%4d  ${(s.end - s.start) / 1e3}%6.2f s  ${s.desc.take(110)}")
-      val sampleRows = {
+      val allRows = {
         val it = samples.entrySet().iterator()
         val b = Seq.newBuilder[(String, Int)]
         while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.intValue()) }
-        b.result().sortBy(-_._2).take(20)
+        b.result()
       }
-      val nSamples = sampleRows.map(_._2).sum max 1
+      val sampleRows = allRows.sortBy(-_._2).take(20)
+      // denominator over ALL sampled sites, not just the printed top-20
+      // (ADVICE r17: a large tail inflated the printed percentages)
+      val nSamples = allRows.map(_._2).sum max 1
       for ((sig, c) <- sampleRows)
         println(f"  main ${c * 100.0 / nSamples}%5.1f%% (${c * 0.02}%5.2f s)  ${sig.take(120)}")
     }

@@ -20,9 +20,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     * (none do today: the synthetic-corpus builders all create their dir
     * before its first read and never rewrite it).
     */
-  private def t(name: String): DataFrame =
+  private def t(name: String): DataFrame = {
+    if (!Tables.relationCache.contains((spark, dir, name)))
+      Tables.sweepStopped() // only on the (rare) populate path
     Tables.relationCache.getOrElseUpdate((spark, dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** `events.parquet` has shipped with two physical layouts for `ts`, so
     * the loader adapts to whatever actually arrives:
@@ -77,6 +80,16 @@ object Tables {
 
   private[graft] val relationCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  /** Evict entries whose session has been stopped (ADVICE r17: a
+    * TrieMap keyed by SparkSession would otherwise retain stopped
+    * sessions and their analyzed relations/file indexes for the JVM
+    * lifetime). Swept opportunistically on the populate path — test
+    * suites cycle sessions; Verify/Bench hold one.
+    */
+  private[graft] def sweepStopped(): Unit =
+    relationCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(relationCache.remove)
 
   /** Drop memoized relations under `dir` — required before re-reading a
     * directory that was rewritten in this JVM (the memoized relation

@@ -59,6 +59,9 @@ object RtbOracleOps {
   private[operators] def slice(spark: org.apache.spark.sql.SparkSession,
       sub: String): org.apache.spark.sql.DataFrame = {
     ensureData(spark)
+    if (!sliceCache.contains((spark, sub))) // stopped-session sweep on
+      sliceCache.keys.filter(_._1.sparkContext.isStopped) // the populate
+        .foreach(sliceCache.remove) // path only (ADVICE r17)
     sliceCache.getOrElseUpdate((spark, sub), spark.read.parquet(s"$root/$sub"))
   }
 
