@@ -78,7 +78,8 @@ private[graft] object ClassifierScoring {
   // (doc, word, c) exchange) was tried and REVERTED: the word explode
   // is a cheap split, words barely repeat within a doc, and the added
   // full-width exchange measured 1.12× on text_classifier_score
-  // (tools/AB_BENCH_r17_batch1.json) — unlike DSIR, whose feature
-  // explode is expensive and whose B=4096 buckets collapse hard
-  // (DsirScoring.scoreSelf, 0.88× in the same A/B).
+  // (tools/AB_BENCH_r17_batch1.json). The DSIR variant looked like the
+  // counter-example at sf0.1 (0.88× in that A/B) but lost 1.61× at a
+  // 20× corpus and was removed too (tools/AB_BENCH_r18_dsir20x.json):
+  // the occurrence-level two-pass shape is right for all three.
 }

@@ -89,52 +89,23 @@ private[graft] object DsirScoring {
           .cast("long").as("lam"))
   }
 
-  /** Per-doc bucket histogram `(doc_id, source, bk, c)` — the compact
-    * proxy both the stats side and the scoring side can share: feature
-    * occurrences collapse per (doc, bucket), so the exchange carries
-    * min(features, B) rows per doc instead of one per occurrence, and
-    * sums over it are exactly sums over occurrences (c-weighted).
-    */
-  def featureHist(docs: DataFrame): DataFrame =
-    featureBuckets(docs)
-      .groupBy(col("doc_id"), col("source"), col("bk"))
-      .agg(count(lit(1)).as("c"))
-
   /** Score every doc in `docs` against bucket statistics `stats`:
     * `(doc_id, source, n_feats, dsir_score, selected)`. Occurrence-
-    * level (no pre-histogram): when the stats are EXTERNAL (the
-    * streamed twin serving against maintained counts) the histogram's
-    * extra (doc, bk) exchange buys no reuse — the λ join is broadcast
-    * either way (measured 1.09× on dsir_ingest_scores with it).
+    * level, two passes when the caller derives `stats` from the same
+    * corpus: each pass partial-aggregates map-side (the stats shuffle
+    * carries ≤ [[B]] rows per task, the scoring shuffle ~1 row per
+    * doc), so re-tokenizing is the cheaper currency. The r17
+    * shared-histogram one-pass (`scoreSelf`) was REMOVED after a
+    * 20×-corpus interleaved A/B measured it 1.61× slower
+    * (tools/AB_BENCH_r18_dsir20x.json): its (doc, bk)-grain exchange
+    * shuffled distinct-buckets-per-doc rows per doc — orders more
+    * bytes than both partial-aggregated passes combined — and the
+    * sf0.1 job floor had hidden that.
     */
   def score(docs: DataFrame, stats: DataFrame): DataFrame =
     featureBuckets(docs)
       .join(broadcast(lambdaTable(stats)), Seq("bk"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("dsir_score"))
-      .withColumn("selected", col("dsir_score") > 0)
-
-  /** One-pass self-scored form (the batch `sample_dsir` shape): derive
-    * the bucket statistics AND the scores from ONE shared histogram —
-    * the λ-table's build side and the scoring probe side canonicalize
-    * to the same exchange, so the corpus is tokenized/exploded/hashed
-    * once (ReusedExchange), where stats-from-raw + score-from-raw
-    * tokenized the whole corpus twice. Arithmetic is identical: every
-    * sum is c-weighted over the same integer fixed-point values.
-    */
-  def scoreSelf(docs: DataFrame): DataFrame = {
-    val hist = featureHist(docs)
-    val stats = hist.groupBy(col("bk"))
-      .agg(sum(col("c")).as("cr"),
-        sum(when(col("source").isin(LmScoring.TrainTier: _*), col("c"))
-          .otherwise(0L)).as("ct"))
-    scoreHist(hist, stats)
-  }
-
-  private def scoreHist(hist: DataFrame, stats: DataFrame): DataFrame =
-    hist
-      .join(broadcast(lambdaTable(stats)), Seq("bk"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("lam")).as("dsir_score"))
       .withColumn("selected", col("dsir_score") > 0)
 }

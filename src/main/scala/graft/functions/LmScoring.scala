@@ -65,8 +65,9 @@ private[graft] object LmScoring {
     * self-trained dictionary was tried and REVERTED — bigrams barely
     * repeat within a document, so the histogram exchange carried the
     * full transition stream for no collapse: 1.10–1.23× on the lm rows,
-    * tools/AB_BENCH_r17_batch1.json. See DsirScoring.scoreSelf for the
-    * case where the same restructure does pay.)
+    * tools/AB_BENCH_r17_batch1.json. The DSIR variant of the same
+    * restructure was likewise removed in r18 after losing 1.61× at a
+    * 20× corpus — tools/AB_BENCH_r18_dsir20x.json.)
     */
   def score(tok: DataFrame, uni: DataFrame, big: DataFrame): DataFrame = {
     val tot = uni.agg(sum(col("c1")).as("n"))

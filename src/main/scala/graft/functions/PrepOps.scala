@@ -339,7 +339,18 @@ object PrepOps {
   val sampleDsir: QueryDef =
     QueryDef("sample_dsir", dsirSql) { t =>
       val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
-      DsirScoring.scoreSelf(docs)
+      // two-pass occurrence-level form, NOT the r17 shared-histogram
+      // one-pass (scoreSelf, removed): at a 20× corpus the histogram's
+      // (doc, bk)-grain exchange shuffled ~distinct-buckets-per-doc
+      // rows per doc where these two passes partial-aggregate map-side
+      // to ≤B rows (stats) and ~1 row per doc (scores) — measured 1.61×
+      // SLOWER one-pass (tools/AB_BENCH_r18_dsir20x.json, reps 4
+      // interleaved); the sf0.1 reading that justified it was flat
+      // because the job floor hid the shuffle delta. Guide §2.3: fewer
+      // shuffled bytes beats fewer passes when partial aggregation
+      // collapses map-side.
+      DsirScoring.score(docs,
+        DsirScoring.bucketCounts(DsirScoring.featureBuckets(docs)))
     }
 
   val all: Seq[QueryDef] =
